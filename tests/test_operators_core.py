@@ -1,0 +1,87 @@
+"""Core operator semantics: spine join, cumulative fraction, fill-down,
+nearest-neighbor, gap fill."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from curw_flo2d_data_manager_spark.operators import (
+    cumulative_fraction,
+    fill_down,
+    gap_fill_cross,
+    nearest_neighbor_join,
+    spine_align,
+)
+from curw_flo2d_data_manager_spark.operators.nearest import euclidean_deg2
+
+
+def ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_spine_align_exposes_gaps(spark):
+    series = spark.createDataFrame(
+        [(ts(0, 5), 1.0), (ts(0, 15), 2.0)], "time timestamp, value double"
+    )
+    out = spine_align(spark, series, "2024-01-01 00:00:00", "2024-01-01 00:20:00", 5)
+    rows = {r["time"]: r["value"] for r in out.collect()}
+    assert len(rows) == 5
+    assert rows[ts(0, 10)] is None
+    assert rows[ts(0, 15)] == 2.0
+
+
+def test_cumulative_fraction(spark):
+    df = spark.createDataFrame(
+        [(ts(0), 1.0), (ts(1), 3.0), (ts(2), 0.0), (ts(3), 4.0)],
+        "time timestamp, value double",
+    )
+    rows = cumulative_fraction(df).orderBy("time").collect()
+    assert [r["cum_value"] for r in rows] == [1.0, 4.0, 4.0, 8.0]
+    assert [r["cum_fraction"] for r in rows] == pytest.approx([0.125, 0.5, 0.5, 1.0])
+
+
+def test_cumulative_fraction_zero_total(spark):
+    # total == 0 → fraction 0 (reference guard, gen_rain.py:183-186)
+    df = spark.createDataFrame(
+        [(ts(0), 0.0), (ts(1), 0.0)], "time timestamp, value double"
+    )
+    rows = cumulative_fraction(df).collect()
+    assert all(r["cum_fraction"] == 0.0 for r in rows)
+
+
+def test_fill_down(spark):
+    df = spark.createDataFrame(
+        [(0, "a"), (1, None), (2, None), (3, "b"), (4, None)],
+        "line_no long, hdr string",
+    )
+    rows = fill_down(df, ["hdr"]).orderBy("line_no").collect()
+    assert [r["hdr"] for r in rows] == ["a", "a", "a", "b", "b"]
+
+
+def test_nearest_neighbor_join(spark):
+    pts = spark.createDataFrame([(1, 6.90, 79.85), (2, 6.95, 79.88)], "qid int, lat double, lon double")
+    stations = spark.createDataFrame(
+        [(10, 6.91, 79.85), (20, 6.99, 79.90)], "sid int, s_lat double, s_lon double"
+    )
+    out = nearest_neighbor_join(
+        pts,
+        stations,
+        euclidean_deg2(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")),
+        ["qid"],
+    )
+    got = {r["qid"]: r["sid"] for r in out.collect()}
+    assert got == {1: 10, 2: 20}
+
+
+def test_gap_fill_cross(spark):
+    obs = spark.createDataFrame(
+        [(ts(0), "24", 5.0), (ts(1), "24", 6.0), (ts(1), "153", 7.0)],
+        "time timestamp, cell_id string, value double",
+    )
+    cells = spark.createDataFrame([("24",), ("153",)], "cell_id string")
+    out = gap_fill_cross(obs, cells, fill=-999.0)
+    rows = {(r["time"], r["cell_id"]): r["value"] for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[(ts(0), "153")] == -999.0
+    assert rows[(ts(1), "153")] == 7.0

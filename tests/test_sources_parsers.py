@@ -1,0 +1,104 @@
+"""HYCHAN/TIMDEP parser tests against synthetic fixtures (FIXTURES.md §10/§11)."""
+
+import datetime as dt
+
+import pytest
+
+from curw_flo2d_data_manager_spark.sources.hychan import parse_hychan
+from curw_flo2d_data_manager_spark.sources.timdep import parse_timdep
+
+HYCHAN_FIXTURE = """\
+ SOME PREAMBLE LINE
+     CHANNEL HYDROGRAPH FOR ELEMENT NO:    330
+  TIME      STAGE     DEPTH    VELOCITY  DISCHARGE
+      0.00     4.213     0.41     0.52     12.34
+      0.25     4.220     0.42     0.55     12.91
+      0.50     NaN       0.43     0.60     13.40
+      0.75     4.290     0.44     0.61     13.80
+     CHANNEL HYDROGRAPH FOR ELEMENT NO:    999
+  TIME      STAGE     DEPTH    VELOCITY  DISCHARGE
+      0.00     9.000     0.10     0.10      1.00
+      0.25     9.100     0.11     0.11      1.10
+      0.50     9.200     0.12     0.12      1.20
+      0.75     9.300     0.13     0.13      1.30
+     CHANNEL HYDROGRAPH FOR ELEMENT NO:    462
+  TIME      STAGE     DEPTH    VELOCITY  DISCHARGE
+      0.00     2.100     0.20     0.30      7.00
+      0.25     2.150     0.21     0.31      7.10
+"""
+
+TIMDEP_FIXTURE = """\
+   0.50
+     24   0.0   0.0   0.0   0.0    5.12
+    153   0.0   0.0   0.0   0.0    4.87
+    777   0.0   0.0   0.0   0.0    1.00
+   1.00
+     24   0.0   0.0   0.0   0.0    5.50
+   1.50
+     24   0.0   0.0   0.0   0.0    5.80
+    153   0.0   0.0   0.0   0.0    5.00
+"""
+
+BASE = "2024-01-01 00:00:00"
+
+
+@pytest.fixture(scope="module")
+def hychan_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("flo2d") / "HYCHAN.OUT"
+    p.write_text(HYCHAN_FIXTURE)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def timdep_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("flo2d") / "TIMDEP.OUT"
+    p.write_text(TIMDEP_FIXTURE)
+    return str(p)
+
+
+def test_hychan_sections_and_values(spark, hychan_path):
+    out = parse_hychan(spark, hychan_path, BASE, variable="water_level")
+    rows = out.collect()
+    by_el = {}
+    for r in rows:
+        by_el.setdefault(r["element_no"], []).append(r)
+    # trailing incomplete section (462: 2 rows < SERIES_LENGTH 4) dropped
+    assert set(by_el) == {"330", "999"}
+    # NaN value row skipped, not nulled
+    assert len(by_el["330"]) == 3
+    assert len(by_el["999"]) == 4
+    r0 = sorted(by_el["330"], key=lambda r: r["time"])[0]
+    assert r0["time"] == dt.datetime(2024, 1, 1, 0, 0)
+    assert r0["value"] == pytest.approx(4.213)
+
+
+def test_hychan_keep_incomplete(spark, hychan_path):
+    out = parse_hychan(spark, hychan_path, BASE, keep_incomplete=True)
+    els = {r["element_no"] for r in out.collect()}
+    assert els == {"330", "999", "462"}
+
+
+def test_hychan_discharge_column(spark, hychan_path):
+    out = parse_hychan(spark, hychan_path, BASE, variable="discharge")
+    rows = [r for r in out.collect() if r["element_no"] == "999"]
+    assert sorted(r["value"] for r in rows) == pytest.approx([1.0, 1.1, 1.2, 1.3])
+
+
+def test_timdep_blocks_and_gapfill(spark, timdep_path):
+    cells = spark.createDataFrame([("24",), ("153",)], "cell_id string")
+    out = parse_timdep(spark, timdep_path, BASE, cells)
+    rows = {(r["cell_id"], r["time"]): r["value"] for r in out.collect()}
+    # 3 blocks × 2 mapped cells; unmapped cell 777 excluded
+    assert len(rows) == 6
+    assert rows[("24", dt.datetime(2024, 1, 1, 0, 30))] == pytest.approx(5.12)
+    # cell 153 absent from block 1.00 → NULL (sink applies -999)
+    assert rows[("153", dt.datetime(2024, 1, 1, 1, 0))] is None
+    assert rows[("153", dt.datetime(2024, 1, 1, 1, 30))] == pytest.approx(5.0)
+
+
+def test_timdep_drop_last_block(spark, timdep_path):
+    cells = spark.createDataFrame([("24",), ("153",)], "cell_id string")
+    out = parse_timdep(spark, timdep_path, BASE, cells, drop_last_block=True)
+    times = {r["time"] for r in out.collect()}
+    assert dt.datetime(2024, 1, 1, 1, 30) not in times
+    assert len(times) == 2

@@ -1,0 +1,59 @@
+"""TimeseriesStore query semantics (S1/S3/S5/S6)."""
+
+import datetime as dt
+
+from curw_flo2d_data_manager_spark.store import TimeseriesStore
+
+
+def ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def make_store(spark):
+    run = spark.createDataFrame(
+        [
+            ("id1", "MME", "flo2d_150", "discharge_glencourse"),
+            ("id2", "TSF", "flo2d", "tide_colombo"),
+        ],
+        "id string, method string, model string, grid_id string",
+    )
+    data = spark.createDataFrame(
+        [
+            ("id1", ts(0), 10.0),
+            ("id1", ts(1), 11.0),
+            ("id1", ts(2), 12.0),
+            ("id2", ts(0, 30), 0.5),
+            ("id2", ts(3), 0.7),
+        ],
+        "id string, time timestamp, value double",
+    )
+    return TimeseriesStore(run, data)
+
+
+def test_resolve_id(spark):
+    store = make_store(spark)
+    rows = store.resolve_id("MME", "flo2d_150", "discharge_glencourse").collect()
+    assert [r["id"] for r in rows] == ["id1"]
+
+
+def test_get_timeseries_range_and_order(spark):
+    store = make_store(spark)
+    rows = store.get_timeseries("id1", ts(0, 30), ts(2)).collect()
+    assert [r["value"] for r in rows] == [11.0, 12.0]
+
+
+def test_get_timeseries_by_meta(spark):
+    store = make_store(spark)
+    rows = store.get_timeseries_by_meta("TSF", "flo2d", "tide_colombo", ts(0), ts(4)).collect()
+    assert [r["value"] for r in rows] == [0.5, 0.7]
+
+
+def test_ts_end(spark):
+    store = make_store(spark)
+    assert store.ts_end("MME", "flo2d_150").collect()[0]["ts_end"] == ts(2)
+
+
+def test_first_value(spark):
+    store = make_store(spark)
+    row = store.first_value("id2", ts(0), ts(4)).collect()[0]
+    assert row["value"] == 0.5 and row["time"] == ts(0, 30)
