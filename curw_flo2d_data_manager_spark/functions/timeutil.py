@@ -50,7 +50,9 @@ def right_closed_bucket(time_col: Column | str, minutes: int) -> Column:
     """
     c = F.col(time_col) if isinstance(time_col, str) else time_col
     w = int(minutes) * 60
-    return F.timestamp_seconds(F.ceil(F.unix_timestamp(c) / w) * w)
+    # cast-to-double keeps fractional seconds (unix_timestamp truncates,
+    # which would misplace sub-second samples sitting past a grid edge)
+    return F.timestamp_seconds(F.ceil(c.cast("double") / w).cast("long") * w)
 
 
 def elapsed_hours(time_col: Column | str, base: Column) -> Column:

@@ -1,0 +1,247 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram
+Jaccard — designed for 100 TB document corpora.
+
+Scale design notes:
+
+* **exact**: one hash-groupBy shuffle on a 64-hex digest of the key
+  columns (shuffling a 32-byte key instead of full documents).
+* **minhash_lsh**: shingle → k minhashes → b bands; candidate pairs
+  come from an equi-join on (band_idx, band_hash) — the only shuffle is
+  by band bucket, never an O(n²) cross join. Signatures are pure
+  Column expressions (xxhash64-based), no Python in the scan.
+* **simhash**: 64-bit signature via per-bit weighted sums; near-dup
+  candidates via 4×16-bit band blocking (Hamming ≤ small distances
+  guarantee one identical band by pigeonhole).
+* **ngram_jaccard**: exact verification operator — pairwise Jaccard
+  within a blocking key (for candidates from LSH, or small groups).
+
+All signatures are deterministic (seeded xxhash64), so results are
+stable across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from curw_flo2d_data_manager_spark.operators.textstats import words
+
+
+# ---------------------------------------------------------------- exact
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact duplicate groups: one row per distinct key, keeping the
+    smallest id (deterministic winner) + the duplicate count."""
+    digest = F.sha2(F.concat_ws("", *[F.col(c).cast("string") for c in key_cols]), 256)
+    return (
+        df.withColumn("_k", digest)
+        .groupBy("_k")
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .withColumnRenamed("_k", "key_hash")
+    )
+
+
+# ------------------------------------------------------------- shingles
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text.
+
+    Documents shorter than n words contribute their full word-join as
+    a single shingle, so no document has an empty shingle set.
+    """
+    w = words(col)
+    k = F.size(w) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+# -------------------------------------------------------------- minhash
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """Array of ``num_hashes`` minhash values: for seed i, the minimum
+    xxhash64(shingle, i) over the shingle set. Pure expression —
+    evaluated JVM-side per row, no shuffle."""
+    sigs = [
+        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + banded LSH,
+    optionally verified with exact shingle Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b. The join key is
+    (band_idx, band_hash) so work scales with bucket sizes, not n².
+    """
+    rows = num_hashes // bands
+    sig_df = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(text_col, shingle_n).alias("_sh"),
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+
+    banded = sig_df.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("_sig"), b * rows + 1, rows)),
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("_band"),
+    ).select("_id", "_sh", "_band.band_idx", "_band.band_hash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sh").alias("sh_a"),
+            F.col("r._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    out = pairs.withColumn("jaccard", jac).select("id_a", "id_b", "jaccard")
+    if jaccard_threshold is not None:
+        out = out.filter(F.col("jaccard") >= jaccard_threshold)
+    return out
+
+
+# -------------------------------------------------------------- simhash
+def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document.
+
+    Explodes words once, hashes each to 64 bits, and per bit sums
+    +1/−1; the signature bit is the sign. One explode + one groupBy —
+    shuffles (doc_id, 64 longs), independent of document length.
+    """
+    tokens = df.select(
+        F.col(id_col).alias("_id"), F.explode(words(text_col)).alias("_w")
+    ).withColumn("_h", F.xxhash64("_w"))
+    bit_sums = tokens.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    sig = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return bit_sums.select(F.col("_id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash banding: 4×16-bit bands — any
+    pair within Hamming distance 3 shares at least one exact band
+    (pigeonhole), so candidates come from 4 equi-joins, not a cross
+    join. Pairs are then verified with an exact popcount."""
+    sigs = simhash64(df, id_col, text_col)
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("simhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", "simhash", "_band.band_idx", "_band.band_val")
+
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# -------------------------------------------------- n-gram jaccard exact
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise word-n-gram Jaccard within a blocking key.
+
+    With ``block_col=None`` every pair is compared — only for small
+    inputs or verification of LSH candidates; at scale always pass a
+    block (source, length bucket, LSH band…).
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(text_col, n).alias("_sh"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("_blk"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    pairs = l.join(
+        r, (F.col("l._blk") == F.col("r._blk")) & (F.col("l._id") < F.col("r._id"))
+    )
+    jac = F.size(F.array_intersect(F.col("l._sh"), F.col("r._sh"))) / F.size(
+        F.array_union(F.col("l._sh"), F.col("r._sh"))
+    )
+    return (
+        pairs.select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

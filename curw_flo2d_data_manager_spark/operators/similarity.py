@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine_topk` — exact brute-force top-k: broadcast the query
+  set, scan the corpus once, rank per query. The baseline and the
+  verifier for the approximate paths.
+* :func:`ivf_topk` — IVF-style scale path: KMeans coarse quantizer,
+  corpus bucketed by nearest centroid (precomputed once), queries
+  probe ``nprobe`` nearest centroids; the candidate join is an
+  equi-join on centroid id, so compared pairs drop by ~n_clusters/nprobe.
+* :func:`cosine_dedup_pairs` — embedding near-duplicate pairs above a
+  cosine threshold (brute force within blocks).
+
+Dot products are native expressions (``zip_with`` + ``aggregate``) —
+they run in codegen; there is no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries`` must be small enough to broadcast (the usual case —
+    a query batch); the corpus streams through one scan. Norms are
+    precomputed on both sides so the inner loop is one dot product.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("_cv"),
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "corpus_id", "cosine", F.col("_rk").alias("rank"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: IVF coarse quantization via KMeans.
+
+    Returns the same schema as :func:`cosine_topk`. Recall < 1.0 by
+    construction; raise ``nprobe``/``n_clusters`` to trade cost for
+    recall. The KMeans fit is a one-time index build — at 100 TB you
+    persist (corpus_id, cluster) and reuse it across query batches.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("_feat", array_to_vector(F.col("_cv").cast("array<double>")))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="_cluster")
+    model = km.fit(c)
+    c_assigned = model.transform(c).select("corpus_id", "_cv", "_cluster")
+
+    centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    centers_arr = F.array(
+        *[F.array(*[F.lit(x) for x in ctr]) for ctr in centers]
+    )
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    # rank centroids per query by cosine, keep nprobe
+    q_probes = (
+        q.withColumn("_ctrs", centers_arr)
+        .select(
+            "query_id",
+            "_qv",
+            F.posexplode("_ctrs").alias("_cluster", "_ctr"),
+        )
+        .withColumn(
+            "_csim",
+            dot(F.col("_qv").cast("array<double>"), F.col("_ctr"))
+            / (l2_norm(F.col("_qv")) * l2_norm(F.col("_ctr"))),
+        )
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("_csim"))
+    q_sel = (
+        q_probes.withColumn("_prk", F.row_number().over(w_probe))
+        .filter(F.col("_prk") <= nprobe)
+        .select("query_id", "_qv", "_cluster")
+    )
+
+    cand = c_assigned.join(F.broadcast(q_sel), "_cluster")
+    scored = cand.withColumn(
+        "cosine",
+        dot(F.col("_cv"), F.col("_qv")) / (l2_norm(F.col("_cv")) * l2_norm(F.col("_qv"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "corpus_id", "cosine", F.col("_rk").alias("rank"))
+    )
+
+
+def cosine_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold), id_a < id_b.
+
+    Brute force within blocks; pass ``block_col`` (e.g. an IVF cluster
+    or LSH bucket) at scale.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("_blk"),
+    ).withColumn("_n", l2_norm(F.col("_v")))
+    l, r = base.alias("l"), base.alias("r")
+    pairs = l.join(
+        r, (F.col("l._blk") == F.col("r._blk")) & (F.col("l._id") < F.col("r._id"))
+    ).withColumn(
+        "cosine",
+        dot(F.col("l._v"), F.col("r._v")) / (F.col("l._n") * F.col("r._n")),
+    )
+    return pairs.filter(F.col("cosine") >= threshold).select(
+        F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), "cosine"
+    )

@@ -1,0 +1,1039 @@
+"""Query registry: every implemented operator as a (Spark query,
+DuckDB oracle SQL) pair over the driver's synthetic tables.
+
+This is the engine's correctness surface (driver contract in
+``__spark_entry__.py``): each entry exercises one operator family from
+SURVEY §2 (or a beyond-parity training-data operator) against the
+TPC-H-ish tables at an arbitrary scale factor. Column names are
+aliased identically on both sides; floating aggregates are rounded on
+both sides so value-hash comparison is robust to summation order.
+
+Registry shape: ``name -> (spark_fn, oracle_sql | None)``; oracle None
+means the operator is not SQL-expressible (hash-seeded LSH and the
+like) and gets the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from curw_flo2d_data_manager_spark.operators.cumulative import cumulative_fraction
+from curw_flo2d_data_manager_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from curw_flo2d_data_manager_spark.operators.gapfill import gap_fill_cross
+from curw_flo2d_data_manager_spark.operators.nearest import nearest_neighbor_join
+from curw_flo2d_data_manager_spark.operators.resample import resample_sum
+from curw_flo2d_data_manager_spark.operators.similarity import (
+    cosine_dedup_pairs,
+    cosine_topk,
+)
+from curw_flo2d_data_manager_spark.operators.spine import spine_align
+from curw_flo2d_data_manager_spark.operators.textstats import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    normalize_text,
+    punctuation_ratio,
+    quality_score,
+    regex_token_count,
+    stopword_ratio,
+    whitespace_token_count,
+    words,
+)
+from curw_flo2d_data_manager_spark.functions.ids import series_hash_id
+from curw_flo2d_data_manager_spark.functions.timeutil import right_closed_bucket
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which the
+    vectorized parquet reader rejects; read nanos as long and convert
+    to a microsecond timestamp (truncation — matches DuckDB's ns→us)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+
+
+# =====================================================================
+# Parity queries — TPC-H-style analytics (scan/filter/join/agg/window)
+# =====================================================================
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the flagship scan+aggregate (A1/A3, F1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                            AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                       AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4)                            AS avg_qty,
+       ROUND(AVG(l_discount), 4)                            AS avg_disc,
+       COUNT(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join + agg + top-k (J2/O2)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join through two dimension chains."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN supplier ON l_suppkey   = s_suppkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight filter + single agg (F1, A3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 25
+"""
+
+
+# =====================================================================
+# S-rows: store scans re-expressed on the events table
+# =====================================================================
+
+def s1_series_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/F1/F2/O1: one series (user) in a time window, ordered."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("user_id") == 5)
+            & F.col("ts").between(
+                F.lit("2024-01-05 00:00:00").cast("timestamp"),
+                F.lit("2024-01-20 00:00:00").cast("timestamp"),
+            )
+        )
+        .select("event_id", "ts", "event_type", F.round("value", 4).alias("value"))
+        .orderBy("ts")
+    )
+
+
+S1_SQL = """
+SELECT event_id, ts, event_type, ROUND(value, 4) AS value
+FROM events
+WHERE user_id = 5
+  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+ORDER BY ts
+"""
+
+
+def s3_first_value_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/A6/O3: earliest value per series in a window via min_by —
+    partial-aggregable, no sort (reference: getWL + fetchone)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.min_by("value", "ts"), 4).alias("first_value"),
+            F.min("ts").alias("first_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+S3_SQL = """
+SELECT user_id,
+       ROUND(arg_min(value, ts), 4) AS first_value,
+       MIN(ts) AS first_ts
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def s6_max_end_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/A1: latest available timestamp per series family."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.max("ts").alias("ts_end")).orderBy("event_type")
+
+
+S6_SQL = """
+SELECT event_type, MAX(ts) AS ts_end FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def s2_grid_scan_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/X9: the raincell derivation — whole-range grid scan as ONE
+    join+filter plan (vs the reference's per-timestep stored-proc loop),
+    plus the water-supply constant add (+1/288)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        li.filter(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01").cast("timestamp"),
+                F.lit("1996-06-30").cast("timestamp"),
+            )
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_shipdate").alias("time"), F.col("p_partkey").alias("cell_id"))
+        .agg(F.round(F.sum(F.col("l_quantity") + F.lit(1.0) / 288), 4).alias("value"))
+        .orderBy("time", "cell_id")
+    )
+
+
+S2_SQL = """
+SELECT l_shipdate AS time, p_partkey AS cell_id,
+       ROUND(SUM(l_quantity + 1.0/288), 4) AS value
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 10
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# =====================================================================
+# J-rows: joins
+# =====================================================================
+
+def j1_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/X8: dense hourly spine left-joined to hourly event sums —
+    gaps surface as NULLs."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.filter(
+        F.col("ts").between(
+            F.lit("2024-01-02 00:00:00").cast("timestamp"),
+            F.lit("2024-01-02 23:59:59").cast("timestamp"),
+        )
+    ).groupBy(F.date_trunc("hour", "ts").alias("time")).agg(
+        F.round(F.sum("value"), 4).alias("value"), F.count(F.lit(1)).alias("n")
+    )
+    return spine_align(
+        spark, hourly, "2024-01-02 00:00:00", "2024-01-02 23:00:00", 60
+    ).orderBy("time")
+
+
+J1_SQL = """
+SELECT s.time, h.value, h.n
+FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-02 00:00:00',
+                                    TIMESTAMP '2024-01-02 23:00:00',
+                                    INTERVAL 1 HOUR)) AS time) s
+LEFT JOIN (
+    SELECT date_trunc('hour', ts) AS time, ROUND(SUM(value), 4) AS value, COUNT(*) AS n
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00' AND TIMESTAMP '2024-01-02 23:59:59'
+    GROUP BY 1
+) h USING (time)
+ORDER BY s.time
+"""
+
+
+def j2_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3: broadcast dimension-chain lookup (station-map analogue)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+J2_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def j5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/F3: left-semi membership filter (CHANNEL_CELL_MAP analogue)."""
+    li = _t(spark, sf_dir, "lineitem")
+    keys = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        li.join(F.broadcast(keys), li.l_partkey == keys.p_partkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+J5_SQL = """
+SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def j8_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/F7: (day × event_type) cross grid, −999 sentinel at the
+    boundary (TIMDEP gap-fill analogue)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    )
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("time"), "event_type"
+    ).agg(F.round(F.sum("value"), 4).alias("value"))
+    types = _t(spark, sf_dir, "events").select("event_type").distinct()
+    return (
+        gap_fill_cross(daily, types, time_col="time", key_cols=["event_type"], fill=-999.0)
+        .orderBy("time", "event_type")
+    )
+
+
+J8_SQL = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS time, event_type, ROUND(SUM(value), 4) AS value
+    FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY 1, 2
+)
+SELECT t.time, k.event_type, COALESCE(d.value, -999.0) AS value
+FROM (SELECT DISTINCT time FROM daily) t
+CROSS JOIN (SELECT DISTINCT event_type FROM events) k
+LEFT JOIN daily d ON d.time = t.time AND d.event_type = k.event_type
+ORDER BY t.time, k.event_type
+"""
+
+
+def j6_nearest_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/J6/W4: rank-1 nearest neighbor by a distance expression —
+    for each part type, the part whose retail price is closest to 1500."""
+    part = _t(spark, sf_dir, "part")
+    part2 = part.select("p_partkey", "p_type", "p_retailprice")
+    w = Window.partitionBy("p_type").orderBy(
+        F.abs(F.col("p_retailprice") - 1500.0), "p_partkey"
+    )
+    return (
+        part2.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("p_type", "p_partkey", F.round("p_retailprice", 2).alias("p_retailprice"))
+        .orderBy("p_type")
+    )
+
+
+J6_SQL = """
+SELECT p_type, p_partkey, ROUND(p_retailprice, 2) AS p_retailprice
+FROM (
+    SELECT p_type, p_partkey, p_retailprice,
+           ROW_NUMBER() OVER (PARTITION BY p_type
+                              ORDER BY ABS(p_retailprice - 1500.0), p_partkey) AS rk
+    FROM part
+) WHERE rk = 1
+ORDER BY p_type
+"""
+
+
+# =====================================================================
+# A/W rows: aggregation + windows
+# =====================================================================
+
+def a2_resample_right_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: 15-min right-labeled right-closed resample-sum (pandas
+    parity semantics) over one day of events."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    out = resample_sum(ev.select(F.col("ts").alias("time"), "value"), 15)
+    return out.select("time", F.round("value", 4).alias("value")).orderBy("time")
+
+
+A2_SQL = """
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+SELECT make_timestamp(CAST(ceil(epoch(ts) / 900) * 900 AS BIGINT) * 1000000) AS time,
+       ROUND(SUM(value), 4) AS value
+FROM ev
+WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def a4_cumulative_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4/W1: per-series running sum + fraction-of-total with the
+    total==0 guard (RAIN.DAT cumulative normalization)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    out = cumulative_fraction(
+        ev.select("user_id", F.col("ts").alias("time"), "event_id", "value"),
+        time_col="event_id",  # unique per row → deterministic order
+        group_cols=["user_id"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("cum_value", 4).alias("cum_value"),
+        F.round("cum_fraction", 6).alias("cum_fraction"),
+    ).orderBy("user_id", "event_id")
+
+
+A4_SQL = """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER w, 4) AS cum_value,
+       ROUND(CASE WHEN SUM(value) OVER (PARTITION BY user_id) = 0 THEN 0.0
+                  ELSE (SUM(value) OVER w) / (SUM(value) OVER (PARTITION BY user_id))
+             END, 6) AS cum_fraction
+FROM events
+WHERE user_id < 5
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+ORDER BY user_id, event_id
+"""
+
+
+def w2_elapsed_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: elapsed hours since each series' first sample."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 3)
+    w = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("t0", F.min("ts").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            F.round(
+                (F.col("ts").cast("double") - F.col("t0").cast("double")) / 3600.0, 6
+            ).alias("elapsed_hours"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+W2_SQL = """
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+SELECT user_id, event_id,
+       ROUND((epoch(ts) - MIN(epoch(ts)) OVER (PARTITION BY user_id)) / 3600.0, 6)
+           AS elapsed_hours
+FROM ev
+WHERE user_id < 3
+ORDER BY user_id, event_id
+"""
+
+
+def w3_fill_down(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: last-non-null propagation in event order — each event carries
+    the value of its user's most recent 'login' event (section-header
+    fill-down idiom from the HYCHAN parser)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    marked = ev.withColumn(
+        "login_value", F.when(F.col("event_type") == "login", F.col("value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.withColumn("last_login_value", F.last("login_value", ignorenulls=True).over(w))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.round("last_login_value", 4).alias("last_login_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+W3_SQL = """
+SELECT user_id, event_id, event_type,
+       ROUND(last_value(CASE WHEN event_type = 'login' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING), 4)
+           AS last_login_value
+FROM events
+WHERE user_id < 5
+ORDER BY user_id, event_id
+"""
+
+
+# =====================================================================
+# F/X/K/U rows: scalar functions, sentinels, rendering
+# =====================================================================
+
+def f6_sentinel_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5/F6: sentinel filtering + conditional NULL-ing + cast guard:
+    values above 195 are treated as a gap sentinel (dropped), values
+    below 5 NULL-ed (negative-rewrite analogue)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value") <= 195.0)
+        .withColumn("clean_value", F.when(F.col("value") < 5.0, None).otherwise(F.col("value")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("clean_value").alias("n_clean"),
+            F.round(F.avg("clean_value"), 4).alias("avg_clean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+F6_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(CASE WHEN value >= 5.0 THEN value END) AS n_clean,
+       ROUND(AVG(CASE WHEN value >= 5.0 THEN value END), 4) AS avg_clean
+FROM events
+WHERE value <= 195.0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def x4_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/S11: regex/JSON extraction from the props blob + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.regexp_extract("props", r'"k":\s*(\d+)', 1).try_cast("long")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("k").alias("n_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+X4_SQL = """
+SELECT event_type,
+       SUM(k) AS sum_k, MAX(k) AS max_k, COUNT(k) AS n_k
+FROM (
+    SELECT event_type,
+           TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+    FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def x11_series_hash_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: content-addressed series ids (sha256 over metadata tuple)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    return ev.select(
+        "event_type",
+        "user_id",
+        series_hash_id(F.lit("daily_run"), "event_type", "user_id").alias("tms_id"),
+    ).orderBy("event_type", "user_id")
+
+
+X11_SQL = """
+SELECT DISTINCT event_type, user_id,
+       sha256('daily_run' || ':' || event_type || ':' || CAST(user_id AS VARCHAR)) AS tms_id
+FROM events
+ORDER BY event_type, user_id
+"""
+
+
+def k1_fixed_width_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/X1/U1/O2: INFLOW.DAT-style ordered fixed-width rendering —
+    header block ∪ data block with explicit (block_rank, intra_rank)
+    sort keys, the engine's ordered-text-sink row shape."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") == 1)
+    w = Window.partitionBy(F.lit(1))
+    data = (
+        ev.withColumn("t0", F.min("ts").over(w))
+        .select(
+            F.lit(1).alias("block_rank"),
+            F.col("event_id").alias("intra_rank"),
+            F.format_string(
+                "H%16.1f%16.1f",
+                F.round((F.col("ts").cast("double") - F.col("t0").cast("double")) / 3600.0, 1),
+                F.round(F.col("value"), 1),
+            ).alias("line"),
+        )
+    )
+    header = spark.createDataFrame(
+        [(0, 0, "C               0           41550"), (0, 1, "CONSTANT INFLOW")],
+        "block_rank int, intra_rank long, line string",
+    )
+    return header.unionByName(data).orderBy("block_rank", "intra_rank")
+
+
+K1_SQL = """
+SELECT * FROM (
+    SELECT 0 AS block_rank, 0 AS intra_rank, 'C               0           41550' AS line
+    UNION ALL
+    SELECT 0, 1, 'CONSTANT INFLOW'
+    UNION ALL
+    SELECT 1 AS block_rank, event_id AS intra_rank,
+           printf('H%16.1f%16.1f',
+                  ROUND((epoch(CAST(ts AS TIMESTAMP)) - MIN(epoch(CAST(ts AS TIMESTAMP))) OVER ()) / 3600.0, 1),
+                  ROUND(value, 1)) AS line
+    FROM events WHERE user_id = 1
+)
+ORDER BY block_rank, intra_rank
+"""
+
+
+def o2_ordered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3: deterministic global order + limit."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "o_orderdate")
+        .limit(25)
+    )
+
+
+O2_SQL = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+# =====================================================================
+# Beyond-parity: dedup / similarity / text analysis / multimodal
+# =====================================================================
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest (hash-groupBy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        exact_dedup(docs, ["text"], "doc_id")
+        .select("key_hash", "kept_id", "n_dups")
+        .orderBy("kept_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS key_hash, MIN(doc_id) AS kept_id, COUNT(*) AS n_dups
+FROM documents
+GROUP BY sha256(text)
+ORDER BY kept_id
+"""
+
+
+def dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup: sha256 of the sorted distinct normalized
+    word set — groups word-order-permuted near-duplicates."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("kept_id"), F.count(F.lit(1)).alias("n_dups"))
+        .orderBy("kept_id")
+    )
+
+
+DEDUP_FP_SQL = """
+SELECT sha256(array_to_string(list_sort(list_distinct(
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+')
+       )), ' ')) AS fp,
+       MIN(doc_id) AS kept_id, COUNT(*) AS n_dups
+FROM documents
+GROUP BY 1
+ORDER BY kept_id
+"""
+
+
+def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise 3-gram Jaccard within same-source blocks."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(docs, "doc_id", "text", block_col="source", n=3, threshold=0.05)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_JACCARD_SQL = """
+WITH sh AS (
+    SELECT doc_id, source,
+           list_distinct(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS grams
+    FROM (
+        SELECT doc_id, source,
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS w
+        FROM documents
+    )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.05
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (hash-seeded; rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.05)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (hash-based; rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=16).orderBy("id_a", "id_b")
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: first 5 vectors as queries over the
+    full corpus (the exact ANN baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+SIM_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+    SELECT q.query_id, e.vec_id AS corpus_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS cosine
+    FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+    SELECT query_id, corpus_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+    FROM scored
+)
+SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def sim_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs by cosine threshold within label
+    blocks (embedding-cosine near-dup operator)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        cosine_dedup_pairs(emb, threshold=0.8, block_col="label")
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+SIM_DEDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish regex tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            whitespace_token_count("text").alias("n_words"),
+            regex_token_count("text").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_TOKENS_SQL = """
+SELECT doc_id,
+       CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) = ''
+            THEN 0
+            ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'))
+       END AS n_words,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics per doc: punctuation + stopword ratios."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(punctuation_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = """
+SELECT doc_id,
+       ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       ROUND(CAST(len(list_filter(
+                 string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'),
+                 x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)
+             )) AS DOUBLE)
+             / greatest(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) = ''
+                             THEN 0
+                             ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'))
+                        END, 1), 6) AS stopword_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column: confusion
+    counts per (lang, pred_lang)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("pred_lang", lang_id("text"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ",".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        "len(list_filter(string_split_regex(trim(regexp_replace(lower(text), "
+        "'[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'), "
+        f"x -> list_contains([{markers}], x)))"
+    )
+
+
+TEXT_LANG_SQL = f"""
+WITH scored AS (
+    SELECT lang,
+           {_lang_score_sql('en')} AS s_en,
+           {_lang_score_sql('es')} AS s_es,
+           {_lang_score_sql('fr')} AS s_fr,
+           {_lang_score_sql('de')} AS s_de,
+           {_lang_score_sql('zh')} AS s_zh
+    FROM documents
+),
+pred AS (
+    SELECT lang,
+           CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'unknown'
+                WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+                WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+                ELSE 'zh' END AS pred_lang
+    FROM scored
+)
+SELECT lang, pred_lang, COUNT(*) AS n
+FROM pred
+GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang
+"""
+
+
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata scan: opaque binary column (utf8 bytes of
+    text stand in for a media blob) → byte length + content digest,
+    computed without any Python decode."""
+    docs = _t(spark, sf_dir, "documents")
+    bin_col = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(bin_col).cast("long").alias("n_bytes"),
+        F.sha2(bin_col, 256).alias("content_sha"),
+    ).orderBy("doc_id")
+
+
+MM_BINARY_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # TPC-H-style parity analytics
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
+    "q6_revenue_change": (q6_revenue_change, Q6_SQL),
+    # store scans
+    "s1_series_range_scan": (s1_series_range_scan, S1_SQL),
+    "s2_grid_scan_correction": (s2_grid_scan_correction, S2_SQL),
+    "s3_first_value_lookup": (s3_first_value_lookup, S3_SQL),
+    "s6_max_end_time": (s6_max_end_time, S6_SQL),
+    # joins
+    "j1_calendar_spine": (j1_calendar_spine, J1_SQL),
+    "j2_dim_enrichment": (j2_dim_enrichment, J2_SQL),
+    "j5_semi_join": (j5_semi_join, J5_SQL),
+    "j6_nearest_rank1": (j6_nearest_rank1, J6_SQL),
+    "j8_gap_fill": (j8_gap_fill, J8_SQL),
+    # aggregation + windows
+    "a2_resample_right_closed": (a2_resample_right_closed, A2_SQL),
+    "a4_cumulative_fraction": (a4_cumulative_fraction, A4_SQL),
+    "w2_elapsed_hours": (w2_elapsed_hours, W2_SQL),
+    "w3_fill_down": (w3_fill_down, W3_SQL),
+    # scalar / sentinel / render
+    "f6_sentinel_cleaning": (f6_sentinel_cleaning, F6_SQL),
+    "x4_json_extract": (x4_json_extract, X4_SQL),
+    "x11_series_hash_id": (x11_series_hash_id, X11_SQL),
+    "k1_fixed_width_render": (k1_fixed_width_render, K1_SQL),
+    "o2_ordered_topk": (o2_ordered_topk, O2_SQL),
+    # dedup family
+    "dedup_exact": (dedup_exact_docs, DEDUP_EXACT_SQL),
+    "dedup_fingerprint": (dedup_fingerprint_docs, DEDUP_FP_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard_docs, DEDUP_JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh_docs, None),
+    "dedup_simhash": (dedup_simhash_docs, None),
+    # similarity search
+    "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
+    "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
+    # text analysis
+    "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
+    # multimodal
+    "mm_binary_meta": (mm_binary_meta, MM_BINARY_SQL),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
