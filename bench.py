@@ -1,0 +1,101 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is forced to full execution with a count-style action
+(``df.write.format("noop")`` when available, else ``count()``); timing
+excludes session startup but includes planning + execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from curw_flo2d_data_manager_spark import queries as q
+from curw_flo2d_data_manager_spark.session import get_spark
+
+# Headline set: one per operator family — TPC-H-style analytics, the
+# raincell whole-range derivation, spine/gap joins, resample + window
+# pipelines, and the training-data operators (dedup/similarity/text).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_revenue_change",
+    "s1_series_range_scan",
+    "s2_grid_scan_correction",
+    "s3_first_value_lookup",
+    "j1_calendar_spine",
+    "j2_dim_enrichment",
+    "j5_semi_join",
+    "j8_gap_fill",
+    "a2_resample_right_closed",
+    "a4_cumulative_fraction",
+    "w3_fill_down",
+    "x11_series_hash_id",
+    "o2_ordered_topk",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "text_token_counts",
+    "text_quality",
+    "text_lang_id",
+]
+
+
+def _run(df) -> int:
+    try:
+        df.write.format("noop").mode("overwrite").save()
+        return -1
+    except Exception:
+        return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = q.queries()
+
+    # Warm the JVM + parquet footer caches once so per-query numbers
+    # measure the plan, not first-touch JIT.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.monotonic()
+        _run(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
