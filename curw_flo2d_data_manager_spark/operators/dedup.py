@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from curw_flo2d_data_manager_spark.operators.parallelism import ensure_min_partitions
 from curw_flo2d_data_manager_spark.operators.textstats import words
 
 
@@ -87,14 +88,21 @@ def minhash_lsh_pairs(
     (band_idx, band_hash) so work scales with bucket sizes, not n².
     """
     rows = num_hashes // bands
-    sig_df = df.select(
+    sig_df = ensure_min_partitions(df).select(
         F.col(id_col).alias("_id"),
         word_shingles(text_col, shingle_n).alias("_sh"),
     ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    # The signature/shingle relation feeds three plan branches (band
+    # join + both verification joins); persist it once instead of
+    # recomputing the shingling scan three times. Spills to disk at
+    # scale; size ≈ corpus token count, far below the raw corpus.
+    sig_df = sig_df.persist()
 
+    # Band rows carry ONLY (id, band key) — the shingle arrays must not
+    # ride through the ``bands``-way self-join shuffle (that would move
+    # every document's shingle set ``bands`` times on each side).
     banded = sig_df.select(
         "_id",
-        "_sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -106,7 +114,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("_band"),
-    ).select("_id", "_sh", "_band.band_idx", "_band.band_hash")
+    ).select("_id", "_band.band_idx", "_band.band_hash")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -117,17 +125,19 @@ def minhash_lsh_pairs(
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._sh").alias("sh_a"),
-            F.col("r._sh").alias("sh_b"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    # Exact-Jaccard verification: re-attach shingle sets to the (much
+    # smaller) deduplicated candidate set only.
+    sh = sig_df.select("_id", "_sh")
+    verified = (
+        pairs.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+    )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    out = pairs.withColumn("jaccard", jac).select("id_a", "id_b", "jaccard")
+    out = verified.withColumn("jaccard", jac).select("id_a", "id_b", "jaccard")
     if jaccard_threshold is not None:
         out = out.filter(F.col("jaccard") >= jaccard_threshold)
     return out
@@ -135,29 +145,42 @@ def minhash_lsh_pairs(
 
 # -------------------------------------------------------------- simhash
 def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document.
+    """64-bit SimHash per document — fully row-local, zero shuffle.
 
-    Explodes words once, hashes each to 64 bits, and per bit sums
-    +1/−1; the signature bit is the sign. One explode + one groupBy —
-    shuffles (doc_id, 64 longs), independent of document length.
+    Per document: hash each word to 64 bits once, fold the ±1 bit
+    contributions into a 64-int accumulator with a single
+    ``aggregate``/``zip_with`` pass, take the sign per bit. The whole
+    signature is one narrow projection — scales to any corpus size
+    with no exchange (the reference for the groupBy-free shape is the
+    SQL higher-order-function API, not any external engine).
     """
-    tokens = df.select(
-        F.col(id_col).alias("_id"), F.explode(words(text_col)).alias("_w")
-    ).withColumn("_h", F.xxhash64("_w"))
-    bit_sums = tokens.groupBy("_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(64)
-        ]
+    # bit j of h tests as (h & 2^j) != 0 — shift amounts can't be
+    # lambda variables, but a literal powers array can ride transform.
+    # 2^63 overflows a signed long, so bit 63 is the sign test.
+    pow_arr = F.array(*[F.lit(1 << j).cast("long") for j in range(63)])
+
+    def _contrib(h):
+        low = F.transform(
+            pow_arr,
+            lambda p: F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        top = F.array(F.when(h < 0, F.lit(1)).otherwise(F.lit(-1)))
+        return F.concat(low, top)
+
+    bit_sums = F.aggregate(
+        F.transform(words(text_col), lambda w: F.xxhash64(w)),
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, _contrib(h), lambda a, b: a + b),
     )
+    base = ensure_min_partitions(df).select(F.col(id_col), bit_sums.alias("_bits"))
     sig = None
     for j in range(64):
-        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(
+            F.element_at("_bits", j + 1) > 0, F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, j)
         sig = term if sig is None else sig.bitwiseXOR(term)
-    return bit_sums.select(F.col("_id").alias(id_col), sig.alias("simhash"))
+    return base.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -225,7 +248,7 @@ def ngram_jaccard_pairs(
     inputs or verification of LSH candidates; at scale always pass a
     block (source, length bucket, LSH band…).
     """
-    base = df.select(
+    base = ensure_min_partitions(df).select(
         F.col(id_col).alias("_id"),
         word_shingles(text_col, n).alias("_sh"),
         (F.col(block_col) if block_col else F.lit(1)).alias("_blk"),

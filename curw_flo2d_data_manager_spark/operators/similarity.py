@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from curw_flo2d_data_manager_spark.operators.parallelism import ensure_min_partitions
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -53,7 +55,7 @@ def cosine_topk(
     a query batch); the corpus streams through one scan. Norms are
     precomputed on both sides so the inner loop is one dot product.
     """
-    c = corpus.select(
+    c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("_cv"),
     ).withColumn("_cn", l2_norm(F.col("_cv")))
@@ -155,7 +157,7 @@ def cosine_dedup_pairs(
     Brute force within blocks; pass ``block_col`` (e.g. an IVF cluster
     or LSH bucket) at scale.
     """
-    base = df.select(
+    base = ensure_min_partitions(df).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         (F.col(block_col) if block_col else F.lit(1)).alias("_blk"),

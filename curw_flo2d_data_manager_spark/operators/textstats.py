@@ -92,9 +92,14 @@ def quality_score(col: Column | str) -> Column:
     return (len_score * 0.3 + punct_score * 0.2 + sw_score * 0.3 + mwl_score * 0.2)
 
 
-def lang_scores(col: Column | str) -> dict[str, Column]:
-    """Marker-hit count per language over the word set."""
-    w = words(col)
+def lang_scores(col: Column | str, tokenized: bool = False) -> dict[str, Column]:
+    """Marker-hit count per language over the word set.
+
+    ``tokenized=True`` treats ``col`` as an already-computed word array
+    (one normalize+split for all languages instead of one per language
+    — Catalyst does not CSE the regexp across the five score exprs).
+    """
+    w = _c(col) if tokenized else words(col)
     out = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
@@ -102,10 +107,10 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
     return out
 
 
-def lang_id(col: Column | str, default: str = "unknown") -> Column:
+def lang_id(col: Column | str, default: str = "unknown", tokenized: bool = False) -> Column:
     """argmax language by marker-hit count; ties break by the fixed
     LANG_MARKERS key order; zero hits → ``default``."""
-    scores = lang_scores(col)
+    scores = lang_scores(col, tokenized=tokenized)
     # build struct-maximization: iterate langs in fixed order, keep best
     best_lang = F.lit(default)
     best_score = F.lit(0)

@@ -28,6 +28,7 @@ from curw_flo2d_data_manager_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from curw_flo2d_data_manager_spark.operators.gapfill import gap_fill_cross
+from curw_flo2d_data_manager_spark.operators.parallelism import ensure_min_partitions
 from curw_flo2d_data_manager_spark.operators.nearest import nearest_neighbor_join
 from curw_flo2d_data_manager_spark.operators.resample import resample_sum
 from curw_flo2d_data_manager_spark.operators.similarity import (
@@ -54,7 +55,12 @@ from curw_flo2d_data_manager_spark.functions.timeutil import right_closed_bucket
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # Small single-file inputs otherwise scan on one core; the
+        # guard is a no-op on properly-split big inputs.
+        df = ensure_min_partitions(df)
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,7 +922,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts per (lang, pred_lang)."""
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.withColumn("pred_lang", lang_id("text"))
+        docs.withColumn("_w", words("text"))
+        .withColumn("pred_lang", lang_id(F.col("_w"), tokenized=True))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "pred_lang")
