@@ -40,7 +40,12 @@ def cumulative_fraction(
     )
     cum = F.sum(value_col).over(w_run)
     total = F.sum(value_col).over(w_all)
+    # NULL total (all-null series) takes the 0-guard too — mirrors the
+    # reference, where a NaN-poisoned total fails ``total > 0`` and
+    # every fraction renders 0 (gen_rain.py:183-186).
     return df.withColumn(out_cum, cum).withColumn(
         out_frac,
-        F.when(total == 0, F.lit(0.0)).otherwise(F.col(out_cum) / total),
+        F.when(F.coalesce(total, F.lit(0.0)) == 0, F.lit(0.0)).otherwise(
+            F.col(out_cum) / total
+        ),
     )

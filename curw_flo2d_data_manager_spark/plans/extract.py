@@ -1,0 +1,84 @@
+"""Output extraction — SURVEY §3.3, §7 step 6.
+
+Reference (output/extract_water_level.py / extract_discharge.py):
+two-pass HYCHAN.OUT state machine → per-element series → per-series
+``save_forecast_timeseries_to_db`` (:163-221): optional utc-offset
+shift, horizon filter (keep rows from ``extract_cut`` onward, F2),
+station lookup (J2), content-addressed series id (X11,
+``TS.generate_timeseries_id`` over the metadata tuple), upsert with
+the ``fgt`` version column (K7) + ``update_latest_fgt`` (:216-217).
+
+Engine: the parser (sources/hychan.py) already yields every element's
+series in one pass; this plan joins the station map once (broadcast),
+stamps sha2 series ids, and returns the typed forecast relation ready
+for ``sinks.upsert.merge_upsert`` on ``(tms_id, time, fgt)``. One
+shuffle (the parser's line-order window); everything else is narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from curw_flo2d_data_manager_spark.functions.ids import series_hash_id
+from curw_flo2d_data_manager_spark.functions.timeutil import shift_tz
+
+
+def extract_hychan_forecast(
+    parsed: DataFrame,
+    stations: DataFrame,
+    sim_tag: str,
+    source_model: str,
+    variable: str,
+    unit: str,
+    fgt: str,
+    extract_cut: str | None = None,
+    utc_offset_minutes: int = 0,
+) -> DataFrame:
+    """Typed forecast rows from a parsed HYCHAN/TIMDEP DataFrame.
+
+    * ``parsed``: DataFrame(element_no string, time timestamp, value
+      double) — output of ``sources.hychan.parse_hychan`` or
+      ``sources.timdep.parse_timdep``.
+    * ``stations``: DataFrame(element_no string, station_id long,
+      latitude double, longitude double) — the CHANNEL/FLOOD cell map
+      joined to station coordinates (S8/S9 dims). Elements missing
+      from the map are dropped (left-semi semantics of the reference's
+      ``if elementNo in ELEMENT_NUMBERS`` gate, extract_water_level.py:468).
+
+    Returns DataFrame(tms_id, station_id, time, value, fgt) — the K7
+    upsert payload. ``tms_id`` is the sha2 content address over the
+    metadata tuple (reference: extract_water_level.py:388-398 +
+    ``generate_timeseries_id``).
+    """
+    rows = parsed
+    if utc_offset_minutes:
+        # reference utcOffset shift (extract_water_level.py:176-191)
+        rows = rows.withColumn("time", shift_tz("time", utc_offset_minutes))
+    if extract_cut is not None:
+        # forecast-horizon filter (F2, extract_water_level.py:190-194)
+        rows = rows.filter(F.col("time") >= F.lit(extract_cut).cast("timestamp"))
+
+    enriched = rows.join(F.broadcast(stations), "element_no")
+    tms_id = series_hash_id(
+        F.lit(sim_tag),
+        F.lit(source_model),
+        F.lit(variable),
+        F.lit(unit),
+        F.format_string("%.6f", F.col("latitude")),
+        F.format_string("%.6f", F.col("longitude")),
+        F.col("station_id"),
+    )
+    return enriched.select(
+        tms_id.alias("tms_id"),
+        "station_id",
+        "time",
+        "value",
+        F.lit(fgt).cast("timestamp").alias("fgt"),
+    )
+
+
+def latest_fgt(forecast: DataFrame) -> DataFrame:
+    """Per-series latest forecast-generated time (K8 companion —
+    reference ``update_latest_fgt``, extract_water_level.py:216-217)."""
+    return forecast.groupBy("tms_id").agg(F.max("fgt").alias("fgt"))

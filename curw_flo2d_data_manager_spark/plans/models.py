@@ -1,0 +1,81 @@
+"""Per-model FLO-2D constants, externalized from the reference code.
+
+Every literal here is workload configuration the reference hard-codes
+inline; keeping them in one versioned table makes the plans pure
+functions of (store, model, window).
+
+Sources (reference file:line):
+
+* inflow header constants — input/inflow/gen_150_inflow.py:102-104
+  (``0/41550``), gen_150_v2_inflow.py:102-104 (``0/37814``),
+  gen_250_inflow.py:122-126 (``0/0``, ``C 0 8655``) + reservoir rows
+  :133-134 (cells 2265/3559, fixed 6.6 tail stage)
+* outflow boundary cells — gen_outflow.py:128-151 (250),
+  :177-198 (150), :226-247 (150_v2)
+* raincell timestep / water-supply — gen_raincell.py:117-122
+* rain resample step — input/rain/gen_rain.py:157-163
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    # INFLOW.DAT header: (first line 2nd field, C-row 2nd field)
+    inflow_header_cell: int
+    inflow_c_cell: int
+    # 250-only trailing reservoir rows: [(cell, fixed_stage | None)]
+    # None stage → filled with the observed water level at run time
+    reservoir_rows: tuple = ()
+    # OUTFLOW.DAT: K cells then N boundary cells (order = file order)
+    outflow_k_cells: tuple = ()
+    outflow_n_cells: tuple = ()
+    # timestep minutes + raincell water-supply correction per step
+    timestep_min: int = 5
+    water_supply: float = 1.0 / (24 * 12)
+    rain_resample_min: int | None = None  # None → no resample
+
+
+MODELS: dict[str, ModelSpec] = {
+    "flo2d_250": ModelSpec(
+        name="flo2d_250",
+        inflow_header_cell=0,
+        inflow_c_cell=8655,
+        reservoir_rows=((2265, None), (3559, 6.6)),
+        outflow_k_cells=(91, 171, 214, 491),
+        outflow_n_cells=(134, 220, 261, 558),
+        timestep_min=5,
+        water_supply=1.0 / (24 * 12),
+        rain_resample_min=None,
+    ),
+    "flo2d_150": ModelSpec(
+        name="flo2d_150",
+        inflow_header_cell=41550,
+        inflow_c_cell=41550,
+        outflow_k_cells=(290, 416, 488, 1218),
+        outflow_n_cells=(356, 497, 568, 1330),
+        timestep_min=15,
+        water_supply=1.0 / (24 * 4),
+        rain_resample_min=15,
+    ),
+    "flo2d_150_v2": ModelSpec(
+        name="flo2d_150_v2",
+        inflow_header_cell=37814,
+        inflow_c_cell=37814,
+        outflow_k_cells=(268, 391, 464, 1174),
+        outflow_n_cells=(330, 462, 546, 1282),
+        timestep_min=15,
+        water_supply=1.0 / (24 * 4),
+        rain_resample_min=15,
+    ),
+}
+
+# Hard floor on raincell start time (reference: gen_raincell.py:110).
+RAINCELL_MIN_START = "2019-06-28 00:00:00"
+
+# Sentinel for tide gaps — rows dropped at ingest
+# (reference: gen_outflow.py:109).
+TIDE_GAP_SENTINEL = -99999.0
