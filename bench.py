@@ -41,6 +41,9 @@ HEADLINE = [
     "a4_cumulative_fraction",
     "w3_fill_down",
     "x11_series_hash_id",
+    "k2_outflow_render",
+    "k3_raincell_render",
+    "k4_rain_render",
     "o2_ordered_topk",
     "dedup_exact",
     "dedup_fingerprint",

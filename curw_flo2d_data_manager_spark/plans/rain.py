@@ -64,7 +64,8 @@ def rain_lines(
         F.concat(
             F.lit("R              "),
             F.rpad(F.format_string("%.3f", hours), 14, " "),
-            F.format_string("%.3f", F.col("cum_fraction")),
+            # leading null-valued rows have NULL running sum → render 0
+            F.format_string("%.3f", F.coalesce("cum_fraction", F.lit(0.0))),
             F.lit(" "),
         ).alias("line"),
     )

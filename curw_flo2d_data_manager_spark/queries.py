@@ -50,6 +50,11 @@ from curw_flo2d_data_manager_spark.operators.textstats import (
 )
 from curw_flo2d_data_manager_spark.functions.ids import series_hash_id
 from curw_flo2d_data_manager_spark.functions.timeutil import right_closed_bucket
+from curw_flo2d_data_manager_spark.operators.multimodal import decode_image_meta
+from curw_flo2d_data_manager_spark.operators.similarity import ivf_topk
+from curw_flo2d_data_manager_spark.plans.outflow import outflow_lines
+from curw_flo2d_data_manager_spark.plans.rain import rain_lines
+from curw_flo2d_data_manager_spark.plans.raincell import raincell_lines
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -702,6 +707,168 @@ ORDER BY block_rank, intra_rank
 """
 
 
+def k3_raincell_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/S2/X9: the full RAINCELL.DAT pipeline over an events-derived
+    hourly grid — header, per-step cell blocks with the water-supply
+    correction, blank separators — as ONE plan (the reference looped a
+    stored-proc call per timestep, gen_raincell.py:129-142)."""
+    ev = _t(spark, sf_dir, "events")
+    grid = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("time"), F.col("user_id").alias("cell_id")
+    ).agg(F.round(F.sum("value"), 6).alias("value"))
+    return raincell_lines(
+        spark, grid, "flo2d_250", "2024-01-02 00:00:00", "2024-01-04 00:00:00"
+    ).orderBy("block_rank", "intra_rank")
+
+
+K3_SQL = """
+WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+grid AS (
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS time, user_id AS cell_id,
+           ROUND(SUM(value), 6) AS v
+    FROM ev GROUP BY 1, 2
+),
+win AS (
+    SELECT *, CAST((epoch(time) - epoch(TIMESTAMP '2024-01-02 00:00:00')) / 60 / 5 AS BIGINT) AS s
+    FROM grid
+    WHERE time > TIMESTAMP '2024-01-02 00:00:00' AND time <= TIMESTAMP '2024-01-04 00:00:00'
+)
+SELECT 0 AS block_rank, CAST(0 AS BIGINT) AS intra_rank,
+       '5 576 2024-01-02 00:00:00 2024-01-04 00:00:00' AS line
+UNION ALL
+SELECT 1, s * 4294967296 + cell_id, printf('%d %.3f', cell_id, v + 1.0/288) FROM win
+UNION ALL
+SELECT 1, s * 4294967296 + 4294967295, '' FROM (SELECT DISTINCT s FROM win)
+"""
+
+
+def k2_outflow_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/J7/F4: the full OUTFLOW.DAT pipeline — K/N/S blocks for the
+    flo2d_150_v2 boundary nodes, with the −99999 gap sentinel dropped
+    after the elapsed-hours origin is captured."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 4) & (F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+    )
+    node = F.element_at(
+        F.array(F.lit(330), F.lit(462), F.lit(546), F.lit(1282)),
+        (F.col("user_id") + 1).cast("int"),
+    )
+    tide = ev.select(
+        node.alias("node"),
+        # whole-second times: unix_timestamp truncates sub-seconds,
+        # duckdb epoch() keeps them — align the two up front
+        F.date_trunc("second", "ts").alias("time"),
+        F.when(F.col("value") > 195.0, F.lit(-99999.0))
+        .otherwise(F.round("value", 4))
+        .alias("value"),
+    )
+    return outflow_lines(tide, "flo2d_150_v2").orderBy("block_rank", "intra_rank")
+
+
+K2_SQL = """
+WITH tide AS (
+    SELECT CASE user_id WHEN 0 THEN 330 WHEN 1 THEN 462 WHEN 2 THEN 546 ELSE 1282 END AS node,
+           date_trunc('second', CAST(ts AS TIMESTAMP)) AS time,
+           CASE WHEN value > 195.0 THEN -99999.0 ELSE ROUND(value, 4) END AS value
+    FROM events
+    WHERE user_id < 4 AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00'
+),
+org AS (SELECT node, MIN(time) AS t0 FROM tide GROUP BY node),
+consts(block_rank, intra_rank, line) AS (VALUES
+    (0, 0, 'K' || lpad('268', 16, ' ')),
+    (0, 1, 'K' || lpad('391', 16, ' ')),
+    (0, 2, 'K' || lpad('464', 16, ' ')),
+    (0, 3, 'K' || lpad('1174', 16, ' ')),
+    (1, 0, 'N' || lpad('330', 16, ' ') || lpad('1', 16, ' ')),
+    (2, 0, 'N' || lpad('462', 16, ' ') || lpad('1', 16, ' ')),
+    (3, 0, 'N' || lpad('546', 16, ' ') || lpad('1', 16, ' ')),
+    (4, 0, 'N' || lpad('1282', 16, ' ') || lpad('1', 16, ' ')))
+SELECT block_rank, CAST(intra_rank AS BIGINT) AS intra_rank, line FROM consts
+UNION ALL
+SELECT CASE node WHEN 330 THEN 1 WHEN 462 THEN 2 WHEN 546 THEN 3 ELSE 4 END,
+       CAST(epoch(time) + 1 AS BIGINT),
+       printf('S%16.3f%16.3f', (epoch(time) - epoch(t0)) / 3600.0, value)
+FROM tide JOIN org USING (node)
+WHERE CAST(value AS INT) != -99999
+"""
+
+
+def k4_rain_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 + J1/A2/F6/A3/A4/W1: the full RAIN.DAT pipeline — 5-min
+    spine align, right-closed 15-min resample, post-resample negative
+    nulling, cumulative-fraction normalization, fixed-width render."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") == 1)
+    series = ev.groupBy(
+        F.timestamp_seconds(
+            F.floor(F.col("ts").cast("double") / 300).cast("long") * 300
+        ).alias("time")
+    ).agg((F.round(F.sum("value"), 6) - 100.0).alias("value"))
+    return rain_lines(
+        spark, series, "flo2d_150", "2024-01-02 00:00:00", "2024-01-10 00:00:00"
+    ).orderBy("block_rank", "intra_rank")
+
+
+K4_SQL = """
+WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE user_id = 1),
+series AS (
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS time,
+           ROUND(SUM(value), 6) - 100.0 AS value
+    FROM ev GROUP BY 1
+),
+spine AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-02 00:00:00',
+                                        TIMESTAMP '2024-01-10 00:00:00',
+                                        INTERVAL 5 MINUTE)) AS time),
+aligned AS (SELECT s.time, se.value FROM spine s JOIN series se USING (time)),
+resampled AS (
+    SELECT make_timestamp(CAST(ceil(epoch(time) / 900) * 900 AS BIGINT) * 1000000) AS time,
+           SUM(value) AS value
+    FROM aligned GROUP BY 1
+),
+cleaned AS (SELECT time, CASE WHEN value < 0 THEN NULL ELSE value END AS value FROM resampled),
+tot AS (SELECT COALESCE(SUM(value), 0.0) AS t FROM cleaned),
+cum AS (
+    SELECT time, SUM(value) OVER (ORDER BY time ROWS UNBOUNDED PRECEDING) AS cum_value
+    FROM cleaned
+)
+SELECT 0 AS block_rank, CAST(0 AS BIGINT) AS intra_rank, ' 0             0 ' AS line
+UNION ALL
+SELECT 0, 1, printf(' %.3f         5             0             0 ', t) FROM tot
+UNION ALL
+SELECT 1, CAST(epoch(time) AS BIGINT),
+       'R              '
+       || rpad(printf('%.3f', (epoch(time) - epoch(TIMESTAMP '2024-01-02 00:00:00')) / 3600.0), 14, ' ')
+       || printf('%.3f', CASE WHEN (SELECT t FROM tot) = 0 THEN 0.0
+                              ELSE COALESCE(cum_value / (SELECT t FROM tot), 0.0) END)
+       || ' '
+FROM cum
+"""
+
+
+def sim_ivf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (KMeans coarse quantizer, seeded;
+    recall < 1 by construction → rows-only check; the exact twin
+    sim_cosine_topk carries the value oracle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=2)
+    return out.select(
+        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode stage: Arrow-batched mapInPandas over opaque
+    binary content (deterministic fake decode — no codec in this
+    environment; the batch plumbing is the real thing)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    return decode_image_meta(media).orderBy("media_id")
+
+
 def o2_ordered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2/O3: deterministic global order + limit."""
     orders = _t(spark, sf_dir, "orders")
@@ -1019,6 +1186,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "x4_json_extract": (x4_json_extract, X4_SQL),
     "x11_series_hash_id": (x11_series_hash_id, X11_SQL),
     "k1_fixed_width_render": (k1_fixed_width_render, K1_SQL),
+    "k2_outflow_render": (k2_outflow_render, K2_SQL),
+    "k3_raincell_render": (k3_raincell_render, K3_SQL),
+    "k4_rain_render": (k4_rain_render, K4_SQL),
     "o2_ordered_topk": (o2_ordered_topk, O2_SQL),
     # dedup family
     "dedup_exact": (dedup_exact_docs, DEDUP_EXACT_SQL),
@@ -1028,6 +1198,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_simhash": (dedup_simhash_docs, None),
     # similarity search
     "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
+    "sim_ivf_topk": (sim_ivf_topk_docs, None),
     "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
     # text analysis
     "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
@@ -1035,6 +1206,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
     # multimodal
     "mm_binary_meta": (mm_binary_meta, MM_BINARY_SQL),
+    "mm_decode_meta": (mm_decode_meta, None),
 }
 
 
