@@ -869,6 +869,48 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(media).orderBy("media_id")
 
 
+def stream_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A2: one day of events replayed through a file-source
+    stream → watermarked right-closed resample — results must equal the
+    batch/DuckDB answer bucket-for-bucket (same grid expression)."""
+    import tempfile
+    import uuid
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    ev.select(
+        F.lit("events").alias("id"), F.col("ts").alias("time"), "value"
+    ).coalesce(1).write.mode("overwrite").parquet(src)  # one file → one
+    # micro-batch → exactly one (final) update row per bucket in the sink
+
+    from curw_flo2d_data_manager_spark.streaming import (
+        read_series_stream,
+        streaming_resample_sum,
+    )
+
+    name = "stream_resample_" + uuid.uuid4().hex[:8]
+    agg = streaming_resample_sum(read_series_stream(spark, src), 15)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name).select(
+        "time", F.round("value", 4).alias("value")
+    ).orderBy("time")
+
+
+# identical to the batch A2 oracle over the same slice — the streaming
+# path must not change the answer
+STREAM_A2_SQL = A2_SQL
+
+
 def o2_ordered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2/O3: deterministic global order + limit."""
     orders = _t(spark, sf_dir, "orders")
@@ -1178,6 +1220,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "j8_gap_fill": (j8_gap_fill, J8_SQL),
     # aggregation + windows
     "a2_resample_right_closed": (a2_resample_right_closed, A2_SQL),
+    "stream_resample_events": (stream_resample_events, STREAM_A2_SQL),
     "a4_cumulative_fraction": (a4_cumulative_fraction, A4_SQL),
     "w2_elapsed_hours": (w2_elapsed_hours, W2_SQL),
     "w3_fill_down": (w3_fill_down, W3_SQL),

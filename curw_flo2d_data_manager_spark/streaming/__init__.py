@@ -1,0 +1,20 @@
+"""Structured Streaming surface (beyond-parity — SURVEY §2.11).
+
+The reference is pure batch (cron-triggered scripts); the engine adds
+a streaming ingest path so series arriving as files become continuously
+maintained aggregates and upserted forecast relations.
+"""
+
+from curw_flo2d_data_manager_spark.streaming.ingest import (
+    foreach_batch_upsert,
+    read_series_stream,
+    streaming_cumulative_sum,
+    streaming_resample_sum,
+)
+
+__all__ = [
+    "foreach_batch_upsert",
+    "read_series_stream",
+    "streaming_cumulative_sum",
+    "streaming_resample_sum",
+]

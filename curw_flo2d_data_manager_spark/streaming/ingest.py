@@ -1,0 +1,173 @@
+"""Streaming ingest operators.
+
+Batch parity siblings: ``operators.resample.resample_sum`` (A2),
+``operators.cumulative.cumulative_fraction`` (A4),
+``sinks.upsert.merge_upsert`` (K7). Each batch operator's semantics
+carry over; streaming adds watermark-bounded state.
+
+Scale notes:
+
+* the resample is a keyed windowed aggregation — state is one row per
+  open (series, bucket), bounded by the watermark horizon; at 100 TB/
+  day the state store shards by the same grouping key as the shuffle;
+* the stateful running sum uses ``applyInPandasWithState`` — the
+  canonical PySpark custom-stateful-operator surface — holding one
+  scalar per series;
+* the upsert sink routes each micro-batch through the same
+  deterministic merge used in batch (idempotent on (key, fgt) replays,
+  which Structured Streaming requires for exactly-once file sinks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from curw_flo2d_data_manager_spark.functions.timeutil import right_closed_bucket
+
+SERIES_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("time", TimestampType(), False),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+
+def read_series_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType = SERIES_SCHEMA,
+) -> DataFrame:
+    """File-arrival stream of series rows (id, time, value).
+
+    Every new file dropped under ``path`` becomes a micro-batch — the
+    streaming analogue of the reference's cron-triggered re-reads.
+    """
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.format(fmt).load(path)
+
+
+def streaming_resample_sum(
+    stream: DataFrame,
+    minutes: int,
+    watermark: str = "30 minutes",
+    time_col: str = "time",
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked right-closed resample-sum (streaming A2).
+
+    The bucket key is the same ceil-to-grid expression as batch, so
+    batch and streaming results agree bucket-for-bucket; the watermark
+    bounds how late a sample may arrive and still land in its bucket.
+    Emit with ``outputMode("update")`` (or "append" once buckets close).
+    """
+    keys = list(group_cols or []) + [
+        right_closed_bucket(time_col, minutes).alias(time_col)
+    ]
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(*keys)
+        .agg(F.sum(value_col).alias(value_col))
+    )
+
+
+_CUM_STATE = StructType([StructField("total", DoubleType(), True)])
+_CUM_OUT = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("time", TimestampType(), False),
+        StructField("value", DoubleType(), True),
+        StructField("cum_value", DoubleType(), True),
+    ]
+)
+
+
+def _cum_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    total = state.get[0] if state.exists else 0.0
+    for pdf in batches:
+        pdf = pdf.sort_values("time")
+        vals = pdf["value"].fillna(0.0)
+        cums = vals.cumsum() + total
+        total = float(cums.iloc[-1]) if len(cums) else total
+        yield pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "time": pdf["time"],
+                "value": pdf["value"],
+                "cum_value": cums,
+            }
+        )
+    state.update((total,))
+
+
+def streaming_cumulative_sum(stream: DataFrame) -> DataFrame:
+    """Per-series running total across micro-batches (streaming A4).
+
+    Custom stateful operator via ``applyInPandasWithState``: state is
+    one scalar per series id; within a batch rows are ordered by time
+    (cross-batch order is arrival order, the streaming contract).
+    """
+    return stream.groupBy("id").applyInPandasWithState(
+        _cum_fn,
+        outputStructType=_CUM_OUT,
+        stateStructType=_CUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str,
+    available_now: bool = False,
+):
+    """Continuously merge-upsert micro-batches into a parquet relation
+    (streaming K7). Deterministic last-writer-wins per key within each
+    batch; replayed batches re-merge idempotently.
+
+    Returns the started ``StreamingQuery``.
+    """
+    from curw_flo2d_data_manager_spark.sinks.upsert import merge_upsert
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(target_path)
+            merged = merge_upsert(existing, batch_df, keys)
+        except Exception:
+            merged = batch_df.dropDuplicates(keys)
+        # write-new-then-swap is the scale pattern; local form rewrites
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(target_path)
+        merged.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        # drain everything currently on disk, then terminate (one-shot
+        # catch-up runs and tests); default is a long-lived stream
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
