@@ -68,15 +68,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events(
+    spark: SparkSession, sf_dir: str, start: str | None = None, end: str | None = None
+) -> DataFrame:
     """events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which the
     vectorized parquet reader rejects; read nanos as long and convert
-    to a microsecond timestamp (truncation — matches DuckDB's ns→us)."""
+    to a microsecond timestamp (truncation — matches DuckDB's ns→us).
+
+    Time-range predicates on the *converted* column cannot reach the
+    parquet scan (the conversion hides the raw long), so optional
+    ``start``/``end`` bounds are applied to the raw nanos column first
+    — those DO push down to row-group min/max pruning, which is the
+    difference between scanning a day and scanning 100 TB.
+    """
+    from datetime import datetime, timezone
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+
+    def _ns(t: str) -> int:
+        dt = datetime.fromisoformat(t).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp()) * 1_000_000_000
+
+    if start is not None:
+        df = df.filter(F.col("ts") >= F.lit(_ns(start)))
+    if end is not None:
+        df = df.filter(F.col("ts") < F.lit(_ns(end)) + F.lit(1_000_000_000))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 # =====================================================================
@@ -128,8 +146,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
     return (
+        # no broadcast hint on customer: it grows with SF — AQE picks
+        # broadcast at small scale and shuffled hash/SMJ at 100 TB
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -165,9 +185,11 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     return (
+        # supplier/customer scale with SF (no hint — AQE decides);
+        # nation/region are constant-size → always broadcast
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
@@ -229,7 +251,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 
 def s1_series_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/F1/F2/O1: one series (user) in a time window, ordered."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _events(spark, sf_dir, "2024-01-05 00:00:00", "2024-01-20 00:00:00")
     return (
         ev.filter(
             (F.col("user_id") == 5)
@@ -255,7 +277,7 @@ ORDER BY ts
 def s3_first_value_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/A6/O3: earliest value per series in a window via min_by —
     partial-aggregable, no sort (reference: getWL + fetchone)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _events(spark, sf_dir, start="2024-01-10 00:00:00")
     return (
         ev.filter(F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
         .groupBy("user_id")
@@ -327,7 +349,7 @@ ORDER BY 1, 2
 def j1_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/X8: dense hourly spine left-joined to hourly event sums —
     gaps surface as NULLs."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _events(spark, sf_dir, "2024-01-02 00:00:00", "2024-01-02 23:59:59")
     hourly = ev.filter(
         F.col("ts").between(
             F.lit("2024-01-02 00:00:00").cast("timestamp"),
@@ -410,7 +432,7 @@ ORDER BY l_returnflag
 def j8_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8/F7: (day × event_type) cross grid, −999 sentinel at the
     boundary (TIMDEP gap-fill analogue)."""
-    ev = _t(spark, sf_dir, "events").filter(
+    ev = _events(spark, sf_dir, end="2024-01-08 00:00:00").filter(
         F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
     )
     daily = ev.groupBy(
@@ -472,7 +494,7 @@ ORDER BY p_type
 def a2_resample_right_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: 15-min right-labeled right-closed resample-sum (pandas
     parity semantics) over one day of events."""
-    ev = _t(spark, sf_dir, "events").filter(
+    ev = _events(spark, sf_dir, end="2024-01-03 00:00:00").filter(
         F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
     )
     out = resample_sum(ev.select(F.col("ts").alias("time"), "value"), 15)
@@ -746,7 +768,7 @@ def k2_outflow_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2/J7/F4: the full OUTFLOW.DAT pipeline — K/N/S blocks for the
     flo2d_150_v2 boundary nodes, with the −99999 gap sentinel dropped
     after the elapsed-hours origin is captured."""
-    ev = _t(spark, sf_dir, "events").filter(
+    ev = _events(spark, sf_dir, end="2024-01-03 00:00:00").filter(
         (F.col("user_id") < 4) & (F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
     )
     node = F.element_at(
@@ -876,7 +898,7 @@ def stream_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    ev = _events(spark, sf_dir).filter(
+    ev = _events(spark, sf_dir, end="2024-01-03 00:00:00").filter(
         F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
     )
     src = tempfile.mkdtemp(prefix="stream_src_")
