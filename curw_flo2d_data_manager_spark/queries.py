@@ -245,6 +245,148 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+def q4_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join with
+    a non-equi conjunct (late-shipped lineitems per order priority)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q18_having_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped sum, re-joined to the
+    parent relation, global top-k."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+Q18_SQL = """
+SELECT o_orderkey, o_orderdate, ROUND(o_totalprice, 2) AS o_totalprice,
+       ROUND(total_qty, 2) AS total_qty
+FROM orders
+JOIN (
+    SELECT l_orderkey, SUM(l_quantity) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+) b ON o_orderkey = b.l_orderkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def f9_get_or_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: get-or-create as a left-anti insert — which (event_type,
+    user_id) series keys are NOT yet registered in the 'run' dimension
+    (simulated as the keys seen before 2024-01-05)."""
+    ev = _t(spark, sf_dir, "events")
+    existing = (
+        _events(spark, sf_dir, end="2024-01-05 00:00:00")
+        .filter(F.col("ts") < F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    all_keys = ev.select("event_type", "user_id").distinct()
+    to_create = all_keys.join(existing, ["event_type", "user_id"], "left_anti")
+    return to_create.select(
+        "event_type",
+        "user_id",
+        series_hash_id(F.lit("daily_run"), "event_type", "user_id").alias("tms_id"),
+    ).orderBy("event_type", "user_id")
+
+
+F9_SQL = """
+WITH ev AS (SELECT event_type, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+existing AS (SELECT DISTINCT event_type, user_id FROM ev WHERE ts < TIMESTAMP '2024-01-05 00:00:00'),
+all_keys AS (SELECT DISTINCT event_type, user_id FROM ev)
+SELECT event_type, user_id,
+       sha256('daily_run' || ':' || event_type || ':' || CAST(user_id AS VARCHAR)) AS tms_id
+FROM all_keys
+ANTI JOIN existing USING (event_type, user_id)
+ORDER BY event_type, user_id
+"""
+
+
+def k7_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7: deterministic MERGE on the parquet backend — re-price every
+    10th order (+1.0), upsert into the orders relation, aggregate the
+    merged state per status (keyed replace, last-writer-wins)."""
+    from curw_flo2d_data_manager_spark.sinks.upsert import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    incoming = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0
+    )
+    merged = merge_upsert(orders, incoming, keys=["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+K7_SQL = """
+WITH incoming AS (
+    SELECT * REPLACE (o_totalprice + 1.0 AS o_totalprice)
+    FROM orders WHERE o_orderkey % 10 = 0
+),
+merged AS (
+    SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)
+    UNION ALL
+    SELECT * FROM incoming
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 # =====================================================================
 # S-rows: store scans re-expressed on the events table
 # =====================================================================
@@ -1080,7 +1222,7 @@ def sim_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks (embedding-cosine near-dup operator)."""
     emb = _t(spark, sf_dir, "embeddings")
     return (
-        cosine_dedup_pairs(emb, threshold=0.8, block_col="label")
+        cosine_dedup_pairs(emb, threshold=0.3, block_col="label")
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
@@ -1091,7 +1233,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.8
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
 ORDER BY id_a, id_b
 """
 
@@ -1229,6 +1371,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "q6_revenue_change": (q6_revenue_change, Q6_SQL),
+    "q4_exists_semi": (q4_exists_semi, Q4_SQL),
+    "q18_having_topk": (q18_having_topk, Q18_SQL),
+    "f9_get_or_create": (f9_get_or_create, F9_SQL),
+    "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
     # store scans
     "s1_series_range_scan": (s1_series_range_scan, S1_SQL),
     "s2_grid_scan_correction": (s2_grid_scan_correction, S2_SQL),
