@@ -1,0 +1,239 @@
+"""CLI parity layer — SURVEY §7 step 7.
+
+The reference ships 7+ standalone getopt scripts sharing one shape:
+``parse flags → defaults/validation → extract → transform → render``
+(e.g. input/raincell/gen_raincell.py:194-257). This module provides
+the same entry points as subcommands over the Parquet-backed store:
+
+    python -m curw_flo2d_data_manager_spark.cli gen-inflow \\
+        --model flo2d_150_v2 --store /data/store --out INFLOW.DAT \\
+        --start "2024-01-01 00:00:00" --end "2024-01-04 00:00:00"
+
+Shared behaviors replicated from the reference:
+
+* flag names mirror the reference's long options (``--model/-m``,
+  ``--start_time/-s``, ``--end_time/-e``, ``--dir/-d``);
+* grid-minute validation (F10 — gen_raincell.py:53-71: seconds must
+  be :00 and minutes on the model's timestep grid);
+* idempotence: existing output files are not regenerated (F9 —
+  gen_raincell.py:246);
+* a ``run_meta.json`` manifest merged read-modify-write next to every
+  generated file (K6 — gen_raincell.py:17-32).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from datetime import datetime
+
+DATE_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+# ------------------------------------------------------------- manifest
+def merge_run_manifest(out_path: str, metadata: dict) -> str:
+    """Read-merge-write ``run_meta.json`` beside ``out_path`` (K6).
+
+    Last-writer-wins per key — the reference's dict-update semantics
+    (gen_raincell.py:17-32; identical clones in every input script).
+    """
+    manifest_path = os.path.join(os.path.dirname(os.path.abspath(out_path)), "run_meta.json")
+    merged: dict = {}
+    try:
+        with open(manifest_path) as f:
+            merged = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    merged.update(metadata)
+    with open(manifest_path, "w") as f:
+        json.dump(merged, f)
+    return manifest_path
+
+
+# ------------------------------------------------------------ validation
+def validate_grid_time(value: str, timestep_min: int) -> str:
+    """F10 checks (reference: gen_raincell.py:53-71): parseable, :00
+    seconds, minutes on the timestep grid."""
+    try:
+        dt = datetime.strptime(value, DATE_FMT)
+    except ValueError as e:
+        raise SystemExit(f"invalid timestamp {value!r}: {e}") from None
+    if dt.second != 0:
+        raise SystemExit(f"seconds must be 00 in {value!r}")
+    if dt.minute % timestep_min != 0:
+        raise SystemExit(
+            f"minutes must align to the {timestep_min}-minute grid in {value!r}"
+        )
+    return value
+
+
+def _skip_existing(path: str) -> bool:
+    """F9 idempotence gate (reference: gen_raincell.py:246)."""
+    if os.path.exists(path):
+        print(f"{path} already exists — skipping generation")
+        return True
+    return False
+
+
+# ------------------------------------------------------------- commands
+def _load_store(spark, store_dir: str):
+    from curw_flo2d_data_manager_spark.store import TimeseriesStore
+
+    run = spark.read.parquet(os.path.join(store_dir, "run"))
+    data = spark.read.parquet(os.path.join(store_dir, "data"))
+    return TimeseriesStore(run, data)
+
+
+def cmd_gen_inflow(args) -> None:
+    from curw_flo2d_data_manager_spark.plans.inflow import inflow_lines
+    from curw_flo2d_data_manager_spark.plans.models import MODELS
+    from curw_flo2d_data_manager_spark.session import get_spark
+    from curw_flo2d_data_manager_spark.sinks.ordered_text import write_ordered_text
+
+    if _skip_existing(args.out):
+        return
+    spec = MODELS[args.model]
+    validate_grid_time(args.start_time, spec.timestep_min)
+    validate_grid_time(args.end_time, spec.timestep_min)
+    spark = get_spark(app_name="gen-inflow")
+    store = _load_store(spark, args.store)
+    ts = store.get_timeseries_by_meta(
+        args.method, args.model, args.grid_id, args.start_time, args.end_time
+    )
+    lines = inflow_lines(ts, args.model, obs_wl=args.obs_wl)
+    write_ordered_text(lines, args.out, sort_cols=["block_rank", "intra_rank"])
+    merge_run_manifest(args.out, {"inflow": {"model": args.model, "sim_tag": args.sim_tag}})
+    print(f"wrote {args.out}")
+
+
+def cmd_gen_rain(args) -> None:
+    from curw_flo2d_data_manager_spark.plans.rain import rain_lines
+    from curw_flo2d_data_manager_spark.session import get_spark
+    from curw_flo2d_data_manager_spark.sinks.ordered_text import write_ordered_text
+
+    if _skip_existing(args.out):
+        return
+    validate_grid_time(args.start_time, 5)
+    validate_grid_time(args.end_time, 5)
+    spark = get_spark(app_name="gen-rain")
+    store = _load_store(spark, args.store)
+    ts = store.get_timeseries_by_meta(
+        args.method, args.model, args.grid_id, args.start_time, args.end_time
+    )
+    lines = rain_lines(spark, ts, args.model, args.start_time, args.end_time)
+    write_ordered_text(lines, args.out, sort_cols=["block_rank", "intra_rank"])
+    merge_run_manifest(args.out, {"rain": {"model": args.model, "sim_tag": args.sim_tag}})
+    print(f"wrote {args.out}")
+
+
+def cmd_gen_raincell(args) -> None:
+    from curw_flo2d_data_manager_spark.plans.models import MODELS, RAINCELL_MIN_START
+    from curw_flo2d_data_manager_spark.plans.raincell import raincell_lines
+    from curw_flo2d_data_manager_spark.session import get_spark
+    from curw_flo2d_data_manager_spark.sinks.ordered_text import write_ordered_text
+
+    if _skip_existing(args.out):
+        return
+    spec = MODELS[args.model]
+    validate_grid_time(args.start_time, spec.timestep_min)
+    validate_grid_time(args.end_time, spec.timestep_min)
+    start = max(args.start_time, RAINCELL_MIN_START)  # hard floor (:110)
+    spark = get_spark(app_name="gen-raincell")
+    rain = spark.read.parquet(os.path.join(args.store, "raincell"))
+    lines = raincell_lines(spark, rain, args.model, start, args.end_time)
+    write_ordered_text(lines, args.out, sort_cols=["block_rank", "intra_rank"])
+    merge_run_manifest(
+        args.out, {"raincell": {"model": args.model, "sim_tag": args.sim_tag}}
+    )
+    print(f"wrote {args.out}")
+
+
+def cmd_extract_water_level(args) -> None:
+    from curw_flo2d_data_manager_spark.plans.extract import (
+        extract_hychan_forecast,
+        latest_fgt,
+    )
+    from curw_flo2d_data_manager_spark.session import get_spark
+    from curw_flo2d_data_manager_spark.sinks.upsert import merge_upsert
+    from curw_flo2d_data_manager_spark.sources.hychan import parse_hychan
+
+    spark = get_spark(app_name="extract-water-level")
+    # fgt = output-file mtime (reference: extract_water_level.py:53-60)
+    fgt = args.fgt or datetime.fromtimestamp(os.path.getmtime(args.hychan)).strftime(
+        DATE_FMT
+    )
+    parsed = parse_hychan(spark, args.hychan, base_time=args.base_time)
+    stations = spark.read.parquet(os.path.join(args.store, "stations"))
+    forecast = extract_hychan_forecast(
+        parsed,
+        stations,
+        sim_tag=args.sim_tag,
+        source_model=args.model,
+        variable="WaterLevel",
+        unit="m",
+        fgt=fgt,
+        extract_cut=args.extract_cut,
+    )
+    target = os.path.join(args.store, "fcst_data")
+    try:
+        existing = spark.read.parquet(target)
+        merged = merge_upsert(existing, forecast, keys=["tms_id", "time", "fgt"])
+    except Exception:
+        merged = forecast
+    merged.cache().count()
+    merged.write.mode("overwrite").parquet(target)
+    merged.unpersist()
+    latest_fgt(forecast).write.mode("overwrite").parquet(
+        os.path.join(args.store, "fcst_latest_fgt")
+    )
+    print(f"upserted forecasts into {target}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="curw_flo2d_data_manager_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def _common(sp):
+        sp.add_argument("-m", "--model", required=True,
+                        choices=["flo2d_250", "flo2d_150", "flo2d_150_v2"])
+        sp.add_argument("-s", "--start_time", required=True)
+        sp.add_argument("-e", "--end_time", required=True)
+        sp.add_argument("--store", required=True, help="parquet store root")
+        sp.add_argument("--out", required=True)
+        sp.add_argument("--sim_tag", default="daily_run")
+        sp.add_argument("--method", default="MME")
+        sp.add_argument("--grid_id", default=None)
+
+    sp = sub.add_parser("gen-inflow", help="INFLOW.DAT (K1)")
+    _common(sp)
+    sp.add_argument("--obs_wl", type=float, default=None)
+    sp.set_defaults(fn=cmd_gen_inflow)
+
+    sp = sub.add_parser("gen-rain", help="RAIN.DAT (K4)")
+    _common(sp)
+    sp.set_defaults(fn=cmd_gen_rain)
+
+    sp = sub.add_parser("gen-raincell", help="RAINCELL.DAT (K3)")
+    _common(sp)
+    sp.set_defaults(fn=cmd_gen_raincell)
+
+    sp = sub.add_parser("extract-water-level", help="HYCHAN.OUT → forecast upsert (K7)")
+    sp.add_argument("-m", "--model", required=True)
+    sp.add_argument("--hychan", required=True)
+    sp.add_argument("--base_time", required=True)
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--sim_tag", default="daily_run")
+    sp.add_argument("--fgt", default=None)
+    sp.add_argument("--extract_cut", default=None)
+    sp.set_defaults(fn=cmd_extract_water_level)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1033,6 +1033,64 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(media).orderBy("media_id")
 
 
+def p1_hychan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/W3/F5/X3: the HYCHAN.OUT section parser under the oracle
+    gate — render a HYCHAN-shaped file from events (one section per
+    user, one numeric row per event), parse it back with the real
+    line-window parser, and let DuckDB recompute the expected relation
+    (including the pinned trailing-section semantics: sections shorter
+    than the FIRST section drop, longer ones truncate)."""
+    import tempfile
+
+    ev = (
+        _events(spark, sf_dir, end="2024-01-06 00:00:00")
+        .filter((F.col("user_id") < 6) & (F.col("ts") < F.lit("2024-01-06 00:00:00").cast("timestamp")))
+        .select("user_id", "ts", "value")
+    )
+    rows = ev.orderBy("user_id", "ts").collect()  # small bounded slice
+    path = tempfile.mktemp(prefix="hychan_", suffix=".txt")
+    with open(path, "w") as f:
+        last_uid, rn = None, 0
+        for r in rows:
+            if r.user_id != last_uid:
+                f.write(
+                    f"     CHANNEL HYDROGRAPH FOR ELEMENT NO:   {r.user_id + 1000}\n"
+                )
+                f.write("   TIME      ELEV\n")
+                last_uid, rn = r.user_id, 0
+            f.write(f"   {rn * 0.25:.2f}    {r.value:.3f}\n")
+            rn += 1
+
+    from curw_flo2d_data_manager_spark.sources.hychan import parse_hychan
+
+    out = parse_hychan(spark, path, base_time="2024-01-01 00:00:00")
+    return out.select(
+        "element_no", "time", F.round("value", 3).alias("value")
+    ).orderBy("element_no", "time")
+
+
+P1_SQL = """
+WITH ev AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    WHERE user_id < 6 AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00'
+),
+numbered AS (
+    SELECT user_id + 1000 AS element,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rn,
+           ROUND(value, 3) AS value,
+           COUNT(*) OVER (PARTITION BY user_id) AS sec_len
+    FROM ev
+),
+c0 AS (SELECT sec_len AS series_length FROM numbered ORDER BY element LIMIT 1)
+SELECT CAST(element AS VARCHAR) AS element_no,
+       TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 1 SECOND * CAST(rn * 0.25 * 3600 AS BIGINT) AS time,
+       value
+FROM numbered, c0
+WHERE sec_len >= series_length AND rn < series_length
+ORDER BY element_no, time
+"""
+
+
 def stream_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming A2: one day of events replayed through a file-source
     stream → watermarked right-closed resample — results must equal the
@@ -1400,6 +1458,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "k2_outflow_render": (k2_outflow_render, K2_SQL),
     "k3_raincell_render": (k3_raincell_render, K3_SQL),
     "k4_rain_render": (k4_rain_render, K4_SQL),
+    "p1_hychan_roundtrip": (p1_hychan_roundtrip, P1_SQL),
     "o2_ordered_topk": (o2_ordered_topk, O2_SQL),
     # dedup family
     "dedup_exact": (dedup_exact_docs, DEDUP_EXACT_SQL),

@@ -1,0 +1,68 @@
+"""CLI layer tests: manifest merge, validation, idempotence, and one
+end-to-end gen-inflow run over a temp parquet store."""
+
+import json
+import os
+from datetime import datetime
+
+import pytest
+
+from curw_flo2d_data_manager_spark.cli import (
+    main,
+    merge_run_manifest,
+    validate_grid_time,
+)
+
+
+def test_manifest_merge_last_writer_wins(tmp_path):
+    out = str(tmp_path / "INFLOW.DAT")
+    merge_run_manifest(out, {"inflow": {"model": "a"}, "keep": 1})
+    p = merge_run_manifest(out, {"inflow": {"model": "b"}})
+    got = json.load(open(p))
+    assert got == {"inflow": {"model": "b"}, "keep": 1}
+
+
+def test_validate_grid_time():
+    assert validate_grid_time("2024-01-01 00:15:00", 15)
+    with pytest.raises(SystemExit):
+        validate_grid_time("2024-01-01 00:07:00", 15)
+    with pytest.raises(SystemExit):
+        validate_grid_time("2024-01-01 00:15:30", 15)
+    with pytest.raises(SystemExit):
+        validate_grid_time("not-a-time", 15)
+
+
+def test_gen_inflow_end_to_end_and_idempotent(spark, tmp_path, capsys):
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [("id1", "MME", "flo2d_150_v2", "discharge_glencourse")],
+        "id string, method string, model string, grid_id string",
+    ).write.parquet(os.path.join(store, "run"))
+    spark.createDataFrame(
+        [
+            ("id1", datetime(2024, 1, 1, 0, 0), 1.0),
+            ("id1", datetime(2024, 1, 1, 1, 0), 2.5),
+            ("id1", datetime(2024, 1, 1, 2, 0), 3.5),
+        ],
+        "id string, time timestamp, value double",
+    ).write.parquet(os.path.join(store, "data"))
+
+    out = str(tmp_path / "INFLOW.DAT")
+    argv = [
+        "gen-inflow", "-m", "flo2d_150_v2",
+        "-s", "2024-01-01 00:00:00", "-e", "2024-01-02 00:00:00",
+        "--store", store, "--out", out, "--grid_id", "discharge_glencourse",
+    ]
+    main(argv)
+    lines = open(out).read().splitlines()
+    assert lines[0] == "0" + "37814".rjust(16)
+    assert lines[3] == "H" + "1.0".rjust(16) + "2.5".rjust(16)
+    assert len(lines) == 5
+    manifest = json.load(open(str(tmp_path / "run_meta.json")))
+    assert manifest["inflow"]["model"] == "flo2d_150_v2"
+
+    # idempotence: second run must not regenerate (F9)
+    before = os.path.getmtime(out)
+    main(argv)
+    assert os.path.getmtime(out) == before
+    assert "skipping" in capsys.readouterr().out
