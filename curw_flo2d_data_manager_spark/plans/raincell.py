@@ -76,13 +76,17 @@ def raincell_lines(
             "%d %.3f", F.col("cell_id").cast("long"), F.col("value") + F.lit(spec.water_supply)
         ).alias("line"),
     )
-    separators = (
-        window_rows.select(step_idx.alias("_s"))
-        .distinct()
-        .select(
-            F.lit(1).alias("block_rank"),
-            (F.col("_s") * F.lit(1 << 32) + F.lit((1 << 32) - 1)).alias("intra_rank"),
-            F.lit("").alias("line"),
-        )
+    # one blank separator per timestep in the window — INCLUDING steps
+    # with no cell rows (the reference appends the blank inside the
+    # per-step loop unconditionally, gen_raincell.py:140); generated
+    # from the step sequence, not the data → no distinct-shuffle
+    separators = n_steps.select(
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("_s")
+    ).select(
+        F.lit(1).alias("block_rank"),
+        (F.col("_s").cast("long") * F.lit(1 << 32) + F.lit((1 << 32) - 1)).alias(
+            "intra_rank"
+        ),
+        F.lit("").alias("line"),
     )
     return header.unionByName(cell_lines).unionByName(separators)

@@ -902,7 +902,8 @@ SELECT 0 AS block_rank, CAST(0 AS BIGINT) AS intra_rank,
 UNION ALL
 SELECT 1, s * 4294967296 + cell_id, printf('%d %.3f', cell_id, v + 1.0/288) FROM win
 UNION ALL
-SELECT 1, s * 4294967296 + 4294967295, '' FROM (SELECT DISTINCT s FROM win)
+SELECT 1, s * 4294967296 + 4294967295, ''
+FROM (SELECT unnest(range(1, 577)) AS s)
 """
 
 
