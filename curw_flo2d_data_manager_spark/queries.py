@@ -1092,6 +1092,146 @@ ORDER BY element_no, time
 """
 
 
+def p2_timdep_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/J8: the TIMDEP.OUT block parser under the oracle gate —
+    render a TIMDEP-shaped file from events (one block per hour, one
+    cell row per user seen that hour), parse it back, and let DuckDB
+    recompute the expected densified relation (every known cell × every
+    block, NULL where the block lacks the cell)."""
+    import tempfile
+
+    ev = (
+        _events(spark, sf_dir, end="2024-01-03 00:00:00")
+        .filter((F.col("user_id") < 8) & (F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "user_id")
+        .agg(F.round(F.sum("value"), 3).alias("v"))
+    )
+    rows = ev.orderBy("hour", "user_id").collect()  # small bounded slice
+    base = rows[0].hour if rows else None
+    path = tempfile.mktemp(prefix="timdep_", suffix=".txt")
+    with open(path, "w") as f:
+        last_hour = None
+        for r in rows:
+            if r.hour != last_hour:
+                hours = (r.hour - base).total_seconds() / 3600.0
+                f.write(f"   {hours:.2f}\n")
+                last_hour = r.hour
+            # cell row: col 1 = cell id, col 6 = value (TIMDEP shape)
+            f.write(f"  {r.user_id + 500}  0  0  0  0  {r.v:.3f}\n")
+
+    from curw_flo2d_data_manager_spark.sources.timdep import parse_timdep
+
+    cells = spark.createDataFrame(
+        [(str(u + 500),) for u in range(8)], "cell_id string"
+    )
+    out = parse_timdep(
+        spark, path, base_time=base.strftime("%Y-%m-%d %H:%M:%S"), cells=cells
+    )
+    return out.select(
+        "cell_id", "time", F.round("value", 3).alias("value")
+    ).orderBy("cell_id", "time")
+
+
+P2_SQL = """
+WITH ev AS (
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+           user_id + 500 AS cell, ROUND(SUM(value), 3) AS v
+    FROM events
+    WHERE user_id < 8 AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY 1, 2
+),
+blocks AS (SELECT DISTINCT hour FROM ev),
+cells AS (SELECT unnest(range(500, 508)) AS cell)
+SELECT CAST(c.cell AS VARCHAR) AS cell_id, b.hour AS time, e.v AS value
+FROM blocks b CROSS JOIN cells c
+LEFT JOIN ev e ON e.hour = b.hour AND e.cell = c.cell
+ORDER BY cell_id, time
+"""
+
+
+def k5_chan_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5/S7/J4/F7: the CHAN.DAT body pipeline — body pairs ⋈
+    initial-conditions ⋈ first-observed-value with the reference's
+    exact 4-branch default fallback, rendered ljust/rjust(6)."""
+    from curw_flo2d_data_manager_spark.plans.chan import chan_lines
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 20)
+    pairs = part.select(
+        F.col("p_partkey").cast("long").alias("pair_idx"),
+        (F.col("p_partkey") * 2).cast("string").alias("up_cell"),
+        F.col("p_size").cast("string").alias("up_default"),
+        (F.col("p_partkey") * 2 + 1).cast("string").alias("dwn_cell"),
+        (F.col("p_size") + 1).cast("string").alias("dwn_default"),
+    )
+    ics = part.select(
+        F.concat_ws(
+            "_", F.lit("m"), (F.col("p_partkey") * 2).cast("string"),
+            (F.col("p_partkey") * 2 + 1).cast("string"),
+        ).alias("grid_id"),
+        F.when(F.col("p_partkey") % 3 != 0, (F.col("p_partkey") % 10).cast("string"))
+        .alias("up_obs_id"),
+        F.when(F.col("p_partkey") % 2 != 0, ((F.col("p_partkey") + 1) % 10).cast("string"))
+        .alias("dwn_obs_id"),
+    )
+    obs = (
+        _events(spark, sf_dir, "2024-01-02 00:00:00", "2024-01-02 02:00:00")
+        .filter(F.col("user_id") < 10)
+        .select(
+            F.col("user_id").cast("string").alias("id"),
+            F.col("ts").alias("time"),
+            F.round("value", 2).alias("value"),
+        )
+    )
+    return chan_lines(pairs, ics, obs, "m", "2024-01-02 00:00:00").orderBy(
+        "block_rank", "intra_rank"
+    )
+
+
+K5_SQL = """
+WITH pairs AS (
+    SELECT p_partkey AS pair_idx,
+           CAST(p_partkey * 2 AS VARCHAR) AS up_cell,
+           CAST(p_size AS VARCHAR) AS up_default,
+           CAST(p_partkey * 2 + 1 AS VARCHAR) AS dwn_cell,
+           CAST(p_size + 1 AS VARCHAR) AS dwn_default,
+           CASE WHEN p_partkey % 3 != 0 THEN CAST(p_partkey % 10 AS VARCHAR) END AS up_obs_id,
+           CASE WHEN p_partkey % 2 != 0 THEN CAST((p_partkey + 1) % 10 AS VARCHAR) END AS dwn_obs_id
+    FROM part WHERE p_partkey <= 20
+),
+fv AS (
+    SELECT CAST(user_id AS VARCHAR) AS id, arg_min(ROUND(value, 2), ts) AS wl
+    FROM events
+    WHERE user_id < 10
+      AND CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-02 00:00:00'
+                                    AND TIMESTAMP '2024-01-02 02:00:00'
+    GROUP BY 1
+),
+resolved AS (
+    SELECT p.*, u.wl AS up_wl, d.wl AS dwn_wl
+    FROM pairs p
+    LEFT JOIN fv u ON p.up_obs_id = u.id
+    LEFT JOIN fv d ON p.dwn_obs_id = d.id
+),
+rendered AS (
+    SELECT pair_idx,
+           CASE WHEN up_wl IS NOT NULL THEN CAST(up_wl AS VARCHAR) ELSE up_default END AS up_out,
+           CASE WHEN dwn_obs_id IS NULL THEN
+                    CASE WHEN up_wl IS NOT NULL THEN CAST(up_wl AS VARCHAR) ELSE dwn_default END
+                WHEN dwn_wl IS NOT NULL THEN CAST(dwn_wl AS VARCHAR)
+                ELSE dwn_default END AS dwn_out,
+           up_cell, dwn_cell
+    FROM resolved
+)
+SELECT 1 AS block_rank, CAST(pair_idx * 2 AS BIGINT) AS intra_rank,
+       rpad(up_cell, 6, ' ') || lpad(up_out, 6, ' ') AS line
+FROM rendered
+UNION ALL
+SELECT 1, CAST(pair_idx * 2 + 1 AS BIGINT),
+       rpad(dwn_cell, 6, ' ') || lpad(dwn_out, 6, ' ')
+FROM rendered
+"""
+
+
 def stream_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming A2: one day of events replayed through a file-source
     stream → watermarked right-closed resample — results must equal the
@@ -1459,7 +1599,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "k2_outflow_render": (k2_outflow_render, K2_SQL),
     "k3_raincell_render": (k3_raincell_render, K3_SQL),
     "k4_rain_render": (k4_rain_render, K4_SQL),
+    "k5_chan_render": (k5_chan_render, K5_SQL),
     "p1_hychan_roundtrip": (p1_hychan_roundtrip, P1_SQL),
+    "p2_timdep_roundtrip": (p2_timdep_roundtrip, P2_SQL),
     "o2_ordered_topk": (o2_ordered_topk, O2_SQL),
     # dedup family
     "dedup_exact": (dedup_exact_docs, DEDUP_EXACT_SQL),
