@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from curw_flo2d_data_manager_spark.functions.timeutil import hours_to_timestamp
-from curw_flo2d_data_manager_spark.sources.line_text import read_lines
+from curw_flo2d_data_manager_spark.sources.line_text import read_lines, read_lines_multi
 
 HEADER_MARK = "CHANNEL HYDROGRAPH FOR ELEMENT NO:"
 
@@ -51,11 +51,40 @@ def parse_hychan(
     ``keep_incomplete=True`` disables the reference's trailing-series
     drop (engine extension; default replicates the reference).
     """
-    lines = read_lines(spark, path)
+    lines = read_lines(spark, path).withColumn("file", F.lit(path))
+    return _parse_hychan_lines(lines, base_time, variable, keep_incomplete).drop("file")
+
+
+def parse_hychan_multi(
+    spark: SparkSession,
+    glob_path: str,
+    base_time: str,
+    variable: str = "water_level",
+    keep_incomplete: bool = False,
+) -> DataFrame:
+    """Parse MANY HYCHAN.OUT files in one job → DataFrame(file,
+    element_no, time, value).
+
+    The scale path for batch re-extraction: section windows partition
+    by file, so N runs parse fully in parallel (no global line sort —
+    contrast the single-file form, whose one window sort is fine for a
+    dimension-sized file but would serialize a fleet of them).
+    """
+    lines = read_lines_multi(spark, glob_path)
+    return _parse_hychan_lines(lines, base_time, variable, keep_incomplete)
+
+
+def _parse_hychan_lines(
+    lines: DataFrame,
+    base_time: str,
+    variable: str,
+    keep_incomplete: bool,
+) -> DataFrame:
     tok = F.split(F.trim(F.col("value")), r"\s+")
     is_header = F.substring(F.col("value"), 6, len(HEADER_MARK)) == HEADER_MARK
 
     tagged = lines.select(
+        "file",
         "line_no",
         F.when(is_header, F.try_element_at(tok, F.lit(6))).alias("hdr_element"),
         F.when(is_header, F.col("line_no")).alias("hdr_line"),
@@ -64,7 +93,11 @@ def parse_hychan(
         is_header.alias("is_header"),
     )
 
-    w_fill = Window.orderBy("line_no").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fill = (
+        Window.partitionBy("file")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     sectioned = tagged.withColumn(
         "element_no", F.last("hdr_element", ignorenulls=True).over(w_fill)
     ).withColumn("section", F.last("hdr_line", ignorenulls=True).over(w_fill))
@@ -76,32 +109,39 @@ def parse_hychan(
         & ~F.isnan("t_hours")
     )
 
-    w_sec = Window.partitionBy("section").orderBy("line_no")
-    w_seccnt = Window.partitionBy("section")
+    w_sec = Window.partitionBy("file", "section").orderBy("line_no")
+    w_seccnt = Window.partitionBy("file", "section")
     rows = numeric.withColumn("row_idx", F.row_number().over(w_sec)).withColumn(
         "sec_len", F.count(F.lit(1)).over(w_seccnt)
     )
 
     if not keep_incomplete:
-        # SERIES_LENGTH = numeric-row count of the file's first section
-        # (reference pass 1, extract_water_level.py:425-446).
-        first_len = rows.groupBy("section").agg(
-            F.first("sec_len").alias("n")
-        ).orderBy("section").limit(1).select(F.col("n").alias("series_length"))
-        rows = rows.crossJoin(F.broadcast(first_len)).filter(
+        # SERIES_LENGTH = numeric-row count of each file's first
+        # section (reference pass 1, extract_water_level.py:425-446).
+        first_len = (
+            rows.groupBy("file", "section")
+            .agg(F.first("sec_len").alias("n"))
+            .withColumn(
+                "_rk",
+                F.row_number().over(Window.partitionBy("file").orderBy("section")),
+            )
+            .filter(F.col("_rk") == 1)
+            .select("file", F.col("n").alias("series_length"))
+        )
+        rows = rows.join(F.broadcast(first_len), "file").filter(
             (F.col("sec_len") >= F.col("series_length"))
             & (F.col("row_idx") <= F.col("series_length"))
         )
 
     # NaN / non-numeric value rows are skipped, not nulled
     # (reference: extract_water_level.py:496-500).
-    out = (
+    return (
         rows.withColumn("v", F.col("raw_value").try_cast("double"))
         .filter(F.col("v").isNotNull() & ~F.isnan("v"))
         .select(
+            "file",
             "element_no",
             hours_to_timestamp("t_hours", F.lit(base_time).cast("timestamp")).alias("time"),
             F.col("v").alias("value"),
         )
     )
-    return out

@@ -38,3 +38,30 @@ def read_lines(spark: SparkSession, path: str) -> DataFrame:
         .map(lambda kv: (kv[1], kv[0]))
     )
     return spark.createDataFrame(rdd, LINE_SCHEMA)
+
+
+MULTI_LINE_SCHEMA = StructType(
+    [
+        StructField("file", StringType(), False),
+        StructField("line_no", LongType(), False),
+        StructField("value", StringType(), True),
+    ]
+)
+
+
+def read_lines_multi(spark: SparkSession, glob_path: str) -> DataFrame:
+    """Read many text files as (file, line_no, value), line order
+    stable per file.
+
+    Scale shape for batch extraction of N simulation runs: each FLO-2D
+    output file is dimension-sized (tens of MB), so ``wholeTextFiles``
+    holds one file per task and the downstream section windows
+    partition by ``file`` — N files parse fully in parallel with no
+    global sort.
+    """
+    rdd = spark.sparkContext.wholeTextFiles(glob_path).flatMap(
+        lambda kv: (
+            (kv[0], i, line) for i, line in enumerate(kv[1].splitlines())
+        )
+    )
+    return spark.createDataFrame(rdd, MULTI_LINE_SCHEMA)

@@ -102,3 +102,24 @@ def test_timdep_drop_last_block(spark, timdep_path):
     times = {r["time"] for r in out.collect()}
     assert dt.datetime(2024, 1, 1, 1, 30) not in times
     assert len(times) == 2
+
+
+def test_hychan_multi_file(spark, tmp_path):
+    from curw_flo2d_data_manager_spark.sources.hychan import parse_hychan_multi
+
+    for name, elem, vals in (("a.out", 330, (1.0, 2.0)), ("b.out", 462, (3.0, 4.0))):
+        with open(tmp_path / name, "w") as f:
+            f.write(f"     CHANNEL HYDROGRAPH FOR ELEMENT NO:   {elem}\n")
+            f.write("   TIME   ELEV\n")
+            for i, v in enumerate(vals):
+                f.write(f"   {i * 0.25:.2f}   {v:.2f}\n")
+    out = parse_hychan_multi(
+        spark, str(tmp_path / "*.out"), base_time="2024-01-01 00:00:00"
+    ).collect()
+    assert len(out) == 4
+    by_elem = {}
+    for r in out:
+        by_elem.setdefault(r.element_no, []).append(r.value)
+        assert r.file.endswith(".out")
+    assert sorted(by_elem["330"]) == [1.0, 2.0]
+    assert sorted(by_elem["462"]) == [3.0, 4.0]
