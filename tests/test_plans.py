@@ -233,3 +233,41 @@ def test_extract_forecast_payload(spark):
         "2024-01-01 06:00:00", extract_cut="2024-01-01 00:15:00",
     ).collect()
     assert out2[0].tms_id == row.tms_id
+
+
+# ------------------------------------------------------------- init dims
+def test_init_dims_stations_and_idempotence(spark, tmp_path):
+    from curw_flo2d_data_manager_spark.plans.init_dims import (
+        read_grid_csv,
+        register_dims,
+        stations_from_cell_maps,
+    )
+
+    grid_csv = tmp_path / "grid.csv"
+    grid_csv.write_text(
+        "Grid_ID,X,Y\n1,79.847581,6.909617\n2,79.850000,6.910000\n3,79.852500,6.912345\n"
+    )
+    grid = read_grid_csv(spark, str(grid_csv))
+    stations = stations_from_cell_maps(
+        spark, grid,
+        channel_map={"1": "N'Street River", "3": "Wellawatta"},
+        flood_map={"2": "Plain"},
+        model_tag="flo2d_150_v2",
+    )
+    rows = {r.name: r for r in stations.collect()}
+    assert rows["1_N'Street River"].latitude == "6.909617"
+    assert rows["1_N'Street River"].longitude == "79.847581"
+    assert rows["2_Plain"].description == "flo2d_150_v2_flood_plain_cell_map_element"
+    assert len(rows) == 3
+
+    src = spark.createDataFrame(
+        [("FLO2D", "150_v2", '{"CHANNEL_CELL_MAP": {}}')],
+        "model string, version string, parameters string",
+    )
+    empty_src = src.limit(0)
+    empty_sta = stations.limit(0)
+    merged_src, merged_sta = register_dims(empty_src, empty_sta, src, stations)
+    assert merged_src.count() == 1 and merged_sta.count() == 3
+    # idempotence: re-register on top of the merged state
+    again_src, again_sta = register_dims(merged_src, merged_sta, src, stations)
+    assert again_src.count() == 1 and again_sta.count() == 3
