@@ -48,14 +48,33 @@ class TimeseriesStore:
             & (F.col("grid_id") == grid_id)
         ).select("id")
 
+    def _range(self, start, end) -> DataFrame:
+        """Time-range filter + explicit partition predicate.
+
+        A predicate on ``time`` alone cannot prune ``date=``
+        partitions (Spark does not infer cross-column constraints), so
+        when the store carries the §4.3 layout's ``date`` column the
+        equivalent date bound is added explicitly — that is what turns
+        a range scan into a directory prune at 100 TB.
+        """
+        df = self.data.filter(F.col("time").between(F.lit(start), F.lit(end)))
+        if "date" in self.data.columns:
+            df = df.filter(
+                F.col("date").between(
+                    F.to_date(F.lit(start)), F.to_date(F.lit(end))
+                )
+            )
+        return df
+
     # -- S1: series-range scan ------------------------------------------
     def get_timeseries(self, id_: str, start, end) -> DataFrame:
         """One series' rows in [start, end], time-ordered (reference:
         TS.get_timeseries, gen_150_inflow.py:97-98). The id and time
-        predicates push down to the parquet scan."""
+        predicates push down to the parquet scan; the date predicate
+        prunes partitions."""
         return (
-            self.data.filter(F.col("id") == id_)
-            .filter(F.col("time").between(F.lit(start), F.lit(end)))
+            self._range(start, end)
+            .filter(F.col("id") == id_)
             .select("time", "value")
             .orderBy("time")
         )
@@ -65,8 +84,8 @@ class TimeseriesStore:
         semi-join instead of a driver round-trip)."""
         ids = self.resolve_id(method, model, grid_id)
         return (
-            self.data.join(F.broadcast(ids), "id", "left_semi")
-            .filter(F.col("time").between(F.lit(start), F.lit(end)))
+            self._range(start, end)
+            .join(F.broadcast(ids), "id", "left_semi")
             .select("time", "value")
             .orderBy("time")
         )
@@ -89,7 +108,36 @@ class TimeseriesStore:
         getWL + fetchone, gen_250_inflow.py:107-111). ``min_by`` gives a
         single partial-aggregable expression — no sort, no limit."""
         return (
-            self.data.filter(F.col("id") == id_)
-            .filter(F.col("time").between(F.lit(start), F.lit(end)))
+            self._range(start, end)
+            .filter(F.col("id") == id_)
             .agg(F.min_by("value", "time").alias("value"), F.min("time").alias("time"))
+        )
+
+    # -- physical layout (SURVEY §4.3) ----------------------------------
+    @staticmethod
+    def write_data(df: DataFrame, path: str, mode: str = "append") -> None:
+        """Write fact rows with the store's canonical layout:
+        ``PARTITIONED BY (date)``, sorted ``(id, time)`` within files.
+
+        Partition pruning turns S1's time-range predicate into a
+        directory prune; the in-file sort clusters each series so the
+        parquet reader's row-group min/max on ``id`` skips everything
+        else — together they replace the reference MySQL's implicit
+        ``(id, time)`` index at any scale.
+        """
+        (
+            df.withColumn("date", F.to_date("time"))
+            .repartition("date")
+            .sortWithinPartitions("date", "id", "time")
+            .write.mode(mode)
+            .partitionBy("date")
+            .parquet(path)
+        )
+
+    @classmethod
+    def open(cls, spark, root: str) -> "TimeseriesStore":
+        """Open a store written under ``root`` (``run/`` + ``data/``)."""
+        return cls(
+            run=spark.read.parquet(f"{root}/run"),
+            data=spark.read.parquet(f"{root}/data"),
         )

@@ -57,3 +57,35 @@ def test_first_value(spark):
     store = make_store(spark)
     row = store.first_value("id2", ts(0), ts(4)).collect()[0]
     assert row["value"] == 0.5 and row["time"] == ts(0, 30)
+
+
+def test_write_data_layout_and_pruning(spark, tmp_path):
+    from datetime import datetime
+    import os
+
+    from curw_flo2d_data_manager_spark.store import TimeseriesStore
+
+    rows = [
+        ("a", datetime(2024, 1, d, h), float(d * 24 + h))
+        for d in (1, 2, 3)
+        for h in (0, 6, 12)
+    ]
+    df = spark.createDataFrame(rows, "id string, time timestamp, value double")
+    path = str(tmp_path / "data")
+    TimeseriesStore.write_data(df, path)
+    # hive-style date partitions exist
+    parts = sorted(p for p in os.listdir(path) if p.startswith("date="))
+    assert parts == ["date=2024-01-01", "date=2024-01-02", "date=2024-01-03"]
+
+    data = spark.read.parquet(path)
+    store = TimeseriesStore(run=spark.createDataFrame([], "id string, method string, model string, grid_id string"), data=data)
+    got = store.get_timeseries("a", "2024-01-02 00:00:00", "2024-01-02 23:59:59").collect()
+    assert [r.value for r in got] == [48.0, 54.0, 60.0]
+    # partition pruning: the scan carries a PartitionFilters entry on
+    # date and selects exactly one of the three partitions
+    q = store.get_timeseries("a", "2024-01-02 00:00:00", "2024-01-02 23:59:59")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "date" in plan
+    scan_meta = q._jdf.queryExecution().optimizedPlan().toString()
+    got_rows = q.collect()
+    assert [r.value for r in got_rows] == [48.0, 54.0, 60.0]
