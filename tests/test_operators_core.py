@@ -85,3 +85,82 @@ def test_gap_fill_cross(spark):
     assert len(rows) == 4
     assert rows[(ts(0), "153")] == -999.0
     assert rows[(ts(1), "153")] == 7.0
+
+
+def test_salted_sum_equals_direct_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.skew import salted_sum
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 3).alias("k"),  # 3 hot keys
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    got = {
+        r.k: r.v
+        for r in salted_sum(df, ["k"], {"v": "sum"}, n_salts=8).collect()
+    }
+    want = {r.k: r.v for r in df.groupBy("k").agg(F.sum("v").alias("v")).collect()}
+    assert got == want
+
+
+def test_salted_join_equals_direct_join(spark):
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.skew import salted_join
+
+    big = spark.range(0, 5000).select(
+        (F.col("id") % 4).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, tag string"
+    )
+    got = salted_join(big, small, ["k"], n_salts=5).orderBy("payload").collect()
+    want = big.join(small, ["k"]).orderBy("payload").collect()
+    assert [(r.k, r.payload, r.tag) for r in got] == [
+        (r.k, r.payload, r.tag) for r in want
+    ]
+
+
+def test_jdbc_upsert_partition_sql_and_batches(spark):
+    """jdbc_upsert_partition against a recording fake DB-API pool."""
+    import tempfile, os, glob, json
+
+    from curw_flo2d_data_manager_spark.sinks.upsert import jdbc_upsert_partition
+
+    log_dir = tempfile.mkdtemp(prefix="upsert_log_")
+
+    class FakeCursor:
+        def __init__(self, path):
+            self.path = path
+        def executemany(self, sql, rows):
+            with open(self.path, "a") as f:
+                for r in rows:
+                    f.write(json.dumps({"sql": sql, "row": list(r)}) + "\n")
+
+    class FakeConn:
+        def __init__(self, path):
+            self.path = path
+        def cursor(self):
+            return FakeCursor(self.path)
+        def commit(self):
+            pass
+        def close(self):
+            pass
+
+    def factory(d=log_dir):
+        return FakeConn(os.path.join(d, f"conn_{os.getpid()}_{id(object())}.jsonl"))
+
+    df = spark.createDataFrame(
+        [("t1", 1, 1.5), ("t1", 2, 2.5), ("t2", 3, 3.5)],
+        "tms_id string, t int, value double",
+    ).repartition(2)
+    jdbc_upsert_partition(df, "fcst", keys=["tms_id", "t"], connection_factory=factory, batch_size=2)
+
+    rows = []
+    for p in glob.glob(os.path.join(log_dir, "*.jsonl")):
+        rows.extend(json.loads(line) for line in open(p))
+    assert len(rows) == 3
+    assert all("INSERT INTO fcst" in r["sql"] for r in rows)
+    assert all("ON DUPLICATE KEY UPDATE value=VALUES(value)" in r["sql"] for r in rows)
+    assert sorted(r["row"] for r in rows) == [["t1", 1, 1.5], ["t1", 2, 2.5], ["t2", 3, 3.5]]
