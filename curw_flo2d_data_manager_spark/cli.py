@@ -149,6 +149,114 @@ def cmd_gen_raincell(args) -> None:
     print(f"wrote {args.out}")
 
 
+def cmd_gen_outflow(args) -> None:
+    from curw_flo2d_data_manager_spark.plans.models import MODELS
+    from curw_flo2d_data_manager_spark.plans.outflow import outflow_lines
+    from curw_flo2d_data_manager_spark.session import get_spark
+    from curw_flo2d_data_manager_spark.sinks.ordered_text import write_ordered_text
+    from pyspark.sql import functions as F
+
+    if _skip_existing(args.out):
+        return
+    spec = MODELS[args.model]
+    validate_grid_time(args.start_time, spec.timestep_min)
+    validate_grid_time(args.end_time, spec.timestep_min)
+    spark = get_spark(app_name="gen-outflow")
+    store = _load_store(spark, args.store)
+
+    # tide-node fan-out as one plan: the node→grid_id config map joins
+    # the run dim, then one scan pulls every node's series (J7)
+    tide_map = json.loads(open(args.tide_config).read()) if args.tide_config else {}
+    node_rows = [(int(node), grid_id) for node, grid_id in tide_map.items()]
+    nodes = spark.createDataFrame(node_rows, "node int, grid_id string")
+    ids = store.run.filter(
+        (F.col("method") == args.method) & (F.col("model") == "flo2d")
+    ).select("id", "grid_id")
+    node_ids = nodes.join(F.broadcast(ids), "grid_id").select("node", "id")
+    tide = (
+        store.data.join(F.broadcast(node_ids), "id", "inner")
+        .filter(F.col("time").between(F.lit(args.start_time), F.lit(args.end_time)))
+        .select("node", "time", "value")
+    )
+    tail_lines = (
+        open(args.tail).read().splitlines() if args.tail else None
+    )
+    lines = outflow_lines(tide, args.model)
+    write_ordered_text(
+        lines, args.out, sort_cols=["block_rank", "intra_rank"], footer_lines=tail_lines
+    )
+    merge_run_manifest(args.out, {"outflow": {"model": args.model, "sim_tag": args.sim_tag}})
+    print(f"wrote {args.out}")
+
+
+def cmd_gen_chan(args) -> None:
+    from curw_flo2d_data_manager_spark.plans.chan import chan_lines
+    from curw_flo2d_data_manager_spark.session import get_spark
+    from curw_flo2d_data_manager_spark.sinks.ordered_text import write_ordered_text
+
+    if _skip_existing(args.out):
+        return
+    spark = get_spark(app_name="gen-chan")
+
+    # body template pairs (P3 asset): '<cell> <default>' line pairs
+    body = [ln.split() for ln in open(args.body).read().splitlines() if ln.strip()]
+    pairs = spark.createDataFrame(
+        [
+            (i // 2, body[i][0], body[i][1], body[i + 1][0], body[i + 1][1])
+            for i in range(0, len(body) - 1, 2)
+        ],
+        "pair_idx long, up_cell string, up_default string, dwn_cell string, dwn_default string",
+    )
+    ics = spark.read.parquet(os.path.join(args.store, "initial_conditions"))
+    obs = spark.read.parquet(os.path.join(args.store, "obs"))
+    lines = chan_lines(pairs, ics, obs, args.model, args.start_time)
+    head = open(args.head).read().splitlines() if args.head else None
+    tail = open(args.tail).read().splitlines() if args.tail else None
+    write_ordered_text(
+        lines, args.out, sort_cols=["block_rank", "intra_rank"],
+        header_lines=head, footer_lines=tail,
+    )
+    merge_run_manifest(args.out, {"chan": {"model": args.model, "sim_tag": args.sim_tag}})
+    print(f"wrote {args.out}")
+
+
+def cmd_init(args) -> None:
+    from curw_flo2d_data_manager_spark.plans.init_dims import (
+        read_grid_csv,
+        register_dims,
+        stations_from_cell_maps,
+    )
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="init")
+    params = json.loads(open(args.station_map).read())
+    grid = read_grid_csv(spark, args.grid_csv)
+    stations = stations_from_cell_maps(
+        spark,
+        grid,
+        channel_map=params.get("CHANNEL_CELL_MAP", {}),
+        flood_map=params.get("FLOOD_PLAIN_CELL_MAP") or None,
+        model_tag=args.model,
+    )
+    src = spark.createDataFrame(
+        [("FLO2D", args.model.replace("flo2d_", ""), json.dumps(params))],
+        "model string, version string, parameters string",
+    )
+    src_path = os.path.join(args.store, "sources")
+    sta_path = os.path.join(args.store, "stations_dim")
+    try:
+        ex_src = spark.read.parquet(src_path)
+        ex_sta = spark.read.parquet(sta_path)
+    except Exception:
+        ex_src, ex_sta = src.limit(0), stations.limit(0)
+    m_src, m_sta = register_dims(ex_src, ex_sta, src, stations)
+    for df, path in ((m_src, src_path), (m_sta, sta_path)):
+        df.cache().count()
+        df.write.mode("overwrite").parquet(path)
+        df.unpersist()
+    print(f"registered {m_sta.count()} stations, {m_src.count()} sources")
+
+
 def cmd_extract_water_level(args) -> None:
     from curw_flo2d_data_manager_spark.plans.extract import (
         extract_hychan_forecast,
@@ -163,15 +271,16 @@ def cmd_extract_water_level(args) -> None:
     fgt = args.fgt or datetime.fromtimestamp(os.path.getmtime(args.hychan)).strftime(
         DATE_FMT
     )
-    parsed = parse_hychan(spark, args.hychan, base_time=args.base_time)
+    col = {"WaterLevel": "water_level", "Discharge": "discharge"}[args.variable]
+    parsed = parse_hychan(spark, args.hychan, base_time=args.base_time, variable=col)
     stations = spark.read.parquet(os.path.join(args.store, "stations"))
     forecast = extract_hychan_forecast(
         parsed,
         stations,
         sim_tag=args.sim_tag,
         source_model=args.model,
-        variable="WaterLevel",
-        unit="m",
+        variable=args.variable,
+        unit="m" if args.variable == "WaterLevel" else "m3/s",
         fgt=fgt,
         extract_cut=args.extract_cut,
     )
@@ -218,7 +327,30 @@ def build_parser() -> argparse.ArgumentParser:
     _common(sp)
     sp.set_defaults(fn=cmd_gen_raincell)
 
-    sp = sub.add_parser("extract-water-level", help="HYCHAN.OUT → forecast upsert (K7)")
+    sp = sub.add_parser("gen-outflow", help="OUTFLOW.DAT (K2)")
+    _common(sp)
+    sp.add_argument("--tide_config", default=None, help="JSON node→grid_id map")
+    sp.add_argument("--tail", default=None, help="verbatim tail asset (P3)")
+    sp.set_defaults(fn=cmd_gen_outflow)
+
+    sp = sub.add_parser("gen-chan", help="CHAN.DAT (K5)")
+    _common(sp)
+    sp.add_argument("--body", required=True, help="body pairs template asset")
+    sp.add_argument("--head", default=None)
+    sp.add_argument("--tail", default=None)
+    sp.set_defaults(fn=cmd_gen_chan)
+
+    sp = sub.add_parser("init", help="register source + station dims (K9)")
+    sp.add_argument("-m", "--model", required=True)
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--grid_csv", required=True)
+    sp.add_argument("--station_map", required=True, help="CHANNEL/FLOOD map JSON")
+    sp.set_defaults(fn=cmd_init)
+
+    sp = sub.add_parser(
+        "extract-water-level",
+        help="HYCHAN.OUT → forecast upsert (K7); --variable Discharge for extract_discharge parity",
+    )
     sp.add_argument("-m", "--model", required=True)
     sp.add_argument("--hychan", required=True)
     sp.add_argument("--base_time", required=True)
@@ -226,6 +358,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--sim_tag", default="daily_run")
     sp.add_argument("--fgt", default=None)
     sp.add_argument("--extract_cut", default=None)
+    sp.add_argument("--variable", default="WaterLevel", choices=["WaterLevel", "Discharge"])
     sp.set_defaults(fn=cmd_extract_water_level)
     return p
 

@@ -66,3 +66,61 @@ def test_gen_inflow_end_to_end_and_idempotent(spark, tmp_path, capsys):
     main(argv)
     assert os.path.getmtime(out) == before
     assert "skipping" in capsys.readouterr().out
+
+
+def test_gen_outflow_end_to_end(spark, tmp_path):
+    import json as _json
+
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [("t1", "MME", "flo2d", "tide_colombo")],
+        "id string, method string, model string, grid_id string",
+    ).write.parquet(os.path.join(store, "run"))
+    spark.createDataFrame(
+        [
+            ("t1", datetime(2024, 1, 1, 0, 0), 0.5),
+            ("t1", datetime(2024, 1, 1, 1, 0), 0.75),
+        ],
+        "id string, time timestamp, value double",
+    ).write.parquet(os.path.join(store, "data"))
+    tide_cfg = tmp_path / "tide.json"
+    tide_cfg.write_text(_json.dumps({"330": "tide_colombo"}))
+    tail = tmp_path / "tail.txt"
+    tail.write_text("O             330\n")
+
+    out = str(tmp_path / "OUTFLOW.DAT")
+    main([
+        "gen-outflow", "-m", "flo2d_150_v2",
+        "-s", "2024-01-01 00:00:00", "-e", "2024-01-02 00:00:00",
+        "--store", store, "--out", out,
+        "--tide_config", str(tide_cfg), "--tail", str(tail),
+    ])
+    lines = open(out).read().splitlines()
+    assert lines[0] == "K" + "268".rjust(16)
+    assert lines[4] == "N" + "330".rjust(16) + "1".rjust(16)
+    assert lines[5] == "S" + "0.000".rjust(16) + "0.500".rjust(16)
+    assert lines[6] == "S" + "1.000".rjust(16) + "0.750".rjust(16)
+    # N rows for the other three nodes, then the verbatim tail
+    assert lines[-1] == "O             330"
+
+
+def test_extract_discharge_variable(spark, tmp_path):
+    store = str(tmp_path / "store")
+    hychan = tmp_path / "HYCHAN.OUT"
+    hychan.write_text(
+        "     CHANNEL HYDROGRAPH FOR ELEMENT NO:   330\n"
+        "   TIME   ELEV   DEPTH   VEL   Q\n"
+        "   0.00   10.0   1.0   0.1   55.5\n"
+        "   0.25   10.1   1.1   0.2   66.6\n"
+    )
+    spark.createDataFrame(
+        [("330", 7, 6.9, 79.8)],
+        "element_no string, station_id long, latitude double, longitude double",
+    ).write.parquet(os.path.join(store, "stations"))
+    main([
+        "extract-water-level", "-m", "flo2d_150_v2",
+        "--hychan", str(hychan), "--base_time", "2024-01-01 00:00:00",
+        "--store", store, "--variable", "Discharge",
+    ])
+    got = spark.read.parquet(os.path.join(store, "fcst_data")).orderBy("time").collect()
+    assert [r.value for r in got] == [55.5, 66.6]  # column 4, not elevation
