@@ -75,9 +75,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = q.queries()
 
-    # Warm the JVM + parquet footer caches once so per-query numbers
-    # measure the plan, not first-touch JIT.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm shared machinery once (parquet reader, shuffle, hash-agg,
+    # noop sink) so per-query numbers measure each plan, not
+    # first-touch JIT of common infrastructure.
+    warm = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .count()
+    )
+    _run(warm)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
