@@ -64,12 +64,23 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """Array of ``num_hashes`` minhash values: for seed i, the minimum
     xxhash64(shingle, i) over the shingle set. Pure expression —
-    evaluated JVM-side per row, no shuffle."""
-    sigs = [
-        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    evaluated JVM-side per row, no shuffle.
+
+    One aggregate/zip_with fold rather than ``num_hashes`` separate
+    array_min(transform(...)) expressions: identical values, ~n× less
+    generated code (Janino compile time was dominating cold runs).
+    """
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    long_max = (1 << 63) - 1
+    return F.aggregate(
+        shingles,
+        F.array_repeat(F.lit(long_max).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(s, i)),
+            lambda a, b: F.least(a, b),
+        ),
+    )
 
 
 def minhash_lsh_pairs(
@@ -173,13 +184,19 @@ def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
         lambda acc, h: F.zip_with(acc, _contrib(h), lambda a, b: a + b),
     )
     base = ensure_min_partitions(df).select(F.col(id_col), bit_sums.alias("_bits"))
-    sig = None
-    for j in range(64):
-        bit = F.when(
-            F.element_at("_bits", j + 1) > 0, F.lit(1).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        sig = term if sig is None else sig.bitwiseXOR(term)
+    # assemble the signature with one fold over (bit_sum, power) pairs;
+    # bit 63's power is Long.MIN_VALUE (2^63 overflows signed long)
+    sign_pow = F.array(F.lit(-(1 << 63)).cast("long"))
+    all_pows = F.concat(pow_arr.cast("array<long>"), sign_pow)
+    sig = F.aggregate(
+        F.zip_with(
+            F.col("_bits"),
+            all_pows,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc.bitwiseXOR(t),
+    )
     return base.select(F.col(id_col), sig.alias("simhash"))
 
 
