@@ -1341,7 +1341,7 @@ def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise 3-gram Jaccard within same-source blocks."""
     docs = _t(spark, sf_dir, "documents")
     return (
-        ngram_jaccard_pairs(docs, "doc_id", "text", block_col="source", n=3, threshold=0.05)
+        ngram_jaccard_pairs(docs, "doc_id", "text", block_col="source", n=3, threshold=0.01)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
@@ -1364,7 +1364,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
 FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.05
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.01
 ORDER BY id_a, id_b
 """
 
