@@ -24,8 +24,10 @@ from curw_flo2d_data_manager_spark.operators.parallelism import ensure_min_parti
 
 
 def dot(a: Column, b: Column) -> Column:
+    # cast BEFORE multiplying: float32 embeddings would otherwise lose
+    # bits in the float product and drift from double-precision oracles
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
