@@ -863,8 +863,8 @@ SELECT * FROM (
     UNION ALL
     SELECT 1 AS block_rank, event_id AS intra_rank,
            printf('H%16.1f%16.1f',
-                  ROUND((epoch(CAST(ts AS TIMESTAMP)) - MIN(epoch(CAST(ts AS TIMESTAMP))) OVER ()) / 3600.0, 1),
-                  ROUND(value, 1)) AS line
+                  CAST(ROUND(CAST(CAST((epoch(CAST(ts AS TIMESTAMP)) - MIN(epoch(CAST(ts AS TIMESTAMP))) OVER ()) / 3600.0 AS VARCHAR) AS DECIMAL(30,12)), 1) AS DOUBLE),
+                  CAST(ROUND(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,12)), 1) AS DOUBLE)) AS line
     FROM events WHERE user_id = 1
 )
 ORDER BY block_rank, intra_rank
@@ -900,7 +900,7 @@ win AS (
 SELECT 0 AS block_rank, CAST(0 AS BIGINT) AS intra_rank,
        '5 576 2024-01-02 00:00:00 2024-01-04 00:00:00' AS line
 UNION ALL
-SELECT 1, s * 4294967296 + cell_id, printf('%d %.3f', cell_id, v + 1.0/288) FROM win
+SELECT 1, s * 4294967296 + cell_id, printf('%d %.3f', cell_id, CAST(ROUND(CAST(CAST(v + 1.0/288 AS VARCHAR) AS DECIMAL(30,12)), 3) AS DOUBLE)) FROM win
 UNION ALL
 SELECT 1, s * 4294967296 + 4294967295, ''
 FROM (SELECT unnest(range(1, 577)) AS s)
@@ -952,7 +952,7 @@ SELECT block_rank, CAST(intra_rank AS BIGINT) AS intra_rank, line FROM consts
 UNION ALL
 SELECT CASE node WHEN 330 THEN 1 WHEN 462 THEN 2 WHEN 546 THEN 3 ELSE 4 END,
        CAST(epoch(time) + 1 AS BIGINT),
-       printf('S%16.3f%16.3f', (epoch(time) - epoch(t0)) / 3600.0, value)
+       printf('S%16.3f%16.3f', CAST(ROUND(CAST(CAST((epoch(time) - epoch(t0)) / 3600.0 AS VARCHAR) AS DECIMAL(30,12)), 3) AS DOUBLE), CAST(ROUND(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,12)), 3) AS DOUBLE))
 FROM tide JOIN org USING (node)
 WHERE CAST(value AS INT) != -99999
 """
@@ -997,13 +997,12 @@ cum AS (
 )
 SELECT 0 AS block_rank, CAST(0 AS BIGINT) AS intra_rank, ' 0             0 ' AS line
 UNION ALL
-SELECT 0, 1, printf(' %.3f         5             0             0 ', t) FROM tot
+SELECT 0, 1, printf(' %.3f         5             0             0 ', CAST(ROUND(CAST(CAST(t AS VARCHAR) AS DECIMAL(30,12)), 3) AS DOUBLE)) FROM tot
 UNION ALL
 SELECT 1, CAST(epoch(time) AS BIGINT),
        'R              '
-       || rpad(printf('%.3f', (epoch(time) - epoch(TIMESTAMP '2024-01-02 00:00:00')) / 3600.0), 14, ' ')
-       || printf('%.3f', CASE WHEN (SELECT t FROM tot) = 0 THEN 0.0
-                              ELSE COALESCE(cum_value / (SELECT t FROM tot), 0.0) END)
+       || rpad(printf('%.3f', CAST(ROUND(CAST(CAST((epoch(time) - epoch(TIMESTAMP '2024-01-02 00:00:00')) / 3600.0 AS VARCHAR) AS DECIMAL(30,12)), 3) AS DOUBLE)), 14, ' ')
+       || printf('%.3f', CAST(ROUND(CAST(CAST(CASE WHEN (SELECT t FROM tot) = 0 THEN 0.0 ELSE COALESCE(cum_value / (SELECT t FROM tot), 0.0) END AS VARCHAR) AS DECIMAL(30,12)), 3) AS DOUBLE))
        || ' '
 FROM cum
 """
