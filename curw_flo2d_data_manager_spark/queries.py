@@ -387,6 +387,83 @@ ORDER BY o_orderstatus
 """
 
 
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-aggregate subquery — lineitems
+    below 20% of their part's average quantity (decorrelates to a
+    per-part aggregate join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == avg_qty._pk)
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly, COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#2'
+  AND l_quantity < (
+      SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""
+
+
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics: top-50 word bigrams by document
+    frequency — the explode-shuffle-heavy corpus analysis shape (at
+    100 TB this is the canonical map-side-combine aggregation)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = words("text")
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+        )
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .filter(F.col("bigram").contains(" "))  # drop 1-word degenerates
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "bigram")
+        .limit(50)
+    )
+
+
+TEXT_BIGRAMS_SQL = """
+WITH w AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS words
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) != ''
+),
+grams AS (
+    SELECT DISTINCT doc_id, g.gram
+    FROM w, LATERAL (
+        SELECT unnest(CASE WHEN len(words) >= 2
+                 THEN list_transform(range(1, len(words)), i -> array_to_string(words[i:i+1], ' '))
+                 ELSE [] END) AS gram
+    ) g
+    WHERE g.gram LIKE '% %'
+)
+SELECT gram AS bigram, COUNT(*) AS doc_freq
+FROM grams
+GROUP BY gram
+ORDER BY doc_freq DESC, bigram
+LIMIT 50
+"""
+
+
 # =====================================================================
 # S-rows: store scans re-expressed on the events table
 # =====================================================================
@@ -1571,6 +1648,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q6_revenue_change": (q6_revenue_change, Q6_SQL),
     "q4_exists_semi": (q4_exists_semi, Q4_SQL),
     "q18_having_topk": (q18_having_topk, Q18_SQL),
+    "q17_small_quantity": (q17_small_quantity, Q17_SQL),
     "f9_get_or_create": (f9_get_or_create, F9_SQL),
     "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
     # store scans
@@ -1616,6 +1694,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
+    "text_top_bigrams": (text_top_bigrams, TEXT_BIGRAMS_SQL),
     # multimodal
     "mm_binary_meta": (mm_binary_meta, MM_BINARY_SQL),
     "mm_decode_meta": (mm_decode_meta, None),

@@ -164,3 +164,27 @@ def test_jdbc_upsert_partition_sql_and_batches(spark):
     assert all("INSERT INTO fcst" in r["sql"] for r in rows)
     assert all("ON DUPLICATE KEY UPDATE value=VALUES(value)" in r["sql"] for r in rows)
     assert sorted(r["row"] for r in rows) == [["t1", 1, 1.5], ["t1", 2, 2.5], ["t2", 3, 3.5]]
+
+
+def test_ivf_topk_recall_floor(spark):
+    """IVF ANN must recover most of the exact top-k with nprobe=4/8
+    clusters on the small corpus (recall floor pins the quality of the
+    bucketed path, not exact parity)."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.corpus_id)
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.corpus_id)
+        for r in ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=4, seed=42).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
