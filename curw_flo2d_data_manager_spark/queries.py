@@ -418,6 +418,57 @@ WHERE p_brand = 'Brand#2'
 """
 
 
+def a_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (free Spark capability beyond the
+    reference's flat aggregations — SURVEY §2.5 note)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+A_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def a_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (two-phase distinct-expand plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+A_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level n-gram statistics: top-50 word bigrams by document
     frequency — the explode-shuffle-heavy corpus analysis shape (at
@@ -1649,6 +1700,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q4_exists_semi": (q4_exists_semi, Q4_SQL),
     "q18_having_topk": (q18_having_topk, Q18_SQL),
     "q17_small_quantity": (q17_small_quantity, Q17_SQL),
+    "a_rollup_totals": (a_rollup_totals, A_ROLLUP_SQL),
+    "a_distinct_counts": (a_distinct_counts, A_DISTINCT_SQL),
     "f9_get_or_create": (f9_get_or_create, F9_SQL),
     "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
     # store scans
