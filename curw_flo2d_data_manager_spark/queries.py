@@ -1401,6 +1401,66 @@ def stream_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_A2_SQL = A2_SQL
 
 
+def stream_cumsum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A4: the applyInPandasWithState running total replayed
+    over a file stream must equal the batch window cumsum. Rows are
+    keyed by a unique synthetic event-time (from event_id) so the
+    in-state sort order is deterministic."""
+    import tempfile
+    import uuid
+
+    ev = (
+        _events(spark, sf_dir, end="2024-01-10 00:00:00")
+        .filter(
+            (F.col("user_id") < 20)
+            & (F.col("ts") < F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        )
+        .select(
+            F.col("user_id").cast("string").alias("id"),
+            F.timestamp_micros(F.col("event_id")).alias("time"),
+            F.round("value", 4).alias("value"),
+        )
+    )
+    src = tempfile.mkdtemp(prefix="stream_cum_src_")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)  # one micro-batch
+
+    from curw_flo2d_data_manager_spark.streaming import (
+        read_series_stream,
+        streaming_cumulative_sum,
+    )
+
+    name = "stream_cumsum_" + uuid.uuid4().hex[:8]
+    out = streaming_cumulative_sum(read_series_stream(spark, src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return (
+        spark.table(name)
+        .select(
+            "id",
+            F.unix_micros("time").alias("event_id"),
+            F.round("cum_value", 4).alias("cum_value"),
+        )
+        .orderBy("id", "event_id")
+    )
+
+
+STREAM_CUMSUM_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS id, event_id,
+       ROUND(SUM(ROUND(value, 4)) OVER (PARTITION BY user_id ORDER BY event_id
+                                        ROWS UNBOUNDED PRECEDING), 4) AS cum_value
+FROM events
+WHERE user_id < 20 AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 00:00:00'
+ORDER BY id, event_id
+"""
+
+
 def o2_ordered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2/O3: deterministic global order + limit."""
     orders = _t(spark, sf_dir, "orders")
@@ -1718,6 +1778,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # aggregation + windows
     "a2_resample_right_closed": (a2_resample_right_closed, A2_SQL),
     "stream_resample_events": (stream_resample_events, STREAM_A2_SQL),
+    "stream_cumsum_events": (stream_cumsum_events, STREAM_CUMSUM_SQL),
     "a4_cumulative_fraction": (a4_cumulative_fraction, A4_SQL),
     "w2_elapsed_hours": (w2_elapsed_hours, W2_SQL),
     "w3_fill_down": (w3_fill_down, W3_SQL),
