@@ -515,6 +515,55 @@ LIMIT 50
 """
 
 
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): each purchase event gets the
+    user's most recent login value — checked against DuckDB's native
+    ASOF JOIN. The engine form is a union + per-key fill-down window
+    (one shuffle, no range join)."""
+    from curw_flo2d_data_manager_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir, end="2024-01-08 00:00:00").filter(
+        (F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        & (F.col("user_id") < 30)
+    )
+    base = ev.select(
+        "user_id",
+        F.date_trunc("second", "ts").alias("time"),
+        "event_type",
+        "event_id",
+        F.round("value", 4).alias("value"),
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", "time", "event_id"
+    )
+    logins = base.filter(F.col("event_type") == "login").select(
+        "user_id", "time", "value"
+    )
+    out = asof_join(purchases, logins, on="time", by=["user_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("value_right").alias("login_value"),
+        F.col("time_right").alias("login_time"),
+    ).orderBy("user_id", "event_id")
+
+
+J_ASOF_SQL = """
+WITH base AS (
+    SELECT user_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS time,
+           event_type, event_id, ROUND(value, 4) AS value
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00' AND user_id < 30
+),
+purchases AS (SELECT user_id, time, event_id FROM base WHERE event_type = 'purchase'),
+logins AS (SELECT user_id, time, value FROM base WHERE event_type = 'login')
+SELECT p.user_id, p.event_id, l.value AS login_value, l.time AS login_time
+FROM purchases p
+ASOF LEFT JOIN logins l ON p.user_id = l.user_id AND p.time >= l.time
+ORDER BY p.user_id, p.event_id
+"""
+
+
 # =====================================================================
 # S-rows: store scans re-expressed on the events table
 # =====================================================================
@@ -1775,6 +1824,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "j5_semi_join": (j5_semi_join, J5_SQL),
     "j6_nearest_rank1": (j6_nearest_rank1, J6_SQL),
     "j8_gap_fill": (j8_gap_fill, J8_SQL),
+    "j_asof_join": (j_asof_join, J_ASOF_SQL),
     # aggregation + windows
     "a2_resample_right_closed": (a2_resample_right_closed, A2_SQL),
     "stream_resample_events": (stream_resample_events, STREAM_A2_SQL),

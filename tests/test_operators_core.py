@@ -188,3 +188,35 @@ def test_ivf_topk_recall_floor(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
+
+
+def test_asof_join_backward_with_tolerance(spark):
+    import datetime as _dt
+
+    from curw_flo2d_data_manager_spark.operators.asof import asof_join
+
+    T = lambda m: _dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [("a", T(5), "l1"), ("a", T(10), "l2"), ("a", T(30), "l3"), ("b", T(7), "l4")],
+        "k string, time timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [("a", T(4), 1.0), ("a", T(10), 2.0), ("b", T(9), 9.0)],
+        "k string, time timestamp, v double",
+    )
+    got = {
+        (r.k, r.tag): (r.v_right, r.time_right)
+        for r in asof_join(left, right, by=["k"]).collect()
+    }
+    assert got[("a", "l1")] == (1.0, T(4))
+    assert got[("a", "l2")] == (2.0, T(10))  # equal time matches
+    assert got[("a", "l3")] == (2.0, T(10))
+    assert got[("b", "l4")] == (None, None)  # right row is later
+
+    # tolerance: l3 is 20 min after its match -> nulled at 600 s
+    tol = {
+        (r.k, r.tag): r.v_right
+        for r in asof_join(left, right, by=["k"], tolerance_seconds=600).collect()
+    }
+    assert tol[("a", "l2")] == 2.0
+    assert tol[("a", "l3")] is None
