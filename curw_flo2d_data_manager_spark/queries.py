@@ -536,7 +536,7 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = base.filter(F.col("event_type") == "purchase").select(
         "user_id", "time", "event_id"
     )
-    logins = base.filter(F.col("event_type") == "login").select(
+    logins = base.filter(F.col("event_type") == "signup").select(
         "user_id", "time", "value"
     )
     out = asof_join(purchases, logins, on="time", by=["user_id"])
@@ -556,11 +556,59 @@ WITH base AS (
     WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00' AND user_id < 30
 ),
 purchases AS (SELECT user_id, time, event_id FROM base WHERE event_type = 'purchase'),
-logins AS (SELECT user_id, time, value FROM base WHERE event_type = 'login')
+logins AS (SELECT user_id, time, value FROM base WHERE event_type = 'signup')
 SELECT p.user_id, p.event_id, l.value AS login_value, l.time AS login_time
 FROM purchases p
 ASOF LEFT JOIN logins l ON p.user_id = l.user_id AND p.time >= l.time
 ORDER BY p.user_id, p.event_id
+"""
+
+
+def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: count the user's events inside each of their
+    login sessions (login time + 2 h window) — an equi-join on time
+    buckets + exact BETWEEN, never a nested-loop range join."""
+    from curw_flo2d_data_manager_spark.operators.rangejoin import point_in_interval_join
+
+    base = _events(spark, sf_dir, end="2024-01-08 00:00:00").filter(
+        (F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        & (F.col("user_id") < 20)
+    ).select("user_id", F.date_trunc("second", "ts").alias("time"), "event_type", "event_id")
+    sessions = base.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("session_id"),
+        F.col("time").alias("start"),
+        (F.col("time") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    joined = point_in_interval_join(
+        base.select("user_id", "time", "event_id"),
+        sessions,
+        by=["user_id"],
+        bucket_seconds=3600,
+    )
+    return (
+        joined.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+J_RANGE_SQL = """
+WITH base AS (
+    SELECT user_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS time,
+           event_type, event_id
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00' AND user_id < 20
+),
+sessions AS (
+    SELECT user_id, event_id AS session_id, time AS s, time + INTERVAL 2 HOUR AS e
+    FROM base WHERE event_type = 'signup'
+)
+SELECT b.user_id, s.session_id, COUNT(*) AS n_events
+FROM base b JOIN sessions s
+  ON b.user_id = s.user_id AND b.time BETWEEN s.s AND s.e
+GROUP BY b.user_id, s.session_id
+ORDER BY b.user_id, s.session_id
 """
 
 
@@ -895,7 +943,7 @@ def w3_fill_down(spark: SparkSession, sf_dir: str) -> DataFrame:
     fill-down idiom from the HYCHAN parser)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
     marked = ev.withColumn(
-        "login_value", F.when(F.col("event_type") == "login", F.col("value"))
+        "login_value", F.when(F.col("event_type") == "signup", F.col("value"))
     )
     w = (
         Window.partitionBy("user_id")
@@ -916,7 +964,7 @@ def w3_fill_down(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 W3_SQL = """
 SELECT user_id, event_id, event_type,
-       ROUND(last_value(CASE WHEN event_type = 'login' THEN value END IGNORE NULLS)
+       ROUND(last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
              OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING), 4)
            AS last_login_value
 FROM events
@@ -1825,6 +1873,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "j6_nearest_rank1": (j6_nearest_rank1, J6_SQL),
     "j8_gap_fill": (j8_gap_fill, J8_SQL),
     "j_asof_join": (j_asof_join, J_ASOF_SQL),
+    "j_range_join": (j_range_join, J_RANGE_SQL),
     # aggregation + windows
     "a2_resample_right_closed": (a2_resample_right_closed, A2_SQL),
     "stream_resample_events": (stream_resample_events, STREAM_A2_SQL),

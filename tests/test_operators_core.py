@@ -220,3 +220,33 @@ def test_asof_join_backward_with_tolerance(spark):
     }
     assert tol[("a", "l2")] == 2.0
     assert tol[("a", "l3")] is None
+
+
+def test_point_in_interval_join(spark):
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.rangejoin import point_in_interval_join
+
+    T = lambda h, m=0: _dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    points = spark.createDataFrame(
+        [("a", T(0, 30), 1), ("a", T(2, 30), 2), ("a", T(5), 3), ("b", T(0, 30), 4)],
+        "k string, time timestamp, pid int",
+    )
+    intervals = spark.createDataFrame(
+        [("a", 10, T(0), T(3)), ("a", 11, T(2), T(4)), ("b", 12, T(1), T(2))],
+        "k string, iid int, start timestamp, end timestamp",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in point_in_interval_join(points, intervals, by=["k"]).collect()
+    )
+    # p1 in i10; p2 in i10 and i11 (overlap); p3 in none; p4 before i12
+    assert got == [(1, 10), (2, 10), (2, 11)]
+    # exactly one match row per (point, interval) even when an interval
+    # spans many buckets
+    wide = point_in_interval_join(
+        points, intervals, by=["k"], bucket_seconds=60
+    ).collect()
+    assert sorted((r.pid, r.iid) for r in wide) == [(1, 10), (2, 10), (2, 11)]
