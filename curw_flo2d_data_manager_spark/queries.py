@@ -879,6 +879,39 @@ ORDER BY 1
 """
 
 
+def a_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup: 15-min and hourly right-closed
+    sums in one plan, the hourly level aggregated FROM the 15-min level
+    (lossless since 60 % 15 == 0) — oracle recomputes both from raw."""
+    from curw_flo2d_data_manager_spark.operators.rollup_cascade import rollup_cascade
+
+    ev = _events(spark, sf_dir, end="2024-01-04 00:00:00").filter(
+        F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp")
+    )
+    out = rollup_cascade(
+        ev.select(F.col("ts").alias("time"), "value"), [15, 60]
+    )
+    return out.select(
+        "level_minutes", "time", F.round("value", 4).alias("value")
+    ).orderBy("level_minutes", "time")
+
+
+A_CASCADE_SQL = """
+WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events
+            WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-04 00:00:00')
+SELECT 15 AS level_minutes,
+       make_timestamp(CAST(ceil(epoch(ts) / 900) * 900 AS BIGINT) * 1000000) AS time,
+       ROUND(SUM(value), 4) AS value
+FROM ev GROUP BY 2
+UNION ALL
+SELECT 60,
+       make_timestamp(CAST(ceil(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000),
+       ROUND(SUM(value), 4)
+FROM ev GROUP BY 2
+ORDER BY level_minutes, time
+"""
+
+
 def a4_cumulative_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4/W1: per-series running sum + fraction-of-total with the
     total==0 guard (RAIN.DAT cumulative normalization)."""
@@ -1876,6 +1909,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "j_range_join": (j_range_join, J_RANGE_SQL),
     # aggregation + windows
     "a2_resample_right_closed": (a2_resample_right_closed, A2_SQL),
+    "a_rollup_cascade": (a_rollup_cascade, A_CASCADE_SQL),
     "stream_resample_events": (stream_resample_events, STREAM_A2_SQL),
     "stream_cumsum_events": (stream_cumsum_events, STREAM_CUMSUM_SQL),
     "a4_cumulative_fraction": (a4_cumulative_fraction, A4_SQL),
