@@ -30,6 +30,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_revenue_change",
+    "q10_returned_items",
+    "q13_order_distribution",
     "s1_series_range_scan",
     "s2_grid_scan_correction",
     "s3_first_value_lookup",
@@ -40,6 +42,8 @@ HEADLINE = [
     "a2_resample_right_closed",
     "a4_cumulative_fraction",
     "w3_fill_down",
+    "w_sessionize_events",
+    "x_pivot_event_types",
     "x11_series_hash_id",
     "k2_outflow_render",
     "k3_raincell_render",

@@ -1878,6 +1878,573 @@ ORDER BY doc_id
 
 
 # =====================================================================
+# Analytics breadth — further TPC-H shapes, window frames, pivot,
+# percentiles, sessionization (engine extensions beyond the
+# reference's own surface; SURVEY §2.5 note + §7 step 8)
+# =====================================================================
+
+def q2_min_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to the trimmed schema (no partsupp):
+    for each LARGE mid-size part, the minimum-acctbal supplier that
+    shipped it. The correlated scalar-min subquery decorrelates to a
+    groupBy + join-back — Catalyst broadcasts the tiny aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal")
+        .distinct()
+    )
+    min_bal = shipped.groupBy("p_partkey").agg(F.min("s_acctbal").alias("mb"))
+    return (
+        shipped.join(F.broadcast(min_bal), "p_partkey")
+        .filter(F.col("s_acctbal") == F.col("mb"))
+        .select(
+            "p_partkey", "p_brand", "s_name", F.round("mb", 2).alias("min_bal")
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+Q2_SQL = """
+WITH shipped AS (
+  SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name, s_acctbal
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE')
+SELECT p_partkey, p_brand, s_name, ROUND(s_acctbal, 2) AS min_bal
+FROM shipped s1
+WHERE s_acctbal = (SELECT min(s2.s_acctbal) FROM shipped s2
+                   WHERE s2.p_partkey = s1.p_partkey)
+ORDER BY p_partkey, s_name
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between two nation pairs by ship year
+    (two aliased broadcast dim joins on one fact scan)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20
+    (fact-fact join + broadcast dims + ordered LIMIT)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q12_priority_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted (no l_shipmode column): conditional
+    CASE-WHEN counts of high/low order priorities per ship year."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+Q12_SQL = """
+SELECT year(l_shipdate) AS ship_year,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY ship_year
+ORDER BY ship_year
+"""
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: count-of-counts distribution over a left outer
+    join (customers with zero orders must appear as c_count = 0)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional aggregate
+    over a join, one scalar output row."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-06-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-06-01'
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier with max 3-month revenue (aggregate →
+    scalar-max selection, expressed as a rank-1 window)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_rev"
+            )
+        )
+    )
+    w = Window.orderBy(F.desc("total_rev"), "l_suppkey")
+    top = rev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        top.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, ROUND(total_rev, 2) AS total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+QUALIFY ROW_NUMBER() OVER (ORDER BY total_rev DESC, l_suppkey) = 1
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape adapted (no partsupp): distinct suppliers per
+    part attribute class, excluding negative-balance suppliers via a
+    broadcast anti-join (NOT IN without the NULL trap)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    clauses — exercises OR-predicate pushdown through a join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(clause).agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("revenue")
+    )
+
+
+Q19_SQL = """
+SELECT ROUND(COALESCE(SUM(l_extendedprice * (1 - l_discount)), 0.0), 2)
+       AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders (scalar-avg subquery + anti-join), grouped by segment."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_SQL = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-bounded sliding window: 4-row moving average of event
+    values per user (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), with a
+    unique-id tiebreak so lag/frame order is deterministic."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("mov_avg"),
+    ).orderBy("event_id")
+
+
+W_MOVAVG_SQL = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+             4) AS mov_avg
+FROM events
+ORDER BY event_id
+"""
+
+
+def w_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of session_window): 30-min
+    inactivity gap per user, aggregated to per-session stats."""
+    from curw_flo2d_data_manager_spark.operators.sessionize import sessionize
+
+    ev = _events(spark, sf_dir)
+    sess = sessionize(
+        ev,
+        ts_col="ts",
+        key_cols=["user_id"],
+        gap_seconds=1800.0,
+        tiebreak_cols=["event_id"],
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+W_SESSION_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+         LAG(CAST(ts AS TIMESTAMP)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1
+              ELSE 0 END AS is_new
+  FROM lagged),
+sessioned AS (
+  SELECT user_id, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS session_value
+FROM sessioned
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+def a_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping levels in
+    one pass (map-side partials expand grouping-set rows — one
+    shuffle, not four scans). Quantity sums are integer-valued so the
+    cross-engine hash is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+A_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) of quantity per
+    return flag — Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the (n-1)·p linear-interpolation definition."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def pct(p: float, name: str):
+        return F.round(F.expr(f"percentile(l_quantity, {p})"), 6).alias(name)
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct(0.25, "p25"), pct(0.5, "p50"), pct(0.75, "p75"), pct(0.9, "p90"))
+        .orderBy("l_returnflag")
+    )
+
+
+A_PCT_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+       ROUND(quantile_cont(l_quantity, 0.90), 6) AS p90
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def x_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long → wide: per-user value sums by event type. The pivot
+    value list is given explicitly so Spark skips the extra distinct
+    job (mandatory at 100 TB — never let pivot scan for its columns)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.round(F.sum("value"), 4))
+        .orderBy("user_id")
+    )
+
+
+X_PIVOT_SQL = """
+SELECT user_id,
+       ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 4)
+           AS purchase,
+       ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+       ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -1890,8 +2457,21 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q4_exists_semi": (q4_exists_semi, Q4_SQL),
     "q18_having_topk": (q18_having_topk, Q18_SQL),
     "q17_small_quantity": (q17_small_quantity, Q17_SQL),
+    "q2_min_supplier": (q2_min_supplier, Q2_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q12_priority_case": (q12_priority_case, Q12_SQL),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q14_promo_share": (q14_promo_share, Q14_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
+    "q19_disjunctive": (q19_disjunctive, Q19_SQL),
+    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
     "a_rollup_totals": (a_rollup_totals, A_ROLLUP_SQL),
     "a_distinct_counts": (a_distinct_counts, A_DISTINCT_SQL),
+    "a_cube_counts": (a_cube_counts, A_CUBE_SQL),
+    "a_percentiles": (a_percentiles, A_PCT_SQL),
+    "x_pivot_event_types": (x_pivot_event_types, X_PIVOT_SQL),
     "f9_get_or_create": (f9_get_or_create, F9_SQL),
     "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
     # store scans
@@ -1915,6 +2495,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "a4_cumulative_fraction": (a4_cumulative_fraction, A4_SQL),
     "w2_elapsed_hours": (w2_elapsed_hours, W2_SQL),
     "w3_fill_down": (w3_fill_down, W3_SQL),
+    "w_moving_avg": (w_moving_avg, W_MOVAVG_SQL),
+    "w_sessionize_events": (w_sessionize_events, W_SESSION_SQL),
     # scalar / sentinel / render
     "f6_sentinel_cleaning": (f6_sentinel_cleaning, F6_SQL),
     "x4_json_extract": (x4_json_extract, X4_SQL),

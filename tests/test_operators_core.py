@@ -250,3 +250,39 @@ def test_point_in_interval_join(spark):
         points, intervals, by=["k"], bucket_seconds=60
     ).collect()
     assert sorted((r.pid, r.iid) for r in wide) == [(1, 10), (2, 10), (2, 11)]
+
+
+def test_sessionize_gap_assignment(spark):
+    from curw_flo2d_data_manager_spark.operators.sessionize import sessionize
+
+    rows = [
+        # user 1: two sessions (45-min gap between 00:10 and 00:55)
+        (1, 1, dt.datetime(2024, 1, 1, 0, 0)),
+        (1, 2, dt.datetime(2024, 1, 1, 0, 10)),
+        (1, 3, dt.datetime(2024, 1, 1, 0, 55)),
+        # user 2: one session; 30-min gap is NOT > gap_seconds
+        (2, 4, dt.datetime(2024, 1, 1, 0, 0)),
+        (2, 5, dt.datetime(2024, 1, 1, 0, 30)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = sessionize(
+        df, ts_col="ts", key_cols=["user_id"], gap_seconds=1800.0,
+        tiebreak_cols=["event_id"],
+    )
+    got = {r["event_id"]: r["session_seq"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_sessionize_subsecond_gap(spark):
+    from curw_flo2d_data_manager_spark.operators.sessionize import sessionize
+
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 0, 0, 0, 100000)),
+        (1, 2, dt.datetime(2024, 1, 1, 0, 0, 1, 500000)),  # 1.4 s gap
+        (1, 3, dt.datetime(2024, 1, 1, 0, 0, 2, 400000)),  # 0.9 s gap
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = sessionize(df, key_cols=["user_id"], gap_seconds=1.0,
+                     tiebreak_cols=["event_id"])
+    got = {r["event_id"]: r["session_seq"] for r in out.collect()}
+    assert got == {1: 1, 2: 2, 3: 2}
