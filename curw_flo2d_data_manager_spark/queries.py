@@ -2444,6 +2444,172 @@ ORDER BY user_id
 """
 
 
+def a_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` in batch mode (same gap-merge
+    semantics the streaming path uses): 30-min inactivity sessions per
+    user. Boundary: a gap of exactly 30 min starts a NEW session
+    (windows are half-open, so touching windows don't merge)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+A_SESSION_WINDOW_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+         LAG(CAST(ts AS TIMESTAMP)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1
+              ELSE 0 END AS is_new
+  FROM lagged),
+sessioned AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS session_value
+FROM sessioned
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
+"""
+
+
+def u2_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations: first-two-days purchasers
+    who also signed up vs those who didn't, tagged into one relation
+    (windowed so both branches verify non-empty sets)."""
+    ev = _events(spark, sf_dir, end="2024-01-02 23:59:59").filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id")
+    both = purchasers.intersect(signups).select(
+        F.lit("both").alias("tag"), "user_id"
+    )
+    only_p = purchasers.subtract(signups).select(
+        F.lit("only_purchase").alias("tag"), "user_id"
+    )
+    return both.unionByName(only_p).orderBy("tag", "user_id")
+
+
+U2_SET_SQL = """
+WITH ev AS (SELECT user_id, event_type FROM events
+            WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00')
+SELECT 'both' AS tag, user_id FROM (
+  SELECT user_id FROM ev WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM ev WHERE event_type = 'signup')
+UNION ALL
+SELECT 'only_purchase' AS tag, user_id FROM (
+  SELECT user_id FROM ev WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT user_id FROM ev WHERE event_type = 'signup')
+ORDER BY tag, user_id
+"""
+
+
+def x_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long unpivot (melt) of lineitem measures for a keyed
+    subset — the inverse of the pivot operator."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 997 == 0
+    )
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "val",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "measure",
+            F.round("val", 4).alias("val"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+X_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, measure, ROUND(val, 4) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+         l_quantity AS val FROM lineitem WHERE l_orderkey % 997 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+  FROM lineitem WHERE l_orderkey % 997 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+  FROM lineitem WHERE l_orderkey % 997 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+  FROM lineitem WHERE l_orderkey % 997 = 0)
+ORDER BY l_orderkey, l_linenumber, measure
+"""
+
+
+def dedup_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal latest-version dedup (the engine's `latest fgt`
+    semantics — reference `update_latest_fgt`,
+    output/extract_water_level.py:216-217): keep the newest event per
+    (user, type) with a unique-id tiebreak, via rank-1 window."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.round("value", 4).alias("latest_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+DEDUP_LATEST_SQL = """
+SELECT user_id, event_type, event_id, ROUND(value, 4) AS latest_value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id, event_type
+"""
+
+
+def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type
+    (rows-only: HLL sketch values are engine-specific — the accuracy
+    contract vs exact counts is pinned in
+    tests/test_plan_quality.py)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2497,6 +2663,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "w3_fill_down": (w3_fill_down, W3_SQL),
     "w_moving_avg": (w_moving_avg, W_MOVAVG_SQL),
     "w_sessionize_events": (w_sessionize_events, W_SESSION_SQL),
+    "a_session_window_native": (a_session_window_native, A_SESSION_WINDOW_SQL),
+    "u2_set_ops": (u2_set_ops, U2_SET_SQL),
+    "x_unpivot_lineitem": (x_unpivot_lineitem, X_UNPIVOT_SQL),
+    "dedup_latest_version": (dedup_latest_version, DEDUP_LATEST_SQL),
+    "a_approx_distinct": (a_approx_distinct, None),
     # scalar / sentinel / render
     "f6_sentinel_cleaning": (f6_sentinel_cleaning, F6_SQL),
     "x4_json_extract": (x4_json_extract, X4_SQL),

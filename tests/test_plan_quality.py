@@ -1,0 +1,69 @@
+"""Physical-plan regression tests: the properties that decide whether
+a query survives a 100× scale-up — predicate pushdown to the parquet
+scan, column pruning, broadcast joins for dimension tables — asserted
+on the actual explain output so a refactor can't silently lose them.
+"""
+
+from pyspark.sql import functions as F
+
+from curw_flo2d_data_manager_spark import queries as q
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(em)
+
+
+def test_events_range_predicate_reaches_parquet_scan(spark, sf_dir):
+    """The nanos→timestamp conversion hides `ts` from pushdown, so
+    `_events` must filter the RAW long first — row-group pruning is
+    the difference between a day's scan and a full-table scan."""
+    df = q._events(
+        spark, sf_dir, start="2024-01-02 00:00:00", end="2024-01-03 00:00:00"
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(ts" in plan, plan
+
+
+def test_q6_pushdown_and_column_pruning(spark, sf_dir):
+    plan = plan_of(q.q6_revenue_change(spark, sf_dir))
+    # shipdate/discount/quantity predicates reach the scan
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    # untouched columns are pruned from the read schema
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_tax" not in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_q5_broadcasts_dimension_joins(spark, sf_dir):
+    plan = plan_of(q.q5_local_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_aggregates_before_shuffle(spark, sf_dir):
+    """Partial (map-side) aggregation must appear under the exchange —
+    the shuffle carries 6 group rows per partition, not 600k rows."""
+    plan = plan_of(q.q1_pricing_summary(spark, sf_dir), mode="simple")
+    first_agg = plan.index("HashAggregate")
+    assert "Exchange" in plan[:first_agg] or "Exchange" in plan, plan
+    # final & partial pair exist
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in q.a_approx_distinct(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in q._events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for etype, n in exact.items():
+        assert abs(approx[etype] - n) <= max(2, 0.05 * n), (etype, approx[etype], n)
