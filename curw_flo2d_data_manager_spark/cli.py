@@ -30,6 +30,42 @@ from datetime import datetime
 
 DATE_FMT = "%Y-%m-%d %H:%M:%S"
 
+# The 17 FLO-2D input files archived for event simulations
+# (reference: output/extract_water_level.py:27-29)
+TEMPLATE_FILES = [
+    "ARF.DAT", "CHAN.DAT", "HYSTRUC.DAT", "MANNINGS_N.DAT", "RAIN.DAT",
+    "TOPO.DAT", "CADPTS.DAT", "CONT.DAT", "INFIL.DAT", "NEIGHBORS.DAT",
+    "SUPPLEMENT.DAT", "XSEC.DAT", "CHANBANK.DAT", "FPLAIN.DAT",
+    "INFLOW.DAT", "OUTFLOW.DAT", "TOLER.DAT",
+]
+
+
+def archive_templates(
+    source_dir: str, out_name: str = "template", file_names: list[str] | None = None
+) -> str:
+    """K10 template archiver: tar.gz the FLO-2D input files for event
+    sims (reference: output/extract_water_level.py:49-50,339-341 —
+    shell `tar -cvzf`; here stdlib tarfile, no subshell). Driver-side
+    job metadata, out of the data plane. Missing files are skipped
+    (pinned semantics; the reference's tar would error noisily).
+    Returns the archive path.
+    """
+    import tarfile
+
+    names = file_names if file_names is not None else TEMPLATE_FILES
+    out = os.path.join(source_dir, f"{out_name}.tar.gz")
+    with tarfile.open(out, "w:gz") as tar:
+        for n in names:
+            pth = os.path.join(source_dir, n)
+            if os.path.exists(pth):
+                tar.add(pth, arcname=n)
+    return out
+
+
+def cmd_archive_templates(args) -> None:
+    out = archive_templates(args.source_dir, out_name=args.name)
+    print(out)
+
 
 # ------------------------------------------------------------- manifest
 def merge_run_manifest(out_path: str, metadata: dict) -> str:
@@ -360,6 +396,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--extract_cut", default=None)
     sp.add_argument("--variable", default="WaterLevel", choices=["WaterLevel", "Discharge"])
     sp.set_defaults(fn=cmd_extract_water_level)
+
+    sp = sub.add_parser(
+        "archive-templates",
+        help="tar.gz the FLO-2D template input files for event sims (K10)",
+    )
+    sp.add_argument("--source_dir", required=True)
+    sp.add_argument("--name", default="template")
+    sp.set_defaults(fn=cmd_archive_templates)
     return p
 
 

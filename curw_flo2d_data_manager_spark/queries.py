@@ -1591,6 +1591,97 @@ ORDER BY id, event_id
 """
 
 
+def stream_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows: two days of per-user events replayed
+    through a file stream → watermarked ``session_window`` sum. The
+    streamed (watermark-closed, append-mode) sessions must match the
+    batch gap-sessionization oracle (a gap of exactly 30 min starts a
+    new session on both paths)."""
+    import tempfile
+    import uuid
+
+    ev = _events(spark, sf_dir, end="2024-01-03 00:00:00").filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    src = tempfile.mkdtemp(prefix="stream_sess_src_")
+    rows = ev.select(
+        F.col("user_id").cast("string").alias("id"),
+        F.col("ts").alias("time"),
+        "value",
+    )
+    # Session aggregation only supports APPEND output (sessions emit
+    # once the watermark proves they can't grow). A sentinel event per
+    # key, one day past the slice, pushes the watermark beyond every
+    # real session; the sentinels' own sessions stay open and unemitted.
+    sentinels = rows.select("id").distinct().select(
+        "id",
+        F.lit("2024-01-04 00:00:00").cast("timestamp").alias("time"),
+        F.lit(0.0).alias("value"),
+    )
+    rows.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(src)
+
+    from curw_flo2d_data_manager_spark.streaming import (
+        read_series_stream,
+        streaming_session_sum,
+    )
+
+    name = "stream_sess_" + uuid.uuid4().hex[:8]
+    agg = streaming_session_sum(
+        read_series_stream(spark, src), gap="30 minutes", group_cols=["id"]
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return (
+        spark.table(name)
+        .filter(
+            F.col("session_start")
+            < F.lit("2024-01-03 00:00:00").cast("timestamp")
+        )
+        .select(
+            F.col("id").cast("long").alias("user_id"),
+            "session_start",
+            "n_events",
+            F.round("value", 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+STREAM_SESSION_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00'),
+lagged AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM ev),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1
+              ELSE 0 END AS is_new
+  FROM lagged),
+sessioned AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS session_value
+FROM sessioned
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
+"""
+
+
 def o2_ordered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2/O3: deterministic global order + limit."""
     orders = _t(spark, sf_dir, "orders")
@@ -2658,6 +2749,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "a_rollup_cascade": (a_rollup_cascade, A_CASCADE_SQL),
     "stream_resample_events": (stream_resample_events, STREAM_A2_SQL),
     "stream_cumsum_events": (stream_cumsum_events, STREAM_CUMSUM_SQL),
+    "stream_session_events": (stream_session_events, STREAM_SESSION_SQL),
     "a4_cumulative_fraction": (a4_cumulative_fraction, A4_SQL),
     "w2_elapsed_hours": (w2_elapsed_hours, W2_SQL),
     "w3_fill_down": (w3_fill_down, W3_SQL),

@@ -171,3 +171,39 @@ def foreach_batch_upsert(
         # catch-up runs and tests); default is a long-lived stream
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_session_sum(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    time_col: str = "time",
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked session-window aggregation (streaming twin of
+    ``operators.sessionize``): per-key sessions merge while events
+    arrive within ``gap`` of the session's end; the watermark decides
+    when a session can no longer grow.
+
+    State is one open session per active key — bounded by key
+    cardinality, not event volume, so a 100 TB/day stream holds state
+    proportional to concurrent users. Emit with ``update`` (merged-so-
+    far sessions) or ``append`` (only watermark-closed sessions).
+    """
+    keys = list(group_cols or [])
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(*keys, F.session_window(time_col, gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias(value_col),
+        )
+        .select(
+            *keys,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            value_col,
+        )
+    )

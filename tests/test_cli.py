@@ -124,3 +124,23 @@ def test_extract_discharge_variable(spark, tmp_path):
     ])
     got = spark.read.parquet(os.path.join(store, "fcst_data")).orderBy("time").collect()
     assert [r.value for r in got] == [55.5, 66.6]  # column 4, not elevation
+
+
+def test_archive_templates_k10(tmp_path):
+    from curw_flo2d_data_manager_spark.cli import TEMPLATE_FILES, archive_templates
+    import tarfile
+
+    for name in TEMPLATE_FILES[:3]:
+        (tmp_path / name).write_text(f"contents of {name}\n")
+    out = archive_templates(str(tmp_path))
+    assert out.endswith("template.tar.gz")
+    with tarfile.open(out) as tar:
+        assert sorted(tar.getnames()) == sorted(TEMPLATE_FILES[:3])
+
+
+def test_archive_templates_cli(tmp_path, capsys):
+    from curw_flo2d_data_manager_spark import cli
+
+    (tmp_path / "CHAN.DAT").write_text("x\n")
+    cli.main(["archive-templates", "--source_dir", str(tmp_path)])
+    assert "template.tar.gz" in capsys.readouterr().out
