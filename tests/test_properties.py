@@ -105,3 +105,51 @@ def test_merge_upsert_idempotent_and_keyed(spark, existing_keys, incoming_keys):
         assert got[k] == "old"
     again = {r.k: r.v for r in merge_upsert(merged, incoming, ["k"]).collect()}
     assert again == got
+
+
+# random per-user event offsets in seconds over ~4 hours
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),  # user
+        st.integers(min_value=0, max_value=14_400),  # seconds offset
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@SETTINGS
+@given(events=events_strategy, gap_s=st.sampled_from([60, 600, 1800]))
+def test_sessionize_partitions_by_gap(spark, events, gap_s):
+    """Sessionization invariants for any event set: consecutive events
+    in one session are <= gap apart; consecutive sessions are > gap
+    apart; session numbering per user is 1..n_sessions in time order."""
+    from curw_flo2d_data_manager_spark.operators.sessionize import sessionize
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (u, i, base + timedelta(seconds=off))
+        for i, (u, off) in enumerate(sorted(set(events)))
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = (
+        sessionize(
+            df, ts_col="ts", key_cols=["user_id"], gap_seconds=float(gap_s),
+            tiebreak_cols=["event_id"],
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    )
+    per_user: dict = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append((r["ts"], r["session_seq"]))
+    for seq in per_user.values():
+        assert seq[0][1] == 1
+        for (t0, s0), (t1, s1) in zip(seq, seq[1:]):
+            delta = (t1 - t0).total_seconds()
+            if s1 == s0:
+                assert delta <= gap_s
+            else:
+                assert s1 == s0 + 1
+                assert delta > gap_s
