@@ -1,0 +1,66 @@
+"""Deterministic hash-based sampling for training-data pipelines.
+
+``df.sample()`` draws a DIFFERENT subset every run (seeded RNG over
+partition layout), which breaks reproducible corpus construction and
+can't be verified against another engine. These operators derive the
+keep/drop decision from a content hash of the row's key, so:
+
+* the same key always lands on the same side — re-runs, retries, and
+  other engines agree row-for-row;
+* joining two tables sampled on the same key keeps referential
+  integrity (both sides keep the same keys);
+* changing ``salt`` yields an independent resample.
+
+The bucket is the first 8 hex chars of md5(key ∥ salt) compared
+lexicographically against a threshold — pure narrow projection +
+filter, no shuffle, pushes through any plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SEP = "\x1f"
+_SPACE = 16**8  # 8 hex chars
+
+
+def _bucket(key_cols: list[str], salt: str) -> Column:
+    key = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in key_cols])
+    return F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 8)
+
+
+def hash_threshold(fraction: float) -> str:
+    """Lowercase 8-hex-digit threshold: bucket < threshold keeps
+    ~``fraction`` of keys (exact to 1/16^8 ≈ 6e-10 granularity)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+    return format(min(int(fraction * _SPACE), _SPACE - 1), "08x")
+
+
+def hash_sample(
+    df: DataFrame, key_cols: list[str], fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by key hash."""
+    return df.filter(_bucket(key_cols, salt) < F.lit(hash_threshold(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the reproducible analogue of
+    ``df.sampleBy``): each stratum value gets its own keep-fraction,
+    e.g. downsample web crawl but keep all curated documents."""
+    thr = F.lit(hash_threshold(default_fraction))
+    for value, frac in fractions.items():
+        thr = (
+            F.when(
+                F.col(stratum_col) == F.lit(value), F.lit(hash_threshold(frac))
+            ).otherwise(thr)
+        )
+    return df.filter(_bucket(key_cols, salt) < thr)

@@ -2701,6 +2701,64 @@ def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% document sample by content-hash bucket —
+    reproducible across runs AND engines (md5 hex compared
+    lexicographically; `df.sample` can guarantee neither)."""
+    from curw_flo2d_data_manager_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_sample(docs, ["doc_id"], 0.10, salt="r1")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+F_SAMPLE_SQL = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE substr(md5(concat(CAST(doc_id AS VARCHAR), 'r1')), 1, 8) < '19999999'
+ORDER BY doc_id
+"""
+
+
+def f_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: keep every 'wiki' document,
+    20% of 'web', 50% of everything else — the downsample-the-crawl /
+    keep-the-curated shape of corpus construction."""
+    from curw_flo2d_data_manager_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs,
+        ["doc_id"],
+        "source",
+        {"wiki": 1.0, "web": 0.2},
+        default_fraction=0.5,
+        salt="r1",
+    )
+    return (
+        out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+F_STRAT_SQL = """
+SELECT source, COUNT(*) AS n_kept
+FROM documents
+WHERE substr(md5(concat(CAST(doc_id AS VARCHAR), 'r1')), 1, 8)
+      < CASE source WHEN 'wiki' THEN 'ffffffff'
+                    WHEN 'web' THEN '33333333'
+                    ELSE '80000000' END
+GROUP BY source
+ORDER BY source
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2730,6 +2788,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "a_percentiles": (a_percentiles, A_PCT_SQL),
     "x_pivot_event_types": (x_pivot_event_types, X_PIVOT_SQL),
     "f9_get_or_create": (f9_get_or_create, F9_SQL),
+    "f_hash_sample": (f_hash_sample, F_SAMPLE_SQL),
+    "f_stratified_sample": (f_stratified_sample, F_STRAT_SQL),
     "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
     # store scans
     "s1_series_range_scan": (s1_series_range_scan, S1_SQL),

@@ -286,3 +286,32 @@ def test_sessionize_subsecond_gap(spark):
                      tiebreak_cols=["event_id"])
     got = {r["event_id"]: r["session_seq"] for r in out.collect()}
     assert got == {1: 1, 2: 2, 3: 2}
+
+
+def test_hash_sample_deterministic_and_proportional(spark):
+    from curw_flo2d_data_manager_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in hash_sample(df, ["k"], 0.2).collect())
+    b = sorted(r["k"] for r in hash_sample(df, ["k"], 0.2).collect())
+    assert a == b  # reproducible
+    assert 0.17 < len(a) / 10_000 < 0.23  # ~fraction
+    # a larger fraction strictly contains a smaller one (same salt)
+    big = set(r["k"] for r in hash_sample(df, ["k"], 0.5).collect())
+    assert set(a) <= big
+    # different salt → essentially independent subset
+    c = set(r["k"] for r in hash_sample(df, ["k"], 0.2, salt="x").collect())
+    assert c != set(a)
+
+    strat = df.withColumn(
+        "s", (F.col("k") % 2 == 0).cast("string")
+    )
+    kept = stratified_hash_sample(
+        strat, ["k"], "s", {"true": 1.0}, default_fraction=0.0
+    )
+    rows = kept.collect()
+    assert all(r["s"] == "true" for r in rows)
+    assert len(rows) == 5_000
