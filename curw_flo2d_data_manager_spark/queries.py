@@ -2701,6 +2701,38 @@ def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup search with a FULL oracle: plant one
+    scaled copy of every embedding (cosine exactly 1 with its source;
+    identical sign bits → every band matches), run banded LSH + exact
+    cosine verify at 0.999. The true ≥0.999 pair set is exactly the
+    planted pairs (max original-pair cosine is ≈0.5), so any missed
+    candidate or verify bug breaks the hash match."""
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        hyperplane_lsh_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.2).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(planted)
+    pairs = hyperplane_lsh_pairs(corpus, cosine_threshold=0.999)
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+SIM_LSH_SQL = """
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+FROM embeddings
+ORDER BY id_a, id_b
+"""
+
+
 def f_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% document sample by content-hash bucket —
     reproducible across runs AND engines (md5 hex compared
@@ -2842,6 +2874,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
     "sim_ivf_topk": (sim_ivf_topk_docs, None),
     "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
+    "sim_lsh_pairs": (sim_lsh_pairs, SIM_LSH_SQL),
     # text analysis
     "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),

@@ -315,3 +315,29 @@ def test_hash_sample_deterministic_and_proportional(spark):
     rows = kept.collect()
     assert all(r["s"] == "true" for r in rows)
     assert len(rows) == 5_000
+
+
+def test_hyperplane_lsh_recall_on_noisy_duplicates(spark):
+    """Planted noisy near-dups (cos ≈ 0.95+) must be recovered with
+    high recall by 8×8-bit banded hyperplane LSH, and every reported
+    pair must actually clear the exact-cosine threshold (no false
+    positives — candidates are verified)."""
+    import numpy as np
+
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        hyperplane_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((200, 32))
+    noisy = base + 0.15 * rng.standard_normal((200, 32))  # cos ≈ 0.97
+    rows = [(i, base[i].tolist()) for i in range(200)] + [
+        (1000 + i, noisy[i].tolist()) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = hyperplane_lsh_pairs(df, cosine_threshold=0.9).collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    planted = {(i, 1000 + i) for i in range(200)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, recall
+    assert all(r["cosine"] >= 0.9 for r in got)
