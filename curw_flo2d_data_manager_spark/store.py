@@ -134,6 +134,33 @@ class TimeseriesStore:
             .parquet(path)
         )
 
+    @staticmethod
+    def write_data_bucketed(
+        df: DataFrame,
+        table_name: str,
+        buckets: int = 64,
+        path: str | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Bucketed layout for co-located joins: hash-bucket fact rows
+        by series ``id``, sorted ``(id, time)`` inside each bucket.
+
+        Two relations written with the same bucketing join with ZERO
+        exchange — the scan itself provides the hash distribution, so
+        at 100 TB a fact-fact join (observations vs forecasts per
+        series) skips both full shuffles. The shuffle-free property is
+        pinned by ``tests/test_plan_quality.py``. Pass ``path`` to
+        store data externally (the table is then just metadata).
+        """
+        writer = (
+            df.write.mode(mode)
+            .bucketBy(buckets, "id")
+            .sortBy("id", "time")
+        )
+        if path is not None:
+            writer = writer.option("path", path)
+        writer.saveAsTable(table_name)
+
     @classmethod
     def open(cls, spark, root: str) -> "TimeseriesStore":
         """Open a store written under ``root`` (``run/`` + ``data/``)."""

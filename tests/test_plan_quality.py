@@ -67,3 +67,39 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     }
     for etype, n in exact.items():
         assert abs(approx[etype] - n) <= max(2, 0.05 * n), (etype, approx[etype], n)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Fact tables bucketed identically on the join key must join with
+    no Exchange at all — the scan provides the distribution."""
+    import datetime as dt
+
+    from curw_flo2d_data_manager_spark import TimeseriesStore
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (f"s{i % 7}", base + dt.timedelta(minutes=i), float(i)) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id string, time timestamp, value double")
+    TimeseriesStore.write_data_bucketed(
+        df, "t_bucket_a", buckets=8, path=str(tmp_path / "a")
+    )
+    TimeseriesStore.write_data_bucketed(
+        df, "t_bucket_b", buckets=8, path=str(tmp_path / "b")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_bucket_a").alias("a").join(
+            spark.table("t_bucket_b").alias("b"), "id"
+        )
+        plan = plan_of(j, mode="simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == sum(  # 500 rows over 7 ids → per-id n^2 pairs
+            c * c for c in (72, 72, 72, 71, 71, 71, 71)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
