@@ -113,6 +113,25 @@ def _skip_existing(path: str) -> bool:
 
 
 # ------------------------------------------------------------- commands
+def _overwrite_parquet(df, target: str) -> None:
+    """Write-new-then-swap: materialize to a sibling temp dir, then
+    swap it over ``target`` via renames. Overwriting a parquet dir
+    that the same plan is reading (even behind ``cache()``) risks
+    recomputing from a half-deleted source if cached blocks are
+    evicted mid-write; the swap keeps the old data intact until the
+    new copy is fully on disk."""
+    import shutil
+
+    tmp, old = target + ".tmp-swap", target + ".tmp-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(target):
+        os.rename(target, old)
+    os.rename(tmp, target)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def _load_store(spark, store_dir: str):
     from curw_flo2d_data_manager_spark.store import TimeseriesStore
 
@@ -287,20 +306,26 @@ def cmd_init(args) -> None:
         ex_src, ex_sta = src.limit(0), stations.limit(0)
     m_src, m_sta = register_dims(ex_src, ex_sta, src, stations)
     for df, path in ((m_src, src_path), (m_sta, sta_path)):
-        df.cache().count()
-        df.write.mode("overwrite").parquet(path)
-        df.unpersist()
-    print(f"registered {m_sta.count()} stations, {m_src.count()} sources")
+        _overwrite_parquet(df, path)
+    n_sta = spark.read.parquet(sta_path).count()
+    n_src = spark.read.parquet(src_path).count()
+    print(f"registered {n_sta} stations, {n_src} sources")
 
 
 def cmd_extract_water_level(args) -> None:
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
     from curw_flo2d_data_manager_spark.plans.extract import (
         extract_hychan_forecast,
+        insert_run_metadata,
         latest_fgt,
+        run_metadata_record,
     )
     from curw_flo2d_data_manager_spark.session import get_spark
     from curw_flo2d_data_manager_spark.sinks.upsert import merge_upsert
     from curw_flo2d_data_manager_spark.sources.hychan import parse_hychan
+    from curw_flo2d_data_manager_spark.sources.timdep import parse_timdep
 
     spark = get_spark(app_name="extract-water-level")
     # fgt = output-file mtime (reference: extract_water_level.py:53-60)
@@ -310,28 +335,78 @@ def cmd_extract_water_level(args) -> None:
     col = {"WaterLevel": "water_level", "Discharge": "discharge"}[args.variable]
     parsed = parse_hychan(spark, args.hychan, base_time=args.base_time, variable=col)
     stations = spark.read.parquet(os.path.join(args.store, "stations"))
-    forecast = extract_hychan_forecast(
-        parsed,
-        stations,
-        sim_tag=args.sim_tag,
-        source_model=args.model,
-        variable=args.variable,
-        unit="m" if args.variable == "WaterLevel" else "m3/s",
-        fgt=fgt,
-        extract_cut=args.extract_cut,
-    )
+
+    def _forecast(rows, sta):
+        return extract_hychan_forecast(
+            rows,
+            sta,
+            sim_tag=args.sim_tag,
+            source_model=args.model,
+            variable=args.variable,
+            unit="m" if args.variable == "WaterLevel" else "m3/s",
+            fgt=fgt,
+            extract_cut=args.extract_cut,
+        )
+
+    forecast = _forecast(parsed, stations)
+    if args.timdep:
+        # flood-plain water levels from TIMDEP.OUT in the same run
+        # (reference: extract_water_level.py:540-587). Gap-filled
+        # (block, cell) holes become the reference's MISSING_VALUE
+        # −999 in the upsert payload (:575-577 appends MISSING_VALUE
+        # straight into the series pushed to the DB).
+        fp_sta = (
+            spark.read.parquet(args.flood_stations)
+            if args.flood_stations
+            else stations
+        )
+        cells = fp_sta.select(F.col("element_no").alias("cell_id")).distinct()
+        fp = parse_timdep(
+            spark, args.timdep, base_time=args.base_time, cells=cells
+        ).withColumnRenamed("cell_id", "element_no")
+        fp_forecast = _forecast(fp, fp_sta).withColumn(
+            "value", F.coalesce(F.col("value"), F.lit(-999.0))
+        )
+        forecast = forecast.unionByName(fp_forecast)
+
     target = os.path.join(args.store, "fcst_data")
     try:
         existing = spark.read.parquet(target)
         merged = merge_upsert(existing, forecast, keys=["tms_id", "time", "fgt"])
-    except Exception:
+    except AnalysisException:
+        # first run: no existing forecast relation at `target`. Any
+        # other error must propagate — swallowing it would silently
+        # discard the forecast history on the overwrite below.
         merged = forecast
-    merged.cache().count()
-    merged.write.mode("overwrite").parquet(target)
-    merged.unpersist()
-    latest_fgt(forecast).write.mode("overwrite").parquet(
-        os.path.join(args.store, "fcst_latest_fgt")
+    _overwrite_parquet(merged, target)
+    _overwrite_parquet(
+        latest_fgt(forecast), os.path.join(args.store, "fcst_latest_fgt")
     )
+
+    # K8 run provenance (reference: extract_water_level.py:588-591 —
+    # run_meta.json blob next to the output file + template path).
+    run_info = {}
+    meta_path = os.path.join(os.path.dirname(os.path.abspath(args.hychan)), "run_meta.json")
+    try:
+        with open(meta_path) as f:
+            run_info = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    record = run_metadata_record(
+        spark,
+        source_id=args.source_id,
+        variable_id=args.variable_id,
+        sim_tag=args.sim_tag,
+        fgt=fgt,
+        metadata=run_info,
+        template_path=args.template,
+    )
+    rm_target = os.path.join(args.store, "run_metadata")
+    try:
+        rm = insert_run_metadata(spark.read.parquet(rm_target), record)
+    except AnalysisException:
+        rm = record
+    _overwrite_parquet(rm, rm_target)
     print(f"upserted forecasts into {target}")
 
 
@@ -395,6 +470,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--fgt", default=None)
     sp.add_argument("--extract_cut", default=None)
     sp.add_argument("--variable", default="WaterLevel", choices=["WaterLevel", "Discharge"])
+    sp.add_argument("--timdep", default=None,
+                    help="TIMDEP.OUT path — also extract flood-plain water levels")
+    sp.add_argument("--flood_stations", default=None,
+                    help="flood-plain station map parquet (defaults to --store stations)")
+    sp.add_argument("--source_id", type=int, default=1)
+    sp.add_argument("--variable_id", type=int, default=1)
+    sp.add_argument("--template", default=None,
+                    help="template archive path recorded in run_metadata (K8)")
     sp.set_defaults(fn=cmd_extract_water_level)
 
     sp = sub.add_parser(

@@ -32,10 +32,16 @@ def _bucket(key_cols: list[str], salt: str) -> Column:
 
 def hash_threshold(fraction: float) -> str:
     """Lowercase 8-hex-digit threshold: bucket < threshold keeps
-    ~``fraction`` of keys (exact to 1/16^8 ≈ 6e-10 granularity)."""
+    ~``fraction`` of keys (exact to 1/16^8 ≈ 6e-10 granularity).
+
+    ``fraction >= 1.0`` returns ``"g"``, which sorts after every hex
+    bucket, so keep-all really keeps ALL rows (a clamp to
+    ``"ffffffff"`` would drop keys whose bucket is exactly that)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction {fraction} outside [0, 1]")
-    return format(min(int(fraction * _SPACE), _SPACE - 1), "08x")
+    if fraction >= 1.0:
+        return "g"
+    return format(int(fraction * _SPACE), "08x")
 
 
 def hash_sample(

@@ -82,3 +82,66 @@ def latest_fgt(forecast: DataFrame) -> DataFrame:
     """Per-series latest forecast-generated time (K8 companion —
     reference ``update_latest_fgt``, extract_water_level.py:216-217)."""
     return forecast.groupBy("tms_id").agg(F.max("fgt").alias("fgt"))
+
+
+RUN_METADATA_SCHEMA = (
+    "source_id bigint, variable_id bigint, sim_tag string, "
+    "fgt timestamp, metadata string, template_path string"
+)
+
+RUN_METADATA_KEYS = ["source_id", "variable_id", "sim_tag"]
+
+
+def run_metadata_record(
+    spark,
+    *,
+    source_id: int,
+    variable_id: int,
+    sim_tag: str,
+    fgt: str,
+    metadata: dict,
+    template_path: str | None = None,
+) -> DataFrame:
+    """K8: the per-simulation provenance record.
+
+    Reference: ``insert_run_metadata`` calls at
+    output/extract_water_level.py:589-591 and
+    extract_discharge.py:510-511 — one row per (source, variable,
+    sim_tag) carrying the run's ``fgt``, the ``run_meta.json`` blob,
+    and (water level only) the template path. The blob is serialized
+    with sorted keys so re-running the same extraction produces a
+    byte-identical record (idempotent upsert).
+    """
+    import json
+
+    blob = json.dumps(metadata, sort_keys=True, separators=(",", ":"))
+    row = [
+        (
+            int(source_id),
+            int(variable_id),
+            str(sim_tag),
+            str(fgt),
+            blob,
+            template_path,
+        )
+    ]
+    schema = (
+        "source_id bigint, variable_id bigint, sim_tag string, "
+        "fgt string, metadata string, template_path string"
+    )
+    return spark.createDataFrame(row, schema).withColumn(
+        "fgt", F.col("fgt").cast("timestamp")
+    )
+
+
+def insert_run_metadata(existing: DataFrame, record: DataFrame) -> DataFrame:
+    """Idempotent K8 upsert keyed on (source_id, variable_id, sim_tag).
+
+    The new record replaces any prior row for the same simulation —
+    the Parquet-backend equivalent of the reference's MySQL
+    ``INSERT … ON DUPLICATE KEY UPDATE fgt/metadata`` (db_adapter
+    ``insert_run_metadata``, called from extract_water_level.py:590).
+    """
+    from curw_flo2d_data_manager_spark.sinks.upsert import merge_upsert
+
+    return merge_upsert(existing, record, keys=RUN_METADATA_KEYS)

@@ -387,6 +387,93 @@ ORDER BY o_orderstatus
 """
 
 
+def k8_run_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8: run-provenance upsert (reference ``insert_run_metadata``,
+    output/extract_water_level.py:589-591) — one (source, variable,
+    sim_tag) record per simulated run carrying fgt + a JSON metadata
+    blob + template path. A week-1 extraction seeds the table; a
+    re-run over the full range replaces only the re-extracted sims
+    (click/view); one literal record exercises the single-row API."""
+    from curw_flo2d_data_manager_spark.plans.extract import (
+        insert_run_metadata,
+        run_metadata_record,
+    )
+
+    ev = _events(spark, sf_dir)
+
+    def _records(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("event_type").alias("sim_tag")).agg(
+            F.date_trunc("second", F.max("ts")).alias("fgt"),
+            F.concat(
+                F.lit('{"n_events":'), F.count(F.lit(1)).cast("string"), F.lit("}")
+            ).alias("metadata"),
+        ).select(
+            F.lit(1).cast("long").alias("source_id"),
+            F.lit(2).cast("long").alias("variable_id"),
+            "sim_tag",
+            "fgt",
+            "metadata",
+            F.lit(None).cast("string").alias("template_path"),
+        )
+
+    existing = _records(
+        ev.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    )
+    rerun = _records(ev.filter(F.col("event_type").isin("click", "view")))
+    merged = insert_run_metadata(existing, rerun)
+    manual = run_metadata_record(
+        spark,
+        source_id=99,
+        variable_id=1,
+        sim_tag="manual_run",
+        fgt="2024-02-01 00:00:00",
+        metadata={"cells": 1152, "model": "flo2d_250"},
+        template_path="/templates/flo2d_250",
+    )
+    return insert_run_metadata(merged, manual).orderBy(
+        "source_id", "variable_id", "sim_tag"
+    )
+
+
+K8_SQL = """
+WITH ev AS (
+    SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+existing AS (
+    SELECT CAST(1 AS BIGINT) AS source_id, CAST(2 AS BIGINT) AS variable_id,
+           event_type AS sim_tag,
+           date_trunc('second', MAX(ts)) AS fgt,
+           '{"n_events":' || COUNT(*) || '}' AS metadata,
+           CAST(NULL AS VARCHAR) AS template_path
+    FROM ev WHERE ts < TIMESTAMP '2024-01-08'
+    GROUP BY event_type
+),
+rerun AS (
+    SELECT CAST(1 AS BIGINT) AS source_id, CAST(2 AS BIGINT) AS variable_id,
+           event_type AS sim_tag,
+           date_trunc('second', MAX(ts)) AS fgt,
+           '{"n_events":' || COUNT(*) || '}' AS metadata,
+           CAST(NULL AS VARCHAR) AS template_path
+    FROM ev WHERE event_type IN ('click', 'view')
+    GROUP BY event_type
+),
+merged AS (
+    SELECT * FROM existing e
+    WHERE NOT EXISTS (SELECT 1 FROM rerun r
+                      WHERE r.source_id = e.source_id
+                        AND r.variable_id = e.variable_id
+                        AND r.sim_tag = e.sim_tag)
+    UNION ALL
+    SELECT * FROM rerun
+    UNION ALL
+    SELECT CAST(99 AS BIGINT), CAST(1 AS BIGINT), 'manual_run',
+           TIMESTAMP '2024-02-01 00:00:00',
+           '{"cells":1152,"model":"flo2d_250"}', '/templates/flo2d_250'
+)
+SELECT * FROM merged ORDER BY source_id, variable_id, sim_tag
+"""
+
+
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar-aggregate subquery — lineitems
     below 20% of their part's average quantity (decorrelates to a
@@ -1059,7 +1146,7 @@ def x4_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 X4_SQL = """
 SELECT event_type,
-       SUM(k) AS sum_k, MAX(k) AS max_k, COUNT(k) AS n_k
+       CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k, COUNT(k) AS n_k
 FROM (
     SELECT event_type,
            TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
@@ -2145,10 +2232,10 @@ def q12_priority_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT year(l_shipdate) AS ship_year,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2444,8 +2531,9 @@ flagged AS (
   FROM lagged),
 sessioned AS (
   SELECT user_id, value,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_seq
   FROM flagged)
 SELECT user_id, session_seq, COUNT(*) AS n_events,
        ROUND(SUM(value), 4) AS session_value
@@ -2783,7 +2871,7 @@ F_STRAT_SQL = """
 SELECT source, COUNT(*) AS n_kept
 FROM documents
 WHERE substr(md5(concat(CAST(doc_id AS VARCHAR), 'r1')), 1, 8)
-      < CASE source WHEN 'wiki' THEN 'ffffffff'
+      < CASE source WHEN 'wiki' THEN 'g'
                     WHEN 'web' THEN '33333333'
                     ELSE '80000000' END
 GROUP BY source
@@ -2795,40 +2883,36 @@ ORDER BY source
 # Registry
 # =====================================================================
 
+# Registry order is CONTRACTUAL: the external correctness driver
+# verifies only the FIRST 50 entries, so positions 1-50 must cover one
+# gating query for every SURVEY §2 operator family (S/P/K/F/J/A/W/O/
+# U/X), the streaming gates, and every LLM-data family (sampling is
+# driver-green since round 1 and yields its slots to the families that
+# had none). tests/test_registry_window.py pins this invariant.
+DRIVER_WINDOW = 50
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # TPC-H-style parity analytics
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
-    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
-    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
-    "q6_revenue_change": (q6_revenue_change, Q6_SQL),
-    "q4_exists_semi": (q4_exists_semi, Q4_SQL),
-    "q18_having_topk": (q18_having_topk, Q18_SQL),
-    "q17_small_quantity": (q17_small_quantity, Q17_SQL),
-    "q2_min_supplier": (q2_min_supplier, Q2_SQL),
-    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
-    "q10_returned_items": (q10_returned_items, Q10_SQL),
-    "q12_priority_case": (q12_priority_case, Q12_SQL),
-    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
-    "q14_promo_share": (q14_promo_share, Q14_SQL),
-    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
-    "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
-    "q19_disjunctive": (q19_disjunctive, Q19_SQL),
-    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
-    "a_rollup_totals": (a_rollup_totals, A_ROLLUP_SQL),
-    "a_distinct_counts": (a_distinct_counts, A_DISTINCT_SQL),
-    "a_cube_counts": (a_cube_counts, A_CUBE_SQL),
-    "a_percentiles": (a_percentiles, A_PCT_SQL),
-    "x_pivot_event_types": (x_pivot_event_types, X_PIVOT_SQL),
-    "f9_get_or_create": (f9_get_or_create, F9_SQL),
-    "f_hash_sample": (f_hash_sample, F_SAMPLE_SQL),
-    "f_stratified_sample": (f_stratified_sample, F_STRAT_SQL),
-    "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
-    # store scans
+    # -- driver window (first 50): one gate per §2 + LLM family --------
+    # store scans (S1/S2/S3/S6; S5 via store tests)
     "s1_series_range_scan": (s1_series_range_scan, S1_SQL),
     "s2_grid_scan_correction": (s2_grid_scan_correction, S2_SQL),
     "s3_first_value_lookup": (s3_first_value_lookup, S3_SQL),
     "s6_max_end_time": (s6_max_end_time, S6_SQL),
-    # joins
+    # parsers (P1/P2, with X2/X3/X10/F5/F8/A5 exercised inside)
+    "p1_hychan_roundtrip": (p1_hychan_roundtrip, P1_SQL),
+    "p2_timdep_roundtrip": (p2_timdep_roundtrip, P2_SQL),
+    # renders / sinks (K1-K5 + X1/U1/J7/S7, K7 merge, K8 provenance)
+    "k1_fixed_width_render": (k1_fixed_width_render, K1_SQL),
+    "k2_outflow_render": (k2_outflow_render, K2_SQL),
+    "k3_raincell_render": (k3_raincell_render, K3_SQL),
+    "k4_rain_render": (k4_rain_render, K4_SQL),
+    "k5_chan_render": (k5_chan_render, K5_SQL),
+    "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
+    "k8_run_metadata": (k8_run_metadata, K8_SQL),
+    # filters (F6 sentinel, F9 get-or-create; F1-F5 inside s1/p1/k2)
+    "f6_sentinel_cleaning": (f6_sentinel_cleaning, F6_SQL),
+    "f9_get_or_create": (f9_get_or_create, F9_SQL),
+    # joins (J1-J8 + as-of/range extensions)
     "j1_calendar_spine": (j1_calendar_spine, J1_SQL),
     "j2_dim_enrichment": (j2_dim_enrichment, J2_SQL),
     "j5_semi_join": (j5_semi_join, J5_SQL),
@@ -2836,34 +2920,22 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "j8_gap_fill": (j8_gap_fill, J8_SQL),
     "j_asof_join": (j_asof_join, J_ASOF_SQL),
     "j_range_join": (j_range_join, J_RANGE_SQL),
-    # aggregation + windows
+    # aggregation + windows (A2/A4, W1-W3, round-1 hash-fix retests)
     "a2_resample_right_closed": (a2_resample_right_closed, A2_SQL),
-    "a_rollup_cascade": (a_rollup_cascade, A_CASCADE_SQL),
-    "stream_resample_events": (stream_resample_events, STREAM_A2_SQL),
-    "stream_cumsum_events": (stream_cumsum_events, STREAM_CUMSUM_SQL),
-    "stream_session_events": (stream_session_events, STREAM_SESSION_SQL),
     "a4_cumulative_fraction": (a4_cumulative_fraction, A4_SQL),
     "w2_elapsed_hours": (w2_elapsed_hours, W2_SQL),
     "w3_fill_down": (w3_fill_down, W3_SQL),
-    "w_moving_avg": (w_moving_avg, W_MOVAVG_SQL),
     "w_sessionize_events": (w_sessionize_events, W_SESSION_SQL),
-    "a_session_window_native": (a_session_window_native, A_SESSION_WINDOW_SQL),
+    "q12_priority_case": (q12_priority_case, Q12_SQL),
+    # order / sets / scalar functions (O2/O3, U1, X4/X11)
+    "o2_ordered_topk": (o2_ordered_topk, O2_SQL),
     "u2_set_ops": (u2_set_ops, U2_SET_SQL),
-    "x_unpivot_lineitem": (x_unpivot_lineitem, X_UNPIVOT_SQL),
-    "dedup_latest_version": (dedup_latest_version, DEDUP_LATEST_SQL),
-    "a_approx_distinct": (a_approx_distinct, None),
-    # scalar / sentinel / render
-    "f6_sentinel_cleaning": (f6_sentinel_cleaning, F6_SQL),
     "x4_json_extract": (x4_json_extract, X4_SQL),
     "x11_series_hash_id": (x11_series_hash_id, X11_SQL),
-    "k1_fixed_width_render": (k1_fixed_width_render, K1_SQL),
-    "k2_outflow_render": (k2_outflow_render, K2_SQL),
-    "k3_raincell_render": (k3_raincell_render, K3_SQL),
-    "k4_rain_render": (k4_rain_render, K4_SQL),
-    "k5_chan_render": (k5_chan_render, K5_SQL),
-    "p1_hychan_roundtrip": (p1_hychan_roundtrip, P1_SQL),
-    "p2_timdep_roundtrip": (p2_timdep_roundtrip, P2_SQL),
-    "o2_ordered_topk": (o2_ordered_topk, O2_SQL),
+    # structured streaming gates
+    "stream_resample_events": (stream_resample_events, STREAM_A2_SQL),
+    "stream_cumsum_events": (stream_cumsum_events, STREAM_CUMSUM_SQL),
+    "stream_session_events": (stream_session_events, STREAM_SESSION_SQL),
     # dedup family
     "dedup_exact": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_fingerprint": (dedup_fingerprint_docs, DEDUP_FP_SQL),
@@ -2883,6 +2955,37 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # multimodal
     "mm_binary_meta": (mm_binary_meta, MM_BINARY_SQL),
     "mm_decode_meta": (mm_decode_meta, None),
+    # -- past the driver window: driver-green-in-r01 + breadth ---------
+    "f_hash_sample": (f_hash_sample, F_SAMPLE_SQL),
+    "f_stratified_sample": (f_stratified_sample, F_STRAT_SQL),
+    "a_rollup_cascade": (a_rollup_cascade, A_CASCADE_SQL),
+    "dedup_latest_version": (dedup_latest_version, DEDUP_LATEST_SQL),
+    "a_approx_distinct": (a_approx_distinct, None),
+    "w_moving_avg": (w_moving_avg, W_MOVAVG_SQL),
+    "a_session_window_native": (a_session_window_native, A_SESSION_WINDOW_SQL),
+    "x_unpivot_lineitem": (x_unpivot_lineitem, X_UNPIVOT_SQL),
+    "x_pivot_event_types": (x_pivot_event_types, X_PIVOT_SQL),
+    "a_rollup_totals": (a_rollup_totals, A_ROLLUP_SQL),
+    "a_distinct_counts": (a_distinct_counts, A_DISTINCT_SQL),
+    "a_cube_counts": (a_cube_counts, A_CUBE_SQL),
+    "a_percentiles": (a_percentiles, A_PCT_SQL),
+    # TPC-H-style parity analytics
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
+    "q6_revenue_change": (q6_revenue_change, Q6_SQL),
+    "q4_exists_semi": (q4_exists_semi, Q4_SQL),
+    "q18_having_topk": (q18_having_topk, Q18_SQL),
+    "q17_small_quantity": (q17_small_quantity, Q17_SQL),
+    "q2_min_supplier": (q2_min_supplier, Q2_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q14_promo_share": (q14_promo_share, Q14_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
+    "q19_disjunctive": (q19_disjunctive, Q19_SQL),
+    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
 }
 
 

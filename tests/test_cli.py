@@ -144,3 +144,76 @@ def test_archive_templates_cli(tmp_path, capsys):
     (tmp_path / "CHAN.DAT").write_text("x\n")
     cli.main(["archive-templates", "--source_dir", str(tmp_path)])
     assert "template.tar.gz" in capsys.readouterr().out
+
+
+def test_extract_with_timdep_and_run_metadata(spark, tmp_path):
+    """One invocation extracts channel (HYCHAN) + flood-plain (TIMDEP)
+    water levels (reference: extract_water_level.py:540-587) and writes
+    the K8 run-provenance record (:588-591). TIMDEP gap-filled holes
+    surface as the reference's MISSING_VALUE −999."""
+    store = str(tmp_path / "store")
+    hychan = tmp_path / "HYCHAN.OUT"
+    hychan.write_text(
+        "     CHANNEL HYDROGRAPH FOR ELEMENT NO:   330\n"
+        "   TIME   ELEV   DEPTH   VEL   Q\n"
+        "   0.00   10.0   1.0   0.1   55.5\n"
+        "   0.25   10.1   1.1   0.2   66.6\n"
+    )
+    # two blocks; cell 900 missing from the second block → gap → −999
+    timdep = tmp_path / "TIMDEP.OUT"
+    timdep.write_text(
+        "   0.00\n"
+        "   900   1.0   2.0   3.0   4.0   7.25\n"
+        "   901   1.0   2.0   3.0   4.0   8.50\n"
+        "   0.25\n"
+        "   901   1.0   2.0   3.0   4.0   8.75\n"
+    )
+    (tmp_path / "run_meta.json").write_text('{"rain": {"model": "flo2d_150_v2"}}')
+    spark.createDataFrame(
+        [("330", 7, 6.9, 79.8)],
+        "element_no string, station_id long, latitude double, longitude double",
+    ).write.parquet(os.path.join(store, "stations"))
+    flood = os.path.join(store, "flood_stations")
+    spark.createDataFrame(
+        [("900", 21, 6.91, 79.81), ("901", 22, 6.92, 79.82)],
+        "element_no string, station_id long, latitude double, longitude double",
+    ).write.parquet(flood)
+
+    main([
+        "extract-water-level", "-m", "flo2d_150_v2",
+        "--hychan", str(hychan), "--base_time", "2024-01-01 00:00:00",
+        "--store", store, "--fgt", "2024-01-01 06:00:00",
+        "--timdep", str(timdep), "--flood_stations", flood,
+        "--source_id", "12", "--variable_id", "3",
+        "--template", "/archives/template.tar.gz",
+    ])
+
+    fcst = spark.read.parquet(os.path.join(store, "fcst_data"))
+    by_station = {
+        (r.station_id, str(r.time)): r.value for r in fcst.collect()
+    }
+    assert by_station[(7, "2024-01-01 00:00:00")] == 10.0   # channel ELEV
+    assert by_station[(21, "2024-01-01 00:00:00")] == 7.25  # flood plain
+    assert by_station[(21, "2024-01-01 00:15:00")] == -999.0  # gap fill
+    assert by_station[(22, "2024-01-01 00:15:00")] == 8.75
+
+    rm = spark.read.parquet(os.path.join(store, "run_metadata")).collect()
+    assert len(rm) == 1
+    rec = rm[0]
+    assert (rec.source_id, rec.variable_id, rec.sim_tag) == (12, 3, "daily_run")
+    assert json.loads(rec.metadata) == {"rain": {"model": "flo2d_150_v2"}}
+    assert rec.template_path == "/archives/template.tar.gz"
+
+    # idempotent re-run: same fgt → same single provenance row, and the
+    # forecast upsert is a no-op delta
+    n_before = fcst.count()
+    main([
+        "extract-water-level", "-m", "flo2d_150_v2",
+        "--hychan", str(hychan), "--base_time", "2024-01-01 00:00:00",
+        "--store", store, "--fgt", "2024-01-01 06:00:00",
+        "--timdep", str(timdep), "--flood_stations", flood,
+        "--source_id", "12", "--variable_id", "3",
+        "--template", "/archives/template.tar.gz",
+    ])
+    assert spark.read.parquet(os.path.join(store, "run_metadata")).count() == 1
+    assert spark.read.parquet(os.path.join(store, "fcst_data")).count() == n_before

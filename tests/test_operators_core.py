@@ -305,6 +305,8 @@ def test_hash_sample_deterministic_and_proportional(spark):
     # different salt → essentially independent subset
     c = set(r["k"] for r in hash_sample(df, ["k"], 0.2, salt="x").collect())
     assert c != set(a)
+    # fraction 1.0 keeps ALL rows (even keys whose bucket is 'ffffffff')
+    assert hash_sample(df, ["k"], 1.0).count() == 10_000
 
     strat = df.withColumn(
         "s", (F.col("k") % 2 == 0).cast("string")
