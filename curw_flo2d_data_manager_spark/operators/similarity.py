@@ -88,7 +88,15 @@ def ivf_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: IVF coarse quantization via KMeans.
+    """Approximate top-k: spherical IVF coarse quantization via KMeans.
+
+    Vectors are L2-normalized before the KMeans fit and cell
+    assignment, and probe selection ranks centroids by euclidean
+    distance in the SAME normalized space — on the unit sphere
+    euclidean order is exactly cosine order, so the quantizer's
+    assignment metric and the query's probe metric agree. (Ranking
+    probes by one metric while assigning cells by another loses even
+    a query's own cell — found by the planted-duplicate oracle.)
 
     Returns the same schema as :func:`cosine_topk`. Recall < 1.0 by
     construction; raise ``nprobe``/``n_clusters`` to trade cost for
@@ -96,11 +104,18 @@ def ivf_topk(
     persist (corpus_id, cluster) and reuse it across query batches.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
+
+    def _unit(v: Column) -> Column:
+        n = l2_norm(v)
+        return F.transform(
+            v.cast("array<double>"),
+            lambda x: F.when(n == 0, F.lit(0.0)).otherwise(x / n),
+        )
 
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
-    ).withColumn("_feat", array_to_vector(F.col("_cv").cast("array<double>")))
+    ).withColumn("_feat", array_to_vector(_unit(F.col("_cv"))))
     km = KMeans(k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="_cluster")
     model = km.fit(c)
     c_assigned = model.transform(c).select("corpus_id", "_cv", "_cluster")
@@ -113,7 +128,13 @@ def ivf_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    # rank centroids per query by cosine, keep nprobe
+    # rank centroids per query by euclidean distance of the NORMALIZED
+    # query (the quantizer's own metric), keep nprobe
+    sqdist = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
     q_probes = (
         q.withColumn("_ctrs", centers_arr)
         .select(
@@ -121,13 +142,9 @@ def ivf_topk(
             "_qv",
             F.posexplode("_ctrs").alias("_cluster", "_ctr"),
         )
-        .withColumn(
-            "_csim",
-            dot(F.col("_qv").cast("array<double>"), F.col("_ctr"))
-            / (l2_norm(F.col("_qv")) * l2_norm(F.col("_ctr"))),
-        )
+        .withColumn("_qdist", sqdist(_unit(F.col("_qv")), F.col("_ctr")))
     )
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("_csim"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.asc("_qdist"), F.asc("_cluster"))
     q_sel = (
         q_probes.withColumn("_prk", F.row_number().over(w_probe))
         .filter(F.col("_prk") <= nprobe)

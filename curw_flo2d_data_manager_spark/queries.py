@@ -1354,17 +1354,35 @@ FROM cum
 
 
 def sim_ivf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k (KMeans coarse quantizer, seeded;
-    recall < 1 by construction → rows-only check; the exact twin
-    sim_cosine_topk carries the value oracle)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    """IVF ANN with a planted full oracle: the corpus carries one
+    verbatim copy of every vector (same coordinates → same KMeans
+    cell, cosine exactly 1). For each of 50 query vectors the probed
+    buckets MUST contain both the vector itself (rank 1, id
+    tie-break) and its planted copy (rank 2) — a broken index build,
+    cell assignment, probe selection, or ranking drops one of them
+    and breaks the hash match. The recall-vs-exact floor for
+    non-trivial neighbors is pinned in tests/test_operators_core.py."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(planted)
+    queries = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=2)
+    out = ivf_topk(corpus, queries, k=2, n_clusters=8, nprobe=2)
     return out.select(
         "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), "rank"
     ).orderBy("query_id", "rank")
+
+
+SIM_IVF_SQL = """
+SELECT vec_id AS query_id, vec_id AS corpus_id,
+       CAST(1.0 AS DOUBLE) AS cosine, 1 AS rank
+FROM embeddings WHERE vec_id < 50
+UNION ALL
+SELECT vec_id, vec_id + 1000000, CAST(1.0 AS DOUBLE), 2
+FROM embeddings WHERE vec_id < 50
+ORDER BY query_id, rank
+"""
 
 
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1865,19 +1883,75 @@ ORDER BY id_a, id_b
 
 
 def dedup_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (hash-seeded; rows-only check)."""
-    docs = _t(spark, sf_dir, "documents")
+    """MinHash+LSH with a FULL oracle: plant one verbatim copy of every
+    document (identical shingle set → identical signature → every band
+    collides), run banded LSH + exact-Jaccard verify at threshold 1.0.
+    The true jaccard-1 pair set is exactly {pairs with identical
+    shingle sets} — all planted pairs plus any organic identical-text
+    groups — which DuckDB reproduces by grouping on the sorted
+    shingle-set fingerprint. A missed band bucket, a broken signature,
+    or a verify bug each breaks the hash match."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
     return (
-        minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.05)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        minhash_lsh_pairs(
+            corpus, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=1.0
+        )
+        .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
 
 
+DEDUP_MINHASH_SQL = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE [array_to_string(w, ' ')] END)), chr(31)) AS key
+    FROM (
+        SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS w
+        FROM corpus
+    )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sh a JOIN sh b ON a.key = b.key AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
 def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (hash-based; rows-only check)."""
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=16).orderBy("id_a", "id_b")
+    """SimHash banding with a planted-recall oracle (the sim_lsh_pairs
+    construction): every document gets one verbatim copy — identical
+    word multiset → identical 64-bit signature → all four 16-bit bands
+    collide → Hamming 0. The query keeps only original↔own-copy pairs
+    (organic near-dup pairs are hash-dependent and engine-specific),
+    so the oracle is exactly one row per document; losing ANY planted
+    pair (a banding or popcount bug) breaks the hash match."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    return (
+        simhash_near_pairs(corpus, "doc_id", "text", max_hamming=0)
+        .filter(F.col("id_b") == F.col("id_a") + 1_000_000)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_SIMHASH_SQL = """
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming
+FROM documents
+ORDER BY id_a, id_b
+"""
 
 
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2940,11 +3014,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_fingerprint": (dedup_fingerprint_docs, DEDUP_FP_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_docs, DEDUP_JACCARD_SQL),
-    "dedup_minhash_lsh": (dedup_minhash_lsh_docs, None),
-    "dedup_simhash": (dedup_simhash_docs, None),
+    "dedup_minhash_lsh": (dedup_minhash_lsh_docs, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
     # similarity search
     "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
-    "sim_ivf_topk": (sim_ivf_topk_docs, None),
+    "sim_ivf_topk": (sim_ivf_topk_docs, SIM_IVF_SQL),
     "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
     "sim_lsh_pairs": (sim_lsh_pairs, SIM_LSH_SQL),
     # text analysis
