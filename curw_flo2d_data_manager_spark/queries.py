@@ -1890,14 +1890,21 @@ def dedup_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle sets} — all planted pairs plus any organic identical-text
     groups — which DuckDB reproduces by grouping on the sorted
     shingle-set fingerprint. A missed band bucket, a broken signature,
-    or a verify bug each breaks the hash match."""
+    or a verify bug each breaks the hash match. Copies are planted for
+    every 4th document (the oracle recomputes the exact pair set for
+    any planted subset), and the gate runs 16 hashes × 4 bands — the
+    identical-set guarantee is signature-width independent, so the
+    narrower signature only cuts cold codegen + scan cost; operator
+    defaults stay 32×8 for organic-similarity recall."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.unionByName(
-        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
     )
     return (
         minhash_lsh_pairs(
-            corpus, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=1.0
+            corpus, "doc_id", "text", num_hashes=16, bands=4, jaccard_threshold=1.0
         )
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
@@ -1908,7 +1915,7 @@ DEDUP_MINHASH_SQL = """
 WITH corpus AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 1000000, text FROM documents
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0
 ),
 sh AS (
     SELECT doc_id,
@@ -1933,11 +1940,14 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     word multiset → identical 64-bit signature → all four 16-bit bands
     collide → Hamming 0. The query keeps only original↔own-copy pairs
     (organic near-dup pairs are hash-dependent and engine-specific),
-    so the oracle is exactly one row per document; losing ANY planted
-    pair (a banding or popcount bug) breaks the hash match."""
+    so the oracle is exactly one row per planted document (every 4th;
+    losing ANY planted pair — a banding or popcount bug — breaks the
+    hash match)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.unionByName(
-        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
     )
     return (
         simhash_near_pairs(corpus, "doc_id", "text", max_hamming=0)
@@ -1949,7 +1959,7 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_SIMHASH_SQL = """
 SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming
-FROM documents
+FROM documents WHERE doc_id % 4 = 0
 ORDER BY id_a, id_b
 """
 
