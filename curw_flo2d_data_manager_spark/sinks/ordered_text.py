@@ -33,12 +33,17 @@ def write_ordered_text(
     header_lines: list[str] | None = None,
     footer_lines: list[str] | None = None,
     mode: str = "single",
+    final_newline: bool = True,
 ) -> str:
     """Render ``df[line_col]`` sorted by ``sort_cols`` to ``path``.
 
     ``header_lines``/``footer_lines`` are small driver-side fragments
     (the reference's verbatim head/tail assets, P3 —
     input/chan/gen_chan.py:132-141).
+    ``final_newline=False`` drops the trailing newline for byte parity
+    with the reference's ``'\\n'.join(...)`` writers (gen_chan.py:43-45
+    and every input script's ``write_to_file``), which never terminate
+    the last line.
     Returns the written path (file or manifest dir).
     """
     tmp = tempfile.mkdtemp(prefix="ordered_text_", dir=os.path.dirname(path) or ".")
@@ -66,6 +71,12 @@ def write_ordered_text(
                     shutil.copyfileobj(src, out)
             for t in footer_lines or []:
                 out.write(t + "\n")
+        if not final_newline:
+            with open(path, "rb+") as out:
+                out.seek(0, os.SEEK_END)
+                if out.tell() and out.seek(out.tell() - 1) is not None:
+                    if out.read(1) == b"\n":
+                        out.truncate(out.tell() - 1)
         return path
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
