@@ -1,67 +1,53 @@
-"""Line-ordered text source.
+"""Line-ordered text source — pure JVM, no Python in the scan.
 
-``spark.read.text`` gives no row-order guarantee; the FLO-2D output
-parsers need stable line numbers to propagate section headers
-(SURVEY §4.2 custom piece 3). ``zipWithIndex`` assigns a global,
-file-order-stable index with a single lightweight count job — not a
-full shuffle — so downstream window ops can order by ``line_no``.
+``spark.read.text`` gives no *documented* row-order guarantee; the
+FLO-2D output parsers need stable line numbers to propagate section
+headers (SURVEY §4.2 custom piece 3). The engine derives a
+file-position-ordered ``line_no`` from ``monotonically_increasing_id``:
 
-For multi-file reads we index per file via
-``input_file_name`` + a per-file window instead, keeping files
-independent (each FLO-2D run's output parses in isolation).
+* the id is ``partition_id << 33 | row_index_in_partition``;
+* the text source creates a file's splits in byte-offset order and
+  bins them after a *stable* sort by length descending — a file's
+  full-size chunks keep their offset order (stable ties) and its one
+  short tail chunk sorts after them, so every file's rows land in
+  id order that equals byte order;
+* downstream consumers (hychan/timdep parsers) use ``line_no`` ONLY
+  for ordering and as a section key, never for adjacency arithmetic,
+  so the id's gaps are harmless.
+
+This replaces the round-1 Python path (``textFile → zipWithIndex →
+map``) that serialized every line through Python, and the
+``wholeTextFiles`` multi-file form that held a whole file per task:
+the whole parse plan now stays inside WholeStageCodegen
+(tests/test_sources_parsers.py pins both order and the absence of
+Python stages). ``tests`` also pin order under forced 1 KiB splits.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
-
-LINE_SCHEMA = StructType(
-    [
-        StructField("line_no", LongType(), False),
-        StructField("value", StringType(), True),
-    ]
-)
 
 
 def read_lines(spark: SparkSession, path: str) -> DataFrame:
-    """Read a text file as (line_no, value) with file-order line_no.
-
-    Single-file form (the FLO-2D case). zipWithIndex preserves the
-    order of ``textFile`` partitions, which for a single splittable
-    text file is byte order — i.e. true line order.
-    """
-    rdd = (
-        spark.sparkContext.textFile(path)
-        .zipWithIndex()
-        .map(lambda kv: (kv[1], kv[0]))
+    """Read one text file as (line_no, value), line_no in file order
+    (monotonic, not dense)."""
+    return spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("line_no"), "value"
     )
-    return spark.createDataFrame(rdd, LINE_SCHEMA)
-
-
-MULTI_LINE_SCHEMA = StructType(
-    [
-        StructField("file", StringType(), False),
-        StructField("line_no", LongType(), False),
-        StructField("value", StringType(), True),
-    ]
-)
 
 
 def read_lines_multi(spark: SparkSession, glob_path: str) -> DataFrame:
     """Read many text files as (file, line_no, value), line order
     stable per file.
 
-    Scale shape for batch extraction of N simulation runs: each FLO-2D
-    output file is dimension-sized (tens of MB), so ``wholeTextFiles``
-    holds one file per task and the downstream section windows
-    partition by ``file`` — N files parse fully in parallel with no
-    global sort.
+    Scale shape for batch extraction of N simulation runs: files split
+    and bin-pack into normal scan partitions (no whole-file-in-memory
+    tasks), and the downstream section windows partition by ``file``,
+    so N files parse fully in parallel with no global sort.
     """
-    rdd = spark.sparkContext.wholeTextFiles(glob_path).flatMap(
-        lambda kv: (
-            (kv[0], i, line) for i, line in enumerate(kv[1].splitlines())
-        )
+    return spark.read.text(glob_path).select(
+        F.input_file_name().alias("file"),
+        F.monotonically_increasing_id().alias("line_no"),
+        "value",
     )
-    return spark.createDataFrame(rdd, MULTI_LINE_SCHEMA)

@@ -123,3 +123,58 @@ def test_hychan_multi_file(spark, tmp_path):
         assert r.file.endswith(".out")
     assert sorted(by_elem["330"]) == [1.0, 2.0]
     assert sorted(by_elem["462"]) == [3.0, 4.0]
+
+
+def test_read_lines_order_under_forced_splits(spark, tmp_path):
+    """line_no must follow byte order even when the file splits into
+    many scan partitions (1 KiB forced splits), and the multi-file
+    form must keep per-file order."""
+    from curw_flo2d_data_manager_spark.sources.line_text import (
+        read_lines,
+        read_lines_multi,
+    )
+
+    n = 2000
+    p1 = tmp_path / "a.txt"
+    p2 = tmp_path / "b.txt"
+    p1.write_text("\n".join(f"a{i:06d}" for i in range(n)) + "\n")
+    p2.write_text("\n".join(f"b{i:06d}" for i in range(n // 2)) + "\n")
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        got = [
+            r.value
+            for r in read_lines(spark, str(p1)).orderBy("line_no").collect()
+        ]
+        assert got == [f"a{i:06d}" for i in range(n)]
+
+        multi = read_lines_multi(spark, str(tmp_path / "*.txt")).orderBy(
+            "file", "line_no"
+        )
+        per_file = {}
+        for r in multi.collect():
+            per_file.setdefault(r.file.rsplit("/", 1)[-1], []).append(r.value)
+        assert per_file["a.txt"] == [f"a{i:06d}" for i in range(n)]
+        assert per_file["b.txt"] == [f"b{i:06d}" for i in range(n // 2)]
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_parse_plan_has_no_python_stage(spark, tmp_path):
+    """The whole HYCHAN parse plan must stay JVM-side: no
+    BatchEvalPython / RDDScan / mapPartitions stage in the explain."""
+    from curw_flo2d_data_manager_spark.sources.hychan import parse_hychan
+
+    f = tmp_path / "HYCHAN.OUT"
+    f.write_text(
+        "     CHANNEL HYDROGRAPH FOR ELEMENT NO:   330\n"
+        "   TIME   ELEV\n"
+        "   0.00   10.0\n"
+        "   0.25   10.1\n"
+    )
+    df = parse_hychan(spark, str(f), base_time="2024-01-01 00:00:00")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "EvalPython", "Scan ExistingRDD", "PythonMapInArrow"):
+        assert marker not in plan, f"Python stage in parse plan: {marker}"
+    assert "FileScan text" in plan
