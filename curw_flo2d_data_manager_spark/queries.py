@@ -1387,13 +1387,32 @@ ORDER BY query_id, rank
 
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode stage: Arrow-batched mapInPandas over opaque
-    binary content (deterministic fake decode — no codec in this
-    environment; the batch plumbing is the real thing)."""
+    binary content. The codec stand-in is deterministic (byte length,
+    sha256, mean byte value as fake luma), so DuckDB can recompute
+    every output column from the same bytes — a FULL oracle over the
+    Python batch plumbing (Arrow round-trip, schema, null handling)."""
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
     )
     return decode_image_meta(media).orderBy("media_id")
+
+
+MM_DECODE_SQL = """
+WITH b AS (
+    SELECT doc_id AS media_id, text, encode(text) AS bb FROM documents
+)
+SELECT media_id,
+       CAST(CASE WHEN text IS NULL THEN 0
+                 ELSE octet_length(bb) END AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha,
+       CAST(CASE WHEN text IS NULL OR octet_length(bb) = 0 THEN 0
+                 ELSE list_sum(list_transform(range(0, octet_length(bb)),
+                          i -> CAST('0x' || substring(hex(bb), 2*i+1, 2) AS INT)))
+                      // octet_length(bb) END AS BIGINT) AS fake_mean_luma
+FROM b
+ORDER BY media_id
+"""
 
 
 def p1_hychan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3038,7 +3057,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_top_bigrams": (text_top_bigrams, TEXT_BIGRAMS_SQL),
     # multimodal
     "mm_binary_meta": (mm_binary_meta, MM_BINARY_SQL),
-    "mm_decode_meta": (mm_decode_meta, None),
+    "mm_decode_meta": (mm_decode_meta, MM_DECODE_SQL),
     # -- past the driver window: driver-green-in-r01 + breadth ---------
     "f_hash_sample": (f_hash_sample, F_SAMPLE_SQL),
     "f_stratified_sample": (f_stratified_sample, F_STRAT_SQL),
