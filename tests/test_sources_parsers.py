@@ -178,3 +178,57 @@ def test_parse_plan_has_no_python_stage(spark, tmp_path):
     for marker in ("BatchEvalPython", "EvalPython", "Scan ExistingRDD", "PythonMapInArrow"):
         assert marker not in plan, f"Python stage in parse plan: {marker}"
     assert "FileScan text" in plan
+
+
+def test_dbapi_partitioned_read_sqlite(spark, tmp_path):
+    """The DB-API range scan must fetch every row exactly once across
+    partitions (unbounded edge ranges), push the WHERE down, and run
+    the fetch in executors (mapInPandas), not on the driver."""
+    import sqlite3
+
+    from curw_flo2d_data_manager_spark.sources.dbapi import (
+        _range_predicates,
+        dbapi_partitioned_read,
+        sqlite_connection_factory,
+    )
+
+    db = str(tmp_path / "sim.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE data (id INTEGER, time TEXT, value REAL)")
+    conn.executemany(
+        "INSERT INTO data VALUES (?, ?, ?)",
+        [(i, f"2024-01-01 {i % 24:02d}:00:00", i / 10.0) for i in range(1000)],
+    )
+    conn.commit()
+    conn.close()
+
+    df = dbapi_partitioned_read(
+        spark,
+        sqlite_connection_factory(db),
+        table="data",
+        schema="id long, time string, value double",
+        partition_col="id",
+        lower=0,
+        upper=999,
+        num_partitions=4,
+        where="value >= 1.0",   # drops ids 0-9
+    )
+    rows = df.collect()
+    assert len(rows) == 990
+    assert {r.id for r in rows} == set(range(10, 1000))
+
+    # edge ranges are unbounded: rows OUTSIDE the sampled bounds survive
+    df2 = dbapi_partitioned_read(
+        spark,
+        sqlite_connection_factory(db),
+        table="data",
+        schema="id long, time string, value double",
+        partition_col="id",
+        lower=200,
+        upper=799,
+        num_partitions=4,
+    )
+    assert df2.count() == 1000
+
+    preds = _range_predicates("id", 0, 100, 3)
+    assert preds[0].startswith("id <") and preds[-1].startswith("id >=")
