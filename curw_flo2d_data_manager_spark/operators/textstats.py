@@ -140,3 +140,40 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("pred_lang", lang_id(text_col))
         .withColumn("fingerprint", fingerprint(text_col))
     )
+
+
+# ------------------------------------------------------ PII / extraction
+# Pure Column regex chains — full scan speed, no Python. The patterns
+# use only syntax shared by Java regex (Spark) and RE2 (DuckDB/engines
+# used as oracles), so redaction is engine-portable and auditable.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # order matters: emails before bare digit runs, etc.
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+    "phone": (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "[PHONE]"),
+}
+
+URL_PATTERN = r"https?://[^\s\"'<>]+"
+
+
+def redact_pii(col: Column | str, kinds: list[str] | None = None) -> Column:
+    """Replace emails / IPv4 addresses / phone-like digit runs with
+    typed placeholders. A corpus-cleaning must-have before training;
+    applied as a chain of ``regexp_replace`` so the whole scan stays
+    in codegen."""
+    out = _c(col)
+    for kind in kinds or list(PII_PATTERNS):
+        pat, repl = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def extract_urls(col: Column | str) -> Column:
+    """Array of http(s) URLs found in the text (for link-density
+    quality filters and crawl lineage)."""
+    return F.regexp_extract_all(_c(col), F.lit(URL_PATTERN), F.lit(0))
+
+
+def url_domain(url: Column | str) -> Column:
+    """Registrable host of a URL (lowercased, port stripped)."""
+    return F.lower(F.regexp_extract(_c(url), r"https?://([^/:\s]+)", 1))

@@ -602,6 +602,108 @@ LIMIT 50
 """
 
 
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: deterministic synthetic PII
+    (email / phone / IPv4 / URL noise) is appended to every document,
+    redacted with the engine-portable regex chain, and gated on the
+    sha256 of the redacted text plus per-kind placeholder counts —
+    DuckDB replays the identical construction + RE2-compatible
+    patterns, so a single divergent replacement breaks the hash."""
+    from curw_flo2d_data_manager_spark.operators.textstats import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 071-2345678 via 192.168."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+    )
+    red = redact_pii(aug)
+    count = lambda marker: (  # noqa: E731
+        (F.length(red) - F.length(F.replace(red, F.lit(marker), F.lit(""))))
+        / len(marker)
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            F.sha2(red, 256).alias("redacted_sha"),
+            count("[EMAIL]").alias("n_emails"),
+            count("[PHONE]").alias("n_phones"),
+            count("[IP]").alias("n_ips"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_PII_SQL = r"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || doc_id || '@example.com or 071-2345678 via 192.168.'
+                || (doc_id % 256) || '.1' AS t
+    FROM documents
+),
+red AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+               '\+?[0-9][0-9()\-\s]{7,}[0-9]', '[PHONE]', 'g') AS r
+    FROM aug
+)
+SELECT doc_id, sha256(r) AS redacted_sha,
+       CAST((length(r) - length(replace(r, '[EMAIL]', ''))) / 7 AS BIGINT) AS n_emails,
+       CAST((length(r) - length(replace(r, '[PHONE]', ''))) / 7 AS BIGINT) AS n_phones,
+       CAST((length(r) - length(replace(r, '[IP]', ''))) / 4 AS BIGINT) AS n_ips
+FROM red
+ORDER BY doc_id
+"""
+
+
+def text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + domain rollup: synthetic deterministic links
+    appended per document, extracted with regexp_extract_all, exploded
+    to registrable domains, counted per domain (the link-density /
+    crawl-lineage shape)."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        extract_urls,
+        url_domain,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".org/p/"), F.col("doc_id").cast("string"),
+        F.lit(" and http://mirror"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example.net/x"),
+    )
+    return (
+        docs.select("doc_id", F.explode(extract_urls(aug)).alias("url"))
+        .select(url_domain("url").alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+        .orderBy("domain")
+    )
+
+
+TEXT_URL_SQL = r"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' see https://site' || (doc_id % 7) || '.org/p/' || doc_id
+                || ' and http://mirror' || (doc_id % 3) || '.example.net/x' AS t
+    FROM documents
+),
+urls AS (
+    SELECT unnest(regexp_extract_all(t, 'https?://[^\s"''<>]+')) AS url FROM aug
+)
+SELECT lower(regexp_extract(url, 'https?://([^/:\s]+)', 1)) AS domain,
+       COUNT(*) AS n_links
+FROM urls
+GROUP BY domain
+ORDER BY domain
+"""
+
+
 def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward, inclusive): each purchase event gets the
     user's most recent login value — checked against DuckDB's native
@@ -3089,6 +3191,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
     "q19_disjunctive": (q19_disjunctive, Q19_SQL),
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),
+    # LLM-data breadth beyond the window (local oracle replica only)
+    "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
+    "text_url_extract": (text_url_extract, TEXT_URL_SQL),
 }
 
 

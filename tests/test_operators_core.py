@@ -343,3 +343,30 @@ def test_hyperplane_lsh_recall_on_noisy_duplicates(spark):
     recall = len(found & planted) / len(planted)
     assert recall >= 0.9, recall
     assert all(r["cosine"] >= 0.9 for r in got)
+
+
+def test_pii_redaction_and_url_extraction(spark):
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        extract_urls,
+        redact_pii,
+        url_domain,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io or call +94 (0)71-234 5678 now"),
+            (2, "server 10.0.255.7 logs; visit https://Docs.Example.org:8080/a?b=1 plain"),
+            (3, "no pii here"),
+        ],
+        "id long, text string",
+    )
+    red = {r.id: r.r for r in df.select("id", redact_pii("text").alias("r")).collect()}
+    assert red[1] == "mail [EMAIL] or call [PHONE] now"
+    assert red[2].startswith("server [IP] logs")
+    assert red[3] == "no pii here"
+
+    urls = df.select("id", F.explode(extract_urls("text")).alias("u"))
+    got = [(r.id, r.u) for r in urls.collect()]
+    assert got == [(2, "https://Docs.Example.org:8080/a?b=1")]
+    dom = urls.select(url_domain("u").alias("d")).collect()[0].d
+    assert dom == "docs.example.org"
