@@ -328,10 +328,17 @@ def cmd_extract_water_level(args) -> None:
     from curw_flo2d_data_manager_spark.sources.timdep import parse_timdep
 
     spark = get_spark(app_name="extract-water-level")
-    # fgt = output-file mtime (reference: extract_water_level.py:53-60)
-    fgt = args.fgt or datetime.fromtimestamp(os.path.getmtime(args.hychan)).strftime(
-        DATE_FMT
-    )
+    # fgt = output-file mtime in Sri Lanka time, UTC+5:30
+    # (reference: extract_water_level.py:53-60 get_file_last_modified_time)
+    if args.fgt:
+        fgt = args.fgt
+    else:
+        from datetime import timedelta, timezone
+
+        mtime = datetime.fromtimestamp(
+            os.path.getmtime(args.hychan), tz=timezone.utc
+        ) + timedelta(hours=5, minutes=30)
+        fgt = mtime.strftime(DATE_FMT)
     col = {"WaterLevel": "water_level", "Discharge": "discharge"}[args.variable]
     parsed = parse_hychan(spark, args.hychan, base_time=args.base_time, variable=col)
     stations = spark.read.parquet(os.path.join(args.store, "stations"))
