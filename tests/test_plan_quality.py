@@ -103,3 +103,39 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_text_ops_stay_jvm_side(spark, sf_dir):
+    """PII redaction and URL extraction are pure Column regex chains —
+    the whole scan must stay in codegen with no Python stage and read
+    only the referenced columns."""
+    for name in ("text_pii_redact", "text_url_extract"):
+        df = q.queries()[name](spark, sf_dir)
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan and "EvalPython" not in plan, name
+        read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+        assert "lang" not in read_schema and "source" not in read_schema, name
+
+
+def test_k8_merge_joins_are_broadcast(spark, sf_dir):
+    """The run-metadata upsert's anti-join is against a handful of
+    provenance rows — it must broadcast, never shuffle the fact side."""
+    plan = plan_of(q.queries()["k8_run_metadata"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_parser_line_source_is_a_file_scan(spark, tmp_path):
+    """The line source must be a JVM FileScan (round-2 change from the
+    Python RDD path) and the parse must not re-read the file per
+    window stage."""
+    f = tmp_path / "TIMDEP.OUT"
+    f.write_text("   0.00\n   900  1 2 3 4  7.25\n")
+    from curw_flo2d_data_manager_spark.sources.timdep import parse_timdep
+
+    cells = spark.createDataFrame([("900",)], "cell_id string")
+    df = parse_timdep(spark, str(f), "2024-01-01 00:00:00", cells)
+    plan = plan_of(df, mode="simple")
+    assert "FileScan text" in plan
+    # the created-in-test cells dim may be an in-memory relation; the
+    # parse itself must carry no Python stage
+    assert "BatchEvalPython" not in plan and "EvalPython" not in plan
