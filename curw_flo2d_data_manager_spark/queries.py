@@ -1757,6 +1757,63 @@ def stream_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_A2_SQL = A2_SQL
 
 
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: one day of events is written to
+    the stream source TRIPLED (an at-least-once ingest), replayed
+    through ``dropDuplicatesWithinWatermark`` keyed on the event id,
+    and must come out exactly once per event — DuckDB's DISTINCT over
+    the same slice is the oracle."""
+    import tempfile
+    import uuid
+
+    ev = _events(spark, sf_dir, end="2024-01-02 00:00:00").filter(
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+    rows = ev.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.col("ts").alias("time"),
+        "value",
+    )
+    tripled = rows.unionAll(rows).unionAll(rows)
+    src = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    tripled.coalesce(1).write.mode("overwrite").parquet(src)
+
+    from curw_flo2d_data_manager_spark.streaming import (
+        read_series_stream,
+        streaming_dedup,
+    )
+
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    deduped = streaming_dedup(read_series_stream(spark, src), ["id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return (
+        spark.table(name)
+        .select(
+            F.col("id").cast("long").alias("event_id"),
+            "time",
+            F.round("value", 4).alias("value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT event_id, CAST(ts AS TIMESTAMP) AS time,
+       ROUND(value, 4) AS value
+FROM events
+WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-02 00:00:00'
+ORDER BY event_id
+"""
+
+
 def stream_cumsum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming A4: the applyInPandasWithState running total replayed
     over a file stream must equal the batch window cumsum. Rows are
@@ -3191,9 +3248,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
     "q19_disjunctive": (q19_disjunctive, Q19_SQL),
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),
-    # LLM-data breadth beyond the window (local oracle replica only)
+    # LLM-data + streaming breadth beyond the window (local oracle
+    # replica only)
     "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
     "text_url_extract": (text_url_extract, TEXT_URL_SQL),
+    "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
 }
 
 

@@ -9,6 +9,7 @@ from curw_flo2d_data_manager_spark.streaming.ingest import (
     foreach_batch_upsert,
     read_series_stream,
     streaming_cumulative_sum,
+    streaming_dedup,
     streaming_session_sum,
     streaming_resample_sum,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "foreach_batch_upsert",
     "read_series_stream",
     "streaming_cumulative_sum",
+    "streaming_dedup",
     "streaming_session_sum",
     "streaming_resample_sum",
 ]

@@ -207,3 +207,23 @@ def streaming_session_sum(
             value_col,
         )
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    event_time_col: str = "time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once streaming dedup of an at-least-once ingest.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only for the
+    watermark horizon, so state is bounded by ingest lateness, not
+    corpus size — the 100 TB shape for removing replayed/duplicated
+    rows at the door (batch sibling: ``operators.dedup.exact_dedup``).
+    First occurrence is forwarded immediately (not an aggregation, so
+    append mode emits without waiting for the watermark to pass).
+    """
+    return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
