@@ -177,3 +177,43 @@ def extract_urls(col: Column | str) -> Column:
 def url_domain(url: Column | str) -> Column:
     """Registrable host of a URL (lowercased, port stripped)."""
     return F.lower(F.regexp_extract(_c(url), r"https?://([^/:\s]+)", 1))
+
+
+# ------------------------------------------------- repetition / quality gates
+def duplicate_line_fraction(col: Column | str) -> Column:
+    """Fraction of non-empty lines that are duplicates of an earlier
+    line (0 for docs with ≤1 line) — the classic repetition filter
+    from published web-corpus curation rules (Gopher-style)."""
+    lines = F.filter(
+        F.transform(F.split(_c(col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n = F.size(lines)
+    d = F.size(F.array_distinct(lines))
+    return F.when(n <= 1, F.lit(0.0)).otherwise((n - d) / n)
+
+
+def duplicate_word_fraction(col: Column | str) -> Column:
+    """Fraction of words that repeat an earlier word."""
+    w = words(col)
+    n = F.size(w)
+    d = F.size(F.array_distinct(w))
+    return F.when(n <= 1, F.lit(0.0)).otherwise((n - d) / n)
+
+
+def gopher_quality_flags(col: Column | str) -> Column:
+    """Struct of boolean pass/fail gates in the style of published
+    web-corpus rules: word-count bounds, mean word length bounds,
+    symbol-to-word ratio, and repetition. Combine with
+    ``F.col("flags.*")`` or reduce to a single keep decision."""
+    c = _c(col)
+    n_words = whitespace_token_count(c)
+    mwl = mean_word_length(c)
+    symbols = F.regexp_count(c, F.lit(r"[#@/\\{}<>|~^]"))
+    return F.struct(
+        n_words.between(50, 100_000).alias("word_count_ok"),
+        mwl.between(3.0, 10.0).alias("mean_word_len_ok"),
+        (symbols / F.greatest(n_words, F.lit(1)) < 0.1).alias("symbol_ratio_ok"),
+        (duplicate_line_fraction(c) < 0.3).alias("dup_lines_ok"),
+        (duplicate_word_fraction(c) < 0.6).alias("dup_words_ok"),
+    )

@@ -704,6 +704,73 @@ ORDER BY domain
 """
 
 
+def text_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition + quality gates per document: duplicate
+    line/word fractions and the AND of the published-rule bounds
+    (word count, mean word length, symbol ratio, repetition) — the
+    keep/drop decision of a web-corpus curation pass, as one pure
+    Column scan."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        duplicate_line_fraction,
+        duplicate_word_fraction,
+        gopher_quality_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags("text")
+    keep = (
+        F.col("flags.word_count_ok")
+        & F.col("flags.mean_word_len_ok")
+        & F.col("flags.symbol_ratio_ok")
+        & F.col("flags.dup_lines_ok")
+        & F.col("flags.dup_words_ok")
+    )
+    return (
+        docs.withColumn("flags", flags)
+        .select(
+            "doc_id",
+            F.round(duplicate_line_fraction("text"), 6).alias("dup_line_frac"),
+            F.round(duplicate_word_fraction("text"), 6).alias("dup_word_frac"),
+            keep.alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_SQL = r"""
+WITH base AS (
+    SELECT doc_id, text,
+           list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                       s -> s != '') AS lines,
+           CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\x80-\uffff-]+', ' ', 'g')) = ''
+                THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\x80-\uffff-]+', ' ', 'g')), '\s+')
+           END AS w
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CASE WHEN len(lines) <= 1 THEN 0.0
+                ELSE (len(lines) - len(list_distinct(lines))) / len(lines) END AS dlf,
+           CASE WHEN len(w) <= 1 THEN 0.0
+                ELSE (len(w) - len(list_distinct(w))) / len(w) END AS dwf,
+           len(w) AS n_words,
+           list_sum(list_transform(w, x -> length(x)))
+               / greatest(len(w), 1) AS mwl,
+           len(regexp_extract_all(text, '[#@/\\{}<>|~^]'))
+               / greatest(len(w), 1) AS sym_ratio
+    FROM base
+)
+SELECT doc_id, ROUND(dlf, 6) AS dup_line_frac, ROUND(dwf, 6) AS dup_word_frac,
+       (n_words BETWEEN 50 AND 100000)
+       AND (mwl BETWEEN 3.0 AND 10.0)
+       AND (sym_ratio < 0.1)
+       AND (dlf < 0.3) AND (dwf < 0.6) AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
 def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward, inclusive): each purchase event gets the
     user's most recent login value — checked against DuckDB's native
@@ -3253,6 +3320,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
     "text_url_extract": (text_url_extract, TEXT_URL_SQL),
     "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
+    "text_repetition_gates": (text_repetition_gates, TEXT_REPETITION_SQL),
 }
 
 

@@ -370,3 +370,37 @@ def test_pii_redaction_and_url_extraction(spark):
     assert got == [(2, "https://Docs.Example.org:8080/a?b=1")]
     dom = urls.select(url_domain("u").alias("d")).collect()[0].d
     assert dom == "docs.example.org"
+
+
+def test_repetition_and_gopher_gates(spark):
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        duplicate_line_fraction,
+        duplicate_word_fraction,
+        gopher_quality_flags,
+    )
+
+    body = " ".join(f"unique{i} token" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, "line a\nline b\nline a\nline a\n"),
+            (2, "all distinct words here"),
+            (3, body),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r.id: (r.dl, r.dw)
+        for r in df.select(
+            "id",
+            F.round(duplicate_line_fraction("text"), 4).alias("dl"),
+            F.round(duplicate_word_fraction("text"), 4).alias("dw"),
+        ).collect()
+    }
+    assert got[1][0] == 0.5          # 2 of 4 lines repeat an earlier line
+    assert got[2] == (0.0, 0.0)
+    assert got[3][1] == pytest.approx(0.4875)  # 'token' * 39 repeats
+
+    flags = {r.id: r.f.asDict() for r in df.select("id", gopher_quality_flags("text").alias("f")).collect()}
+    assert not flags[2]["word_count_ok"]     # too short
+    assert flags[3]["word_count_ok"] and flags[3]["dup_lines_ok"]
+    assert flags[3]["dup_words_ok"]          # 0.4875 < 0.6 bound
