@@ -161,6 +161,64 @@ class TimeseriesStore:
             writer = writer.option("path", path)
         writer.saveAsTable(table_name)
 
+    @staticmethod
+    def compact_data(
+        spark,
+        path: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        dates: list[str] | None = None,
+    ) -> int:
+        """Compact the date-partitioned fact layout in place.
+
+        Continuous appends (the reference's cron-driven inserts) leave
+        each ``date=`` directory full of small files; at 100 TB the
+        file-listing and per-file open costs dominate the scan. This
+        rewrites each selected partition to ``ceil(bytes/target)``
+        files, restoring the canonical ``(id, time)`` in-file sort —
+        the Parquet equivalent of the reference MySQL's implicit index
+        maintenance. Writes go partition-by-partition through a
+        write-new-then-swap rename so readers never observe a
+        half-compacted partition. Returns the number of partitions
+        compacted.
+        """
+        import math
+        import os
+        import shutil
+
+        part_dirs = sorted(
+            d for d in os.listdir(path)
+            if d.startswith("date=") and os.path.isdir(os.path.join(path, d))
+        )
+        if dates is not None:
+            keep = {f"date={d}" for d in dates}
+            part_dirs = [d for d in part_dirs if d in keep]
+
+        n_done = 0
+        for d in part_dirs:
+            pdir = os.path.join(path, d)
+            size = sum(
+                os.path.getsize(os.path.join(pdir, f))
+                for f in os.listdir(pdir)
+                if not f.startswith(("_", "."))
+            )
+            n_files = max(1, math.ceil(size / target_file_bytes))
+            df = spark.read.parquet(pdir)
+            tmp = pdir + ".compact-tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            (
+                df.repartition(n_files)
+                .sortWithinPartitions("id", "time")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            old = pdir + ".compact-old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(pdir, old)
+            os.rename(tmp, pdir)
+            shutil.rmtree(old, ignore_errors=True)
+            n_done += 1
+        return n_done
+
     @classmethod
     def open(cls, spark, root: str) -> "TimeseriesStore":
         """Open a store written under ``root`` (``run/`` + ``data/``)."""

@@ -89,3 +89,40 @@ def test_write_data_layout_and_pruning(spark, tmp_path):
     scan_meta = q._jdf.queryExecution().optimizedPlan().toString()
     got_rows = q.collect()
     assert [r.value for r in got_rows] == [48.0, 54.0, 60.0]
+
+
+def test_compact_data_merges_small_files(spark, tmp_path):
+    """Many small appends → one compaction pass per date partition:
+    same rows, same (id,time) in-file sort, far fewer files, and
+    readers of other partitions are untouched."""
+    import glob
+    import os
+
+    from curw_flo2d_data_manager_spark.store import TimeseriesStore
+
+    path = str(tmp_path / "data")
+    base = dt.datetime(2024, 1, 1)
+    # 6 tiny appends across 2 dates → many small files
+    for k in range(6):
+        rows = [
+            (f"id{j}", base + dt.timedelta(days=k % 2, minutes=k * 7 + j), float(j))
+            for j in range(20)
+        ]
+        df = spark.createDataFrame(rows, "id string, time timestamp, value double")
+        TimeseriesStore.write_data(df, path, mode="append")
+
+    files_before = glob.glob(os.path.join(path, "date=*", "*.parquet"))
+    before = spark.read.parquet(path).orderBy("id", "time").collect()
+
+    n = TimeseriesStore.compact_data(spark, path, target_file_bytes=1 << 30)
+    assert n == 2
+    files_after = glob.glob(os.path.join(path, "date=*", "*.parquet"))
+    assert len(files_after) == 2 < len(files_before)
+
+    # the partition column lives in the directory name; re-read yields
+    # identical rows
+    after = spark.read.parquet(path).orderBy("id", "time").collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+    # selective compaction only touches the named dates
+    assert TimeseriesStore.compact_data(spark, path, dates=["2024-01-01"]) == 1
