@@ -306,3 +306,37 @@ def hyperplane_lsh_pairs(
     return verified.filter(F.col("cosine") >= cosine_threshold).select(
         "id_a", "id_b", "cosine"
     )
+
+
+def vector_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+    out_col: str = "centroid",
+) -> DataFrame:
+    """Element-wise mean vector per group (class centroids).
+
+    Spark has no native array-elementwise aggregate, so the vector is
+    exploded to (group, dim_idx, component), averaged with an ordinary
+    hash aggregate (map-side partials carry one float per (group,
+    dim)), and reassembled with ``array_agg`` sorted by dim index.
+    Shuffle volume is groups × dims rows — independent of corpus
+    size — which is the 100 TB shape; a per-group ``collect_list`` of
+    whole vectors would instead move every vector through the shuffle.
+    """
+    exploded = df.select(
+        *group_cols, F.posexplode(F.col(vec_col).cast("array<double>"))
+    )
+    agg = exploded.groupBy(*group_cols, "pos").agg(F.avg("col").alias("_m"))
+    return (
+        agg.groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("_m")))
+            ).alias("_pairs")
+        )
+        .select(
+            *group_cols,
+            F.transform(F.col("_pairs"), lambda p: p["_m"]).alias(out_col),
+        )
+    )

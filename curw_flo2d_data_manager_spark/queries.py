@@ -704,6 +704,41 @@ ORDER BY domain
 """
 
 
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via the explode/aggregate/
+    reassemble shape (shuffle volume = labels × dims, independent of
+    corpus size). Synthetic labels = vec_id % 5; DuckDB recomputes the
+    same element-wise means."""
+    from curw_flo2d_data_manager_spark.operators.similarity import vector_mean
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 5).alias("label"), "embedding"
+    )
+    out = vector_mean(emb, ["label"])
+    return out.select(
+        "label",
+        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+    ).orderBy("label")
+
+
+SIM_CENTROID_SQL = """
+WITH e AS (
+    SELECT vec_id % 5 AS label,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> {'pos': i, 'comp': CAST(embedding[i] AS DOUBLE)})) AS pc
+    FROM embeddings
+),
+m AS (
+    SELECT label, pc.pos AS pos, AVG(pc.comp) AS comp
+    FROM e GROUP BY label, pc.pos
+)
+SELECT label, array_agg(ROUND(comp, 6) ORDER BY pos) AS centroid
+FROM m
+GROUP BY label
+ORDER BY label
+"""
+
+
 def text_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition + quality gates per document: duplicate
     line/word fractions and the AND of the published-rule bounds
@@ -3321,6 +3356,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_url_extract": (text_url_extract, TEXT_URL_SQL),
     "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
     "text_repetition_gates": (text_repetition_gates, TEXT_REPETITION_SQL),
+    "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),
 }
 
 

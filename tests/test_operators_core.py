@@ -404,3 +404,15 @@ def test_repetition_and_gopher_gates(spark):
     assert not flags[2]["word_count_ok"]     # too short
     assert flags[3]["word_count_ok"] and flags[3]["dup_lines_ok"]
     assert flags[3]["dup_words_ok"]          # 0.4875 < 0.6 bound
+
+
+def test_vector_mean_centroids(spark):
+    from curw_flo2d_data_manager_spark.operators.similarity import vector_mean
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0, 3.0]), ("a", [3.0, 4.0, 5.0]), ("b", [10.0, 0.0, -2.0])],
+        "label string, embedding array<double>",
+    )
+    got = {r.label: r.centroid for r in vector_mean(df, ["label"]).collect()}
+    assert got["a"] == [2.0, 3.0, 4.0]
+    assert got["b"] == [10.0, 0.0, -2.0]
