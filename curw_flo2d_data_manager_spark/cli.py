@@ -417,6 +417,20 @@ def cmd_extract_water_level(args) -> None:
     print(f"upserted forecasts into {target}")
 
 
+def cmd_compact_store(args) -> None:
+    from curw_flo2d_data_manager_spark.session import get_spark
+    from curw_flo2d_data_manager_spark.store import TimeseriesStore
+
+    spark = get_spark(app_name="compact-store")
+    n = TimeseriesStore.compact_data(
+        spark,
+        args.path,
+        target_file_bytes=args.target_mb * 1024 * 1024,
+        dates=args.dates,
+    )
+    print(f"compacted {n} partitions under {args.path}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="curw_flo2d_data_manager_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -486,6 +500,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--template", default=None,
                     help="template archive path recorded in run_metadata (K8)")
     sp.set_defaults(fn=cmd_extract_water_level)
+
+    sp = sub.add_parser(
+        "compact-store",
+        help="compact small files in the date-partitioned fact layout",
+    )
+    sp.add_argument("--path", required=True, help="data/ directory of the store")
+    sp.add_argument("--target_mb", type=int, default=128)
+    sp.add_argument("--dates", nargs="*", default=None)
+    sp.set_defaults(fn=cmd_compact_store)
 
     sp = sub.add_parser(
         "archive-templates",

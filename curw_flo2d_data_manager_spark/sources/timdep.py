@@ -24,8 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from curw_flo2d_data_manager_spark.functions.timeutil import hours_to_timestamp
-from curw_flo2d_data_manager_spark.operators.gapfill import gap_fill_cross
-from curw_flo2d_data_manager_spark.sources.line_text import read_lines
+from curw_flo2d_data_manager_spark.sources.line_text import read_lines, read_lines_multi
 
 
 def parse_timdep(
@@ -39,11 +38,40 @@ def parse_timdep(
     value double) densified over ``cells`` (one column ``cell_id``);
     missing (block, cell) pairs have NULL value.
     """
-    lines = read_lines(spark, path)
+    lines = read_lines(spark, path).withColumn("file", F.lit(path))
+    return _parse_timdep_lines(lines, base_time, cells, drop_last_block).drop("file")
+
+
+def parse_timdep_multi(
+    spark: SparkSession,
+    glob_path: str,
+    base_time: str,
+    cells: DataFrame,
+    drop_last_block: bool = False,
+) -> DataFrame:
+    """Parse MANY TIMDEP.OUT files in one job → DataFrame(file,
+    cell_id, time, value), densified per file.
+
+    The scale path for batch re-extraction of N simulation runs: the
+    fill-down window partitions by file, so runs parse in parallel
+    with no global sort (the multi-file twin of
+    ``hychan.parse_hychan_multi``).
+    """
+    lines = read_lines_multi(spark, glob_path)
+    return _parse_timdep_lines(lines, base_time, cells, drop_last_block)
+
+
+def _parse_timdep_lines(
+    lines: DataFrame,
+    base_time: str,
+    cells: DataFrame,
+    drop_last_block: bool,
+) -> DataFrame:
     tok = F.split(F.trim(F.col("value")), r"\s+")
     is_header = F.size(tok) == 1
 
     tagged = lines.select(
+        "file",
         "line_no",
         F.when(is_header, F.try_element_at(tok, F.lit(1)).try_cast("double")).alias("hdr_hours"),
         F.when(~is_header, F.try_element_at(tok, F.lit(1))).alias("cell_id"),
@@ -51,20 +79,28 @@ def parse_timdep(
         is_header.alias("is_header"),
     )
 
-    w_fill = Window.orderBy("line_no").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fill = (
+        Window.partitionBy("file")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     blocked = tagged.withColumn(
         "t_hours", F.last("hdr_hours", ignorenulls=True).over(w_fill)
     ).filter(~F.col("is_header") & F.col("t_hours").isNotNull())
 
     if drop_last_block:
-        last_hdr = blocked.agg(F.max("t_hours").alias("mx"))
-        blocked = blocked.crossJoin(F.broadcast(last_hdr)).filter(
-            F.col("t_hours") < F.col("mx")
+        w_file = Window.partitionBy("file")
+        blocked = blocked.withColumn("_mx", F.max("t_hours").over(w_file)).filter(
+            F.col("t_hours") < F.col("_mx")
         )
 
     obs = blocked.join(F.broadcast(cells), "cell_id", "left_semi").select(
+        "file",
         "cell_id",
         hours_to_timestamp("t_hours", F.lit(base_time).cast("timestamp")).alias("time"),
         F.col("v").alias("value"),
     )
-    return gap_fill_cross(obs, cells, time_col="time", key_cols=["cell_id"], value_col="value")
+    # densify per file: every (file, block time) × cell combination
+    times = obs.select("file", "time").distinct()
+    full = times.crossJoin(F.broadcast(cells))
+    return full.join(obs, ["file", "cell_id", "time"], "left")

@@ -217,3 +217,25 @@ def test_extract_with_timdep_and_run_metadata(spark, tmp_path):
     ])
     assert spark.read.parquet(os.path.join(store, "run_metadata")).count() == 1
     assert spark.read.parquet(os.path.join(store, "fcst_data")).count() == n_before
+
+
+def test_compact_store_cli(spark, tmp_path):
+    import glob
+
+    from curw_flo2d_data_manager_spark.store import TimeseriesStore
+
+    path = str(tmp_path / "data")
+    base = datetime(2024, 1, 1)
+    from datetime import timedelta
+
+    for k in range(4):
+        df = spark.createDataFrame(
+            [("s1", base + timedelta(minutes=k), float(k))],
+            "id string, time timestamp, value double",
+        )
+        TimeseriesStore.write_data(df, path, mode="append")
+    assert len(glob.glob(os.path.join(path, "date=*", "*.parquet"))) >= 4
+
+    main(["compact-store", "--path", path, "--target_mb", "128"])
+    assert len(glob.glob(os.path.join(path, "date=*", "*.parquet"))) == 1
+    assert spark.read.parquet(path).count() == 4

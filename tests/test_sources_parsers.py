@@ -232,3 +232,24 @@ def test_dbapi_partitioned_read_sqlite(spark, tmp_path):
 
     preds = _range_predicates("id", 0, 100, 3)
     assert preds[0].startswith("id <") and preds[-1].startswith("id >=")
+
+
+def test_timdep_multi_file(spark, tmp_path):
+    from curw_flo2d_data_manager_spark.sources.timdep import parse_timdep_multi
+
+    (tmp_path / "r1.out").write_text(
+        "   0.00\n   24  1 2 3 4  5.0\n   0.50\n   24  1 2 3 4  6.0\n"
+    )
+    (tmp_path / "r2.out").write_text(
+        "   0.00\n   24  1 2 3 4  9.0\n   153  1 2 3 4  8.0\n"
+    )
+    cells = spark.createDataFrame([("24",), ("153",)], "cell_id string")
+    out = parse_timdep_multi(
+        spark, str(tmp_path / "*.out"), "2024-01-01 00:00:00", cells
+    ).collect()
+    by = {(r.file.rsplit("/", 1)[-1], r.cell_id, str(r.time)): r.value for r in out}
+    # r1: 2 blocks × 2 cells (153 gap-filled NULL); r2: 1 block × 2 cells
+    assert len(by) == 6
+    assert by[("r1.out", "24", "2024-01-01 00:30:00")] == 6.0
+    assert by[("r1.out", "153", "2024-01-01 00:00:00")] is None
+    assert by[("r2.out", "153", "2024-01-01 00:00:00")] == 8.0
