@@ -153,3 +153,92 @@ def test_sessionize_partitions_by_gap(spark, events, gap_s):
             else:
                 assert s1 == s0 + 1
                 assert delta > gap_s
+
+
+asof_left_strategy = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 600)),
+    min_size=1, max_size=15, unique_by=lambda t: t,
+)
+asof_right_strategy = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 600),
+              st.floats(-10, 10, allow_nan=False, width=16)),
+    min_size=1, max_size=15, unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@SETTINGS
+@given(left=asof_left_strategy, right=asof_right_strategy)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """Engine as-of join == pandas merge_asof(by=key, direction=
+    'backward') for any keyed point sets — the canonical reference
+    implementation of the operator."""
+    from curw_flo2d_data_manager_spark.operators.asof import asof_join
+
+    base = datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(k, base + timedelta(seconds=s)) for k, s in left],
+        "k int, time timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, base + timedelta(seconds=s), v) for k, s, v in right],
+        "k int, time timestamp, v double",
+    )
+    got = {
+        (r.k, r.time): r.v_right
+        for r in asof_join(ldf, rdf, by=["k"]).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, base + timedelta(seconds=s)) for k, s in left], columns=["k", "time"]
+    ).sort_values("time")
+    rp = pd.DataFrame(
+        [(k, base + timedelta(seconds=s), v) for k, s, v in right],
+        columns=["k", "time", "v"],
+    ).sort_values("time")
+    want_df = pd.merge_asof(lp, rp, on="time", by="k", direction="backward")
+    want = {
+        (int(r.k), r.time.to_pydatetime()): (None if pd.isna(r.v) else r.v)
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+doc_strategy = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=30),
+    min_size=1, max_size=12,
+)
+
+
+@SETTINGS
+@given(texts=doc_strategy)
+def test_minhash_threshold_one_is_exactly_identical_shingle_sets(spark, texts):
+    """At jaccard_threshold=1.0, MinHash+LSH must return EXACTLY the
+    pairs with identical shingle sets (the planted-oracle invariant
+    behind the dedup_minhash_lsh gate), for arbitrary tiny corpora
+    including empty/whitespace-only documents."""
+    from curw_flo2d_data_manager_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=16, bands=4, jaccard_threshold=1.0
+        ).collect()
+    }
+
+    def shingles(t):
+        w = " ".join(t.lower().split()).split() if t.strip() else []
+        if len(w) >= 3:
+            return frozenset(" ".join(w[i:i + 3]) for i in range(len(w) - 2))
+        return frozenset({" ".join(w)})
+
+    sets = [shingles(t) for t in texts]
+    want = {
+        (a, b)
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        if sets[a] == sets[b]
+    }
+    assert got == want
