@@ -21,7 +21,7 @@ stable across runs and cluster sizes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from curw_flo2d_data_manager_spark.operators.parallelism import ensure_min_partitions
@@ -91,12 +91,21 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float | None = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + banded LSH,
     optionally verified with exact shingle Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b. The join key is
     (band_idx, band_hash) so work scales with bucket sizes, not n².
+
+    ``max_bucket_size`` guards the n² blow-up inside a single hot
+    bucket (boilerplate-heavy corpora put thousands of near-identical
+    documents into one band hash; a 100k-doc bucket alone is 5e9
+    candidate pairs). Buckets larger than the cap are dropped from
+    candidate generation — the standard recall-for-survival trade in
+    web-scale LSH dedup; exact/fingerprint dedup still collapses the
+    identical members of such clusters.
     """
     rows = num_hashes // bands
     sig_df = ensure_min_partitions(df).select(
@@ -126,6 +135,14 @@ def minhash_lsh_pairs(
             )
         ).alias("_band"),
     ).select("_id", "_band.band_idx", "_band.band_hash")
+
+    if max_bucket_size is not None:
+        w_bucket = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w_bucket))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
 
     left = banded.alias("l")
     right = banded.alias("r")

@@ -50,15 +50,20 @@ def read_series_stream(
     path: str,
     fmt: str = "parquet",
     schema: StructType = SERIES_SCHEMA,
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """File-arrival stream of series rows (id, time, value).
 
     Every new file dropped under ``path`` becomes a micro-batch — the
     streaming analogue of the reference's cron-triggered re-reads.
+    ``options`` are source options (e.g. ``maxFilesPerTrigger`` to
+    bound batch size / force one-file-per-batch replays).
     """
     reader = spark.readStream.schema(schema)
     if fmt == "csv":
         reader = reader.option("header", "true")
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     return reader.format(fmt).load(path)
 
 
@@ -76,15 +81,23 @@ def streaming_resample_sum(
     batch and streaming results agree bucket-for-bucket; the watermark
     bounds how late a sample may arrive and still land in its bucket.
     Emit with ``outputMode("update")`` (or "append" once buckets close).
+
+    The watermark is declared ON THE BUCKET COLUMN, not the raw event
+    time: Spark's event-time annotation does not survive the ceil-to-
+    grid arithmetic, so watermarking the raw column and grouping by the
+    derived bucket silently produces an aggregation with NO late-row
+    dropping and NO state eviction — unbounded state at scale (found
+    by tests/test_streaming.py's cross-batch late-data test). Bucket
+    labels are right-shifted from event time by < one grid step, so
+    the effective lateness bound is ``watermark`` ± one bucket.
     """
-    keys = list(group_cols or []) + [
-        right_closed_bucket(time_col, minutes).alias(time_col)
-    ]
-    return (
-        stream.withWatermark(time_col, watermark)
-        .groupBy(*keys)
-        .agg(F.sum(value_col).alias(value_col))
+    bucketed = stream.withColumn(
+        "__bucket", right_closed_bucket(time_col, minutes)
+    ).withWatermark("__bucket", watermark)
+    out = bucketed.groupBy(*(group_cols or []), "__bucket").agg(
+        F.sum(value_col).alias(value_col)
     )
+    return out.withColumnRenamed("__bucket", time_col)
 
 
 _CUM_STATE = StructType([StructField("total", DoubleType(), True)])

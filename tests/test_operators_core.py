@@ -416,3 +416,28 @@ def test_vector_mean_centroids(spark):
     got = {r.label: r.centroid for r in vector_mean(df, ["label"]).collect()}
     assert got["a"] == [2.0, 3.0, 4.0]
     assert got["b"] == [10.0, 0.0, -2.0]
+
+
+def test_minhash_bucket_cap_guards_hot_buckets(spark):
+    """max_bucket_size drops oversized LSH buckets (the n-squared
+    guard): 30 identical boilerplate docs + 2 planted near-identical
+    docs — with the cap at 10 the boilerplate cluster produces no
+    pairs, while the small bucket still matches."""
+    from curw_flo2d_data_manager_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "lorem ipsum dolor sit amet " * 4
+    rare = "a very distinctive document about rivers and rainfall grids"
+    rows = [(i, boiler) for i in range(30)]
+    rows += [(100, rare), (101, rare)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4,
+        jaccard_threshold=1.0, max_bucket_size=10,
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(100, 101)}
+
+    uncapped = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, jaccard_threshold=1.0
+    ).count()
+    assert uncapped == 30 * 29 // 2 + 1

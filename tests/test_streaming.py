@@ -100,3 +100,68 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path, series_dir):
     df = spark.read.parquet(target)
     assert df.count() == 4
     assert df.select("id", "time").distinct().count() == 4
+
+
+def test_watermark_finalizes_once_and_drops_late_rows(spark, tmp_path):
+    """End-to-end late-data semantics in append mode, three
+    micro-batches (one file each): batch 1 advances the watermark,
+    batch 2's end finalizes + evicts the first bucket, batch 3
+    delivers a row for the evicted bucket — it must be DROPPED
+    (numRowsDroppedByWatermark), never resurrecting the finalized
+    bucket. Requires the watermark annotation on the grouping key,
+    which streaming_resample_sum's watermark-on-the-bucket-column
+    form provides — watermarking the raw event time and grouping by
+    the derived bucket loses the annotation, so append mode would
+    emit nothing and state would grow without bound."""
+    import time
+    import uuid
+    from datetime import datetime
+
+    from curw_flo2d_data_manager_spark.streaming import (
+        read_series_stream,
+        streaming_resample_sum,
+    )
+
+    src = str(tmp_path / "src")
+    T = lambda h, m=0: datetime(2024, 1, 1, h, m)  # noqa: E731
+    batches = [
+        [("s", T(0, 5), 1.0), ("s", T(3, 5), 10.0)],  # wm -> 02:45
+        [("s", T(4, 0), 7.0)],                        # evicts bucket 00:15; wm -> 03:30
+        [("s", T(0, 7), 100.0)],                      # late for evicted bucket
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "id string, time timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.2)  # stable file mtime order = batch order
+
+    name = "wm_" + uuid.uuid4().hex[:8]
+    agg = streaming_resample_sum(
+        read_series_stream(spark, src, options={"maxFilesPerTrigger": "1"}),
+        15,
+        watermark="30 minutes",
+        group_cols=["id"],
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    progress = [
+        (
+            p["stateOperators"][0]["numRowsDroppedByWatermark"],
+            p["stateOperators"][0]["numRowsTotal"],
+        )
+        for p in q.recentProgress
+        if p["stateOperators"]
+    ]
+    q.stop()
+
+    rows = {(r.id, r.time): r.value for r in spark.table(name).collect()}
+    # finalized buckets emitted exactly once, untainted by the late row
+    assert rows == {("s", T(0, 15)): 1.0, ("s", T(3, 15)): 10.0}
+    assert sum(d for d, _ in progress) == 1   # the 00:07 row was dropped
+    assert progress[-1][1] <= 2               # state bounded (open buckets only)
