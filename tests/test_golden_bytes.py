@@ -160,3 +160,81 @@ def test_chan_bytes_match_reference_writer(spark, tmp_path):
         final_newline=False,
     )
     assert open(out, "rb").read() == expected_bytes
+
+
+def test_rain_bytes_match_reference_writer(spark, tmp_path):
+    """input/rain/gen_rain.py:179-191: R rows are
+    ``'R              ' + ('%.3f' % hours).ljust(14) + ('%.3f' %
+    cumulative_fraction) + ' '`` under the two header lines, joined
+    with newlines (no trailing newline)."""
+    from curw_flo2d_data_manager_spark.plans.rain import rain_lines
+    from curw_flo2d_data_manager_spark.sinks.ordered_text import write_ordered_text
+
+    start, end = "2024-01-01 00:00:00", "2024-01-01 02:00:00"
+    # 15-min-grid-aligned positive series: resample is the identity
+    vals = [0.0, 1.25, 0.5, 3.75, 0.0, 2.0, 0.125, 1.0, 0.375]
+    ts = spark.createDataFrame(
+        [(T0 + timedelta(minutes=15 * i), v) for i, v in enumerate(vals)],
+        "time timestamp, value double",
+    )
+
+    total = sum(vals)
+    expected = [" 0             0 ",
+                " %.3f         5             0             0 " % total]
+    cum = 0.0
+    for i, v in enumerate(vals):
+        cum += v
+        hours = 15 * i / 60.0
+        frac = cum / total if total else 0.0
+        expected.append(
+            "R              " + ("%.3f" % hours).ljust(14) + ("%.3f" % frac) + " "
+        )
+    expected_bytes = "\n".join(expected).encode()
+
+    out = str(tmp_path / "RAIN.DAT")
+    write_ordered_text(
+        rain_lines(spark, ts, "flo2d_150_v2", start, end),
+        out,
+        sort_cols=["block_rank", "intra_rank"],
+        final_newline=False,
+    )
+    assert open(out, "rb").read() == expected_bytes
+
+
+def test_raincell_bytes_match_reference_writer(spark, tmp_path):
+    """input/raincell/gen_raincell.py:126-141: header
+    ``'{timestep} {length} {start} {end}\\n'`` then per timestep the
+    ``'{cell} {%.3f corrected}'`` rows followed by one blank separator
+    element, '\\n'-joined (so the file ends in exactly one newline)."""
+    from curw_flo2d_data_manager_spark.plans.models import MODELS
+    from curw_flo2d_data_manager_spark.plans.raincell import raincell_lines
+    from curw_flo2d_data_manager_spark.sinks.ordered_text import write_ordered_text
+
+    start, end = "2024-01-01 00:00:00", "2024-01-01 01:00:00"
+    spec = MODELS["flo2d_150_v2"]
+    cells = [11, 12, 13]
+    rows = []
+    for s_idx in range(4):  # 00:15 .. 01:00
+        t = T0 + timedelta(minutes=15 * (s_idx + 1))
+        for c in cells:
+            rows.append((c, t, 0.25 * s_idx + 0.001 * c))
+    rain = spark.createDataFrame(rows, "cell_id int, time timestamp, value double")
+
+    expected = f"{spec.timestep_min} 4 {start} {end}\n"
+    blocks = []
+    for s_idx in range(4):
+        t = T0 + timedelta(minutes=15 * (s_idx + 1))
+        for c in cells:
+            v = 0.25 * s_idx + 0.001 * c + spec.water_supply
+            blocks.append(f"{c} " + "%.3f" % v)
+        blocks.append("")
+    expected_bytes = (expected + "\n".join(blocks)).encode()
+
+    out = str(tmp_path / "RAINCELL.DAT")
+    write_ordered_text(
+        raincell_lines(spark, rain, "flo2d_150_v2", start, end),
+        out,
+        sort_cols=["block_rank", "intra_rank"],
+        final_newline=False,
+    )
+    assert open(out, "rb").read() == expected_bytes
