@@ -163,19 +163,49 @@ def cmd_gen_inflow(args) -> None:
 
 
 def cmd_gen_rain(args) -> None:
-    from curw_flo2d_data_manager_spark.plans.rain import rain_lines
+    from curw_flo2d_data_manager_spark.plans.models import FLO2D_10_PATTERN
+    from curw_flo2d_data_manager_spark.plans.rain import (
+        nearest_gauge_grid_ids,
+        rain_lines,
+    )
     from curw_flo2d_data_manager_spark.session import get_spark
     from curw_flo2d_data_manager_spark.sinks.ordered_text import write_ordered_text
 
     if _skip_existing(args.out):
         return
+    # flo2d_10 models share the 5-minute grid (gen_rain.py:98-101)
     validate_grid_time(args.start_time, 5)
     validate_grid_time(args.end_time, 5)
+    is_10m = bool(FLO2D_10_PATTERN.match(args.model))
+    lat, lon = args.lat, args.lon
+    if is_10m and (lat is None or lon is None):
+        # gauge resolved from the model's config point via the nearest
+        # weather station (gen_rain.py:119-135,306-314)
+        if not args.rain_config:
+            raise SystemExit(
+                f"{args.model}: provide --lat/--lon or --rain_config "
+                "(flo2d_10 models resolve their gauge from a config point)"
+            )
+        cfg = json.loads(open(args.rain_config).read()).get(args.model)
+        if not cfg:
+            raise SystemExit(f"{args.model} not present in {args.rain_config}")
+        lat, lon = float(cfg["lat"]), float(cfg["lon"])
+    if not is_10m and args.grid_id is None:
+        raise SystemExit("grid_id of the desired timeseries is not specified")
     spark = get_spark(app_name="gen-rain")
     store = _load_store(spark, args.store)
-    ts = store.get_timeseries_by_meta(
-        args.method, args.model, args.grid_id, args.start_time, args.end_time
-    )
+    if is_10m:
+        stations = spark.read.parquet(
+            args.obs_stations or os.path.join(args.store, "obs_stations")
+        )
+        grid_ids = nearest_gauge_grid_ids(spark, stations, lat, lon)
+        ts = store.get_timeseries_by_grid_ids(
+            args.method, grid_ids, args.start_time, args.end_time
+        )
+    else:
+        ts = store.get_timeseries_by_meta(
+            args.method, args.model, args.grid_id, args.start_time, args.end_time
+        )
     lines = rain_lines(spark, ts, args.model, args.start_time, args.end_time)
     write_ordered_text(lines, args.out, sort_cols=["block_rank", "intra_rank"])
     merge_run_manifest(args.out, {"rain": {"model": args.model, "sim_tag": args.sim_tag}})
@@ -435,9 +465,26 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="curw_flo2d_data_manager_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    def _common(sp):
-        sp.add_argument("-m", "--model", required=True,
-                        choices=["flo2d_250", "flo2d_150", "flo2d_150_v2"])
+    def _model_arg(value: str) -> str:
+        # gen-rain also serves the open-ended flo2d_10 family
+        # (reference: gen_rain.py:271-273 accepts any flo2d_10_*)
+        from curw_flo2d_data_manager_spark.plans.models import (
+            FLO2D_10_PATTERN,
+            MODELS,
+        )
+
+        if value in MODELS or FLO2D_10_PATTERN.match(value):
+            return value
+        raise argparse.ArgumentTypeError(
+            f"model should be one of {sorted(MODELS)} or 'flo2d_10_*'"
+        )
+
+    def _common(sp, open_models: bool = False):
+        if open_models:
+            sp.add_argument("-m", "--model", required=True, type=_model_arg)
+        else:
+            sp.add_argument("-m", "--model", required=True,
+                            choices=["flo2d_250", "flo2d_150", "flo2d_150_v2"])
         sp.add_argument("-s", "--start_time", required=True)
         sp.add_argument("-e", "--end_time", required=True)
         sp.add_argument("--store", required=True, help="parquet store root")
@@ -451,8 +498,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--obs_wl", type=float, default=None)
     sp.set_defaults(fn=cmd_gen_inflow)
 
-    sp = sub.add_parser("gen-rain", help="RAIN.DAT (K4)")
-    _common(sp)
+    sp = sub.add_parser("gen-rain", help="RAIN.DAT (K4; flo2d_10_* via nearest gauge)")
+    _common(sp, open_models=True)
+    sp.add_argument("--lat", type=float, default=None,
+                    help="flo2d_10 config point latitude (S4 nearest-gauge)")
+    sp.add_argument("--lon", type=float, default=None,
+                    help="flo2d_10 config point longitude")
+    sp.add_argument("--rain_config", default=None,
+                    help="config_flo2d_10.json path: model → {lat, lon}")
+    sp.add_argument("--obs_stations", default=None,
+                    help="weather-station dim parquet (default <store>/obs_stations)")
     sp.set_defaults(fn=cmd_gen_rain)
 
     sp = sub.add_parser("gen-raincell", help="RAINCELL.DAT (K3)")

@@ -18,6 +18,7 @@ Sources (reference file:line):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 
@@ -72,6 +73,36 @@ MODELS: dict[str, ModelSpec] = {
         rain_resample_min=15,
     ),
 }
+
+# The flo2d_10 family is open-ended: any model matching this pattern
+# (one sub-catchment per config key, e.g. ``flo2d_10_Blomandl``) shares
+# one rain spec — 5-minute grid, no resample (input/rain/gen_rain.py:
+# 87,155-163: the non-250/150 branch takes timestep 5, and only
+# timestep 15 resamples), gauge resolved by nearest station rather than
+# an explicit grid id (:119-135,306-314).
+FLO2D_10_PATTERN = re.compile(r"flo2d_10_.+")
+
+
+def get_model_spec(model: str) -> ModelSpec:
+    """Resolve a model name to its spec, admitting the open-ended
+    flo2d_10 family (reference accepts any ``flo2d_10_*`` name,
+    gen_rain.py:271-273)."""
+    if model in MODELS:
+        return MODELS[model]
+    if FLO2D_10_PATTERN.match(model):
+        return ModelSpec(
+            name=model,
+            inflow_header_cell=0,
+            inflow_c_cell=0,
+            timestep_min=5,
+            water_supply=1.0 / (24 * 12),
+            rain_resample_min=None,
+        )
+    raise KeyError(
+        f"model should be one of {sorted(MODELS)} or match 'flo2d_10_*' "
+        f"(got {model!r})"
+    )
+
 
 # Hard floor on raincell start time (reference: gen_raincell.py:110).
 RAINCELL_MIN_START = "2019-06-28 00:00:00"

@@ -28,9 +28,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from curw_flo2d_data_manager_spark.operators.cumulative import cumulative_fraction
+from curw_flo2d_data_manager_spark.operators.nearest import (
+    euclidean_deg2,
+    nearest_neighbor_join,
+)
 from curw_flo2d_data_manager_spark.operators.resample import resample_sum
 from curw_flo2d_data_manager_spark.operators.spine import spine_align
-from curw_flo2d_data_manager_spark.plans.models import MODELS
+from curw_flo2d_data_manager_spark.plans.models import get_model_spec
+
+
+def nearest_gauge_grid_ids(
+    spark: SparkSession, stations: DataFrame, lat: float, lon: float
+) -> DataFrame:
+    """S4: config point → nearest rain gauge → sim grid id, as one
+    broadcast plan (no driver round-trip).
+
+    Reference (input/rain/gen_rain.py:119-135): stored proc
+    ``getNearestWeatherStation(lat, lon)`` + fetchone, then
+    ``grid_id = 'rainfall_{id}_{name}_MDPA'``. ``stations`` is
+    DataFrame(station_id, name, latitude, longitude) — dimension-sized,
+    broadcast inside the rank-1 join. Returns one-row
+    DataFrame(grid_id string).
+    """
+    point = spark.createDataFrame([(float(lat), float(lon))], "lat double, lon double")
+    nearest = nearest_neighbor_join(
+        point,
+        stations.select("station_id", "name", "latitude", "longitude"),
+        euclidean_deg2(
+            F.col("lat"), F.col("lon"), F.col("latitude"), F.col("longitude")
+        ),
+        left_keys=["lat", "lon"],
+        k=1,
+    )
+    return nearest.select(
+        F.format_string("rainfall_%d_%s_MDPA", "station_id", "name").alias("grid_id")
+    )
 
 
 def rain_lines(
@@ -45,7 +77,7 @@ def rain_lines(
     ``gauge_ts`` is DataFrame(time timestamp, value double). Returns
     ``(block_rank int, intra_rank long, line string)``.
     """
-    spec = MODELS[model]
+    spec = get_model_spec(model)
 
     aligned = spine_align(spark, gauge_ts, start, end, 5).na.drop(subset=["value"])
     if spec.rain_resample_min:

@@ -53,7 +53,7 @@ from curw_flo2d_data_manager_spark.functions.timeutil import right_closed_bucket
 from curw_flo2d_data_manager_spark.operators.multimodal import decode_image_meta
 from curw_flo2d_data_manager_spark.operators.similarity import ivf_topk
 from curw_flo2d_data_manager_spark.plans.outflow import outflow_lines
-from curw_flo2d_data_manager_spark.plans.rain import rain_lines
+from curw_flo2d_data_manager_spark.plans.rain import nearest_gauge_grid_ids, rain_lines
 from curw_flo2d_data_manager_spark.plans.raincell import raincell_lines
 
 
@@ -997,6 +997,109 @@ WHERE p_size <= 10
   AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30'
 GROUP BY 1, 2
 ORDER BY 1, 2
+"""
+
+
+def s4_nearest_gauge_rain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 + J6 + K4: the flo2d_10 rain path end-to-end — config point →
+    nearest gauge (rank-1 broadcast theta join) → ``rainfall_{id}_{name}
+    _MDPA`` grid-id format → series resolution → RAIN.DAT render with
+    the flo2d_10 spec (5-min grid, NO resample).
+
+    Reference: input/rain/gen_rain.py:119-135 (getNearestWeatherStation
+    + grid-id format + get_timeseries_id), :155-163 (flo2d_10 takes the
+    timestep-5 branch, so no resample), :306-314 (config-point entry).
+    The station dim is derived deterministically from ``nation`` so the
+    DuckDB oracle recomputes the same nearest-station pick, grid-id
+    string, and full render."""
+    nation = _t(spark, sf_dir, "nation")
+    stations = nation.select(
+        F.col("n_nationkey").alias("station_id"),
+        F.col("n_name").alias("name"),
+        (F.lit(6.5) + F.col("n_nationkey") * F.lit(0.05)).alias("latitude"),
+        (F.lit(79.5) + (F.col("n_nationkey") % 5) * F.lit(0.1)).alias("longitude"),
+    )
+    grid_ids = nearest_gauge_grid_ids(spark, stations, 6.93, 79.86)
+    # synthetic run dim: each station's grid id resolves to one user
+    # cohort (user_id ≡ station_id mod 25) — id resolution is a
+    # broadcast join, not a driver round-trip
+    run = stations.select(
+        F.format_string("rainfall_%d_%s_MDPA", "station_id", "name").alias("grid_id"),
+        F.col("station_id").alias("sid"),
+    )
+    cohort = run.join(F.broadcast(grid_ids), "grid_id").select("sid")
+    ev = _events(spark, sf_dir, end="2024-01-20 00:00:00").filter(
+        F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp")
+    )
+    series = (
+        ev.join(F.broadcast(cohort), ev.user_id % 25 == F.col("sid"))
+        .groupBy(
+            F.timestamp_seconds(
+                F.floor(F.col("ts").cast("double") / 300).cast("long") * 300
+            ).alias("time")
+        )
+        .agg((F.round(F.sum("value"), 6) - 100.0).alias("value"))
+    )
+    lines = rain_lines(
+        spark, series, "flo2d_10_Blomandl", "2024-01-02 00:00:00", "2024-01-20 00:00:00"
+    )
+    return (
+        lines.crossJoin(F.broadcast(grid_ids))
+        .select("grid_id", "block_rank", "intra_rank", "line")
+        .orderBy("block_rank", "intra_rank")
+    )
+
+
+S4_SQL = """
+WITH stations AS (
+    SELECT n_nationkey AS station_id, n_name AS name,
+           6.5 + n_nationkey * CAST(0.05 AS DOUBLE) AS latitude,
+           79.5 + (n_nationkey % 5) * CAST(0.1 AS DOUBLE) AS longitude
+    FROM nation
+),
+nearest AS (
+    SELECT station_id, name,
+           printf('rainfall_%d_%s_MDPA', station_id, name) AS grid_id
+    FROM stations
+    ORDER BY (latitude - 6.93) * (latitude - 6.93)
+             + (longitude - 79.86) * (longitude - 79.86),
+             station_id, name, latitude, longitude
+    LIMIT 1
+),
+ev AS (
+    SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    WHERE user_id % 25 = (SELECT station_id FROM nearest)
+      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+),
+series AS (
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS time,
+           ROUND(SUM(value), 6) - 100.0 AS value
+    FROM ev GROUP BY 1
+),
+spine AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-02 00:00:00',
+                                        TIMESTAMP '2024-01-20 00:00:00',
+                                        INTERVAL 5 MINUTE)) AS time),
+aligned AS (SELECT s.time, se.value FROM spine s JOIN series se USING (time)),
+cleaned AS (SELECT time, CASE WHEN value < 0 THEN NULL ELSE value END AS value FROM aligned),
+tot AS (SELECT COALESCE(SUM(value), 0.0) AS t FROM cleaned),
+cum AS (
+    SELECT time, SUM(value) OVER (ORDER BY time ROWS UNBOUNDED PRECEDING) AS cum_value
+    FROM cleaned
+)
+SELECT (SELECT grid_id FROM nearest) AS grid_id, 0 AS block_rank,
+       CAST(0 AS BIGINT) AS intra_rank, ' 0             0 ' AS line
+UNION ALL
+SELECT (SELECT grid_id FROM nearest), 0, 1,
+       printf(' %.3f         5             0             0 ',
+              CAST(ROUND(CAST(CAST(t AS VARCHAR) AS DECIMAL(30,12)), 3) AS DOUBLE))
+FROM tot
+UNION ALL
+SELECT (SELECT grid_id FROM nearest), 1, CAST(epoch(time) AS BIGINT),
+       'R              '
+       || rpad(printf('%.3f', CAST(ROUND(CAST(CAST((epoch(time) - epoch(TIMESTAMP '2024-01-02 00:00:00')) / 3600.0 AS VARCHAR) AS DECIMAL(30,12)), 3) AS DOUBLE)), 14, ' ')
+       || printf('%.3f', CAST(ROUND(CAST(CAST(CASE WHEN (SELECT t FROM tot) = 0 THEN 0.0 ELSE COALESCE(cum_value / (SELECT t FROM tot), 0.0) END AS VARCHAR) AS DECIMAL(30,12)), 3) AS DOUBLE))
+       || ' '
+FROM cum
 """
 
 
@@ -3141,16 +3244,41 @@ ORDER BY user_id, event_type
 
 
 def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct users per event type
-    (rows-only: HLL sketch values are engine-specific — the accuracy
-    contract vs exact counts is pinned in
-    tests/test_plan_quality.py)."""
+    """HyperLogLog++ approximate distinct users per event type, with a
+    tolerance-band oracle: the HLL sketch value is engine-specific, so
+    the certified output is the EXACT distinct count plus an integer
+    flag asserting the estimate landed within ±5% of it (rsd 0.01 →
+    well inside the band). The DuckDB oracle recomputes the exact
+    count and asserts the same flag, turning the accuracy contract
+    (previously pinned only in tests/test_plan_quality.py) into a
+    hash-checked entry."""
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).cast("int").alias("within_5pct"),
+        )
         .orderBy("event_type")
     )
+
+
+A_APPROX_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       1 AS within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3256,83 +3384,103 @@ ORDER BY source
 DRIVER_WINDOW = 50
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- driver window (first 50): one gate per §2 + LLM family --------
-    # store scans (S1/S2/S3/S6; S5 via store tests)
+    # -- driver window (first 50) -------------------------------------
+    # The window ROTATES each round (round-2 verdict, next-round item
+    # 5): entries changed this round or never driver-certified take
+    # priority; gates green in the previous round's window and
+    # untouched since rotate out and are re-verified locally via
+    # tools/check_correctness.py. Round-3 window: the new S4 gate, the
+    # newly-oracled a_approx_distinct, the regex-touched
+    # text_pii_redact, and the 10 most complex round-1 breadth queries
+    # rotated back in; 13 round-2-green untouched gates rotated out.
+    # store scans (S1/S2/S4/S6; S3/S5 via store tests + r02 green)
     "s1_series_range_scan": (s1_series_range_scan, S1_SQL),
     "s2_grid_scan_correction": (s2_grid_scan_correction, S2_SQL),
-    "s3_first_value_lookup": (s3_first_value_lookup, S3_SQL),
+    "s4_nearest_gauge_rain": (s4_nearest_gauge_rain, S4_SQL),
     "s6_max_end_time": (s6_max_end_time, S6_SQL),
     # parsers (P1/P2, with X2/X3/X10/F5/F8/A5 exercised inside)
     "p1_hychan_roundtrip": (p1_hychan_roundtrip, P1_SQL),
     "p2_timdep_roundtrip": (p2_timdep_roundtrip, P2_SQL),
-    # renders / sinks (K1-K5 + X1/U1/J7/S7, K7 merge, K8 provenance)
-    "k1_fixed_width_render": (k1_fixed_width_render, K1_SQL),
+    # renders / sinks (K2-K5 + X1/U1/J7/S7, K7 merge, K8 provenance)
     "k2_outflow_render": (k2_outflow_render, K2_SQL),
     "k3_raincell_render": (k3_raincell_render, K3_SQL),
     "k4_rain_render": (k4_rain_render, K4_SQL),
     "k5_chan_render": (k5_chan_render, K5_SQL),
     "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
     "k8_run_metadata": (k8_run_metadata, K8_SQL),
-    # filters (F6 sentinel, F9 get-or-create; F1-F5 inside s1/p1/k2)
-    "f6_sentinel_cleaning": (f6_sentinel_cleaning, F6_SQL),
+    # filters (F9 get-or-create; F1-F6 inside s1/p1/k2/k4)
     "f9_get_or_create": (f9_get_or_create, F9_SQL),
     # joins (J1-J8 + as-of/range extensions)
     "j1_calendar_spine": (j1_calendar_spine, J1_SQL),
     "j2_dim_enrichment": (j2_dim_enrichment, J2_SQL),
-    "j5_semi_join": (j5_semi_join, J5_SQL),
     "j6_nearest_rank1": (j6_nearest_rank1, J6_SQL),
     "j8_gap_fill": (j8_gap_fill, J8_SQL),
     "j_asof_join": (j_asof_join, J_ASOF_SQL),
     "j_range_join": (j_range_join, J_RANGE_SQL),
-    # aggregation + windows (A2/A4, W1-W3, round-1 hash-fix retests)
+    # aggregation + windows
     "a2_resample_right_closed": (a2_resample_right_closed, A2_SQL),
     "a4_cumulative_fraction": (a4_cumulative_fraction, A4_SQL),
-    "w2_elapsed_hours": (w2_elapsed_hours, W2_SQL),
     "w3_fill_down": (w3_fill_down, W3_SQL),
     "w_sessionize_events": (w_sessionize_events, W_SESSION_SQL),
     "q12_priority_case": (q12_priority_case, Q12_SQL),
-    # order / sets / scalar functions (O2/O3, U1, X4/X11)
-    "o2_ordered_topk": (o2_ordered_topk, O2_SQL),
-    "u2_set_ops": (u2_set_ops, U2_SET_SQL),
     "x4_json_extract": (x4_json_extract, X4_SQL),
-    "x11_series_hash_id": (x11_series_hash_id, X11_SQL),
     # structured streaming gates
     "stream_resample_events": (stream_resample_events, STREAM_A2_SQL),
     "stream_cumsum_events": (stream_cumsum_events, STREAM_CUMSUM_SQL),
     "stream_session_events": (stream_session_events, STREAM_SESSION_SQL),
-    # dedup family
+    # dedup family (minhash touched this round: bucket-cap default)
     "dedup_exact": (dedup_exact_docs, DEDUP_EXACT_SQL),
-    "dedup_fingerprint": (dedup_fingerprint_docs, DEDUP_FP_SQL),
-    "dedup_ngram_jaccard": (dedup_ngram_jaccard_docs, DEDUP_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh_docs, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
     # similarity search
     "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
     "sim_ivf_topk": (sim_ivf_topk_docs, SIM_IVF_SQL),
-    "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
     "sim_lsh_pairs": (sim_lsh_pairs, SIM_LSH_SQL),
-    # text analysis
+    # text analysis (pii regex touched this round: RE2-parity classes)
     "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
-    "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
-    "text_top_bigrams": (text_top_bigrams, TEXT_BIGRAMS_SQL),
+    "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
     # multimodal
     "mm_binary_meta": (mm_binary_meta, MM_BINARY_SQL),
     "mm_decode_meta": (mm_decode_meta, MM_DECODE_SQL),
-    # -- past the driver window: driver-green-in-r01 + breadth ---------
+    # newly-oracled this round (was the sole rows-only entry)
+    "a_approx_distinct": (a_approx_distinct, A_APPROX_SQL),
+    # round-1 breadth rotated back in for re-certification
+    "w_moving_avg": (w_moving_avg, W_MOVAVG_SQL),
+    "x_unpivot_lineitem": (x_unpivot_lineitem, X_UNPIVOT_SQL),
+    "a_cube_counts": (a_cube_counts, A_CUBE_SQL),
+    "a_percentiles": (a_percentiles, A_PCT_SQL),
+    "q2_min_supplier": (q2_min_supplier, Q2_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
+    "q17_small_quantity": (q17_small_quantity, Q17_SQL),
+    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
+    # -- past the driver window --------------------------------------
+    # r02-window-green gates rotated out this round (untouched since;
+    # re-verified locally via tools/check_correctness.py)
+    "s3_first_value_lookup": (s3_first_value_lookup, S3_SQL),
+    "k1_fixed_width_render": (k1_fixed_width_render, K1_SQL),
+    "f6_sentinel_cleaning": (f6_sentinel_cleaning, F6_SQL),
+    "j5_semi_join": (j5_semi_join, J5_SQL),
+    "w2_elapsed_hours": (w2_elapsed_hours, W2_SQL),
+    "o2_ordered_topk": (o2_ordered_topk, O2_SQL),
+    "u2_set_ops": (u2_set_ops, U2_SET_SQL),
+    "x11_series_hash_id": (x11_series_hash_id, X11_SQL),
+    "dedup_fingerprint": (dedup_fingerprint_docs, DEDUP_FP_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard_docs, DEDUP_JACCARD_SQL),
+    "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
+    "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
+    "text_top_bigrams": (text_top_bigrams, TEXT_BIGRAMS_SQL),
+    # driver-green-in-r01 + breadth
     "f_hash_sample": (f_hash_sample, F_SAMPLE_SQL),
     "f_stratified_sample": (f_stratified_sample, F_STRAT_SQL),
     "a_rollup_cascade": (a_rollup_cascade, A_CASCADE_SQL),
     "dedup_latest_version": (dedup_latest_version, DEDUP_LATEST_SQL),
-    "a_approx_distinct": (a_approx_distinct, None),
-    "w_moving_avg": (w_moving_avg, W_MOVAVG_SQL),
     "a_session_window_native": (a_session_window_native, A_SESSION_WINDOW_SQL),
-    "x_unpivot_lineitem": (x_unpivot_lineitem, X_UNPIVOT_SQL),
     "x_pivot_event_types": (x_pivot_event_types, X_PIVOT_SQL),
     "a_rollup_totals": (a_rollup_totals, A_ROLLUP_SQL),
     "a_distinct_counts": (a_distinct_counts, A_DISTINCT_SQL),
-    "a_cube_counts": (a_cube_counts, A_CUBE_SQL),
-    "a_percentiles": (a_percentiles, A_PCT_SQL),
     # TPC-H-style parity analytics
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -3340,19 +3488,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q6_revenue_change": (q6_revenue_change, Q6_SQL),
     "q4_exists_semi": (q4_exists_semi, Q4_SQL),
     "q18_having_topk": (q18_having_topk, Q18_SQL),
-    "q17_small_quantity": (q17_small_quantity, Q17_SQL),
-    "q2_min_supplier": (q2_min_supplier, Q2_SQL),
-    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
-    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
     "q14_promo_share": (q14_promo_share, Q14_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
-    "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
     "q19_disjunctive": (q19_disjunctive, Q19_SQL),
-    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
     # LLM-data + streaming breadth beyond the window (local oracle
     # replica only)
-    "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
     "text_url_extract": (text_url_extract, TEXT_URL_SQL),
     "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
     "text_repetition_gates": (text_repetition_gates, TEXT_REPETITION_SQL),

@@ -90,6 +90,28 @@ class TimeseriesStore:
             .orderBy("time")
         )
 
+    def get_timeseries_by_grid_ids(
+        self, method: str, grid_ids: DataFrame, start, end
+    ) -> DataFrame:
+        """S4 + S1 fused: series rows for dynamically-resolved grid ids
+        (e.g. the nearest-gauge lookup's one-row output) — the
+        reference's ``get_timeseries_id(grid_id, method)`` →
+        ``get_timeseries`` pair (input/rain/gen_rain.py:132,145) as one
+        plan. ``grid_ids`` is DataFrame(grid_id string),
+        dimension-sized and broadcast; no model filter, matching the
+        reference's id resolution."""
+        ids = (
+            self.run.filter(F.col("method") == method)
+            .join(F.broadcast(grid_ids), "grid_id")
+            .select("id")
+        )
+        return (
+            self._range(start, end)
+            .join(F.broadcast(ids), "id", "left_semi")
+            .select("time", "value")
+            .orderBy("time")
+        )
+
     # -- S6: max-end-time lookup ------------------------------------------
     def ts_end(self, method: str, model: str) -> DataFrame:
         """Latest available timestamp for (model, method) (reference:

@@ -104,6 +104,103 @@ def test_gen_outflow_end_to_end(spark, tmp_path):
     assert lines[-1] == "O             330"
 
 
+def test_gen_rain_flo2d_10_nearest_gauge(spark, tmp_path):
+    """flo2d_10 rain path end-to-end (reference: gen_rain.py:119-135,
+    306-314): config point → nearest obs station → grid id
+    ``rainfall_{id}_{name}_MDPA`` → series → RAIN.DAT with the
+    flo2d_10 spec (5-min grid, no resample)."""
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(100057, "Naula", 7.0, 80.0), (200001, "Colombo", 6.93, 79.86)],
+        "station_id int, name string, latitude double, longitude double",
+    ).write.parquet(os.path.join(store, "obs_stations"))
+    spark.createDataFrame(
+        [
+            ("h1", "MME", "rainfall", "rainfall_200001_Colombo_MDPA"),
+            ("h2", "MME", "rainfall", "rainfall_100057_Naula_MDPA"),
+        ],
+        "id string, method string, model string, grid_id string",
+    ).write.parquet(os.path.join(store, "run"))
+    spark.createDataFrame(
+        [
+            ("h1", datetime(2024, 1, 1, 0, 0), 1.0),
+            ("h1", datetime(2024, 1, 1, 0, 5), 2.0),
+            ("h1", datetime(2024, 1, 1, 0, 10), -1.0),  # negative → NULL
+            ("h2", datetime(2024, 1, 1, 0, 0), 99.0),   # wrong gauge
+        ],
+        "id string, time timestamp, value double",
+    ).write.parquet(os.path.join(store, "data"))
+    cfg = tmp_path / "config_flo2d_10.json"
+    cfg.write_text(json.dumps(
+        {"flo2d_10_Blomandl": {"lat": 6.94, "lon": 79.87, "rain_gauge": 1}}
+    ))
+
+    out = str(tmp_path / "RAIN.DAT")
+    main([
+        "gen-rain", "-m", "flo2d_10_Blomandl",
+        "-s", "2024-01-01 00:00:00", "-e", "2024-01-01 01:00:00",
+        "--store", store, "--out", out, "--rain_config", str(cfg),
+    ])
+    lines = open(out).read().splitlines()
+    assert lines[0] == " 0             0 "
+    assert lines[1] == " 3.000         5             0             0 "
+    # no resample for flo2d_10: three 5-min rows, cumulative fractions
+    assert lines[2] == "R              " + "0.000".ljust(14) + "0.333 "
+    assert lines[3] == "R              " + "0.083".ljust(14) + "1.000 "
+    assert lines[4] == "R              " + "0.167".ljust(14) + "1.000 "
+    assert len(lines) == 5
+    manifest = json.load(open(str(tmp_path / "run_meta.json")))
+    assert manifest["rain"]["model"] == "flo2d_10_Blomandl"
+
+
+def test_gen_rain_flo2d_10_explicit_latlon(spark, tmp_path):
+    """--lat/--lon bypasses the config file; nearest pick changes with
+    the point."""
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(100057, "Naula", 7.0, 80.0), (200001, "Colombo", 6.93, 79.86)],
+        "station_id int, name string, latitude double, longitude double",
+    ).write.parquet(os.path.join(store, "obs_stations"))
+    spark.createDataFrame(
+        [("h2", "MME", "rainfall", "rainfall_100057_Naula_MDPA")],
+        "id string, method string, model string, grid_id string",
+    ).write.parquet(os.path.join(store, "run"))
+    spark.createDataFrame(
+        [("h2", datetime(2024, 1, 1, 0, 0), 4.0)],
+        "id string, time timestamp, value double",
+    ).write.parquet(os.path.join(store, "data"))
+
+    out = str(tmp_path / "RAIN.DAT")
+    main([
+        "gen-rain", "-m", "flo2d_10_GrnLane",
+        "-s", "2024-01-01 00:00:00", "-e", "2024-01-01 00:30:00",
+        "--store", store, "--out", out, "--lat", "7.01", "--lon", "80.01",
+    ])
+    lines = open(out).read().splitlines()
+    assert lines[1] == " 4.000         5             0             0 "
+    assert lines[2] == "R              " + "0.000".ljust(14) + "1.000 "
+
+
+def test_gen_rain_flo2d_10_requires_point(spark, tmp_path):
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "RAIN.DAT")
+    with pytest.raises(SystemExit, match="lat"):
+        main([
+            "gen-rain", "-m", "flo2d_10_Blomandl",
+            "-s", "2024-01-01 00:00:00", "-e", "2024-01-01 01:00:00",
+            "--store", store, "--out", out,
+        ])
+
+
+def test_gen_rain_model_validation():
+    with pytest.raises(SystemExit):
+        main([
+            "gen-rain", "-m", "flo2d_11_bogus",
+            "-s", "2024-01-01 00:00:00", "-e", "2024-01-01 01:00:00",
+            "--store", "/nonexistent", "--out", "/nonexistent/RAIN.DAT",
+        ])
+
+
 def test_extract_discharge_variable(spark, tmp_path):
     store = str(tmp_path / "store")
     hychan = tmp_path / "HYCHAN.OUT"

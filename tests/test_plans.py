@@ -99,6 +99,59 @@ def test_rain_lines_zero_total_guard(spark):
     assert lines[2] == "R              " + "0.083".ljust(14) + "0.000 "
 
 
+def test_rain_lines_flo2d_10_no_resample(spark):
+    """flo2d_10 models take the timestep-5 branch — 5-min samples pass
+    through unresampled (reference: gen_rain.py:155-163)."""
+    rows = [
+        ("2024-01-01 00:00:00", 1.0),
+        ("2024-01-01 00:05:00", 1.0),
+        ("2024-01-01 00:10:00", 2.0),
+    ]
+    ts = _ts(spark, rows)
+    lines = _lines(
+        rain_lines(spark, ts, "flo2d_10_Blomandl", "2024-01-01 00:00:00",
+                   "2024-01-01 00:10:00")
+    )
+    assert lines[1] == " 4.000         5             0             0 "
+    # three R rows, one per 5-min sample — no 15-min collapse
+    assert lines[2] == "R              " + "0.000".ljust(14) + "0.250 "
+    assert lines[3] == "R              " + "0.083".ljust(14) + "0.500 "
+    assert lines[4] == "R              " + "0.167".ljust(14) + "1.000 "
+
+
+def test_get_model_spec_flo2d_10_family():
+    from curw_flo2d_data_manager_spark.plans.models import get_model_spec
+
+    spec = get_model_spec("flo2d_10_GrgDSlva_MW")
+    assert spec.timestep_min == 5
+    assert spec.rain_resample_min is None
+    assert get_model_spec("flo2d_150").rain_resample_min == 15
+    import pytest
+
+    with pytest.raises(KeyError):
+        get_model_spec("flo2d_11_nope")
+
+
+def test_read_grid_csv_flo2d_10_format(spark, tmp_path):
+    """flo2d_10 grid CSVs carry a different header spelling
+    (``Grid Id,X coordinates,Y coordnates`` — res/grids/flo2d_10/
+    *.csv) and projected-meter coordinates; the explicit schema reads
+    them positionally, header row skipped."""
+    from curw_flo2d_data_manager_spark.plans.init_dims import read_grid_csv
+
+    p = tmp_path / "flo2d_10_Blomandl.csv"
+    p.write_text(
+        "Grid Id,X coordinates,Y coordnates\n"
+        "1,399500,493733\n"
+        "2,399500.5,493743.25\n"
+    )
+    got = read_grid_csv(spark, str(p)).orderBy("Grid_ID").collect()
+    assert [(r.Grid_ID, r.X, r.Y) for r in got] == [
+        (1, 399500.0, 493733.0),
+        (2, 399500.5, 493743.25),
+    ]
+
+
 # -------------------------------------------------------------- raincell
 def test_raincell_blocks_and_water_supply(spark):
     rows = []
