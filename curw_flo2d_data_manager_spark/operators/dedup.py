@@ -91,7 +91,8 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float | None = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 2000,
+    observation=None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + banded LSH,
     optionally verified with exact shingle Jaccard.
@@ -105,7 +106,16 @@ def minhash_lsh_pairs(
     candidate pairs). Buckets larger than the cap are dropped from
     candidate generation — the standard recall-for-survival trade in
     web-scale LSH dedup; exact/fingerprint dedup still collapses the
-    identical members of such clusters.
+    identical members of such clusters. The default is FINITE (2000:
+    4M pairs/bucket worst case) so a naïve caller cannot hit the n²
+    failure mode; pass ``None`` to disable explicitly.
+
+    Dropped work is observable, not silent: pass a
+    ``pyspark.sql.Observation`` as ``observation`` and after the first
+    action ``observation.get`` carries ``rows_in_dropped_buckets``
+    (band rows excluded by the cap) and ``max_bucket_rows`` (hottest
+    bucket seen) — the metric also reaches any registered
+    QueryExecutionListener for cluster-side monitoring.
     """
     rows = num_hashes // bands
     sig_df = ensure_min_partitions(df).select(
@@ -138,11 +148,16 @@ def minhash_lsh_pairs(
 
     if max_bucket_size is not None:
         w_bucket = Window.partitionBy("band_idx", "band_hash")
-        banded = (
-            banded.withColumn("_bn", F.count(F.lit(1)).over(w_bucket))
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
+        banded = banded.withColumn("_bn", F.count(F.lit(1)).over(w_bucket))
+        if observation is not None:
+            banded = banded.observe(
+                observation,
+                F.count(F.when(F.col("_bn") > max_bucket_size, True)).alias(
+                    "rows_in_dropped_buckets"
+                ),
+                F.max("_bn").alias("max_bucket_rows"),
+            )
+        banded = banded.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
 
     left = banded.alias("l")
     right = banded.alias("r")

@@ -123,6 +123,65 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _resize_stand_in(b: bytes, width: int, height: int) -> bytes:
+    """Deterministic codec-free 'resize' (sha256 of bytes ∥ dims)."""
+    return hashlib.sha256(bytes(b) + f":{width}x{height}".encode()).digest()
+
+
+def _load_image_resizer(width: int, height: int):
+    """Per-blob resize callable: PIL-backed when importable, the
+    deterministic stand-in otherwise. A blob PIL cannot decode
+    (corrupt / not an image) falls back to the stand-in rather than
+    raising — at 100 TB a malformed row must never kill the stage
+    (real pipelines route these to a dead-letter sink; here the
+    stand-in keeps output deterministic either way)."""
+    try:  # real codec path — exercised wherever PIL exists
+        import io
+
+        from PIL import Image  # type: ignore
+
+        def _do(b: bytes | None) -> bytes | None:
+            if b is None:
+                return None
+            try:
+                img = Image.open(io.BytesIO(bytes(b))).resize((width, height))
+                out = io.BytesIO()
+                img.save(out, format="PNG")
+                return out.getvalue()
+            except Exception:
+                return _resize_stand_in(b, width, height)
+
+        return _do
+    except ImportError:  # codec-free stand-in
+
+        def _do(b: bytes | None) -> bytes | None:
+            if b is None:
+                return None
+            return _resize_stand_in(b, width, height)
+
+        return _do
+
+
+def iter_resize_batches(
+    batches: Iterator[pd.DataFrame], width: int, height: int, content_col: str = "content"
+) -> Iterator[pd.DataFrame]:
+    """The resize stage's batch generator, module-level so the codec
+    branches are unit-testable in-process (mapInPandas workers are
+    separate interpreters — a monkeypatched codec module in the driver
+    never reaches them)."""
+    _do = _load_image_resizer(width, height)
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "content": pdf[content_col].map(_do),
+                "mime": "image/png",
+                "width": width,
+                "height": height,
+            }
+        )
+
+
 def resize_images(
     df: DataFrame, width: int, height: int, content_col: str = "content"
 ) -> DataFrame:
@@ -130,44 +189,86 @@ def resize_images(
     batch iteration, blob-in/blob-out) and only the codec call
     swapped: uses PIL when importable, else a deterministic
     stand-in (sha256 of bytes ∥ target dims) so pipelines and tests
-    run codec-free with stable outputs. At scale this is the pattern:
-    one Python worker per Arrow batch, blobs never hit the driver."""
+    run codec-free with stable outputs. Undecodable blobs fall back to
+    the stand-in instead of failing the stage. At scale this is the
+    pattern: one Python worker per Arrow batch, blobs never hit the
+    driver."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:  # real codec path — exercised wherever PIL exists
-            import io
-
-            from PIL import Image  # type: ignore
-
-            def _do(b: bytes | None) -> bytes | None:
-                if b is None:
-                    return None
-                img = Image.open(io.BytesIO(b)).resize((width, height))
-                out = io.BytesIO()
-                img.save(out, format="PNG")
-                return out.getvalue()
-
-        except ImportError:  # deterministic codec-free stand-in
-
-            def _do(b: bytes | None) -> bytes | None:
-                if b is None:
-                    return None
-                return hashlib.sha256(
-                    b + f":{width}x{height}".encode()
-                ).digest()
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "content": pdf[content_col].map(_do),
-                    "mime": "image/png",
-                    "width": width,
-                    "height": height,
-                }
-            )
+        yield from iter_resize_batches(batches, width, height, content_col)
 
     return df.select("media_id", content_col).mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+def _frame_stand_in(blob: bytes, ts_ms: int) -> bytes:
+    """Deterministic codec-free 'frame' (sha256 of bytes ∥ timestamp)."""
+    return hashlib.sha256(bytes(blob) + f"@{ts_ms}".encode()).digest()
+
+
+def _load_frame_grabber():
+    """Per-(blob, ts) frame-grab callable: pyav-backed when importable
+    (seek to the timestamp, decode the first frame at/after it, return
+    raw RGB24 bytes), the deterministic stand-in otherwise. A blob
+    pyav cannot open/decode falls back to the stand-in rather than
+    raising — codec presence must never change whether the stage
+    completes, only what real frames come back."""
+    try:
+        import io
+
+        import av  # type: ignore
+
+        def _grab(blob: bytes | None, ts_ms: int) -> bytes | None:
+            if blob is None:
+                return None
+            try:
+                with av.open(io.BytesIO(bytes(blob))) as container:
+                    stream = container.streams.video[0]
+                    if stream.time_base:
+                        offset = int(ts_ms / 1000 / stream.time_base)
+                        container.seek(offset, stream=stream, backward=True)
+                    for frame in container.decode(stream):
+                        t = frame.time
+                        if t is None or t * 1000.0 >= ts_ms - 1:
+                            return frame.to_ndarray(format="rgb24").tobytes()
+                return _frame_stand_in(blob, ts_ms)  # past end of stream
+            except Exception:
+                return _frame_stand_in(blob, ts_ms)
+
+        return _grab
+    except ImportError:
+
+        def _grab(blob: bytes | None, ts_ms: int) -> bytes | None:
+            if blob is None:
+                return None
+            return _frame_stand_in(blob, ts_ms)
+
+        return _grab
+
+
+def iter_sample_batches(
+    batches: Iterator[pd.DataFrame], every_ms: int, content_col: str = "content"
+) -> Iterator[pd.DataFrame]:
+    """The frame-sampling batch generator, module-level for in-process
+    codec-branch tests (see iter_resize_batches)."""
+    _grab = _load_frame_grabber()
+    for pdf in batches:
+        out: dict[str, list] = {
+            "media_id": [],
+            "frame_idx": [],
+            "ts_ms": [],
+            "frame": [],
+        }
+        for mid, blob, dur in zip(
+            pdf["media_id"], pdf[content_col], pdf["duration_ms"]
+        ):
+            n = 0 if dur is None else int(dur) // every_ms + 1
+            for i in range(n):
+                ts = i * every_ms
+                out["media_id"].append(mid)
+                out["frame_idx"].append(i)
+                out["ts_ms"].append(ts)
+                out["frame"].append(_grab(blob, ts))
+        yield pd.DataFrame(out)
 
 
 def sample_frames(
@@ -175,47 +276,14 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled timestamp
     (row-expanding mapInPandas — the real shape of a frame extractor).
-    Frame count comes from ``meta.duration_ms``; the frame-grab call
-    uses pyav/ffmpeg when importable, else a deterministic stand-in
-    (sha256 of bytes ∥ timestamp) so the explode plumbing, schema, and
-    batch behavior are fully testable codec-free."""
+    Frame count comes from ``meta.duration_ms``; the frame grab is
+    pyav-backed when importable (seek + decode + RGB24 bytes), else a
+    deterministic stand-in (sha256 of bytes ∥ timestamp); undecodable
+    blobs fall back to the stand-in so the stage never fails on codec
+    presence or malformed media."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import av  # type: ignore  # noqa: F401
-
-            have_codec = True
-        except ImportError:
-            have_codec = False
-
-        for pdf in batches:
-            out: dict[str, list] = {
-                "media_id": [],
-                "frame_idx": [],
-                "ts_ms": [],
-                "frame": [],
-            }
-            for mid, blob, dur in zip(
-                pdf["media_id"], pdf[content_col], pdf["duration_ms"]
-            ):
-                n = 0 if dur is None else int(dur) // every_ms + 1
-                for i in range(n):
-                    ts = i * every_ms
-                    if blob is None:
-                        frame = None
-                    elif have_codec:  # real pyav frame grab would go here
-                        raise NotImplementedError(
-                            "pyav present but frame extraction not wired"
-                        )
-                    else:
-                        frame = hashlib.sha256(
-                            bytes(blob) + f"@{ts}".encode()
-                        ).digest()
-                    out["media_id"].append(mid)
-                    out["frame_idx"].append(i)
-                    out["ts_ms"].append(ts)
-                    out["frame"].append(frame)
-            yield pd.DataFrame(out)
+        yield from iter_sample_batches(batches, every_ms, content_col)
 
     flat = df.select(
         "media_id", content_col, F.col("meta.duration_ms").alias("duration_ms")

@@ -1,13 +1,24 @@
 """Multimodal plumbing tests: binary columns + typed metadata through
-Arrow-batched mapInPandas stages (decode / resize / frame-sample),
-codec calls stubbed deterministically (no image/video libs here)."""
+Arrow-batched mapInPandas stages (decode / resize / frame-sample).
 
+The Spark-side tests run codec-free (no image/video libs here); the
+codec branches are covered in-process by injecting fake ``av``/``PIL``
+modules and calling the module-level batch generators directly —
+mapInPandas workers are separate interpreters, so a driver-side
+monkeypatch can never reach them."""
+
+import sys
+import types
+
+import pandas as pd
 import pytest
 
 from curw_flo2d_data_manager_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     attach_binary_meta,
     decode_image_meta,
+    iter_resize_batches,
+    iter_sample_batches,
     resize_images,
     sample_frames,
 )
@@ -74,3 +85,142 @@ def test_sample_frames_row_expansion(media):
     # null blob → null frames, but rows still emitted (gap-visible)
     assert all(r["frame"] is None for r in by_id[4])
     assert all(r["frame"] is not None for r in by_id[3])
+
+
+# ------------------------------------------------------- codec branches
+VIDEO_BATCH = pd.DataFrame(
+    {
+        "media_id": [3, 4],
+        "content": [b"\x00\x00fakevideo", None],
+        "duration_ms": [2500, 1000],
+    }
+)
+
+IMAGE_BATCH = pd.DataFrame(
+    {"media_id": [1, 2], "content": [b"\x89PNGfakebytes", None]}
+)
+
+
+def _stand_in_frames():
+    return [
+        (r.media_id, r.frame_idx, r.ts_ms, r.frame)
+        for pdf in iter_sample_batches(iter([VIDEO_BATCH]), every_ms=1000)
+        for r in pdf.itertuples()
+    ]
+
+
+def test_sample_frames_pyav_present_undecodable_falls_back(monkeypatch):
+    """pyav present + a blob it cannot open must NOT raise — the row
+    falls back to the deterministic stand-in (the round-2 landmine:
+    the old code raised NotImplementedError the moment ``av`` was
+    importable)."""
+    codec_free = _stand_in_frames()
+
+    fake_av = types.ModuleType("av")
+
+    def _open(_fh):
+        raise ValueError("not a real container")
+
+    fake_av.open = _open
+    monkeypatch.setitem(sys.modules, "av", fake_av)
+    assert _stand_in_frames() == codec_free
+
+
+def test_sample_frames_pyav_present_decodable_real_frames(monkeypatch):
+    """A decodable container goes through the real pyav path: seek to
+    the timestamp, first frame at/after it, raw bytes out."""
+    import fractions
+
+    class _Frame:
+        def __init__(self, t):
+            self.time = t
+
+        def to_ndarray(self, format):
+            assert format == "rgb24"
+            import numpy as np
+
+            return np.full((2, 2, 3), int(self.time * 10), dtype="uint8")
+
+    class _Stream:
+        time_base = fractions.Fraction(1, 1000)
+
+    class _Container:
+        def __init__(self):
+            self.streams = types.SimpleNamespace(video=[_Stream()])
+            self._seek_ts = 0
+
+        def seek(self, offset, stream=None, backward=True):
+            self._seek_ts = offset * float(stream.time_base)
+
+        def decode(self, stream):
+            for t in (0.0, 1.0, 2.0):
+                if t >= self._seek_ts - 0.001:
+                    yield _Frame(t)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake_av = types.ModuleType("av")
+    fake_av.open = lambda fh: _Container()
+    monkeypatch.setitem(sys.modules, "av", fake_av)
+
+    frames = _stand_in_frames()
+    by_id = {}
+    for mid, idx, ts, frame in frames:
+        by_id.setdefault(mid, []).append((idx, ts, frame))
+    # media 3: real frames — 2x2 RGB24 = 12 bytes, value = frame_time*10
+    assert [ts for _, ts, _ in by_id[3]] == [0, 1000, 2000]
+    for (idx, ts, frame), want in zip(by_id[3], (0, 10, 20)):
+        assert len(frame) == 12 and frame == bytes([want] * 12)
+    # media 4: null blob stays null rows
+    assert all(f is None for _, _, f in by_id[4])
+
+
+def test_resize_pil_present_undecodable_falls_back(monkeypatch):
+    codec_free = [
+        (r.media_id, r.content)
+        for pdf in iter_resize_batches(iter([IMAGE_BATCH]), 64, 64)
+        for r in pdf.itertuples()
+    ]
+
+    fake_image = types.SimpleNamespace(
+        open=lambda fh: (_ for _ in ()).throw(OSError("cannot identify image"))
+    )
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+
+    got = [
+        (r.media_id, r.content)
+        for pdf in iter_resize_batches(iter([IMAGE_BATCH]), 64, 64)
+        for r in pdf.itertuples()
+    ]
+    assert got == codec_free
+
+
+def test_resize_pil_present_decodable_real_path(monkeypatch):
+    class _Img:
+        def resize(self, dims):
+            self.dims = dims
+            return self
+
+        def save(self, out, format):
+            out.write(b"PNG:%dx%d" % self.dims)
+
+    fake_image = types.SimpleNamespace(open=lambda fh: _Img())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+
+    got = {
+        r.media_id: r.content
+        for pdf in iter_resize_batches(iter([IMAGE_BATCH]), 64, 64)
+        for r in pdf.itertuples()
+    }
+    assert got[1] == b"PNG:64x64"
+    assert got[2] is None

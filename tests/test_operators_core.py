@@ -441,3 +441,51 @@ def test_minhash_bucket_cap_guards_hot_buckets(spark):
         docs, "doc_id", "text", num_hashes=16, bands=4, jaccard_threshold=1.0
     ).count()
     assert uncapped == 30 * 29 // 2 + 1
+
+
+def test_minhash_hot_bucket_cap_stays_linear(spark):
+    """10k identical documents land in ONE bucket per band; without a
+    cap that is ~50M candidate pairs per band. The finite default cap
+    drops the hot buckets (observable via the Observation metric) so
+    candidate generation stays linear, while a normal-sized duplicate
+    pair elsewhere in the corpus is still found, and exact dedup still
+    collapses the identical cluster."""
+    from pyspark.sql import Observation
+
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+
+    n = 10_000
+    boiler = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "the same boilerplate navigation text repeated on every page"
+        ).alias("text"),
+    )
+    planted = spark.createDataFrame(
+        [
+            (1_000_001, "a genuinely unique duplicated article body here"),
+            (1_000_002, "a genuinely unique duplicated article body here"),
+            (1_000_003, "an unrelated singleton document with other words"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = boiler.unionByName(planted)
+
+    obs = Observation()
+    pairs = minhash_lsh_pairs(docs, "doc_id", observation=obs).collect()
+    # hot-bucket pairs are gone; the planted normal pair survives
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1_000_001, 1_000_002)]
+    m = obs.get
+    bands = 8  # operator default
+    assert m["max_bucket_rows"] == n
+    assert m["rows_in_dropped_buckets"] == n * bands
+    # candidate work is bounded by cap²·bands even in the worst case
+    assert len(pairs) <= 2000 * 2000 * bands
+
+    collapsed = {
+        r.kept_id: r.n_dups for r in exact_dedup(docs, ["text"], "doc_id").collect()
+    }
+    assert collapsed[0] == n  # identical cluster still collapsed exactly
