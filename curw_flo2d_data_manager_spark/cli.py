@@ -119,7 +119,10 @@ def _overwrite_parquet(df, target: str) -> None:
     that the same plan is reading (even behind ``cache()``) risks
     recomputing from a half-deleted source if cached blocks are
     evicted mid-write; the swap keeps the old data intact until the
-    new copy is fully on disk."""
+    new copy is fully on disk. The swap is two renames, not atomic:
+    ``target`` is briefly absent between them (same caveat as
+    ``TimeseriesStore.compact_data`` — fine for the cron-sequenced
+    jobs this CLI serves, not for concurrent readers)."""
     import shutil
 
     tmp, old = target + ".tmp-swap", target + ".tmp-old"

@@ -150,7 +150,10 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
     # order matters: emails before bare digit runs, etc.
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     "ipv4": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
-    "phone": (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "[PHONE]"),
+    # NB: explicit whitespace class, not \s — Java's \s includes \x0B
+    # (vertical tab) while RE2's does not, so \s would redact a
+    # VT-containing digit run differently across engines (r2 advice).
+    "phone": (r"\+?[0-9][0-9()\- \t\n\r\f]{7,}[0-9]", "[PHONE]"),
 }
 
 URL_PATTERN = r"https?://[^\s\"'<>]+"

@@ -1920,12 +1920,45 @@ FROM rendered
 """
 
 
+def _run_replay_stream(spark, src: str, build, name_prefix: str, mode: str) -> str:
+    """Run ``build(read_series_stream(src))`` into a memory sink and
+    tear the replay dir down afterwards.
+
+    The memory sink materializes results driver-side, so the parquet
+    replay source and the query's checkpoint (placed under ``src`` so
+    one rmtree catches both) can be removed as soon as the query stops
+    — previously every correctness run leaked a ``stream_*_src_`` dir
+    plus checkpoint state in /tmp (round-2 advice). Returns the memory
+    table name."""
+    import os
+    import shutil
+    import uuid
+
+    from curw_flo2d_data_manager_spark.streaming import read_series_stream
+
+    name = name_prefix + uuid.uuid4().hex[:8]
+    try:
+        q = (
+            build(read_series_stream(spark, src))
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(src, "_chk"))
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return name
+
+
 def stream_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming A2: one day of events replayed through a file-source
     stream → watermarked right-closed resample — results must equal the
     batch/DuckDB answer bucket-for-bucket (same grid expression)."""
     import tempfile
-    import uuid
 
     ev = _events(spark, sf_dir, end="2024-01-03 00:00:00").filter(
         F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
@@ -1936,22 +1969,12 @@ def stream_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).coalesce(1).write.mode("overwrite").parquet(src)  # one file → one
     # micro-batch → exactly one (final) update row per bucket in the sink
 
-    from curw_flo2d_data_manager_spark.streaming import (
-        read_series_stream,
-        streaming_resample_sum,
-    )
+    from curw_flo2d_data_manager_spark.streaming import streaming_resample_sum
 
-    name = "stream_resample_" + uuid.uuid4().hex[:8]
-    agg = streaming_resample_sum(read_series_stream(spark, src), 15)
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    name = _run_replay_stream(
+        spark, src, lambda s: streaming_resample_sum(s, 15),
+        "stream_resample_", "update",
     )
-    q.awaitTermination(300)
-    q.stop()
     return spark.table(name).select(
         "time", F.round("value", 4).alias("value")
     ).orderBy("time")
@@ -1969,7 +1992,6 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     and must come out exactly once per event — DuckDB's DISTINCT over
     the same slice is the oracle."""
     import tempfile
-    import uuid
 
     ev = _events(spark, sf_dir, end="2024-01-02 00:00:00").filter(
         F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
@@ -1983,22 +2005,12 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="stream_dedup_src_")
     tripled.coalesce(1).write.mode("overwrite").parquet(src)
 
-    from curw_flo2d_data_manager_spark.streaming import (
-        read_series_stream,
-        streaming_dedup,
-    )
+    from curw_flo2d_data_manager_spark.streaming import streaming_dedup
 
-    name = "stream_dedup_" + uuid.uuid4().hex[:8]
-    deduped = streaming_dedup(read_series_stream(spark, src), ["id"])
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    name = _run_replay_stream(
+        spark, src, lambda s: streaming_dedup(s, ["id"]),
+        "stream_dedup_", "append",
     )
-    q.awaitTermination(300)
-    q.stop()
     return (
         spark.table(name)
         .select(
@@ -2025,7 +2037,6 @@ def stream_cumsum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by a unique synthetic event-time (from event_id) so the
     in-state sort order is deterministic."""
     import tempfile
-    import uuid
 
     ev = (
         _events(spark, sf_dir, end="2024-01-10 00:00:00")
@@ -2042,22 +2053,11 @@ def stream_cumsum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="stream_cum_src_")
     ev.coalesce(1).write.mode("overwrite").parquet(src)  # one micro-batch
 
-    from curw_flo2d_data_manager_spark.streaming import (
-        read_series_stream,
-        streaming_cumulative_sum,
-    )
+    from curw_flo2d_data_manager_spark.streaming import streaming_cumulative_sum
 
-    name = "stream_cumsum_" + uuid.uuid4().hex[:8]
-    out = streaming_cumulative_sum(read_series_stream(spark, src))
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    name = _run_replay_stream(
+        spark, src, streaming_cumulative_sum, "stream_cumsum_", "append"
     )
-    q.awaitTermination(300)
-    q.stop()
     return (
         spark.table(name)
         .select(
@@ -2086,7 +2086,6 @@ def stream_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch gap-sessionization oracle (a gap of exactly 30 min starts a
     new session on both paths)."""
     import tempfile
-    import uuid
 
     ev = _events(spark, sf_dir, end="2024-01-03 00:00:00").filter(
         F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
@@ -2108,24 +2107,13 @@ def stream_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(src)
 
-    from curw_flo2d_data_manager_spark.streaming import (
-        read_series_stream,
-        streaming_session_sum,
-    )
+    from curw_flo2d_data_manager_spark.streaming import streaming_session_sum
 
-    name = "stream_sess_" + uuid.uuid4().hex[:8]
-    agg = streaming_session_sum(
-        read_series_stream(spark, src), gap="30 minutes", group_cols=["id"]
+    name = _run_replay_stream(
+        spark, src,
+        lambda s: streaming_session_sum(s, gap="30 minutes", group_cols=["id"]),
+        "stream_sess_", "append",
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
     return (
         spark.table(name)
         .filter(

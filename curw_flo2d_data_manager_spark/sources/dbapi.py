@@ -92,20 +92,29 @@ def dbapi_partitioned_read(
     connection). ``schema`` is the Spark DDL string of the selected
     columns, in SELECT order. ``where`` is pushed into every
     partition's query (predicate pushdown to the database).
+
+    TRUSTED INPUT ONLY: ``table`` / ``columns`` / ``where`` /
+    ``partition_col`` are interpolated verbatim into SQL (exactly like
+    Spark's own JDBC ``dbtable``/``predicates`` options) — they are
+    operator configuration, never end-user input.
     """
     import pandas as pd
 
     cols = ", ".join(columns) if columns else "*"
     extra = f" AND ({where})" if where else ""
     preds = _range_predicates(partition_col, lower, upper, num_partitions)
-    plan = spark.createDataFrame(
-        [(p,) for p in preds], "pred string"
-    ).repartition(len(preds), "pred")
+    # One range per task, GUARANTEED: the range source with
+    # numPartitions=n places exactly one sequential index in each
+    # partition, no shuffle. (Hash-repartitioning the predicate string
+    # could collide two ranges into one task and leave others empty,
+    # serializing part of the scan — r2 advice.) The tiny predicate
+    # list rides to executors inside the closure.
+    plan = spark.range(0, len(preds), 1, numPartitions=len(preds))
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         names = None
         for pdf in batches:
-            for pred in pdf["pred"]:
+            for pred in (preds[int(i)] for i in pdf["id"]):
                 conn = connection_factory()
                 try:
                     cur = conn.cursor()  # type: ignore[attr-defined]

@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from curw_flo2d_data_manager_spark.functions.timeutil import hours_to_timestamp
-from curw_flo2d_data_manager_spark.sources.line_text import read_lines, read_lines_multi
+from curw_flo2d_data_manager_spark.sources.line_text import (
+    filldown_headers,
+    read_lines,
+    read_lines_multi,
+)
 
 HEADER_MARK = "CHANNEL HYDROGRAPH FOR ELEMENT NO:"
 
@@ -93,14 +97,15 @@ def _parse_hychan_lines(
         is_header.alias("is_header"),
     )
 
-    w_fill = (
-        Window.partitionBy("file")
-        .orderBy("line_no")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # W3 fill-down as a parallel prefix (sources/line_text.py
+    # ``filldown_headers``): a per-file window would pull an entire
+    # multi-GB HYCHAN into one task (round-2 watch item); the prefix
+    # decomposition keeps the scan's split-level parallelism.
+    sectioned = (
+        filldown_headers(tagged, ["hdr_element", "hdr_line"])
+        .withColumn("element_no", F.col("hdr_element"))
+        .withColumn("section", F.col("hdr_line"))
     )
-    sectioned = tagged.withColumn(
-        "element_no", F.last("hdr_element", ignorenulls=True).over(w_fill)
-    ).withColumn("section", F.last("hdr_line", ignorenulls=True).over(w_fill))
 
     numeric = sectioned.filter(
         ~F.col("is_header")

@@ -25,7 +25,7 @@ Python stages). ``tests`` also pin order under forced 1 KiB splits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -35,6 +35,106 @@ def read_lines(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path).select(
         F.monotonically_increasing_id().alias("line_no"), "value"
     )
+
+
+def filldown_headers(
+    tagged: DataFrame,
+    cols: list[str],
+    order_col: str = "line_no",
+    file_col: str = "file",
+) -> DataFrame:
+    """Fill ``cols`` down file line order as a PARALLEL PREFIX.
+
+    A plain ``Window.partitionBy(file)`` fill-down pulls an entire file
+    into ONE task — fine for dimension-sized FLO-2D outputs, a
+    serialization wall for a multi-GB one (round-2 watch item). The
+    standard prefix decomposition keeps the scan's parallelism:
+
+    1. local fill-down inside each scan partition (exchange keyed by
+       (partition id, file) — same volume as the old per-file window,
+       but as many tasks as the scan has splits);
+    2. carry: each partition inherits the last header values from
+       earlier partitions of the same file, computed on the
+       dimension-sized header set and broadcast back;
+    3. ``coalesce(local, carry)``.
+
+    ``cols`` must be populated together on the same (header) rows.
+    The two auxiliary scans over the raw text are the declarative twin
+    of the reference's own pass-1 (extract_water_level.py:425-446).
+    """
+    from functools import reduce
+
+    tagged = tagged.withColumn("_pid", F.spark_partition_id())
+    w_loc = (
+        Window.partitionBy("_pid", file_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = tagged
+    for c in cols:
+        local = local.withColumn(c, F.last(c, ignorenulls=True).over(w_loc))
+
+    headers = tagged.filter(
+        reduce(lambda a, b: a | b, [F.col(c).isNotNull() for c in cols])
+    )
+    pid_last = headers.groupBy(file_col, "_pid").agg(
+        *[F.max_by(c, order_col).alias(f"_h_{c}") for c in cols]
+    )
+    pids = tagged.select(file_col, "_pid").distinct()
+    w_carry = (
+        Window.partitionBy(file_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = pids.join(pid_last, [file_col, "_pid"], "left")
+    for c in cols:
+        carry = carry.withColumn(
+            f"_c_{c}", F.last(f"_h_{c}", ignorenulls=True).over(w_carry)
+        )
+    carry = carry.select(file_col, "_pid", *[f"_c_{c}" for c in cols])
+
+    out = local.join(F.broadcast(carry), [file_col, "_pid"], "left")
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"_c_{c}")))
+    return out.drop("_pid", *[f"_c_{c}" for c in cols])
+
+
+def assert_line_order(spark: SparkSession, path: str) -> None:
+    """Loud upgrade-gate check for the ordering contract above.
+
+    Re-scans ``path`` with the hidden ``_metadata`` column and verifies
+    that per (file, split block) the ``monotonically_increasing_id``
+    ranges are disjoint and increase with the block's byte offset —
+    exactly the property ``read_lines`` relies on. Raises ValueError
+    if a Spark upgrade or an alternative file source breaks it (the
+    failure mode would otherwise be silently reordered lines). The
+    check aggregates to one row per split, so it is cheap at any file
+    size; run it in upgrade gates alongside
+    tests/test_sources_parsers.py::test_read_lines_order_under_forced_splits.
+    """
+    per_block = (
+        spark.read.text(path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.col("_metadata.file_block_start").alias("block_start"),
+            F.monotonically_increasing_id().alias("line_no"),
+        )
+        .groupBy("file", "block_start")
+        .agg(F.min("line_no").alias("lo"), F.max("line_no").alias("hi"))
+        .orderBy("file", "block_start")
+        .collect()
+    )
+    prev: dict[str, int] = {}
+    for r in per_block:
+        last = prev.get(r.file)
+        if last is not None and r.lo <= last:
+            raise ValueError(
+                f"line-order contract violated in {r.file}: block at byte "
+                f"{r.block_start} has ids overlapping an earlier block — "
+                "monotonically_increasing_id order no longer matches byte "
+                "order on this Spark version/source"
+            )
+        prev[r.file] = r.hi
 
 
 def read_lines_multi(spark: SparkSession, glob_path: str) -> DataFrame:

@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from curw_flo2d_data_manager_spark.functions.timeutil import hours_to_timestamp
-from curw_flo2d_data_manager_spark.sources.line_text import read_lines, read_lines_multi
+from curw_flo2d_data_manager_spark.sources.line_text import (
+    filldown_headers,
+    read_lines,
+    read_lines_multi,
+)
 
 
 def parse_timdep(
@@ -79,14 +83,12 @@ def _parse_timdep_lines(
         is_header.alias("is_header"),
     )
 
-    w_fill = (
-        Window.partitionBy("file")
-        .orderBy("line_no")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # parallel-prefix fill-down — see sources/line_text.filldown_headers
+    blocked = (
+        filldown_headers(tagged, ["hdr_hours"])
+        .withColumn("t_hours", F.col("hdr_hours"))
+        .filter(~F.col("is_header") & F.col("t_hours").isNotNull())
     )
-    blocked = tagged.withColumn(
-        "t_hours", F.last("hdr_hours", ignorenulls=True).over(w_fill)
-    ).filter(~F.col("is_header") & F.col("t_hours").isNotNull())
 
     if drop_last_block:
         w_file = Window.partitionBy("file")

@@ -199,9 +199,16 @@ class TimeseriesStore:
         files, restoring the canonical ``(id, time)`` in-file sort —
         the Parquet equivalent of the reference MySQL's implicit index
         maintenance. Writes go partition-by-partition through a
-        write-new-then-swap rename so readers never observe a
-        half-compacted partition. Returns the number of partitions
-        compacted.
+        write-new-then-swap rename, so a reader never observes a
+        PARTIALLY-compacted partition — but the swap itself is two
+        renames (POSIX has no atomic directory exchange without
+        renameat2), so there is a brief window in which the ``date=``
+        directory is absent and a concurrent lister misses or fails on
+        that partition. Run compaction when no job is listing the
+        store (the reference's cron layout guarantees this); if truly
+        concurrent readers matter, point them at a manifest/symlink
+        that flips after the swap instead of the directory tree.
+        Returns the number of partitions compacted.
         """
         import math
         import os

@@ -372,6 +372,32 @@ def test_pii_redaction_and_url_extraction(spark):
     assert dom == "docs.example.org"
 
 
+def test_pii_phone_vertical_tab_engine_parity(spark):
+    """The phone pattern uses an explicit whitespace class, not \\s:
+    Java \\s matches \\x0B (vertical tab) but RE2/DuckDB's does not, so
+    \\s would redact a VT-containing digit run in Spark and not in the
+    oracle (r2 advice). A VT must break the run in BOTH engines."""
+    import duckdb
+
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    text = "call +94112345678\x0b901234567 now"
+    got = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(redact_pii("text", kinds=["phone"]).alias("r"))
+        .collect()[0]
+        .r
+    )
+    pat, repl = PII_PATTERNS["phone"]
+    oracle = duckdb.sql(
+        "SELECT regexp_replace(?, ?, ?, 'g') AS r", params=[text, pat, repl]
+    ).fetchone()[0]
+    assert got == oracle == "call [PHONE]\x0b[PHONE] now"
+
+
 def test_repetition_and_gopher_gates(spark):
     from curw_flo2d_data_manager_spark.operators.textstats import (
         duplicate_line_fraction,

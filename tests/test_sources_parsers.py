@@ -253,3 +253,61 @@ def test_timdep_multi_file(spark, tmp_path):
     assert by[("r1.out", "24", "2024-01-01 00:30:00")] == 6.0
     assert by[("r1.out", "153", "2024-01-01 00:00:00")] is None
     assert by[("r2.out", "153", "2024-01-01 00:00:00")] == 8.0
+
+
+def test_hychan_parallel_sections_forced_splits(spark, tmp_path):
+    """The parallel-prefix fill-down must produce byte-identical parses
+    whether a HYCHAN file is one scan partition or many (1 KiB forced
+    splits → sections span partition boundaries, exercising the carry
+    path), removing the one-task-per-file bound (r2 watch item)."""
+    from curw_flo2d_data_manager_spark.sources.hychan import parse_hychan
+
+    # 40 sections × 48 rows ≈ 90 KiB → ~90 forced 1 KiB splits
+    lines = []
+    for el in range(100, 140):
+        lines.append(f"     CHANNEL HYDROGRAPH FOR ELEMENT NO:   {el}")
+        lines.append("   TIME   ELEV   DEPTH   VEL   Q")
+        for i in range(48):
+            lines.append(
+                f"   {i * 0.25:.2f}   {10.0 + el * 0.01 + i * 0.001:.4f}"
+                f"   1.0   0.1   {50.0 + i:.2f}"
+            )
+    path = tmp_path / "HYCHAN.OUT"
+    path.write_text("\n".join(lines) + "\n")
+
+    def _parse():
+        return sorted(
+            (r.element_no, str(r.time), r.value)
+            for r in parse_hychan(spark, str(path), "2024-01-01 00:00:00").collect()
+        )
+
+    single = _parse()
+    assert len(single) == 40 * 48
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        from curw_flo2d_data_manager_spark.sources.line_text import read_lines
+
+        n_parts = read_lines(spark, str(path)).rdd.getNumPartitions()
+        assert n_parts > 1  # the multi-partition path is really exercised
+        assert _parse() == single
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_assert_line_order_upgrade_gate(spark, tmp_path):
+    """The runtime order guard passes on this Spark version (including
+    under forced splits) — it exists to fail LOUDLY on a version whose
+    file source breaks the mono-id ordering contract (r2 advice)."""
+    from curw_flo2d_data_manager_spark.sources.line_text import assert_line_order
+
+    p = tmp_path / "big.txt"
+    p.write_text("\n".join(f"x{i:06d}" for i in range(5000)) + "\n")
+    assert_line_order(spark, str(p))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        assert_line_order(spark, str(p))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
