@@ -89,25 +89,41 @@ def main() -> None:
     )
     _run(warm)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry[name]
-        t0 = time.monotonic()
-        _run(fn(spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
+    # Paired A-B protocol (round-2 verdict item 6): every query runs
+    # twice back-to-back in the same session. Pass A is the headline
+    # (same single-pass protocol as rounds 1-2, so cross-round ratios
+    # stay comparable); pass B + the per-query min let a reader
+    # separate ambient machine load (A≫B or B≫A, min stable) from a
+    # real plan regression (both passes slow).
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    runs: list[dict[str, float]] = []
+    for _ in range(passes):
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = registry[name]
+            t0 = time.monotonic()
+            _run(fn(spark, sf_dir))
+            timings[name] = round(time.monotonic() - t0, 3)
+        runs.append(timings)
 
+    timings = runs[0]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if len(runs) > 1:
+        qmin = {
+            name: min(r[name] for r in runs) for name in HEADLINE
+        }
+        out["queries_b"] = runs[1]
+        out["queries_min"] = qmin
+        out["value_b"] = round(sum(runs[1].values()), 3)
+        out["value_min"] = round(sum(qmin.values()), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
