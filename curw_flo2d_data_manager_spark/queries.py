@@ -3373,80 +3373,43 @@ DRIVER_WINDOW = 50
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- driver window (first 50) -------------------------------------
-    # The window ROTATES each round (round-2 verdict, next-round item
-    # 5): entries changed this round or never driver-certified take
-    # priority; gates green in the previous round's window and
-    # untouched since rotate out and are re-verified locally via
-    # tools/check_correctness.py. Round-3 window: the new S4 gate, the
-    # newly-oracled a_approx_distinct, the regex-touched
-    # text_pii_redact, and the 10 most complex round-1 breadth queries
-    # rotated back in; 13 round-2-green untouched gates rotated out.
-    # store scans (S1/S2/S4/S6; S3/S5 via store tests + r02 green)
-    "s1_series_range_scan": (s1_series_range_scan, S1_SQL),
-    "s2_grid_scan_correction": (s2_grid_scan_correction, S2_SQL),
-    "s4_nearest_gauge_rain": (s4_nearest_gauge_rain, S4_SQL),
-    "s6_max_end_time": (s6_max_end_time, S6_SQL),
-    # parsers (P1/P2, with X2/X3/X10/F5/F8/A5 exercised inside)
-    "p1_hychan_roundtrip": (p1_hychan_roundtrip, P1_SQL),
-    "p2_timdep_roundtrip": (p2_timdep_roundtrip, P2_SQL),
-    # renders / sinks (K2-K5 + X1/U1/J7/S7, K7 merge, K8 provenance)
-    "k2_outflow_render": (k2_outflow_render, K2_SQL),
-    "k3_raincell_render": (k3_raincell_render, K3_SQL),
-    "k4_rain_render": (k4_rain_render, K4_SQL),
-    "k5_chan_render": (k5_chan_render, K5_SQL),
-    "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
-    "k8_run_metadata": (k8_run_metadata, K8_SQL),
-    # filters (F9 get-or-create; F1-F6 inside s1/p1/k2/k4)
-    "f9_get_or_create": (f9_get_or_create, F9_SQL),
-    # joins (J1-J8 + as-of/range extensions)
-    "j1_calendar_spine": (j1_calendar_spine, J1_SQL),
-    "j2_dim_enrichment": (j2_dim_enrichment, J2_SQL),
-    "j6_nearest_rank1": (j6_nearest_rank1, J6_SQL),
-    "j8_gap_fill": (j8_gap_fill, J8_SQL),
-    "j_asof_join": (j_asof_join, J_ASOF_SQL),
-    "j_range_join": (j_range_join, J_RANGE_SQL),
-    # aggregation + windows
-    "a2_resample_right_closed": (a2_resample_right_closed, A2_SQL),
-    "a4_cumulative_fraction": (a4_cumulative_fraction, A4_SQL),
-    "w3_fill_down": (w3_fill_down, W3_SQL),
-    "w_sessionize_events": (w_sessionize_events, W_SESSION_SQL),
-    "q12_priority_case": (q12_priority_case, Q12_SQL),
-    "x4_json_extract": (x4_json_extract, X4_SQL),
-    # structured streaming gates
-    "stream_resample_events": (stream_resample_events, STREAM_A2_SQL),
-    "stream_cumsum_events": (stream_cumsum_events, STREAM_CUMSUM_SQL),
-    "stream_session_events": (stream_session_events, STREAM_SESSION_SQL),
-    # dedup family (minhash touched this round: bucket-cap default)
-    "dedup_exact": (dedup_exact_docs, DEDUP_EXACT_SQL),
-    "dedup_minhash_lsh": (dedup_minhash_lsh_docs, DEDUP_MINHASH_SQL),
-    "dedup_simhash": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
-    # similarity search
-    "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
-    "sim_ivf_topk": (sim_ivf_topk_docs, SIM_IVF_SQL),
-    "sim_lsh_pairs": (sim_lsh_pairs, SIM_LSH_SQL),
-    # text analysis (pii regex touched this round: RE2-parity classes)
-    "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
-    "text_quality": (text_quality, TEXT_QUALITY_SQL),
-    "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
-    # multimodal
-    "mm_binary_meta": (mm_binary_meta, MM_BINARY_SQL),
-    "mm_decode_meta": (mm_decode_meta, MM_DECODE_SQL),
-    # newly-oracled this round (was the sole rows-only entry)
-    "a_approx_distinct": (a_approx_distinct, A_APPROX_SQL),
-    # round-1 breadth rotated back in for re-certification
-    "w_moving_avg": (w_moving_avg, W_MOVAVG_SQL),
-    "x_unpivot_lineitem": (x_unpivot_lineitem, X_UNPIVOT_SQL),
-    "a_cube_counts": (a_cube_counts, A_CUBE_SQL),
-    "a_percentiles": (a_percentiles, A_PCT_SQL),
-    "q2_min_supplier": (q2_min_supplier, Q2_SQL),
-    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
-    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
-    "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
-    "q17_small_quantity": (q17_small_quantity, Q17_SQL),
-    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
-    # -- past the driver window --------------------------------------
-    # r02-window-green gates rotated out this round (untouched since;
-    # re-verified locally via tools/check_correctness.py)
+    # The window ROTATES each round: entries never driver-certified or
+    # touched this round take priority, then the entries whose last
+    # certification is OLDEST; previously-green untouched gates rotate
+    # out and are re-verified locally via tools/check_correctness.py.
+    # Round-4 window = the 5 never-certified entries + all 17 entries
+    # last certified in r1 + all 13 last certified in r2 + the 5 gates
+    # touched this round + 10 core keepers. After this round EVERY
+    # registry entry has appeared green in at least one driver window
+    # (see COVERAGE.md for the per-entry certification ledger).
+    #
+    # never driver-certified across r1-r3 (round-3 verdict item 1; the
+    # verdict listed 4, but dedup_latest_version was also never in a
+    # window)
+    "dedup_latest_version": (dedup_latest_version, DEDUP_LATEST_SQL),
+    "text_url_extract": (text_url_extract, TEXT_URL_SQL),
+    "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
+    "text_repetition_gates": (text_repetition_gates, TEXT_REPETITION_SQL),
+    "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),
+    # last certified in round 1 (17 — the oldest certifications)
+    "f_hash_sample": (f_hash_sample, F_SAMPLE_SQL),
+    "f_stratified_sample": (f_stratified_sample, F_STRAT_SQL),
+    "a_rollup_cascade": (a_rollup_cascade, A_CASCADE_SQL),
+    "a_session_window_native": (a_session_window_native, A_SESSION_WINDOW_SQL),
+    "x_pivot_event_types": (x_pivot_event_types, X_PIVOT_SQL),
+    "a_rollup_totals": (a_rollup_totals, A_ROLLUP_SQL),
+    "a_distinct_counts": (a_distinct_counts, A_DISTINCT_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
+    "q6_revenue_change": (q6_revenue_change, Q6_SQL),
+    "q4_exists_semi": (q4_exists_semi, Q4_SQL),
+    "q18_having_topk": (q18_having_topk, Q18_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q14_promo_share": (q14_promo_share, Q14_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q19_disjunctive": (q19_disjunctive, Q19_SQL),
+    # last certified in round 2 (13 — rotated out for round 3)
     "s3_first_value_lookup": (s3_first_value_lookup, S3_SQL),
     "k1_fixed_width_render": (k1_fixed_width_render, K1_SQL),
     "f6_sentinel_cleaning": (f6_sentinel_cleaning, F6_SQL),
@@ -3460,32 +3423,65 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
     "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
     "text_top_bigrams": (text_top_bigrams, TEXT_BIGRAMS_SQL),
-    # driver-green-in-r01 + breadth
-    "f_hash_sample": (f_hash_sample, F_SAMPLE_SQL),
-    "f_stratified_sample": (f_stratified_sample, F_STRAT_SQL),
-    "a_rollup_cascade": (a_rollup_cascade, A_CASCADE_SQL),
-    "dedup_latest_version": (dedup_latest_version, DEDUP_LATEST_SQL),
-    "a_session_window_native": (a_session_window_native, A_SESSION_WINDOW_SQL),
-    "x_pivot_event_types": (x_pivot_event_types, X_PIVOT_SQL),
-    "a_rollup_totals": (a_rollup_totals, A_ROLLUP_SQL),
-    "a_distinct_counts": (a_distinct_counts, A_DISTINCT_SQL),
-    # TPC-H-style parity analytics
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
-    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
-    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
-    "q6_revenue_change": (q6_revenue_change, Q6_SQL),
-    "q4_exists_semi": (q4_exists_semi, Q4_SQL),
-    "q18_having_topk": (q18_having_topk, Q18_SQL),
-    "q10_returned_items": (q10_returned_items, Q10_SQL),
-    "q14_promo_share": (q14_promo_share, Q14_SQL),
-    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
-    "q19_disjunctive": (q19_disjunctive, Q19_SQL),
-    # LLM-data + streaming breadth beyond the window (local oracle
-    # replica only)
-    "text_url_extract": (text_url_extract, TEXT_URL_SQL),
-    "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
-    "text_repetition_gates": (text_repetition_gates, TEXT_REPETITION_SQL),
-    "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),
+    # touched this round (filldown carry last-non-null fix -> parsers;
+    # multimodal decoded flag; PII oracle single-source-of-truth)
+    "p1_hychan_roundtrip": (p1_hychan_roundtrip, P1_SQL),
+    "p2_timdep_roundtrip": (p2_timdep_roundtrip, P2_SQL),
+    "mm_binary_meta": (mm_binary_meta, MM_BINARY_SQL),
+    "mm_decode_meta": (mm_decode_meta, MM_DECODE_SQL),
+    "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
+    # core keepers (flagship paths kept continuously certified; S1/K7
+    # also cover this round's JDBC work, S4/K2/K4 this round's
+    # model-spec + gen-rain advice fixes)
+    "s1_series_range_scan": (s1_series_range_scan, S1_SQL),
+    "s4_nearest_gauge_rain": (s4_nearest_gauge_rain, S4_SQL),
+    "k2_outflow_render": (k2_outflow_render, K2_SQL),
+    "k4_rain_render": (k4_rain_render, K4_SQL),
+    "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh_docs, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
+    "sim_ivf_topk": (sim_ivf_topk_docs, SIM_IVF_SQL),
+    "stream_resample_events": (stream_resample_events, STREAM_A2_SQL),
+    "a_approx_distinct": (a_approx_distinct, A_APPROX_SQL),
+    # -- past the driver window --------------------------------------
+    # All 35 below were green in the round-3 driver window and are
+    # untouched since; re-verified locally via
+    # tools/check_correctness.py each round.
+    "s2_grid_scan_correction": (s2_grid_scan_correction, S2_SQL),
+    "s6_max_end_time": (s6_max_end_time, S6_SQL),
+    "k3_raincell_render": (k3_raincell_render, K3_SQL),
+    "k5_chan_render": (k5_chan_render, K5_SQL),
+    "k8_run_metadata": (k8_run_metadata, K8_SQL),
+    "f9_get_or_create": (f9_get_or_create, F9_SQL),
+    "j1_calendar_spine": (j1_calendar_spine, J1_SQL),
+    "j2_dim_enrichment": (j2_dim_enrichment, J2_SQL),
+    "j6_nearest_rank1": (j6_nearest_rank1, J6_SQL),
+    "j8_gap_fill": (j8_gap_fill, J8_SQL),
+    "j_asof_join": (j_asof_join, J_ASOF_SQL),
+    "j_range_join": (j_range_join, J_RANGE_SQL),
+    "a2_resample_right_closed": (a2_resample_right_closed, A2_SQL),
+    "a4_cumulative_fraction": (a4_cumulative_fraction, A4_SQL),
+    "w3_fill_down": (w3_fill_down, W3_SQL),
+    "w_sessionize_events": (w_sessionize_events, W_SESSION_SQL),
+    "q12_priority_case": (q12_priority_case, Q12_SQL),
+    "x4_json_extract": (x4_json_extract, X4_SQL),
+    "stream_cumsum_events": (stream_cumsum_events, STREAM_CUMSUM_SQL),
+    "stream_session_events": (stream_session_events, STREAM_SESSION_SQL),
+    "dedup_exact": (dedup_exact_docs, DEDUP_EXACT_SQL),
+    "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
+    "sim_lsh_pairs": (sim_lsh_pairs, SIM_LSH_SQL),
+    "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "w_moving_avg": (w_moving_avg, W_MOVAVG_SQL),
+    "x_unpivot_lineitem": (x_unpivot_lineitem, X_UNPIVOT_SQL),
+    "a_cube_counts": (a_cube_counts, A_CUBE_SQL),
+    "a_percentiles": (a_percentiles, A_PCT_SQL),
+    "q2_min_supplier": (q2_min_supplier, Q2_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
+    "q17_small_quantity": (q17_small_quantity, Q17_SQL),
+    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
 }
 
 

@@ -1,52 +1,43 @@
 """The external correctness driver verifies only the first
 ``DRIVER_WINDOW`` (50) registry entries. The window ROTATES each round
 (round-2 verdict, next-round item 5): entries touched this round or
-never driver-certified take priority; untouched previously-green gates
-rotate out and are re-verified via ``tools/check_correctness.py``.
+never driver-certified take priority, then the entries whose last
+certification is oldest; untouched previously-green gates rotate out
+and are re-verified via ``tools/check_correctness.py``.
 
-This test pins the round-3 window so a registry edit can never
+This test pins the round-4 window so a registry edit can never
 silently drop an intended gate: REQUIRED_IN_WINDOW must be edited in
 lockstep with any registry reorder."""
 
 from curw_flo2d_data_manager_spark.queries import DRIVER_WINDOW, REGISTRY
 
-# Round-3 window: keys must sit at registry position < DRIVER_WINDOW.
+# Round-4 window: keys must sit at registry position < DRIVER_WINDOW.
 REQUIRED_IN_WINDOW = {
-    # store scans (s3 rotated out, green r01+r02)
-    "s1_series_range_scan", "s2_grid_scan_correction",
-    "s4_nearest_gauge_rain", "s6_max_end_time",
-    # parsers (p1 touched this round: per-section splits)
+    # never driver-certified across r1-r3 (round-3 verdict item 1 + the
+    # fifth one the verdict missed, dedup_latest_version)
+    "dedup_latest_version", "text_url_extract", "stream_dedup_events",
+    "text_repetition_gates", "sim_label_centroids",
+    # last certified in round 1 (oldest certifications — all 17)
+    "f_hash_sample", "f_stratified_sample", "a_rollup_cascade",
+    "a_session_window_native", "x_pivot_event_types", "a_rollup_totals",
+    "a_distinct_counts", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier", "q6_revenue_change", "q4_exists_semi",
+    "q18_having_topk", "q10_returned_items", "q14_promo_share",
+    "q15_top_supplier", "q19_disjunctive",
+    # last certified in round 2 (all 13 rotated out for round 3)
+    "s3_first_value_lookup", "k1_fixed_width_render",
+    "f6_sentinel_cleaning", "j5_semi_join", "w2_elapsed_hours",
+    "o2_ordered_topk", "u2_set_ops", "x11_series_hash_id",
+    "dedup_fingerprint", "dedup_ngram_jaccard", "sim_cosine_dedup",
+    "text_lang_id", "text_top_bigrams",
+    # touched this round
     "p1_hychan_roundtrip", "p2_timdep_roundtrip",
-    # renders + sinks
-    "k2_outflow_render", "k3_raincell_render", "k4_rain_render",
-    "k5_chan_render", "k7_merge_upsert", "k8_run_metadata",
-    # filters
-    "f9_get_or_create",
-    # joins
-    "j1_calendar_spine", "j2_dim_enrichment", "j6_nearest_rank1",
-    "j8_gap_fill", "j_asof_join", "j_range_join",
-    # aggregation + windows
-    "a2_resample_right_closed", "a4_cumulative_fraction",
-    "w3_fill_down", "w_sessionize_events", "q12_priority_case",
-    "x4_json_extract",
-    # streaming
-    "stream_resample_events", "stream_cumsum_events",
-    "stream_session_events",
-    # dedup (minhash touched this round: bucket-cap default)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    # similarity
-    "sim_cosine_topk", "sim_ivf_topk", "sim_lsh_pairs",
-    # text (pii regex touched this round)
-    "text_token_counts", "text_quality", "text_pii_redact",
-    # multimodal
-    "mm_binary_meta", "mm_decode_meta",
-    # newly-oracled this round
-    "a_approx_distinct",
-    # round-1 breadth rotated back in for re-certification
-    "w_moving_avg", "x_unpivot_lineitem", "a_cube_counts",
-    "a_percentiles", "q2_min_supplier", "q7_nation_volume",
-    "q13_order_distribution", "q16_supplier_cnt",
-    "q17_small_quantity", "q22_idle_customers",
+    "mm_binary_meta", "mm_decode_meta", "text_pii_redact",
+    # core keepers
+    "s1_series_range_scan", "s4_nearest_gauge_rain",
+    "k2_outflow_render", "k4_rain_render", "k7_merge_upsert",
+    "dedup_minhash_lsh", "dedup_simhash", "sim_ivf_topk",
+    "stream_resample_events", "a_approx_distinct",
 }
 
 
