@@ -189,7 +189,8 @@ def cmd_gen_rain(args) -> None:
                 f"{args.model}: provide --lat/--lon or --rain_config "
                 "(flo2d_10 models resolve their gauge from a config point)"
             )
-        cfg = json.loads(open(args.rain_config).read()).get(args.model)
+        with open(args.rain_config) as fh:
+            cfg = json.load(fh).get(args.model)
         if not cfg:
             raise SystemExit(f"{args.model} not present in {args.rain_config}")
         lat, lon = float(cfg["lat"]), float(cfg["lon"])
@@ -202,8 +203,12 @@ def cmd_gen_rain(args) -> None:
             args.obs_stations or os.path.join(args.store, "obs_stations")
         )
         grid_ids = nearest_gauge_grid_ids(spark, stations, lat, lon)
+        # the reference hardcodes method='MME' when resolving the
+        # nearest rainfall station for flo2d_10 models
+        # (gen_rain.py find_hash_id_of_nearest_rainfall_station), so
+        # --method is ignored on this branch (round-3 advice)
         ts = store.get_timeseries_by_grid_ids(
-            args.method, grid_ids, args.start_time, args.end_time
+            "MME", grid_ids, args.start_time, args.end_time
         )
     else:
         ts = store.get_timeseries_by_meta(

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -56,12 +57,19 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
+# Every decode-family output carries ``decoded``: True only when a
+# REAL codec produced the bytes; False for the deterministic stand-in
+# (codec missing, blob undecodable, or null input). Without it the
+# fallback is indistinguishable downstream from a real decode
+# (round-3 verdict item 5) — consumers filter `WHERE decoded` or route
+# `NOT decoded` rows to a dead-letter sink.
 DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("n_bytes", LongType(), True),
         StructField("content_sha", StringType(), True),
         StructField("fake_mean_luma", LongType(), True),
+        StructField("decoded", BooleanType(), False),
     ]
 )
 
@@ -96,6 +104,9 @@ def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
                     "fake_mean_luma": pdf[content_col].map(
                         lambda b: int(sum(b) / len(b)) if b else 0
                     ),
+                    # this stage IS the stand-in — a real codec branch
+                    # would set True on successful decode
+                    "decoded": False,
                 }
             )
             yield out
@@ -110,6 +121,7 @@ RESIZED_SCHEMA = StructType(
         StructField("mime", StringType(), True),
         StructField("width", IntegerType(), False),
         StructField("height", IntegerType(), False),
+        StructField("decoded", BooleanType(), False),
     ]
 )
 
@@ -119,6 +131,7 @@ FRAME_SCHEMA = StructType(
         StructField("frame_idx", IntegerType(), False),
         StructField("ts_ms", IntegerType(), False),
         StructField("frame", BinaryType(), True),
+        StructField("decoded", BooleanType(), False),
     ]
 )
 
@@ -129,35 +142,36 @@ def _resize_stand_in(b: bytes, width: int, height: int) -> bytes:
 
 
 def _load_image_resizer(width: int, height: int):
-    """Per-blob resize callable: PIL-backed when importable, the
-    deterministic stand-in otherwise. A blob PIL cannot decode
-    (corrupt / not an image) falls back to the stand-in rather than
-    raising — at 100 TB a malformed row must never kill the stage
-    (real pipelines route these to a dead-letter sink; here the
-    stand-in keeps output deterministic either way)."""
+    """Per-blob resize callable returning ``(bytes, decoded)``:
+    PIL-backed when importable (decoded=True on success), the
+    deterministic stand-in otherwise (decoded=False). A blob PIL
+    cannot decode (corrupt / not an image) falls back to the stand-in
+    rather than raising — at 100 TB a malformed row must never kill
+    the stage — and the flag makes the fallback filterable downstream
+    (real pipelines route decoded=False to a dead-letter sink)."""
     try:  # real codec path — exercised wherever PIL exists
         import io
 
         from PIL import Image  # type: ignore
 
-        def _do(b: bytes | None) -> bytes | None:
+        def _do(b: bytes | None) -> tuple[bytes | None, bool]:
             if b is None:
-                return None
+                return None, False
             try:
                 img = Image.open(io.BytesIO(bytes(b))).resize((width, height))
                 out = io.BytesIO()
                 img.save(out, format="PNG")
-                return out.getvalue()
+                return out.getvalue(), True
             except Exception:
-                return _resize_stand_in(b, width, height)
+                return _resize_stand_in(b, width, height), False
 
         return _do
     except ImportError:  # codec-free stand-in
 
-        def _do(b: bytes | None) -> bytes | None:
+        def _do(b: bytes | None) -> tuple[bytes | None, bool]:
             if b is None:
-                return None
-            return _resize_stand_in(b, width, height)
+                return None, False
+            return _resize_stand_in(b, width, height), False
 
         return _do
 
@@ -171,13 +185,15 @@ def iter_resize_batches(
     never reaches them)."""
     _do = _load_image_resizer(width, height)
     for pdf in batches:
+        pairs = pdf[content_col].map(_do)
         yield pd.DataFrame(
             {
                 "media_id": pdf["media_id"],
-                "content": pdf[content_col].map(_do),
+                "content": pairs.map(lambda p: p[0]),
                 "mime": "image/png",
                 "width": width,
                 "height": height,
+                "decoded": pairs.map(lambda p: p[1]),
             }
         )
 
@@ -206,20 +222,22 @@ def _frame_stand_in(blob: bytes, ts_ms: int) -> bytes:
 
 
 def _load_frame_grabber():
-    """Per-(blob, ts) frame-grab callable: pyav-backed when importable
-    (seek to the timestamp, decode the first frame at/after it, return
-    raw RGB24 bytes), the deterministic stand-in otherwise. A blob
-    pyav cannot open/decode falls back to the stand-in rather than
-    raising — codec presence must never change whether the stage
-    completes, only what real frames come back."""
+    """Per-(blob, ts) frame-grab callable returning ``(bytes,
+    decoded)``: pyav-backed when importable (seek to the timestamp,
+    decode the first frame at/after it, return raw RGB24 bytes,
+    decoded=True), the deterministic stand-in otherwise
+    (decoded=False). A blob pyav cannot open/decode falls back to the
+    stand-in rather than raising — codec presence must never change
+    whether the stage completes, only what real frames come back —
+    and the flag makes fallback frames filterable downstream."""
     try:
         import io
 
         import av  # type: ignore
 
-        def _grab(blob: bytes | None, ts_ms: int) -> bytes | None:
+        def _grab(blob: bytes | None, ts_ms: int) -> tuple[bytes | None, bool]:
             if blob is None:
-                return None
+                return None, False
             try:
                 with av.open(io.BytesIO(bytes(blob))) as container:
                     stream = container.streams.video[0]
@@ -229,18 +247,22 @@ def _load_frame_grabber():
                     for frame in container.decode(stream):
                         t = frame.time
                         if t is None or t * 1000.0 >= ts_ms - 1:
-                            return frame.to_ndarray(format="rgb24").tobytes()
-                return _frame_stand_in(blob, ts_ms)  # past end of stream
+                            return (
+                                frame.to_ndarray(format="rgb24").tobytes(),
+                                True,
+                            )
+                # past end of stream
+                return _frame_stand_in(blob, ts_ms), False
             except Exception:
-                return _frame_stand_in(blob, ts_ms)
+                return _frame_stand_in(blob, ts_ms), False
 
         return _grab
     except ImportError:
 
-        def _grab(blob: bytes | None, ts_ms: int) -> bytes | None:
+        def _grab(blob: bytes | None, ts_ms: int) -> tuple[bytes | None, bool]:
             if blob is None:
-                return None
-            return _frame_stand_in(blob, ts_ms)
+                return None, False
+            return _frame_stand_in(blob, ts_ms), False
 
         return _grab
 
@@ -257,6 +279,7 @@ def iter_sample_batches(
             "frame_idx": [],
             "ts_ms": [],
             "frame": [],
+            "decoded": [],
         }
         for mid, blob, dur in zip(
             pdf["media_id"], pdf[content_col], pdf["duration_ms"]
@@ -264,10 +287,12 @@ def iter_sample_batches(
             n = 0 if dur is None else int(dur) // every_ms + 1
             for i in range(n):
                 ts = i * every_ms
+                frame, ok = _grab(blob, ts)
                 out["media_id"].append(mid)
                 out["frame_idx"].append(i)
                 out["ts_ms"].append(ts)
-                out["frame"].append(_grab(blob, ts))
+                out["frame"].append(frame)
+                out["decoded"].append(ok)
         yield pd.DataFrame(out)
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from curw_flo2d_data_manager_spark.functions.timeutil import elapsed_hours
-from curw_flo2d_data_manager_spark.plans.models import MODELS
+from curw_flo2d_data_manager_spark.plans.models import get_model_spec
 
 
 def inflow_lines(
@@ -38,13 +38,14 @@ def inflow_lines(
     ``(block_rank int, intra_rank long, line string)``; write with
     ``sinks.ordered_text.write_ordered_text`` sorted on both ranks.
     """
-    spec = MODELS[model]
+    spec = get_model_spec(model)
+    header_cell, c_cell = spec.require_inflow()  # flo2d_10 = rain-only
     spark = discharge_ts.sparkSession
 
     header = spark.createDataFrame(
         [
-            (0, 0, "0" + str(spec.inflow_header_cell).rjust(16)),
-            (0, 1, "C" + "0".rjust(16) + str(spec.inflow_c_cell).rjust(16)),
+            (0, 0, "0" + str(header_cell).rjust(16)),
+            (0, 1, "C" + "0".rjust(16) + str(c_cell).rjust(16)),
             (0, 2, "H" + "0".rjust(16) + "0".rjust(16)),
         ],
         "block_rank int, intra_rank long, line string",

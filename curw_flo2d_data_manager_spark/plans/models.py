@@ -25,9 +25,31 @@ from dataclasses import dataclass, field
 @dataclass(frozen=True)
 class ModelSpec:
     name: str
-    # INFLOW.DAT header: (first line 2nd field, C-row 2nd field)
-    inflow_header_cell: int
-    inflow_c_cell: int
+    # INFLOW.DAT header: (first line 2nd field, C-row 2nd field).
+    # None → the model has no inflow spec (the open-ended flo2d_10
+    # family is rain-only in the reference); inflow/outflow plans must
+    # call require_inflow()/require_outflow() instead of reading the
+    # fields raw, so a rain-only model raises instead of silently
+    # rendering wrong headers (round-3 advice).
+    inflow_header_cell: int | None
+    inflow_c_cell: int | None
+
+    def require_inflow(self) -> tuple[int, int]:
+        if self.inflow_header_cell is None or self.inflow_c_cell is None:
+            raise KeyError(
+                f"{self.name}: no INFLOW spec — the flo2d_10 family is "
+                "rain-only in the reference (gen_rain.py accepts any "
+                "flo2d_10_* name; gen_inflow/gen_outflow do not)"
+            )
+        return self.inflow_header_cell, self.inflow_c_cell
+
+    def require_outflow(self) -> tuple[tuple, tuple]:
+        if not self.outflow_k_cells and not self.outflow_n_cells:
+            raise KeyError(
+                f"{self.name}: no OUTFLOW spec — the flo2d_10 family is "
+                "rain-only in the reference"
+            )
+        return self.outflow_k_cells, self.outflow_n_cells
     # 250-only trailing reservoir rows: [(cell, fixed_stage | None)]
     # None stage → filled with the observed water level at run time
     reservoir_rows: tuple = ()
@@ -90,10 +112,14 @@ def get_model_spec(model: str) -> ModelSpec:
     if model in MODELS:
         return MODELS[model]
     if FLO2D_10_PATTERN.match(model):
+        # Rain-only spec: inflow cells stay None so inflow_lines /
+        # outflow on a flo2d_10 model raise (via require_inflow /
+        # require_outflow) as the reference's MODEL-keyed dict lookup
+        # would, instead of rendering fabricated headers.
         return ModelSpec(
             name=model,
-            inflow_header_cell=0,
-            inflow_c_cell=0,
+            inflow_header_cell=None,
+            inflow_c_cell=None,
             timestep_min=5,
             water_supply=1.0 / (24 * 12),
             rain_resample_min=None,

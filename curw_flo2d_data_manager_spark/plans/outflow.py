@@ -23,7 +23,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from curw_flo2d_data_manager_spark.functions.timeutil import elapsed_hours
-from curw_flo2d_data_manager_spark.plans.models import MODELS, TIDE_GAP_SENTINEL
+from curw_flo2d_data_manager_spark.plans.models import (
+    TIDE_GAP_SENTINEL,
+    get_model_spec,
+)
 
 
 def outflow_lines(
@@ -42,24 +45,25 @@ def outflow_lines(
     block 0 = K rows; blocks 1.. = one per boundary node in the spec's
     file order (``N`` row then ``S`` rows).
     """
-    spec = MODELS[model]
+    spec = get_model_spec(model)
+    k_cells, n_cells = spec.require_outflow()  # flo2d_10 = rain-only
     spark = tide_ts.sparkSession
 
     k_rows = spark.createDataFrame(
         [
             (0, i, "K" + str(c).rjust(16))
-            for i, c in enumerate(spec.outflow_k_cells)
+            for i, c in enumerate(k_cells)
         ],
         "block_rank int, intra_rank long, line string",
     )
     n_rows = spark.createDataFrame(
         [
             (i + 1, 0, "N" + str(c).rjust(16) + "1".rjust(16))
-            for i, c in enumerate(spec.outflow_n_cells)
+            for i, c in enumerate(n_cells)
         ],
         "block_rank int, intra_rank long, line string",
     )
-    node_rank = {c: i + 1 for i, c in enumerate(spec.outflow_n_cells)}
+    node_rank = {c: i + 1 for i, c in enumerate(n_cells)}
     rank_map = F.create_map(
         *[F.lit(x) for pair in node_rank.items() for x in pair]
     )

@@ -71,30 +71,55 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _events(
     spark: SparkSession, sf_dir: str, start: str | None = None, end: str | None = None
 ) -> DataFrame:
-    """events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which the
-    vectorized parquet reader rejects; read nanos as long and convert
-    to a microsecond timestamp (truncation — matches DuckDB's ns→us).
+    """events scan, adaptive to the two physical ``ts`` layouts the
+    driver has shipped:
 
-    Time-range predicates on the *converted* column cannot reach the
-    parquet scan (the conversion hides the raw long), so optional
-    ``start``/``end`` bounds are applied to the raw nanos column first
-    — those DO push down to row-group min/max pruning, which is the
-    difference between scanning a day and scanning 100 TB.
+    * INT64 TIMESTAMP(NANOS) — rejected by the vectorized parquet
+      reader; read nanos as long, filter on the raw long (those
+      predicates push down to row-group min/max pruning — the
+      difference between scanning a day and scanning 100 TB), then
+      convert to a microsecond timestamp (truncation matches DuckDB's
+      ns→us cast).
+    * native TIMESTAMP/TIMESTAMP_NTZ (current testdata) — filter with
+      literals cast to the column's own type (pushes down directly),
+      then normalize NTZ → session-TZ timestamp; the session TZ is
+      pinned UTC (session.py), so wall-clock values are identical to
+      the nanos path and to DuckDB's naive-timestamp oracle reads.
+
+    Both branches keep the public contract: ``ts`` comes back as a
+    plain TimestampType with the same wall-clock values, and the
+    optional [start, end+1s) bound lands on the scan, never on a
+    derived column.
     """
     from datetime import datetime, timezone
 
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = df.schema["ts"].dataType
 
-    def _ns(t: str) -> int:
-        dt = datetime.fromisoformat(t).replace(tzinfo=timezone.utc)
-        return int(dt.timestamp()) * 1_000_000_000
+    if isinstance(ts_type, LongType):  # legacy INT64(NANOS) layout
 
+        def _ns(t: str) -> int:
+            dt = datetime.fromisoformat(t).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp()) * 1_000_000_000
+
+        if start is not None:
+            df = df.filter(F.col("ts") >= F.lit(_ns(start)))
+        if end is not None:
+            df = df.filter(F.col("ts") < F.lit(_ns(end)) + F.lit(1_000_000_000))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+    # native timestamp layout: compare in the column's own type so the
+    # predicate stays on the scan column (no cast over ts = pushdown)
     if start is not None:
-        df = df.filter(F.col("ts") >= F.lit(_ns(start)))
+        df = df.filter(F.col("ts") >= F.lit(start).cast(ts_type))
     if end is not None:
-        df = df.filter(F.col("ts") < F.lit(_ns(end)) + F.lit(1_000_000_000))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        df = df.filter(
+            F.col("ts") < F.lit(end).cast(ts_type) + F.expr("INTERVAL 1 SECOND")
+        )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # =====================================================================
@@ -635,7 +660,28 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TEXT_PII_SQL = r"""
+def _text_pii_sql() -> str:
+    """Build the DuckDB oracle from PII_PATTERNS itself — one source
+    of truth for the engine-portable regexes (round-3 advice: a
+    hand-copied SQL twin of the patterns can drift, e.g. the r2
+    explicit-whitespace-class phone fix was only half-applied). The
+    patterns use Java∩RE2 syntax and contain no single quotes, so they
+    interpolate into standard SQL string literals verbatim."""
+    from curw_flo2d_data_manager_spark.operators.textstats import PII_PATTERNS
+
+    red = "t"
+    for pat, repl in PII_PATTERNS.values():  # same order as redact_pii
+        red = f"regexp_replace({red},\n               '{pat}', '{repl}', 'g')"
+    counts = ",\n       ".join(
+        f"CAST((length(r) - length(replace(r, '{repl}', ''))) / {len(repl)}"
+        f" AS BIGINT) AS n_{kind}s"
+        for kind, (_, repl) in (
+            ("email", PII_PATTERNS["email"]),
+            ("phone", PII_PATTERNS["phone"]),
+            ("ip", PII_PATTERNS["ipv4"]),
+        )
+    )
+    return f"""
 WITH aug AS (
     SELECT doc_id,
            text || ' contact user' || doc_id || '@example.com or 071-2345678 via 192.168.'
@@ -644,19 +690,17 @@ WITH aug AS (
 ),
 red AS (
     SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(t,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
-               '\+?[0-9][0-9()\-\s]{7,}[0-9]', '[PHONE]', 'g') AS r
+           {red} AS r
     FROM aug
 )
 SELECT doc_id, sha256(r) AS redacted_sha,
-       CAST((length(r) - length(replace(r, '[EMAIL]', ''))) / 7 AS BIGINT) AS n_emails,
-       CAST((length(r) - length(replace(r, '[PHONE]', ''))) / 7 AS BIGINT) AS n_phones,
-       CAST((length(r) - length(replace(r, '[IP]', ''))) / 4 AS BIGINT) AS n_ips
+       {counts}
 FROM red
 ORDER BY doc_id
 """
+
+
+TEXT_PII_SQL = _text_pii_sql()
 
 
 def text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1697,7 +1741,10 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary content. The codec stand-in is deterministic (byte length,
     sha256, mean byte value as fake luma), so DuckDB can recompute
     every output column from the same bytes — a FULL oracle over the
-    Python batch plumbing (Arrow round-trip, schema, null handling)."""
+    Python batch plumbing (Arrow round-trip, schema, null handling).
+    The ``decoded`` health flag (False = stand-in produced the output;
+    this sandbox has no codec, so it is False on every row) is part of
+    the hashed result, pinning the fallback-visibility contract."""
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
@@ -1716,7 +1763,8 @@ SELECT media_id,
        CAST(CASE WHEN text IS NULL OR octet_length(bb) = 0 THEN 0
                  ELSE list_sum(list_transform(range(0, octet_length(bb)),
                           i -> CAST('0x' || substring(hex(bb), 2*i+1, 2) AS INT)))
-                      // octet_length(bb) END AS BIGINT) AS fake_mean_luma
+                      // octet_length(bb) END AS BIGINT) AS fake_mean_luma,
+       FALSE AS decoded
 FROM b
 ORDER BY media_id
 """

@@ -77,8 +77,19 @@ def filldown_headers(
     headers = tagged.filter(
         reduce(lambda a, b: a | b, [F.col(c).isNotNull() for c in cols])
     )
+    # Last NON-null per column (matching last(..., ignorenulls=True)):
+    # a bare max_by(c, order_col) would take the value at the last
+    # header row even when that value is null (e.g. a malformed header
+    # whose try_element_at missed), silently nulling every later
+    # partition's fill (round-3 advice). Conditioning the order key on
+    # c.isNotNull() makes max_by skip null candidates per column.
     pid_last = headers.groupBy(file_col, "_pid").agg(
-        *[F.max_by(c, order_col).alias(f"_h_{c}") for c in cols]
+        *[
+            F.max_by(c, F.when(F.col(c).isNotNull(), F.col(order_col))).alias(
+                f"_h_{c}"
+            )
+            for c in cols
+        ]
     )
     pids = tagged.select(file_col, "_pid").distinct()
     w_carry = (

@@ -53,10 +53,12 @@ def test_decode_image_meta_batch_shape(media):
 def test_resize_images_deterministic_and_typed(media):
     out = resize_images(media.filter("kind = 'image'"), 64, 64)
     assert [f.name for f in out.schema.fields] == [
-        "media_id", "content", "mime", "width", "height",
+        "media_id", "content", "mime", "width", "height", "decoded",
     ]
     rows = sorted(out.collect(), key=lambda r: r["media_id"])
     assert [r["width"] for r in rows] == [64, 64]
+    # no codec in this sandbox → every row is a stand-in, flagged so
+    assert [r["decoded"] for r in rows] == [False, False]
     # deterministic stand-in: same input bytes → same output bytes
     again = sorted(
         resize_images(media.filter("kind = 'image'"), 64, 64).collect(),
@@ -85,6 +87,8 @@ def test_sample_frames_row_expansion(media):
     # null blob → null frames, but rows still emitted (gap-visible)
     assert all(r["frame"] is None for r in by_id[4])
     assert all(r["frame"] is not None for r in by_id[3])
+    # stand-in frames carry decoded=False (no codec in this sandbox)
+    assert all(r["decoded"] is False for r in rows)
 
 
 # ------------------------------------------------------- codec branches
@@ -103,7 +107,7 @@ IMAGE_BATCH = pd.DataFrame(
 
 def _stand_in_frames():
     return [
-        (r.media_id, r.frame_idx, r.ts_ms, r.frame)
+        (r.media_id, r.frame_idx, r.ts_ms, r.frame, r.decoded)
         for pdf in iter_sample_batches(iter([VIDEO_BATCH]), every_ms=1000)
         for r in pdf.itertuples()
     ]
@@ -169,14 +173,15 @@ def test_sample_frames_pyav_present_decodable_real_frames(monkeypatch):
 
     frames = _stand_in_frames()
     by_id = {}
-    for mid, idx, ts, frame in frames:
-        by_id.setdefault(mid, []).append((idx, ts, frame))
+    for mid, idx, ts, frame, decoded in frames:
+        by_id.setdefault(mid, []).append((idx, ts, frame, decoded))
     # media 3: real frames — 2x2 RGB24 = 12 bytes, value = frame_time*10
-    assert [ts for _, ts, _ in by_id[3]] == [0, 1000, 2000]
-    for (idx, ts, frame), want in zip(by_id[3], (0, 10, 20)):
+    assert [ts for _, ts, _, _ in by_id[3]] == [0, 1000, 2000]
+    for (idx, ts, frame, decoded), want in zip(by_id[3], (0, 10, 20)):
         assert len(frame) == 12 and frame == bytes([want] * 12)
-    # media 4: null blob stays null rows
-    assert all(f is None for _, _, f in by_id[4])
+        assert decoded is True  # real codec path flags True
+    # media 4: null blob stays null rows, flagged undecoded
+    assert all(f is None and d is False for _, _, f, d in by_id[4])
 
 
 def test_resize_pil_present_undecodable_falls_back(monkeypatch):
@@ -218,9 +223,9 @@ def test_resize_pil_present_decodable_real_path(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
 
     got = {
-        r.media_id: r.content
+        r.media_id: (r.content, r.decoded)
         for pdf in iter_resize_batches(iter([IMAGE_BATCH]), 64, 64)
         for r in pdf.itertuples()
     }
-    assert got[1] == b"PNG:64x64"
-    assert got[2] is None
+    assert got[1] == (b"PNG:64x64", True)  # real codec path flags True
+    assert got[2] == (None, False)
