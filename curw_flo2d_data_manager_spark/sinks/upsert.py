@@ -37,28 +37,56 @@ def merge_upsert(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> D
     return kept.unionByName(inc)
 
 
+def _upsert_sql(
+    table: str, cols: list[str], keys: list[str], dialect: str
+) -> str:
+    """Upsert statement per dialect. ``mysql`` (the reference's target
+    — extract_water_level.py:216) uses ``ON DUPLICATE KEY UPDATE``
+    with ``%s`` placeholders; ``standard`` (sqlite ≥3.24 / postgres)
+    uses ``ON CONFLICT (keys) DO UPDATE SET c = excluded.c`` with
+    ``?`` placeholders — both need a unique/PK index on ``keys``."""
+    non_keys = [c for c in cols if c not in keys]
+    if dialect == "mysql":
+        placeholders = ", ".join(["%s"] * len(cols))
+        update = (
+            ", ".join(f"{c}=VALUES({c})" for c in non_keys)
+            or f"{keys[0]}={keys[0]}"
+        )
+        return (
+            f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders}) "
+            f"ON DUPLICATE KEY UPDATE {update}"
+        )
+    if dialect == "standard":
+        placeholders = ", ".join(["?"] * len(cols))
+        update = (
+            ", ".join(f"{c} = excluded.{c}" for c in non_keys)
+            or f"{keys[0]} = {table}.{keys[0]}"
+        )
+        return (
+            f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders}) "
+            f"ON CONFLICT ({', '.join(keys)}) DO UPDATE SET {update}"
+        )
+    raise ValueError(f"unknown upsert dialect: {dialect!r}")
+
+
 def jdbc_upsert_partition(
     df: DataFrame,
     table: str,
     keys: list[str],
     connection_factory: Callable[[], object],
     batch_size: int = 1000,
+    dialect: str = "mysql",
 ) -> None:
     """Batched DB-API upsert from every partition in parallel.
 
     ``connection_factory`` must be importable on executors (e.g. a
-    top-level function building a pymysql/psycopg connection). Uses
-    MySQL ``ON DUPLICATE KEY UPDATE`` syntax (the reference's target —
-    extract_water_level.py:216).
+    top-level function building a pymysql/psycopg/sqlite3 connection).
+    ``dialect`` picks the upsert statement + paramstyle (``mysql``
+    default, matching the reference's target; ``standard`` for
+    sqlite/postgres ``ON CONFLICT DO UPDATE``).
     """
     cols = df.columns
-    non_keys = [c for c in cols if c not in keys]
-    placeholders = ", ".join(["%s"] * len(cols))
-    update = ", ".join(f"{c}=VALUES({c})" for c in non_keys) or f"{keys[0]}={keys[0]}"
-    sql = (
-        f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders}) "
-        f"ON DUPLICATE KEY UPDATE {update}"
-    )
+    sql = _upsert_sql(table, cols, keys, dialect)
 
     def _write(rows: Iterator) -> None:
         conn = connection_factory()

@@ -36,7 +36,9 @@ from pyspark.sql import DataFrame, SparkSession
 def _open_sqlite(path: str):
     import sqlite3
 
-    return sqlite3.connect(path)
+    # generous busy timeout: concurrent executor partitions serialize
+    # on sqlite's single-writer lock instead of failing fast
+    return sqlite3.connect(path, timeout=60)
 
 
 def sqlite_connection_factory(path: str) -> Callable[[], object]:
