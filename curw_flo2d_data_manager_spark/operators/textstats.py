@@ -12,15 +12,40 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Tiny high-frequency marker lexicons for the n-gram/stopword language
-# heuristic. Deliberately small and deterministic — the point is the
-# distributed scoring plumbing, not lexical coverage.
+# High-frequency function-word marker lexicons for the stopword
+# language heuristic (drawn from public frequency lists — the usual
+# top-of-corpus closed-class words per language). Still deterministic
+# and small enough to live in the plan as array literals; the scoring
+# plumbing is generic over this dict, and the DuckDB oracle SQL is
+# GENERATED from it (queries._text_lang_sql) so the two can't drift.
+# Dict order is the tie-break order (first max wins) — append new
+# languages at the end to keep old predictions stable.
+# Note on zh/ja: whitespace tokenization only matches pre-segmented
+# CJK text; unsegmented CJK scores 0 and falls to 'unknown' — the
+# documented limit of the whitespace heuristic.
 LANG_MARKERS: dict[str, list[str]] = {
-    "en": ["the", "and", "of", "to", "is", "in", "that", "for"],
-    "es": ["el", "la", "de", "que", "los", "una", "por", "con"],
-    "fr": ["le", "les", "des", "une", "est", "dans", "pour", "sur"],
-    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
-    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+    "en": ["the", "and", "of", "to", "is", "in", "that", "for",
+           "it", "was", "with", "as", "his", "on", "be", "at"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con",
+           "las", "del", "se", "no", "más", "como", "pero", "sus"],
+    "fr": ["le", "les", "des", "une", "est", "dans", "pour", "sur",
+           "que", "qui", "pas", "avec", "plus", "par", "mais", "aux"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+           "den", "von", "zu", "sich", "auf", "für", "auch", "dem"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不",
+           "这", "他", "们", "就", "也", "都", "说", "要"],
+    "pt": ["de", "que", "não", "uma", "os", "como", "mas", "foi",
+           "ele", "das", "mais", "às", "pelo", "isso", "ela", "são"],
+    "it": ["di", "che", "il", "non", "per", "una", "del", "con",
+           "gli", "della", "più", "anche", "come", "sono", "nel", "alla"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "niet", "met",
+           "zijn", "voor", "aan", "maar", "ook", "als", "dan", "bij"],
+    "ru": ["и", "в", "не", "на", "что", "он", "как", "это",
+           "по", "но", "его", "к", "из", "у", "за", "от"],
+    "sv": ["och", "att", "det", "som", "en", "på", "är", "av",
+           "för", "med", "den", "till", "inte", "om", "han", "var"],
+    "tr": ["bir", "ve", "bu", "da", "için", "ile", "olarak", "çok",
+           "daha", "gibi", "kadar", "sonra", "ama", "en", "ne", "var"],
 }
 
 EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]

@@ -2509,24 +2509,30 @@ def _lang_score_sql(lang: str) -> str:
     )
 
 
-TEXT_LANG_SQL = f"""
+def _text_lang_sql() -> str:
+    """Generate the oracle from LANG_MARKERS itself (single source of
+    truth, like the PII patterns): score columns and the
+    first-max-wins CASE are emitted in dict order, matching
+    lang_id's strictly-greater tie-break exactly."""
+    langs = list(LANG_MARKERS)
+    scores = ",\n           ".join(
+        f"{_lang_score_sql(lang)} AS s_{lang}" for lang in langs
+    )
+    gmax = f"greatest({', '.join(f's_{lang}' for lang in langs)})"
+    case = "\n                ".join(
+        f"WHEN s_{lang} = {gmax} THEN '{lang}'" for lang in langs[:-1]
+    )
+    return f"""
 WITH scored AS (
     SELECT lang,
-           {_lang_score_sql('en')} AS s_en,
-           {_lang_score_sql('es')} AS s_es,
-           {_lang_score_sql('fr')} AS s_fr,
-           {_lang_score_sql('de')} AS s_de,
-           {_lang_score_sql('zh')} AS s_zh
+           {scores}
     FROM documents
 ),
 pred AS (
     SELECT lang,
-           CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'unknown'
-                WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
-                WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
-                WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
-                WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
-                ELSE 'zh' END AS pred_lang
+           CASE WHEN {gmax} = 0 THEN 'unknown'
+                {case}
+                ELSE '{langs[-1]}' END AS pred_lang
     FROM scored
 )
 SELECT lang, pred_lang, COUNT(*) AS n
@@ -2534,6 +2540,9 @@ FROM pred
 GROUP BY lang, pred_lang
 ORDER BY lang, pred_lang
 """
+
+
+TEXT_LANG_SQL = _text_lang_sql()
 
 
 def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

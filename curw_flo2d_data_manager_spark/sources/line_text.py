@@ -42,6 +42,7 @@ def filldown_headers(
     cols: list[str],
     order_col: str = "line_no",
     file_col: str = "file",
+    cache: bool = False,
 ) -> DataFrame:
     """Fill ``cols`` down file line order as a PARALLEL PREFIX.
 
@@ -61,10 +62,27 @@ def filldown_headers(
     ``cols`` must be populated together on the same (header) rows.
     The two auxiliary scans over the raw text are the declarative twin
     of the reference's own pass-1 (extract_water_level.py:425-446).
+
+    The plan traverses ``tagged`` three times (local fill, header
+    extraction, pid spine). ``cache=True`` persists it
+    (MEMORY_AND_DISK) so the text scan + tokenization runs once —
+    MEASURED at a 1 GiB HYCHAN on local[32]+page cache this is a
+    pessimization (tools/bench_hychan_scale.py, BASELINE.md: 21.0 s
+    uncached vs 37.1 s cached — persist serialization costs more than
+    two extra codegen scans of locally-cached text), so the default is
+    False; flip it when the source is remote object storage, where the
+    three traversals are three paid network reads. Partition layout is
+    consistent across uncached traversals because split planning over
+    a static file is deterministic (the forced-1 KiB-splits test pins
+    byte-identical output across partition counts).
     """
     from functools import reduce
 
+    from pyspark import StorageLevel
+
     tagged = tagged.withColumn("_pid", F.spark_partition_id())
+    if cache:
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
     w_loc = (
         Window.partitionBy("_pid", file_col)
         .orderBy(order_col)

@@ -240,3 +240,61 @@ def streaming_dedup(
     return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def hychan_extract_stream(
+    spark: SparkSession,
+    watch_dir: str,
+    base_time: str,
+    on_batch,
+    variable: str = "water_level",
+    checkpoint: str | None = None,
+    available_now: bool = False,
+    keep_incomplete: bool = False,
+):
+    """File-arrival HYCHAN extraction (SURVEY §2.11 stretch goal): the
+    streaming twin of the reference's cron-triggered
+    extract_water_level runs.
+
+    Each new ``HYCHAN.OUT``-style file dropped under ``watch_dir``
+    arrives as one micro-batch of text lines (Spark's file source
+    admits only whole, closed files into a batch — a file's lines are
+    never split across batches), is parsed with the SAME single-pass
+    plan as the batch parser (``sources.hychan._parse_hychan_lines``,
+    parallel-prefix fill-down included), and the parsed
+    ``(file, element_no, time, value)`` DataFrame is handed to
+    ``on_batch(parsed_df, batch_id)`` — typically
+    ``sinks.upsert.merge_upsert`` into the forecast store, which is
+    idempotent on replays (exactly-once downstream).
+
+    Inside ``foreachBatch`` the batch DataFrame is a static scan over
+    the batch's files, so the ``input_file_name`` +
+    ``monotonically_increasing_id`` line-order contract of
+    ``sources.line_text.read_lines_multi`` applies unchanged (pinned
+    by ``assert_line_order`` / the forced-splits tests).
+
+    Checkpointed file discovery means a restart resumes from the last
+    processed file — the operational property the reference's cron +
+    "latest fgt" bookkeeping approximates manually.
+
+    Returns the started ``StreamingQuery``.
+    """
+    lines = spark.readStream.format("text").load(watch_dir)
+
+    from curw_flo2d_data_manager_spark.sources.hychan import _parse_hychan_lines
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = batch_df.select(
+            F.input_file_name().alias("file"),
+            F.monotonically_increasing_id().alias("line_no"),
+            "value",
+        )
+        parsed = _parse_hychan_lines(tagged, base_time, variable, keep_incomplete)
+        on_batch(parsed, batch_id)
+
+    writer = lines.writeStream.foreachBatch(_process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

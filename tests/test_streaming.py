@@ -165,3 +165,66 @@ def test_watermark_finalizes_once_and_drops_late_rows(spark, tmp_path):
     assert rows == {("s", T(0, 15)): 1.0, ("s", T(3, 15)): 10.0}
     assert sum(d for d, _ in progress) == 1   # the 00:07 row was dropped
     assert progress[-1][1] <= 2               # state bounded (open buckets only)
+
+
+def test_hychan_extract_stream_file_arrival(spark, tmp_path):
+    """Files dropped into the watch dir arrive as whole-file
+    micro-batches, parse through the batch plan, and checkpointed
+    discovery processes each file exactly once across restarts."""
+    from curw_flo2d_data_manager_spark.sources.hychan import parse_hychan
+    from curw_flo2d_data_manager_spark.streaming import hychan_extract_stream
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def _hychan_text(elements, rows=6):
+        out = []
+        for el in elements:
+            out.append(f"     CHANNEL HYDROGRAPH FOR ELEMENT NO:   {el}")
+            out.append("   TIME   ELEV   DEPTH   VEL   Q")
+            for i in range(rows):
+                out.append(
+                    f"   {i * 0.25:.2f}   {10.0 + el * 0.01 + i * 0.001:.4f}"
+                    f"   1.0   0.1   {50.0 + i:.2f}"
+                )
+        return "\n".join(out) + "\n"
+
+    (watch / "run1.out").write_text(_hychan_text([100, 101]))
+
+    got: list[tuple] = []
+
+    def _collect(parsed, batch_id):
+        got.extend(
+            (r.file.rsplit("/", 1)[-1], r.element_no, str(r.time), r.value)
+            for r in parsed.collect()
+        )
+
+    q = hychan_extract_stream(
+        spark, str(watch), "2024-01-01 00:00:00", _collect,
+        checkpoint=ckpt, available_now=True,
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert len(got) == 2 * 6
+    # parity with the batch parser on the same file
+    batch = sorted(
+        (r.element_no, str(r.time), r.value)
+        for r in parse_hychan(
+            spark, str(watch / "run1.out"), "2024-01-01 00:00:00"
+        ).collect()
+    )
+    assert sorted((e, t, v) for _, e, t, v in got) == batch
+
+    # second file + restart from the same checkpoint: only the new
+    # file is processed (exactly-once discovery)
+    got.clear()
+    (watch / "run2.out").write_text(_hychan_text([200], rows=6))
+    q2 = hychan_extract_stream(
+        spark, str(watch), "2024-01-01 00:00:00", _collect,
+        checkpoint=ckpt, available_now=True,
+    )
+    q2.awaitTermination(120)
+    q2.stop()
+    assert {f for f, *_ in got} == {"run2.out"}
+    assert len(got) == 6

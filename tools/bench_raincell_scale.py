@@ -3,11 +3,16 @@
 Renders a full-size RAINCELL.DAT — 39,526 grid cells × N timesteps —
 as ONE Spark job through the ordered-text sink, the workload for which
 the reference makes N sequential stored-procedure round-trips
-(gen_raincell.py:129-142). Prints one JSON line with timings and the
-output line count.
+(gen_raincell.py:129-142). Renders BOTH sink modes (round-3 verdict
+item 3): ``single`` (distributed sort + driver-side streaming concat
+to one file) and ``parts`` (sorted part files + ordered manifest, no
+concat — the manifest escape hatch for consumers that can read one).
+Prints one JSON line with per-mode timings and line counts.
 
-Usage: python tools/bench_raincell_scale.py [steps] (default 288 — one
-day at 5 minutes ≈ 11.4M data lines).
+Usage: python tools/bench_raincell_scale.py [steps] [modes]
+(default 288 — one day at 5 minutes ≈ 11.4M data lines; 1152 ≈ the
+45.5M-line 4-day target. modes = comma list from {single,parts},
+default both).
 """
 
 from __future__ import annotations
@@ -56,29 +61,43 @@ def main() -> None:
     lines = raincell_lines(spark, grid, "flo2d_250", start, end)  # 5-min model
     build_s = time.monotonic() - t0
 
-    out = os.path.join(tempfile.mkdtemp(prefix="raincell_scale_"), "RAINCELL.DAT")
-    t0 = time.monotonic()
-    write_ordered_text(lines, out, sort_cols=["block_rank", "intra_rank"])
-    render_s = time.monotonic() - t0
-
-    n_lines = sum(1 for _ in open(out))
+    modes = (sys.argv[2] if len(sys.argv) > 2 else "single,parts").split(",")
     expected = 1 + steps * (N_CELLS + 1)
-    print(
-        json.dumps(
-            {
-                "metric": "raincell_scale_render",
-                "steps": steps,
-                "cells": N_CELLS,
-                "lines": n_lines,
-                "expected_lines": expected,
-                "plan_build_sec": round(build_s, 2),
-                "render_sec": round(render_s, 2),
-                "lines_per_sec": int(n_lines / render_s),
-                "ok": n_lines == expected,
-            }
+    result = {
+        "metric": "raincell_scale_render",
+        "steps": steps,
+        "cells": N_CELLS,
+        "expected_lines": expected,
+        "plan_build_sec": round(build_s, 2),
+    }
+    tmp = tempfile.mkdtemp(prefix="raincell_scale_")
+    import glob
+    import shutil
+
+    for mode in modes:
+        out = os.path.join(tmp, "RAINCELL.DAT" if mode == "single" else "RAINCELL.parts")
+        t0 = time.monotonic()
+        write_ordered_text(
+            lines, out, sort_cols=["block_rank", "intra_rank"], mode=mode
         )
-    )
-    os.remove(out)
+        render_s = time.monotonic() - t0
+        if mode == "single":
+            n_lines = sum(1 for _ in open(out))
+        else:
+            n_lines = sum(
+                sum(1 for _ in open(p))
+                for p in glob.glob(os.path.join(out, "part-*.txt"))
+            )
+        result[f"{mode}_render_sec"] = round(render_s, 2)
+        result[f"{mode}_lines_per_sec"] = int(n_lines / render_s)
+        result[f"{mode}_ok"] = n_lines == expected
+        if mode == "parts":
+            result["parts_files"] = len(
+                glob.glob(os.path.join(out, "part-*.txt"))
+            )
+        shutil.rmtree(out, ignore_errors=True) if os.path.isdir(out) else os.remove(out)
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
