@@ -2979,6 +2979,278 @@ ORDER BY c_mktsegment
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — a 6-table star join
+    (lineitem→orders→customer→nation→region + part + supplier→nation)
+    with a conditional-share aggregate per order year. All dims
+    broadcast; the only shuffle is the final year rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nat_c = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    nat_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("sn_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        # exact decimal sums (order-independent), then one double
+        # division — both engines divide identical doubles
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol)
+                    .otherwise(0.0)
+                    .cast("decimal(30,6)")
+                ).cast("double")
+                / F.sum(vol.cast("decimal(30,6)")).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       ROUND(CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(30,6))) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape adapted (no partsupp, so profit = discounted
+    revenue): per supplier-nation per order-year revenue on parts whose
+    name matches a pattern — pattern filter pushed to the broadcast
+    part dim, year derived from the orders join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        # decimal sum: double addition is order-dependent and Spark's
+        # partial-agg combine order is not deterministic — a borderline
+        # cent (observed: one group off by 0.01 vs DuckDB) would flake
+        # the hash gate. Per-row double→decimal cast is identical on
+        # both engines; decimal addition is exact.
+        .agg(
+            F.round(F.sum(vol.cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2)
+            AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape adapted (no partsupp, value = discounted
+    revenue): parts whose revenue exceeds 1.2× the average per-part
+    revenue — the scalar subquery becomes a 1-row broadcast cross
+    join, so the threshold rides to every task without a collect.
+    The comparison is cross-multiplied over exact decimal sums
+    (value·n·10 > total·12): no division, no double rounding, so a
+    borderline part can't flip between engines or runs."""
+    li = _t(spark, sf_dir, "lineitem")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(vol).alias("value_dec"))
+    total = per_part.agg(
+        F.sum("value_dec").alias("tot"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec") * F.col("n_parts") * 10 > F.col("tot") * 12
+        )
+        .select(
+            "l_partkey",
+            F.round("value_dec", 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH pv AS (
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS value_dec
+    FROM lineitem
+    GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(ROUND(value_dec, 2) AS DOUBLE) AS value
+FROM pv
+WHERE value_dec * (SELECT COUNT(*) FROM pv) * 10 > (SELECT SUM(value_dec) FROM pv) * 12
+ORDER BY value DESC, l_partkey
+"""
+
+
+def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted (no partsupp): suppliers who shipped
+    more than a threshold quantity of pattern-matched parts in one
+    year — an aggregated subquery driving a semi-join into the
+    supplier dim (threshold 300 ≈ the median per-supplier quantity,
+    so the semi-join is genuinely selective)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    heavy = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        # decimal sum so a supplier exactly at the threshold can't
+        # flip with double addition order
+        .agg(F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("qty"))
+        .filter(F.col("qty") > 300.0)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(20,4))) > 300.0
+)
+ORDER BY s_suppkey
+"""
+
+
+def q21_exclusive_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape adapted (no commit/receipt dates, so 'failed
+    delivery' = returnflag R): suppliers with a returned lineitem in a
+    multi-supplier order where NO other supplier in that order also
+    returned — the Q21 EXISTS (another supplier shipped) + NOT EXISTS
+    (another supplier failed) correlated self-join pair, expressed as
+    a semi-join then an anti-join on the deduplicated
+    (order, supplier) relation."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    failed = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = pairs.select(
+        F.col("l_orderkey").alias("o_orderkey2"),
+        F.col("l_suppkey").alias("o_suppkey2"),
+    )
+    failed_others = failed.select(
+        F.col("l_orderkey").alias("f_orderkey2"),
+        F.col("l_suppkey").alias("f_suppkey2"),
+    )
+    cand = failed.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_orderkey2"))
+        & (F.col("l_suppkey") != F.col("o_suppkey2")),
+        "left_semi",
+    ).join(
+        failed_others,
+        (F.col("l_orderkey") == F.col("f_orderkey2"))
+        & (F.col("l_suppkey") != F.col("f_suppkey2")),
+        "left_anti",
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        cand.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+failed AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+           WHERE l_returnflag = 'R'),
+cand AS (
+    SELECT f.l_orderkey, f.l_suppkey
+    FROM failed f
+    WHERE EXISTS (SELECT 1 FROM pairs p
+                  WHERE p.l_orderkey = f.l_orderkey
+                    AND p.l_suppkey <> f.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM failed f2
+                      WHERE f2.l_orderkey = f.l_orderkey
+                        AND f2.l_suppkey <> f.l_suppkey)
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM cand JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 def w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-bounded sliding window: 4-row moving average of event
     values per user (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), with a
@@ -3539,6 +3811,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
     "q17_small_quantity": (q17_small_quantity, Q17_SQL),
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),
+    # -- added in round 4 AFTER the window froze (completes the 22-query
+    # TPC-H breadth set; never driver-certified yet -> round-5 window
+    # priorities, tracked in COVERAGE.md's ledger)
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q11_important_share": (q11_important_share, Q11_SQL),
+    "q20_heavy_suppliers": (q20_heavy_suppliers, Q20_SQL),
+    "q21_exclusive_failures": (q21_exclusive_failures, Q21_SQL),
 }
 
 
