@@ -165,6 +165,57 @@ def fingerprint(col: Column | str) -> Column:
     return F.sha2(F.concat_ws(" ", w), 256)
 
 
+def winnow_fingerprints(
+    col: Column | str, k: int = 5, window: int = 4
+) -> Column:
+    """MOSS-style winnowing fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): hash every character ``k``-gram of the normalized
+    text, slide a ``window`` over the hash sequence taking each
+    window's minimum, return the distinct selected hashes as
+    ``array<long>``.
+
+    Guarantee: two documents sharing any substring of length
+    ``k + window - 1`` (post-normalization) share at least one
+    fingerprint — the local-sampling property that makes winnowing the
+    standard near-copy detector. Density is ~2/(window+1) of all
+    k-gram hashes, so the fingerprint set is a bounded fraction of the
+    text size.
+
+    Pure Column expressions (transform / slice / array_min over
+    arrays), zero Python in the hot path; the gram hash is the first
+    8 hex chars of md5 so the DuckDB oracle can recompute it exactly.
+    Short documents (fewer than ``window`` grams but at least one)
+    yield the single global-min hash; empty text yields an empty
+    array."""
+    norm = normalize_text(col)
+    n_grams = F.length(norm) - k + 1
+    # guard: sequence(1, 0) yields a DESCENDING [1, 0], not empty — a
+    # sub-k-length document must produce zero grams
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams), lambda i: norm.substr(i, F.lit(k))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    n_windows = F.size(hashes) - window + 1
+    selected = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+            lambda j: F.array_min(F.slice(hashes, j, window)),
+        ),
+    ).otherwise(
+        F.when(F.size(hashes) > 0, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<long>")
+        )
+    )
+    return F.array_sort(F.array_distinct(selected))
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis profile: adds token counts, quality,
     predicted language, fingerprint."""

@@ -40,6 +40,7 @@ from curw_flo2d_data_manager_spark.operators.textstats import (
     LANG_MARKERS,
     fingerprint,
     lang_id,
+    winnow_fingerprints,
     normalize_text,
     punctuation_ratio,
     quality_score,
@@ -2269,6 +2270,56 @@ ORDER BY kept_id
 """
 
 
+def dedup_winnowing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (k=5 char-grams, window=4):
+    per-document fingerprint-set stats — count + min/max selected
+    hash — hash-checking the whole rolling-hash → windowed-min →
+    distinct pipeline against a DuckDB recomputation. The operator's
+    guarantee (docs sharing a ≥ k+w-1 substring share a fingerprint)
+    is pinned separately in tests with planted near-copies."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fps", winnow_fingerprints("text", k=5, window=4))
+        .select(
+            "doc_id",
+            F.size("fps").alias("n_fps"),
+            F.element_at("fps", 1).alias("fp_min"),
+            F.element_at("fps", -1).alias("fp_max"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_WINNOW_SQL = r"""
+WITH g AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '[^a-z0-9\x80-\uffff-]+', ' ', 'g')) AS norm
+    FROM documents
+),
+h AS (
+    SELECT doc_id,
+           list_transform(
+               range(1, greatest(length(norm) - 5 + 1, 0) + 1),
+               i -> CAST(('0x' || substring(md5(substring(norm, i, 5)), 1, 8)) AS BIGINT)
+           ) AS hashes
+    FROM g
+),
+sel AS (
+    SELECT doc_id,
+           CASE WHEN len(hashes) - 4 + 1 >= 1 THEN
+                list_sort(list_distinct(list_transform(
+                    range(1, len(hashes) - 4 + 2),
+                    j -> list_aggregate(hashes[j:j+3], 'min'))))
+                WHEN len(hashes) > 0 THEN [list_aggregate(hashes, 'min')]
+                ELSE CAST([] AS BIGINT[]) END AS fps
+    FROM h
+)
+SELECT doc_id, len(fps) AS n_fps, fps[1] AS fp_min, fps[-1] AS fp_max
+FROM sel
+ORDER BY doc_id
+"""
+
+
 def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise 3-gram Jaccard within same-source blocks."""
     docs = _t(spark, sf_dir, "documents")
@@ -3814,6 +3865,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # -- added in round 4 AFTER the window froze (completes the 22-query
     # TPC-H breadth set; never driver-certified yet -> round-5 window
     # priorities, tracked in COVERAGE.md's ledger)
+    "dedup_winnowing": (dedup_winnowing_docs, DEDUP_WINNOW_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_product_profit": (q9_product_profit, Q9_SQL),
     "q11_important_share": (q11_important_share, Q11_SQL),

@@ -515,3 +515,40 @@ def test_minhash_hot_bucket_cap_stays_linear(spark):
         r.kept_id: r.n_dups for r in exact_dedup(docs, ["text"], "doc_id").collect()
     }
     assert collapsed[0] == n  # identical cluster still collapsed exactly
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's local-sampling property (Schleimer et al. 2003):
+    documents sharing a substring of length >= k + window - 1 share at
+    least one fingerprint; documents over disjoint alphabets share
+    none; short/empty docs degrade to singleton/empty sets."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over it"  # 33 chars >> k+w-1=8
+    rows = [
+        (1, f"alpha beta {shared} gamma delta epsilon zeta"),
+        (2, f"omega psi chi {shared} upsilon tau sigma rho"),
+        (3, "0123 4567 8901 2345 6789 0123 4567"),  # digits only
+        (4, "abc"),  # shorter than k -> zero grams
+        (5, ""),  # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string").withColumn(
+        "fps", winnow_fingerprints("text", k=5, window=4)
+    )
+    fps = {r.doc_id: set(r.fps) for r in df.collect()}
+    assert fps[1] & fps[2], "docs sharing a long substring must overlap"
+    assert not (fps[1] & fps[3]), "disjoint alphabets cannot share grams"
+    assert fps[4] == set() or len(fps[4]) == 0
+    assert fps[5] == set()
+    # determinism: same text -> identical fingerprint set
+    again = {
+        r.doc_id: set(r.fps)
+        for r in spark.createDataFrame(rows, "doc_id int, text string")
+        .withColumn("fps", winnow_fingerprints("text", k=5, window=4))
+        .collect()
+    }
+    assert again == fps
