@@ -317,3 +317,64 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ----------------------------------------------------------- winnowing
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
+    """Near-copy pairs via shared MOSS winnowing fingerprints
+    (``textstats.winnow_fingerprints``): explode each document's
+    fingerprint set, equi-join on the fingerprint value, keep pairs
+    sharing at least ``min_shared`` fingerprints.
+
+    Returns ``(id_a, id_b, shared_fps)`` with ``id_a < id_b``. Because
+    the winnowing guarantee is local (any shared substring of length
+    ≥ k+window-1 yields a shared fingerprint), this catches documents
+    sharing PASSAGES — plagiarism/quotation-style near-copies — that
+    whole-document signatures (MinHash over the full shingle set,
+    SimHash) dilute away.
+
+    Scale shape is the same as the MinHash band join: work scales
+    with fingerprint-bucket sizes, never n²; ``max_bucket_size``
+    drops degenerate buckets (a boilerplate fingerprint shared by a
+    million documents) exactly like the LSH cap, and only
+    (id, fingerprint) rows ride the shuffle.
+    """
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    fps = ensure_min_partitions(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            winnow_fingerprints(text_col, k=k, window=window)
+        ).alias("_fp"),
+    )
+    if max_bucket_size is not None:
+        w_bucket = Window.partitionBy("_fp")
+        fps = (
+            fps.withColumn("_bn", F.count(F.lit(1)).over(w_bucket))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    left = fps.alias("l")
+    right = fps.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l._fp") == F.col("r._fp"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .groupBy(
+            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

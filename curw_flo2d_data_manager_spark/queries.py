@@ -2320,6 +2320,56 @@ ORDER BY doc_id
 """
 
 
+def dedup_winnow_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-copy pair detection over documents: pairs
+    sharing ≥ 3 selected fingerprints — catches shared PASSAGES that
+    whole-document signatures dilute. k=16 char-grams (MOSS-scale
+    noise floor: k=5 marks ~every doc pair related on this corpus;
+    k=16/w=8/min_shared=3 keeps 174 of 124,750 possible pairs at
+    sf0.01). FULL oracle: DuckDB recomputes the fingerprint sets and
+    the self-join exactly."""
+    from curw_flo2d_data_manager_spark.operators.dedup import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        winnow_pairs(docs, "doc_id", k=16, window=8, min_shared=3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_WINNOW_PAIRS_SQL = r"""
+WITH g AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '[^a-z0-9\x80-\uffff-]+', ' ', 'g')) AS norm
+    FROM documents
+),
+h AS (
+    SELECT doc_id,
+           list_transform(
+               range(1, greatest(length(norm) - 16 + 1, 0) + 1),
+               i -> CAST(('0x' || substring(md5(substring(norm, i, 16)), 1, 8)) AS BIGINT)
+           ) AS hashes
+    FROM g
+),
+sel AS (
+    SELECT doc_id,
+           CASE WHEN len(hashes) - 8 + 1 >= 1 THEN
+                list_distinct(list_transform(
+                    range(1, len(hashes) - 8 + 2),
+                    j -> list_aggregate(hashes[j:j+7], 'min')))
+                WHEN len(hashes) > 0 THEN [list_aggregate(hashes, 'min')]
+                ELSE CAST([] AS BIGINT[]) END AS fps
+    FROM h
+),
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+ORDER BY id_a, id_b
+"""
+
+
 def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise 3-gram Jaccard within same-source blocks."""
     docs = _t(spark, sf_dir, "documents")
@@ -3866,6 +3916,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # TPC-H breadth set; never driver-certified yet -> round-5 window
     # priorities, tracked in COVERAGE.md's ledger)
     "dedup_winnowing": (dedup_winnowing_docs, DEDUP_WINNOW_SQL),
+    "dedup_winnow_pairs": (dedup_winnow_pairs_docs, DEDUP_WINNOW_PAIRS_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_product_profit": (q9_product_profit, Q9_SQL),
     "q11_important_share": (q11_important_share, Q11_SQL),

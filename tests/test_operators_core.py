@@ -552,3 +552,29 @@ def test_winnowing_shared_substring_guarantee(spark):
         .collect()
     }
     assert again == fps
+
+
+def test_winnow_pairs_passage_sharing(spark):
+    """winnow_pairs finds documents sharing a PASSAGE even when the
+    rest of the text is unrelated, and the bucket cap drops degenerate
+    boilerplate fingerprints without killing the job."""
+    from curw_flo2d_data_manager_spark.operators.dedup import winnow_pairs
+
+    passage = "rainfall intensities exceeded the design return period"
+    rows = [
+        (1, f"report one begins {passage} and then diverges wildly"),
+        (2, f"a different story {passage} with another ending entirely"),
+        (3, "completely unrelated text about supplier acct balances"),
+        (4, "9812 3456 7788 9900 1122 3344 5566 7788 9911"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.shared_fps
+        for r in winnow_pairs(df, "doc_id", min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all({a, b} == {1, 2} for a, b in pairs)
+    # cap of 1 drops every fingerprint bucket with both docs -> empty
+    assert (
+        winnow_pairs(df, "doc_id", min_shared=1, max_bucket_size=1).count() == 0
+    )
