@@ -1,0 +1,109 @@
+"""Sequence packing for training-data pipelines.
+
+LLM pre-training consumes documents as fixed-token-budget training
+sequences; packing many short documents into one sequence (instead of
+padding each to the context length) is the standard throughput
+optimization. True best-fit packing is inherently sequential, so the
+scalable form used here is GREEDY CONTIGUOUS packing over a
+deterministic document order: cumulative token position → bin index =
+floor(exclusive_prefix / budget). A document straddling a budget
+boundary stays in the bin where it started, so a bin can overflow by
+at most one document's tokens, and the straddler eats into the next
+bin's range — every non-last bin therefore carries at least
+``budget - max_doc_tokens`` tokens (cap the per-document count with
+``truncate_to`` to bound both effects).
+
+Scale: the cumulative position uses the standard two-phase parallel
+prefix (per-partition local cumsum + broadcast carry of per-partition
+totals) — same decomposition as ``sources.line_text.filldown_headers``
+— NOT a single global window, so packing 10 B documents keeps full
+scan parallelism. The deterministic order is (order_col, id) so
+re-runs bin identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    order_col: str | None = None,
+    truncate_to: int | None = None,
+) -> DataFrame:
+    """Assign each document a packing ``bin_id`` and its token offset
+    within the bin.
+
+    Returns the input columns plus ``n_tokens`` (possibly truncated),
+    ``bin_id`` (long, 0-based) and ``bin_offset`` (long — the
+    document's exclusive token start within the global stream;
+    ``bin_offset - bin_id * budget`` is its offset inside the bin).
+
+    ``order_col`` defaults to ``id_col`` (deterministic); pass e.g. a
+    quality score to pack curriculum-style. ``truncate_to`` caps each
+    document's token count first (None = no cap; a single document
+    longer than ``budget`` then overflows its bin, as in real
+    pipelines where such docs are chunked upstream).
+    """
+    order = order_col or id_col
+    tokens = F.col(token_col).cast("long")
+    if truncate_to is not None:
+        tokens = F.least(tokens, F.lit(int(truncate_to)))
+    # ONE range exchange establishes the global order across
+    # partitions (ascending key ranges land on ascending partition
+    # ids) — required for the prefix decomposition below; without it
+    # arbitrary input partitioning would interleave the order key
+    # across partitions and the carry would be wrong.
+    base = (
+        df.repartitionByRange(F.col(order), F.col(id_col))
+        .withColumn("n_tokens", tokens)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    # phase 1: local exclusive prefix inside each partition
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy(order, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "_local_prefix", F.coalesce(F.sum("n_tokens").over(w_loc), F.lit(0))
+    )
+
+    # phase 2: carry = total tokens of all earlier partitions
+    # (partition count rows — broadcast back)
+    totals = base.groupBy("_pid").agg(F.sum("n_tokens").alias("_ptotal"))
+    w_carry = (
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = totals.withColumn(
+        "_carry", F.coalesce(F.sum("_ptotal").over(w_carry), F.lit(0))
+    ).select("_pid", "_carry")
+
+    out = local.join(F.broadcast(carry), "_pid")
+    start = F.col("_local_prefix") + F.col("_carry")
+    return (
+        out.withColumn("bin_id", F.floor(start / F.lit(int(budget))))
+        .withColumn("bin_offset", start)
+        .drop("_pid", "_local_prefix", "_carry")
+    )
+
+
+def bin_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Packing efficiency rollup: per-bin token fill and utilization
+    (tokens/budget; the straddling document makes >1.0 possible)."""
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn(
+            "utilization",
+            F.round(F.col("bin_tokens") / F.lit(int(budget)), 4),
+        )
+    )

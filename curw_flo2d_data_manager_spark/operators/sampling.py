@@ -70,3 +70,41 @@ def stratified_hash_sample(
             ).otherwise(thr)
         )
     return df.filter(_bucket(key_cols, salt) < thr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, top-``n``
+    by the Efraimidis–Spirakis A-Res key (VLDB '06): each row draws
+    ``u = uniform(0,1]`` from its content hash and ranks by
+    ``u^(1/w)`` — the global top-``n`` is a weighted sample where a
+    row's inclusion probability is proportional to its weight.
+
+    Same determinism contract as ``hash_sample``: ``u`` comes from
+    md5(key ∥ salt), so re-runs and other engines select identical
+    rows. Rows with non-positive or null weight never qualify.
+
+    Scale: ``orderBy(...).limit(n)`` compiles to TakeOrderedAndProject
+    — each partition keeps its local top-``n`` and only those tiny
+    heaps reach the driver; no global sort materializes.
+    """
+    u = (
+        F.conv(_bucket(key_cols, salt), 16, 10).cast("double") + 0.5
+    ) / float(_SPACE)
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.pow(u, 1.0 / w)).otherwise(F.lit(None))
+    return (
+        df.withColumn("_ares_key", key)
+        .filter(F.col("_ares_key").isNotNull())
+        .orderBy(
+            F.desc("_ares_key"),
+            *[F.col(c) for c in key_cols],  # total order for ties
+        )
+        .limit(n)
+        .drop("_ares_key")
+    )

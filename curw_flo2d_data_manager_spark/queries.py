@@ -3789,6 +3789,86 @@ ORDER BY source
 """
 
 
+def f_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis–Spirakis weighted sample (A-Res): top
+    100 documents by u^(1/w), u from the content hash, w = n_chars —
+    longer documents proportionally more likely. The selected id set
+    is engine-reproducible, so DuckDB recomputes the identical
+    sample."""
+    from curw_flo2d_data_manager_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        weighted_sample(docs, ["doc_id"], "n_chars", 100, salt="r4")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+F_WEIGHTED_SQL = """
+SELECT doc_id, n_chars
+FROM (
+    SELECT doc_id, n_chars,
+           pow((CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), 'r4')), 1, 8))
+                     AS BIGINT) + 0.5) / 4294967296.0,
+               1.0 / CAST(n_chars AS DOUBLE)) AS ares_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY ares_key DESC, doc_id
+    LIMIT 100
+)
+ORDER BY doc_id
+"""
+
+
+def f_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing of documents into
+    2048-token bins (whitespace token counts, docs truncated at 512):
+    per-bin fill stats. The parallel-prefix cumsum is recomputed by
+    DuckDB as a plain window cumsum — identical bins prove the
+    two-phase decomposition equals the sequential semantics."""
+    from curw_flo2d_data_manager_spark.operators.packing import (
+        bin_stats,
+        pack_sequences,
+    )
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        whitespace_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", whitespace_token_count("text").alias("n_ws")
+    )
+    packed = pack_sequences(
+        docs, "doc_id", "n_ws", budget=2048, truncate_to=512
+    )
+    return bin_stats(packed, 2048).orderBy("bin_id")
+
+
+F_PACK_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           least(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) = ''
+                      THEN 0
+                      ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'))
+                 END, 512) AS n_tokens
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+    FROM toks
+)
+SELECT CAST(start // 2048 AS BIGINT) AS bin_id,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 2048, 4) AS utilization
+FROM pos
+GROUP BY 1
+ORDER BY bin_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3917,6 +3997,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # priorities, tracked in COVERAGE.md's ledger)
     "dedup_winnowing": (dedup_winnowing_docs, DEDUP_WINNOW_SQL),
     "dedup_winnow_pairs": (dedup_winnow_pairs_docs, DEDUP_WINNOW_PAIRS_SQL),
+    "f_weighted_sample": (f_weighted_sample, F_WEIGHTED_SQL),
+    "f_pack_sequences": (f_pack_sequences, F_PACK_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_product_profit": (q9_product_profit, Q9_SQL),
     "q11_important_share": (q11_important_share, Q11_SQL),

@@ -578,3 +578,67 @@ def test_winnow_pairs_passage_sharing(spark):
     assert (
         winnow_pairs(df, "doc_id", min_shared=1, max_bucket_size=1).count() == 0
     )
+
+
+def test_pack_sequences_invariants(spark):
+    """Greedy contiguous packing: matches the sequential cumsum
+    exactly, is partition-count invariant (the two-phase prefix equals
+    the sequential semantics), and every non-last bin carries at least
+    budget - max_doc_tokens (a straddler both overflows its own bin
+    and eats into the next bin's range)."""
+    from curw_flo2d_data_manager_spark.operators.packing import (
+        bin_stats,
+        pack_sequences,
+    )
+
+    rows = [(i, 10 + (i * 7) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tok int")
+
+    packed = pack_sequences(df, "doc_id", "n_tok", budget=300)
+    got = {r.doc_id: (r.bin_id, r.bin_offset, r.n_tokens) for r in packed.collect()}
+    # sequential reference
+    start, ref = 0, {}
+    for i, t in rows:
+        ref[i] = (start // 300, start, t)
+        start += t
+    assert got == ref
+    # partition-count invariance: same result from 13 input partitions
+    packed13 = pack_sequences(df.repartition(13), "doc_id", "n_tok", budget=300)
+    assert {r.doc_id: (r.bin_id, r.bin_offset) for r in packed13.collect()} == {
+        k: v[:2] for k, v in ref.items()
+    }
+    # every non-last bin carries >= budget - max_doc_tokens
+    stats = {r.bin_id: r.bin_tokens for r in bin_stats(packed, 300).collect()}
+    last = max(stats)
+    max_tok = max(t for _, t in rows)
+    assert all(v >= 300 - max_tok for b, v in stats.items() if b != last)
+    # truncation caps per-doc tokens
+    capped = pack_sequences(df, "doc_id", "n_tok", budget=300, truncate_to=50)
+    assert max(r.n_tokens for r in capped.collect()) <= 50
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """A-Res weighted sampling: 10x-weight rows are heavily
+    oversampled relative to their population share, selection is
+    deterministic, and non-positive weights never qualify."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(5000).select(
+        "id",
+        F.when(F.col("id") < 500, 10.0)
+        .when(F.col("id") < 520, 0.0)  # zero weight: never sampled
+        .otherwise(1.0)
+        .alias("w"),
+    )
+    s = weighted_sample(df, ["id"], "w", 500)
+    ids = sorted(r.id for r in s.collect())
+    assert len(ids) == 500
+    heavy = sum(1 for i in ids if i < 500)
+    assert heavy > 200  # 10% of population, ~50% of sample mass
+    assert not any(500 <= i < 520 for i in ids)
+    again = sorted(r.id for r in weighted_sample(df, ["id"], "w", 500).collect())
+    assert again == ids
