@@ -143,3 +143,49 @@ def test_parser_line_source_is_a_file_scan(spark, tmp_path):
     # the created-in-test cells dim may be an in-memory relation; the
     # parse itself must carry no Python stage
     assert "BatchEvalPython" not in plan and "EvalPython" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """weighted_sample's orderBy+limit must compile to
+    TakeOrderedAndProject (per-partition heaps, no global sort
+    materialization) — the property that makes top-n sampling scale."""
+    from curw_flo2d_data_manager_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(
+        weighted_sample(docs, ["doc_id"], "n_chars", 100), mode="simple"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full sort stage on the data path
+
+
+def test_winnow_pairs_is_hash_join_no_python(spark, sf_dir):
+    """The winnowing pair join is a shuffled equi-join on the
+    fingerprint value — never a cartesian/BNLJ — and the whole
+    fingerprint pipeline stays JVM-side."""
+    plan = plan_of(q.dedup_winnow_pairs_docs(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_single_range_exchange(spark, sf_dir):
+    """Packing's global order costs ONE executed range exchange: the
+    totals branch consumes the same shuffle via AQE's ReusedExchange
+    (asserted on the executed plan — the static text shows the
+    exchange once per consumer), and the carry join is a broadcast
+    (partition-count rows), so no extra all-to-all shuffle rides on
+    the data path."""
+    from curw_flo2d_data_manager_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    packed = pack_sequences(docs, "doc_id", "n_chars", budget=2048)
+    packed.collect()
+    final = packed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in final
+    assert "ReusedExchange" in final, final
+    assert "BroadcastHashJoin" in final
