@@ -348,15 +348,22 @@ def winnow_pairs(
     (id, fingerprint) rows ride the shuffle.
     """
     from curw_flo2d_data_manager_spark.operators.textstats import (
-        winnow_fingerprints,
+        with_winnow_fingerprints,
     )
 
-    fps = ensure_min_partitions(df).select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            winnow_fingerprints(text_col, k=k, window=window)
-        ).alias("_fp"),
-    )
+    # Persist the per-document fingerprint relation BEFORE exploding:
+    # (a) it feeds both sides of the self-join (same rationale as the
+    # MinHash signature persist); (b) critically, the optimizer infers
+    # `size(_fps) > 0` from the explode and pushes it below the
+    # fingerprint projections — against the raw plan that inlines the
+    # ENTIRE fused winnowing expression into the Filter, making every
+    # row pay O(grams × windows) md5 calls. Predicate pushdown cannot
+    # cross an InMemoryRelation, so the cache re-establishes the
+    # materialize-once boundary.
+    fps_docs = with_winnow_fingerprints(
+        ensure_min_partitions(df), text_col, "_fps", k=k, window=window
+    ).select(F.col(id_col).alias("_id"), "_fps").persist()
+    fps = fps_docs.select("_id", F.explode("_fps").alias("_fp"))
     if max_bucket_size is not None:
         w_bucket = Window.partitionBy("_fp")
         fps = (

@@ -165,28 +165,9 @@ def fingerprint(col: Column | str) -> Column:
     return F.sha2(F.concat_ws(" ", w), 256)
 
 
-def winnow_fingerprints(
-    col: Column | str, k: int = 5, window: int = 4
-) -> Column:
-    """MOSS-style winnowing fingerprints (Schleimer, Wilkerson, Aiken,
-    SIGMOD 2003): hash every character ``k``-gram of the normalized
-    text, slide a ``window`` over the hash sequence taking each
-    window's minimum, return the distinct selected hashes as
-    ``array<long>``.
-
-    Guarantee: two documents sharing any substring of length
-    ``k + window - 1`` (post-normalization) share at least one
-    fingerprint — the local-sampling property that makes winnowing the
-    standard near-copy detector. Density is ~2/(window+1) of all
-    k-gram hashes, so the fingerprint set is a bounded fraction of the
-    text size.
-
-    Pure Column expressions (transform / slice / array_min over
-    arrays), zero Python in the hot path; the gram hash is the first
-    8 hex chars of md5 so the DuckDB oracle can recompute it exactly.
-    Short documents (fewer than ``window`` grams but at least one)
-    yield the single global-min hash; empty text yields an empty
-    array."""
+def _winnow_gram_hashes(col: Column | str, k: int) -> Column:
+    """Array of k-gram rolling hashes of the normalized text (first 8
+    md5 hex chars as a long, so DuckDB can recompute them exactly)."""
     norm = normalize_text(col)
     n_grams = F.length(norm) - k + 1
     # guard: sequence(1, 0) yields a DESCENDING [1, 0], not empty — a
@@ -197,10 +178,15 @@ def winnow_fingerprints(
             F.sequence(F.lit(1), n_grams), lambda i: norm.substr(i, F.lit(k))
         ),
     ).otherwise(F.array().cast("array<string>"))
-    hashes = F.transform(
+    return F.transform(
         grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
     )
+
+
+def _winnow_select(hashes: Column, window: int) -> Column:
+    """Windowed-min selection over an ALREADY-MATERIALIZED hash-array
+    column (see with_winnow_fingerprints for why that matters)."""
     n_windows = F.size(hashes) - window + 1
     selected = F.when(
         n_windows >= 1,
@@ -214,6 +200,52 @@ def winnow_fingerprints(
         )
     )
     return F.array_sort(F.array_distinct(selected))
+
+
+def with_winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fps",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): hash every character ``k``-gram of the normalized
+    text, slide a ``window`` over the hash sequence taking each
+    window's minimum; ``out_col`` is the distinct selected hashes as a
+    sorted ``array<long>``.
+
+    Guarantee: two documents sharing any substring of length
+    ``k + window - 1`` (post-normalization) share at least one
+    fingerprint — the local-sampling property that makes winnowing the
+    standard near-copy detector. Density is ~2/(window+1) of all
+    k-gram hashes. Short documents (fewer than ``window`` grams but at
+    least one) yield the single global-min hash; empty text an empty
+    array.
+
+    TWO projections on purpose: the gram-hash array is materialized as
+    its own column, and the windowed-min pass reads that column. Fused
+    into one expression (the old Column-returning form), Catalyst
+    inlines the hash array into every window's lambda — O(grams ×
+    windows) md5 evaluations per document, measured 100×+ slower on
+    ~400-gram documents. Catalyst's CollapseProject keeps the split
+    because the reference is non-cheap and multiply-used."""
+    tmp = f"_winnow_h_{out_col}"
+    return (
+        df.withColumn(tmp, _winnow_gram_hashes(text_col, k))
+        .withColumn(out_col, _winnow_select(F.col(tmp), window))
+        .drop(tmp)
+    )
+
+
+def winnow_fingerprints(
+    col: Column | str, k: int = 5, window: int = 4
+) -> Column:
+    """Single-Column form of winnowing — ONLY for tiny inputs/tests:
+    the fused expression re-evaluates the gram-hash chain once per
+    window (O(grams × windows) md5 calls). Use
+    ``with_winnow_fingerprints`` on any real corpus."""
+    return _winnow_select(_winnow_gram_hashes(col, k), window)
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:

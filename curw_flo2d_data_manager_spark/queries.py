@@ -2277,9 +2277,13 @@ def dedup_winnowing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct pipeline against a DuckDB recomputation. The operator's
     guarantee (docs sharing a ≥ k+w-1 substring share a fingerprint)
     is pinned separately in tests with planted near-copies."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        with_winnow_fingerprints,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.withColumn("fps", winnow_fingerprints("text", k=5, window=4))
+        with_winnow_fingerprints(docs, "text", "fps", k=5, window=4)
         .select(
             "doc_id",
             F.size("fps").alias("n_fps"),
