@@ -77,52 +77,78 @@ def cosine_topk(
     )
 
 
-def ivf_topk(
+def _unit(v: Column) -> Column:
+    n = l2_norm(v)
+    return F.transform(
+        v.cast("array<double>"),
+        lambda x: F.when(n == 0, F.lit(0.0)).otherwise(x / n),
+    )
+
+
+def build_ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     n_clusters: int = 16,
-    nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_id_col: str = "query_id",
     seed: int = 42,
-) -> DataFrame:
-    """Approximate top-k: spherical IVF coarse quantization via KMeans.
+) -> tuple[DataFrame, list[list[float]]]:
+    """One-time IVF index build (the expensive half of :func:`ivf_topk`,
+    split out so the index is REUSABLE across query batches):
+    spherical KMeans over L2-normalized vectors.
 
-    Vectors are L2-normalized before the KMeans fit and cell
-    assignment, and probe selection ranks centroids by euclidean
-    distance in the SAME normalized space — on the unit sphere
-    euclidean order is exactly cosine order, so the quantizer's
-    assignment metric and the query's probe metric agree. (Ranking
-    probes by one metric while assigning cells by another loses even
-    a query's own cell — found by the planted-duplicate oracle.)
+    Returns ``(assignments, centers)``:
 
-    Returns the same schema as :func:`cosine_topk`. Recall < 1.0 by
-    construction; raise ``nprobe``/``n_clusters`` to trade cost for
-    recall. The KMeans fit is a one-time index build — at 100 TB you
-    persist (corpus_id, cluster) and reuse it across query batches.
+    * ``assignments`` — DataFrame ``(corpus_id, embedding, cluster)``;
+      persist it with
+      ``assignments.write.partitionBy("cluster").parquet(path)`` so
+      later query batches scan ONLY the probed clusters' partitions
+      (partition pruning on the equi-join key — at 100 TB this is the
+      difference between reading nprobe/n_clusters of the corpus and
+      all of it);
+    * ``centers`` — plain ``list[list[float]]`` (n_clusters × dim),
+      JSON-serializable; store next to the parquet.
+
+    Reload with ``spark.read.parquet(path)`` + ``json.load`` and hand
+    both to :func:`ivf_query`.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-
-    def _unit(v: Column) -> Column:
-        n = l2_norm(v)
-        return F.transform(
-            v.cast("array<double>"),
-            lambda x: F.when(n == 0, F.lit(0.0)).otherwise(x / n),
-        )
 
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
     ).withColumn("_feat", array_to_vector(_unit(F.col("_cv"))))
     km = KMeans(k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="_cluster")
     model = km.fit(c)
-    c_assigned = model.transform(c).select("corpus_id", "_cv", "_cluster")
-
+    assignments = model.transform(c).select(
+        "corpus_id",
+        F.col("_cv").alias("embedding"),
+        F.col("_cluster").alias("cluster"),
+    )
     centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    return assignments, centers
+
+
+def ivf_query(
+    assignments: DataFrame,
+    centers: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a prebuilt IVF index (from :func:`build_ivf_index`,
+    possibly round-tripped through parquet + JSON): rank centroids per
+    query in the quantizer's own normalized-euclidean metric, keep
+    ``nprobe``, equi-join into the probed clusters, exact-cosine
+    re-rank. Same output schema as :func:`cosine_topk`."""
+    c_assigned = assignments.select(
+        "corpus_id",
+        F.col(vec_col).alias("_cv"),
+        F.col("cluster").alias("_cluster"),
+    )
     centers_arr = F.array(
-        *[F.array(*[F.lit(x) for x in ctr]) for ctr in centers]
+        *[F.array(*[F.lit(float(x)) for x in ctr]) for ctr in centers]
     )
 
     q = queries.select(
@@ -161,6 +187,47 @@ def ivf_topk(
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .select("query_id", "corpus_id", "cosine", F.col("_rk").alias("rank"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: spherical IVF coarse quantization via KMeans
+    — :func:`build_ivf_index` + :func:`ivf_query` in one call (for
+    one-shot use; batch deployments build once and reuse).
+
+    Vectors are L2-normalized before the KMeans fit and cell
+    assignment, and probe selection ranks centroids by euclidean
+    distance in the SAME normalized space — on the unit sphere
+    euclidean order is exactly cosine order, so the quantizer's
+    assignment metric and the query's probe metric agree. (Ranking
+    probes by one metric while assigning cells by another loses even
+    a query's own cell — found by the planted-duplicate oracle.)
+
+    Returns the same schema as :func:`cosine_topk`. Recall < 1.0 by
+    construction; raise ``nprobe``/``n_clusters`` to trade cost for
+    recall.
+    """
+    assignments, centers = build_ivf_index(
+        corpus, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    return ivf_query(
+        assignments,
+        centers,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        query_id_col=query_id_col,
+        vec_col=vec_col,
     )
 
 

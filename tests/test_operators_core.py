@@ -642,3 +642,45 @@ def test_weighted_sample_bias_and_determinism(spark):
     assert not any(500 <= i < 520 for i in ids)
     again = sorted(r.id for r in weighted_sample(df, ["id"], "w", 500).collect())
     assert again == ids
+
+
+def test_ivf_index_parquet_json_roundtrip(spark, tmp_path):
+    """The split build/query API must survive the documented
+    persistence round-trip (assignments → partitionBy(cluster)
+    parquet, centers → JSON) and return exactly what the one-shot
+    ivf_topk returns — the reuse-across-query-batches contract."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    direct = sorted(
+        (r.query_id, r.rank, r.corpus_id)
+        for r in ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=3, seed=42).collect()
+    )
+
+    assignments, centers = build_ivf_index(emb, n_clusters=8, seed=42)
+    idx_dir = str(tmp_path / "ivf_index")
+    assignments.write.partitionBy("cluster").parquet(idx_dir)
+    with open(tmp_path / "centers.json", "w") as fh:
+        _json.dump(centers, fh)
+
+    # cold reload, as a later query batch would
+    with open(tmp_path / "centers.json") as fh:
+        centers2 = _json.load(fh)
+    assignments2 = spark.read.parquet(idx_dir)
+    reloaded = sorted(
+        (r.query_id, r.rank, r.corpus_id)
+        for r in ivf_query(assignments2, centers2, queries, k=5, nprobe=3).collect()
+    )
+    assert reloaded == direct
