@@ -40,7 +40,6 @@ from curw_flo2d_data_manager_spark.operators.textstats import (
     LANG_MARKERS,
     fingerprint,
     lang_id,
-    winnow_fingerprints,
     normalize_text,
     punctuation_ratio,
     quality_score,

@@ -242,3 +242,57 @@ def test_minhash_threshold_one_is_exactly_identical_shingle_sets(spark, texts):
         if sets[a] == sets[b]
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    words_a=st.lists(st.sampled_from(["alpha", "bravo", "car", "delta", "echo"]),
+                     min_size=3, max_size=12),
+    words_b=st.lists(st.sampled_from(["zulu", "yank", "xray", "whisk", "victor"]),
+                     min_size=3, max_size=12),
+    shared=st.lists(st.sampled_from(["flood", "stage", "basin", "gauge"]),
+                    min_size=4, max_size=8),
+)
+def test_winnowing_shared_substring_property(spark, words_a, words_b, shared):
+    """Property form of the winnowing guarantee: ANY two documents
+    embedding the same >= k+window-1-char passage share at least one
+    fingerprint, regardless of surrounding context."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        with_winnow_fingerprints,
+    )
+
+    passage = " ".join(shared)  # >= 4*5-ish chars, > k+w-1 = 8
+    rows = [
+        (1, " ".join(words_a) + " " + passage + " " + " ".join(words_a)),
+        (2, " ".join(words_b) + " " + passage + " " + " ".join(words_b)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in with_winnow_fingerprints(df, "text", "fps", k=5, window=4).collect()
+    }
+    assert fps[1] & fps[2]
+
+
+@SETTINGS
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=40),
+    budget=st.integers(min_value=50, max_value=600),
+)
+def test_pack_sequences_matches_sequential_property(spark, toks, budget):
+    """Property form of the packing contract: for ANY doc sizes and
+    budget, the distributed two-phase prefix equals the sequential
+    greedy-contiguous reference."""
+    from curw_flo2d_data_manager_spark.operators.packing import pack_sequences
+
+    rows = list(enumerate(toks))
+    df = spark.createDataFrame(rows, "doc_id int, n_tok int").repartition(5)
+    got = {
+        r.doc_id: (r.bin_id, r.bin_offset)
+        for r in pack_sequences(df, "doc_id", "n_tok", budget=budget).collect()
+    }
+    start, ref = 0, {}
+    for i, t in rows:
+        ref[i] = (start // budget, start)
+        start += t
+    assert got == ref
