@@ -80,3 +80,36 @@ def write_ordered_text(
         return path
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def iter_ordered_parts(path: str):
+    """Stream the lines of a ``mode="parts"`` output in global order.
+
+    Reads ``_MANIFEST`` (part files listed in range-partition order)
+    and yields lines across them exactly as the ``single`` mode's
+    concatenated file would — the consumer-side contract of the
+    manifest escape hatch, so downstream tooling never has to know
+    which mode produced the output. Pure streaming (one open file at
+    a time), so a 45M-line parts directory iterates in constant
+    memory.
+    """
+    with open(os.path.join(path, "_MANIFEST")) as mf:
+        names = [ln.strip() for ln in mf if ln.strip()]
+    for name in names:
+        with open(os.path.join(path, name)) as part:
+            yield from (line.rstrip("\n") for line in part)
+
+
+def concat_ordered_parts(path: str, out_path: str) -> str:
+    """Materialize a ``mode="parts"`` directory into the equivalent
+    ``single`` file (byte-streaming copy in manifest order) — for
+    consumers that ultimately need the one file but want the render
+    job itself to skip the concat (e.g. render on the cluster in
+    ``parts`` mode, concat lazily on the consuming host)."""
+    with open(os.path.join(path, "_MANIFEST")) as mf:
+        names = [ln.strip() for ln in mf if ln.strip()]
+    with open(out_path, "w") as out:
+        for name in names:
+            with open(os.path.join(path, name)) as part:
+                shutil.copyfileobj(part, out)
+    return out_path
