@@ -8,6 +8,7 @@ maintained aggregates and upserted forecast relations.
 from curw_flo2d_data_manager_spark.streaming.ingest import (
     foreach_batch_upsert,
     hychan_extract_stream,
+    timdep_extract_stream,
     read_series_stream,
     streaming_cumulative_sum,
     streaming_dedup,
@@ -18,6 +19,7 @@ from curw_flo2d_data_manager_spark.streaming.ingest import (
 __all__ = [
     "foreach_batch_upsert",
     "hychan_extract_stream",
+    "timdep_extract_stream",
     "read_series_stream",
     "streaming_cumulative_sum",
     "streaming_dedup",

@@ -298,3 +298,44 @@ def hychan_extract_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def timdep_extract_stream(
+    spark: SparkSession,
+    watch_dir: str,
+    base_time: str,
+    cells: DataFrame,
+    on_batch,
+    checkpoint: str | None = None,
+    available_now: bool = False,
+    drop_last_block: bool = False,
+):
+    """File-arrival TIMDEP extraction — the water-depth twin of
+    :func:`hychan_extract_stream` (reference: extract_water_depth's
+    cron-triggered runs). Each new ``TIMDEP.OUT`` file arrives as one
+    whole-file micro-batch, parses through the batch plan
+    (``sources.timdep._parse_timdep_lines`` — block fill-down +
+    per-cell densification against the broadcast ``cells`` dim), and
+    ``on_batch(parsed_df, batch_id)`` receives
+    ``(file, cell_id, time, value)``. Checkpointed exactly-once file
+    discovery, same as the HYCHAN stream. Returns the started query.
+    """
+    lines = spark.readStream.format("text").load(watch_dir)
+
+    from curw_flo2d_data_manager_spark.sources.timdep import _parse_timdep_lines
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = batch_df.select(
+            F.input_file_name().alias("file"),
+            F.monotonically_increasing_id().alias("line_no"),
+            "value",
+        )
+        parsed = _parse_timdep_lines(tagged, base_time, cells, drop_last_block)
+        on_batch(parsed, batch_id)
+
+    writer = lines.writeStream.foreachBatch(_process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

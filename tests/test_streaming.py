@@ -228,3 +228,40 @@ def test_hychan_extract_stream_file_arrival(spark, tmp_path):
     q2.stop()
     assert {f for f, *_ in got} == {"run2.out"}
     assert len(got) == 6
+
+
+def test_timdep_extract_stream_file_arrival(spark, tmp_path):
+    """TIMDEP twin of the HYCHAN stream: whole-file micro-batch parses
+    match the batch parser, including per-cell densification."""
+    from curw_flo2d_data_manager_spark.sources.timdep import parse_timdep
+    from curw_flo2d_data_manager_spark.streaming import timdep_extract_stream
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    (watch / "run1.out").write_text(
+        "   0.00\n   24  1 2 3 4  5.0\n   0.50\n   24  1 2 3 4  6.0\n"
+    )
+    cells = spark.createDataFrame([("24",), ("153",)], "cell_id string")
+
+    got: list[tuple] = []
+
+    def _collect(parsed, batch_id):
+        got.extend(
+            (r.cell_id, str(r.time), r.value) for r in parsed.collect()
+        )
+
+    q = timdep_extract_stream(
+        spark, str(watch), "2024-01-01 00:00:00", cells, _collect,
+        checkpoint=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    batch = sorted(
+        (r.cell_id, str(r.time), r.value)
+        for r in parse_timdep(
+            spark, str(watch / "run1.out"), "2024-01-01 00:00:00", cells
+        ).collect()
+    )
+    assert sorted(got) == batch
+    assert len(batch) == 4  # 2 blocks x 2 cells (153 densified NULL)
