@@ -385,3 +385,44 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+# ------------------------------------------------------ decontamination
+def ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    train_id_col: str,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with the benchmark set (the standard eval-leakage
+    guard in pre-training pipelines; n=8..13 word-grams in common
+    recipes).
+
+    Returns ``(train_id, n_hits)`` — contaminated training documents
+    only, with the count of DISTINCT benchmark n-grams they contain.
+
+    Scale shape: the benchmark side is tiny relative to the corpus, so
+    its distinct gram set is broadcast; the training side is a narrow
+    (id, gram) explode joined hash-to-hash — one scan of the corpus,
+    no shuffle of document text, work linear in corpus grams.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                word_shingles(bench_text_col or text_col, n)
+            ).alias("_g")
+        )
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(train_id_col).alias("train_id"),
+        F.explode(word_shingles(text_col, n)).alias("_g"),
+    )
+    return (
+        train_grams.join(F.broadcast(bench_grams), "_g")
+        .groupBy("train_id")
+        .agg(F.count_distinct("_g").alias("n_hits"))
+    )

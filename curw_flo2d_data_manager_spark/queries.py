@@ -2373,6 +2373,47 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination gate: every 50th document plays the
+    held-out benchmark; training documents sharing any word 3-gram
+    with it are flagged with their distinct-overlap count (the
+    eval-leakage guard of pre-training pipelines, n kept small because
+    the synthetic docs are short)."""
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        ngram_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return (
+        ngram_contamination(train, bench, "doc_id", "text", n=3)
+        .orderBy("train_id")
+    )
+
+
+DEDUP_CONTAM_SQL = """
+WITH w AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS w
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS grams
+    FROM w
+),
+bg AS (SELECT DISTINCT unnest(grams) AS gm FROM g WHERE doc_id % 50 = 0),
+tg AS (SELECT doc_id, unnest(grams) AS gm FROM g WHERE doc_id % 50 <> 0)
+SELECT tg.doc_id AS train_id, COUNT(DISTINCT gm) AS n_hits
+FROM tg JOIN bg USING (gm)
+GROUP BY 1
+ORDER BY train_id
+"""
+
+
 def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise 3-gram Jaccard within same-source blocks."""
     docs = _t(spark, sf_dir, "documents")
@@ -4002,6 +4043,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_winnow_pairs": (dedup_winnow_pairs_docs, DEDUP_WINNOW_PAIRS_SQL),
     "f_weighted_sample": (f_weighted_sample, F_WEIGHTED_SQL),
     "f_pack_sequences": (f_pack_sequences, F_PACK_SQL),
+    "dedup_contamination": (dedup_contamination, DEDUP_CONTAM_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_product_profit": (q9_product_profit, Q9_SQL),
     "q11_important_share": (q11_important_share, Q11_SQL),

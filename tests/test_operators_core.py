@@ -684,3 +684,33 @@ def test_ivf_index_parquet_json_roundtrip(spark, tmp_path):
         for r in ivf_query(assignments2, centers2, queries, k=5, nprobe=3).collect()
     )
     assert reloaded == direct
+
+
+def test_ngram_contamination_planted_leak(spark):
+    """Decontamination finds exactly the training docs embedding a
+    benchmark n-gram, counts distinct overlapping grams, and ignores
+    sub-n overlaps."""
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        ngram_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "what is the capital of france paris obviously")],
+        "bid int, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # full benchmark question embedded -> contaminated
+            (10, "junk what is the capital of france paris obviously junk"),
+            # only a 3-word overlap -> clean at n=5
+            (11, "what is the answer to everything"),
+            (12, "completely unrelated text about rivers and gauges"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.train_id: r.n_hits
+        for r in ngram_contamination(train, bench, "doc_id", n=5).collect()
+    }
+    assert set(got) == {10}
+    assert got[10] >= 1
