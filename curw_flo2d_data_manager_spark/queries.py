@@ -749,37 +749,40 @@ ORDER BY domain
 
 
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding centroids via the explode/aggregate/
-    reassemble shape (shuffle volume = labels × dims, independent of
-    corpus size). Synthetic labels = vec_id % 5; DuckDB recomputes the
-    same element-wise means."""
+    """Per-label embedding centroids via the explode/aggregate shape
+    (shuffle volume = labels × dims, independent of corpus size).
+    Synthetic labels = vec_id % 5; DuckDB recomputes the same
+    element-wise means.
+
+    Output is posexploded to scalar ``(label, pos, comp)`` rows rather
+    than an ``array<double>`` column: the driver gate canonicalizes
+    results via pandas ``sort_values``, which cannot factorize list
+    cells (round-4 ``err``). ``vector_mean`` itself still returns the
+    assembled centroid array for library callers."""
     from curw_flo2d_data_manager_spark.operators.similarity import vector_mean
 
     emb = _t(spark, sf_dir, "embeddings").select(
         (F.col("vec_id") % 5).alias("label"), "embedding"
     )
     out = vector_mean(emb, ["label"])
-    return out.select(
-        "label",
-        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
-    ).orderBy("label")
+    return (
+        out.select("label", F.posexplode("centroid").alias("pos", "comp"))
+        .select("label", "pos", F.round("comp", 6).alias("comp"))
+        .orderBy("label", "pos")
+    )
 
 
 SIM_CENTROID_SQL = """
 WITH e AS (
     SELECT vec_id % 5 AS label,
            unnest(list_transform(range(1, len(embedding) + 1),
-                  i -> {'pos': i, 'comp': CAST(embedding[i] AS DOUBLE)})) AS pc
+                  i -> {'pos': i - 1, 'comp': CAST(embedding[i] AS DOUBLE)})) AS pc
     FROM embeddings
-),
-m AS (
-    SELECT label, pc.pos AS pos, AVG(pc.comp) AS comp
-    FROM e GROUP BY label, pc.pos
 )
-SELECT label, array_agg(ROUND(comp, 6) ORDER BY pos) AS centroid
-FROM m
-GROUP BY label
-ORDER BY label
+SELECT label, pc.pos AS pos, ROUND(AVG(pc.comp), 6) AS comp
+FROM e
+GROUP BY label, pc.pos
+ORDER BY label, pos
 """
 
 
