@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 from datetime import datetime
 
 DATE_FMT = "%Y-%m-%d %H:%M:%S"
@@ -206,7 +207,15 @@ def cmd_gen_rain(args) -> None:
         # the reference hardcodes method='MME' when resolving the
         # nearest rainfall station for flo2d_10 models
         # (gen_rain.py find_hash_id_of_nearest_rainfall_station), so
-        # --method is ignored on this branch (round-3 advice)
+        # --method is ignored on this branch (round-3 advice); say so
+        # instead of silently overriding (round-4 advice)
+        if args.method != "MME":
+            print(
+                f"warning: --method {args.method!r} ignored for "
+                f"{args.model}: flo2d_10 gauge resolution is pinned to "
+                "method='MME' (reference parity)",
+                file=sys.stderr,
+            )
         ts = store.get_timeseries_by_grid_ids(
             "MME", grid_ids, args.start_time, args.end_time
         )

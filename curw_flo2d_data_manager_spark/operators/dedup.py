@@ -27,6 +27,31 @@ from pyspark.sql import functions as F
 from curw_flo2d_data_manager_spark.operators.parallelism import ensure_min_partitions
 from curw_flo2d_data_manager_spark.operators.textstats import words
 
+# Cached intermediates (minhash signatures, winnowing fingerprints)
+# that the RETURNED lazy plans still reference — they cannot be
+# unpersisted inside the operator without recomputing the expensive
+# projection on every downstream branch. Lifecycle is therefore
+# caller-owned: call :func:`release_caches` once the results are
+# materialized (written/collected) to free executor storage in
+# long-lived sessions (round-4 advice).
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    _TRACKED_CACHES.append(df.persist())
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate cached by the dedup operators and
+    return how many were released. Safe to call any time AFTER the
+    returned DataFrames have been materialized; calling earlier only
+    costs recomputation, never correctness."""
+    n = len(_TRACKED_CACHES)
+    while _TRACKED_CACHES:
+        _TRACKED_CACHES.pop().unpersist()
+    return n
+
 
 # ---------------------------------------------------------------- exact
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -126,7 +151,8 @@ def minhash_lsh_pairs(
     # join + both verification joins); persist it once instead of
     # recomputing the shingling scan three times. Spills to disk at
     # scale; size ≈ corpus token count, far below the raw corpus.
-    sig_df = sig_df.persist()
+    # Caller frees it via release_caches() once results materialize.
+    sig_df = _persist_tracked(sig_df)
 
     # Band rows carry ONLY (id, band key) — the shingle arrays must not
     # ride through the ``bands``-way self-join shuffle (that would move
@@ -360,9 +386,12 @@ def winnow_pairs(
     # row pay O(grams × windows) md5 calls. Predicate pushdown cannot
     # cross an InMemoryRelation, so the cache re-establishes the
     # materialize-once boundary.
-    fps_docs = with_winnow_fingerprints(
-        ensure_min_partitions(df), text_col, "_fps", k=k, window=window
-    ).select(F.col(id_col).alias("_id"), "_fps").persist()
+    # Caller frees the cache via release_caches() once materialized.
+    fps_docs = _persist_tracked(
+        with_winnow_fingerprints(
+            ensure_min_partitions(df), text_col, "_fps", k=k, window=window
+        ).select(F.col(id_col).alias("_id"), "_fps")
+    )
     fps = fps_docs.select("_id", F.explode("_fps").alias("_fp"))
     if max_bucket_size is not None:
         w_bucket = Window.partitionBy("_fp")
@@ -395,6 +424,7 @@ def ngram_contamination(
     text_col: str = "text",
     bench_text_col: str | None = None,
     n: int = 8,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word ``n``-gram with the benchmark set (the standard eval-leakage
@@ -405,9 +435,16 @@ def ngram_contamination(
     only, with the count of DISTINCT benchmark n-grams they contain.
 
     Scale shape: the benchmark side is tiny relative to the corpus, so
-    its distinct gram set is broadcast; the training side is a narrow
-    (id, gram) explode joined hash-to-hash — one scan of the corpus,
-    no shuffle of document text, work linear in corpus grams.
+    its distinct gram set is broadcast by default; the training side is
+    a narrow (id, gram) explode joined hash-to-hash — one scan of the
+    corpus, no shuffle of document text, work linear in corpus grams.
+
+    ``broadcast=True`` ASSUMES the benchmark's distinct gram set fits
+    the driver + broadcast limit (eval suites are typically a few
+    hundred MB of text → tens of millions of grams at most). For an
+    unusually large benchmark — or a small ``n`` over a big one — pass
+    ``broadcast=False`` to fall back to a plain shuffled hash join
+    instead of failing late at broadcast-build time (round-4 advice).
     """
     bench_grams = (
         benchmark.select(
@@ -421,8 +458,9 @@ def ngram_contamination(
         F.col(train_id_col).alias("train_id"),
         F.explode(word_shingles(text_col, n)).alias("_g"),
     )
-    return (
-        train_grams.join(F.broadcast(bench_grams), "_g")
-        .groupBy("train_id")
-        .agg(F.count_distinct("_g").alias("n_hits"))
+    joined = train_grams.join(
+        F.broadcast(bench_grams) if broadcast else bench_grams, "_g"
+    )
+    return joined.groupBy("train_id").agg(
+        F.count_distinct("_g").alias("n_hits")
     )

@@ -63,6 +63,19 @@ def pack_sequences(
         .withColumn("n_tokens", tokens)
         .withColumn("_pid", F.spark_partition_id())
     )
+    # `_pid` must mean the SAME partitioning in both traversals below
+    # (local prefix + per-partition totals). Within one executed plan
+    # that holds because ReuseExchange/AQE-stage-reuse computes the
+    # range exchange once and feeds both subtrees; range boundaries
+    # come from sampling, so if exchange reuse is disabled the two
+    # traversals could sample different boundaries and the carry join
+    # would silently assign wrong bins (round-4 advice). In that
+    # configuration, pin the labeling by materializing it once.
+    reuse_ok = (
+        df.sparkSession.conf.get("spark.sql.exchange.reuse", "true") == "true"
+    )
+    if not reuse_ok:
+        base = base.persist()
 
     # phase 1: local exclusive prefix inside each partition
     w_loc = (

@@ -91,10 +91,20 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_sample_size: int | None = 100_000,
 ) -> tuple[DataFrame, list[list[float]]]:
     """One-time IVF index build (the expensive half of :func:`ivf_topk`,
     split out so the index is REUSABLE across query batches):
     spherical KMeans over L2-normalized vectors.
+
+    The quantizer is trained on a bounded deterministic hash-sample of
+    at most ``train_sample_size`` vectors (the standard IVF recipe:
+    KMeans quality saturates long before the full corpus, and each
+    KMeans iteration is otherwise a full-corpus pass), then ONE full
+    assign pass places every corpus vector in its cell. The sample
+    filter is a pure hash threshold on the id column — deterministic
+    under any partitioning, no shuffle, no driver materialization.
+    Pass ``train_sample_size=None`` to train on everything.
 
     Returns ``(assignments, centers)``:
 
@@ -117,8 +127,28 @@ def build_ivf_index(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
     ).withColumn("_feat", array_to_vector(_unit(F.col("_cv"))))
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="_cluster")
-    model = km.fit(c)
+
+    train = c
+    if train_sample_size is not None:
+        n = c.count()
+        if n > train_sample_size:
+            # keep ids whose hash lands under the per-million threshold;
+            # expectation ≈ train_sample_size rows, exact set independent
+            # of partitioning (ids hash the same everywhere)
+            ppm = max(1, int(train_sample_size / n * 1_000_000))
+            train = c.filter(
+                F.pmod(F.xxhash64("corpus_id", F.lit(seed)), F.lit(1_000_000)) < ppm
+            )
+    # KMeans iterates over the training set; cache it once instead of
+    # re-filtering the corpus every iteration
+    train = train.persist()
+    try:
+        km = KMeans(
+            k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="_cluster"
+        )
+        model = km.fit(train)
+    finally:
+        train.unpersist()
     assignments = model.transform(c).select(
         "corpus_id",
         F.col("_cv").alias("embedding"),

@@ -16,10 +16,28 @@ upsert=True). Spark's JDBC writer has no upsert, so the engine offers:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# SQL identifiers are interpolated (not parameterized) into the upsert
+# statement, so restrict them to the portable unquoted form; anything
+# else (spaces, quotes, reserved punctuation) fails fast on the driver
+# instead of producing a broken/injectable statement on every executor
+# partition (round-4 advice).
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_identifiers(table: str, cols: list[str], keys: list[str]) -> None:
+    bad = [p for p in table.split(".") if not _IDENT_RE.match(p)]
+    bad += [c for c in [*cols, *keys] if not _IDENT_RE.match(c)]
+    if bad or not table:
+        raise ValueError(
+            f"unsafe SQL identifier(s) {bad!r}: table/column names must "
+            "match ^[A-Za-z_][A-Za-z0-9_]*$ (optionally dot-qualified table)"
+        )
 
 
 def merge_upsert(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
@@ -45,6 +63,7 @@ def _upsert_sql(
     with ``%s`` placeholders; ``standard`` (sqlite ≥3.24 / postgres)
     uses ``ON CONFLICT (keys) DO UPDATE SET c = excluded.c`` with
     ``?`` placeholders — both need a unique/PK index on ``keys``."""
+    _check_identifiers(table, cols, keys)
     non_keys = [c for c in cols if c not in keys]
     if dialect == "mysql":
         placeholders = ", ".join(["%s"] * len(cols))

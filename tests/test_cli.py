@@ -336,3 +336,33 @@ def test_compact_store_cli(spark, tmp_path):
     main(["compact-store", "--path", path, "--target_mb", "128"])
     assert len(glob.glob(os.path.join(path, "date=*", "*.parquet"))) == 1
     assert spark.read.parquet(path).count() == 4
+
+
+def test_gen_rain_flo2d_10_warns_on_ignored_method(spark, tmp_path, capsys):
+    """--method is pinned to 'MME' on the flo2d_10 branch (reference
+    parity); passing anything else must warn instead of silently
+    overriding (round-4 advice)."""
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(200001, "Colombo", 6.93, 79.86)],
+        "station_id int, name string, latitude double, longitude double",
+    ).write.parquet(os.path.join(store, "obs_stations"))
+    spark.createDataFrame(
+        [("h1", "MME", "rainfall", "rainfall_200001_Colombo_MDPA")],
+        "id string, method string, model string, grid_id string",
+    ).write.parquet(os.path.join(store, "run"))
+    spark.createDataFrame(
+        [("h1", datetime(2024, 1, 1, 0, 0), 1.0),
+         ("h1", datetime(2024, 1, 1, 0, 5), 2.0)],
+        "id string, time timestamp, value double",
+    ).write.parquet(os.path.join(store, "data"))
+
+    out = str(tmp_path / "RAIN.DAT")
+    main([
+        "gen-rain", "-m", "flo2d_10_GrnLane", "--method", "TSF",
+        "-s", "2024-01-01 00:00:00", "-e", "2024-01-01 01:00:00",
+        "--store", store, "--out", out, "--lat", "6.94", "--lon", "79.87",
+    ])
+    err = capsys.readouterr().err
+    assert "ignored" in err and "'TSF'" in err and "MME" in err
+    assert os.path.exists(out)

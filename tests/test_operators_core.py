@@ -714,3 +714,74 @@ def test_ngram_contamination_planted_leak(spark):
     }
     assert set(got) == {10}
     assert got[10] >= 1
+
+
+def test_ngram_contamination_shuffle_join_parity(spark):
+    """broadcast=False (the big-benchmark fallback, round-4 advice)
+    must return exactly the broadcast path's answer."""
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        ngram_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "bid int, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "prefix the quick brown fox jumps over the lazy dog today suffix"),
+            (11, "nothing in common with any benchmark"),
+        ],
+        "doc_id int, text string",
+    )
+    want = sorted(
+        map(tuple, ngram_contamination(train, bench, "doc_id", n=5).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            ngram_contamination(
+                train, bench, "doc_id", n=5, broadcast=False
+            ).collect(),
+        )
+    )
+    assert got == want and want
+
+
+def test_pack_sequences_without_exchange_reuse(spark):
+    """With spark.sql.exchange.reuse disabled, pack_sequences must
+    materialize its partition labeling (round-4 advice) and still
+    match the sequential reference exactly."""
+    from curw_flo2d_data_manager_spark.operators.packing import pack_sequences
+
+    rows = [(i, 10 + (i * 7) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tok int").repartition(7)
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        packed = pack_sequences(df, "doc_id", "n_tok", budget=300)
+        got = {r.doc_id: (r.bin_id, r.bin_offset) for r in packed.collect()}
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+    start, ref = 0, {}
+    for i, t in rows:
+        ref[i] = (start // 300, start)
+        start += t
+    assert got == ref
+
+
+def test_dedup_release_caches(spark):
+    """Operators that persist intermediates register them for
+    caller-owned release: after materializing results,
+    release_caches() frees every tracked relation (round-4 advice)."""
+    from curw_flo2d_data_manager_spark.operators import dedup
+
+    dedup.release_caches()  # drop anything earlier tests cached
+    docs = spark.createDataFrame(
+        [(i, f"some shared passage text plus unique token {i} " * 3)
+         for i in range(20)],
+        "doc_id int, text string",
+    )
+    dedup.minhash_lsh_pairs(docs, "doc_id").collect()
+    dedup.winnow_pairs(docs, "doc_id").collect()
+    assert dedup.release_caches() == 2
+    assert dedup.release_caches() == 0

@@ -83,3 +83,27 @@ def test_parts_manifest_readers_match_single_mode(spark, tmp_path):
 
     merged = concat_ordered_parts(parts, str(tmp_path / "MERGED.DAT"))
     assert open(merged).read() == open(single).read()
+
+
+def test_upsert_sql_rejects_unsafe_identifiers():
+    """Identifiers are interpolated into the upsert statement, so
+    anything outside the portable unquoted form must fail fast on the
+    driver (round-4 advice)."""
+    import pytest
+
+    from curw_flo2d_data_manager_spark.sinks.upsert import _upsert_sql
+
+    # dotted table qualification is fine
+    assert "INSERT INTO curw_fcst.data" in _upsert_sql(
+        "curw_fcst.data", ["id", "time", "value"], ["id", "time"], "mysql"
+    )
+    for table, cols, keys in [
+        ("bad table", ["id"], ["id"]),
+        ("t;drop", ["id"], ["id"]),
+        ("t", ["va l"], ["id"]),
+        ("t", ["id", 'v"'], ["id"]),
+        ("t", ["id"], ["id); --"]),
+        ("", ["id"], ["id"]),
+    ]:
+        with pytest.raises(ValueError, match="unsafe SQL identifier"):
+            _upsert_sql(table, cols, keys, "standard")
