@@ -229,3 +229,148 @@ def test_resize_pil_present_decodable_real_path(monkeypatch):
     }
     assert got[1] == (b"PNG:64x64", True)  # real codec path flags True
     assert got[2] == (None, False)
+
+
+# --- real-bytes decode path (round-4 verdict item 6): a genuine PNG
+# built with stdlib zlib/struct, decoded by a genuine (tiny) stdlib
+# PNG decoder injected as the codec — so the decode-SUCCESS branch
+# runs against real pixel data, not a stub that ignores its input.
+
+import struct
+import zlib
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def make_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode raw RGB24 scanlines as a valid minimal PNG (8-bit
+    truecolor, filter 0 per scanline)."""
+    assert len(rgb) == width * height * 3
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + rgb[y * width * 3 : (y + 1) * width * 3]
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """Tiny real PNG decoder (8-bit RGB, filter 0 only): chunk walk
+    with CRC verification, IHDR parse, zlib-inflate of IDAT, filter
+    strip. Raises on anything malformed — that is the codec contract
+    the fallback path depends on."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, width = 8, None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if (depth, ctype) != (8, 2):
+                raise ValueError("only 8-bit RGB supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("no IHDR")
+    raw = zlib.decompress(idat)
+    stride = width * 3
+    rows = []
+    for y in range(height):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        if line[0] != 0:
+            raise ValueError("only filter 0 supported")
+        rows.append(line[1:])
+    return width, height, b"".join(rows)
+
+
+def _stdlib_pil(monkeypatch):
+    """Inject a PIL module whose Image.open REALLY decodes PNG bytes
+    (via decode_png), resizes by nearest-neighbor over real pixels,
+    and re-encodes with make_png."""
+
+    class _RealImg:
+        def __init__(self, w, h, px):
+            self.w, self.h, self.px = w, h, px
+
+        def resize(self, dims):
+            tw, th = dims
+            out = bytearray()
+            for ty in range(th):
+                sy = ty * self.h // th
+                for tx in range(tw):
+                    sx = tx * self.w // tw
+                    o = (sy * self.w + sx) * 3
+                    out += self.px[o : o + 3]
+            return _RealImg(tw, th, bytes(out))
+
+        def save(self, out, format):
+            assert format == "PNG"
+            out.write(make_png(self.w, self.h, self.px))
+
+    fake_image = types.SimpleNamespace(
+        open=lambda fh: _RealImg(*decode_png(fh.read()))
+    )
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+
+
+def test_resize_real_png_bytes_through_real_decoder(monkeypatch):
+    _stdlib_pil(monkeypatch)
+    # 4x4 quadrant image: red / green / blue / white 2x2 blocks
+    q = {(0, 0): b"\xff\x00\x00", (1, 0): b"\x00\xff\x00",
+         (0, 1): b"\x00\x00\xff", (1, 1): b"\xff\xff\xff"}
+    rgb = b"".join(
+        q[(x // 2, y // 2)] for y in range(4) for x in range(4)
+    )
+    png = make_png(4, 4, rgb)
+    # sanity: encoder/decoder round-trip on the source
+    assert decode_png(png) == (4, 4, rgb)
+
+    batch = pd.DataFrame({"media_id": [1], "content": [png]})
+    (out,) = list(iter_resize_batches(iter([batch]), 2, 2))
+    row = next(out.itertuples())
+    assert row.decoded is True or row.decoded == True  # noqa: E712
+    # output is itself a valid PNG whose pixels are the exact
+    # nearest-neighbor downsample: one pixel per source quadrant
+    w, h, px = decode_png(row.content)
+    assert (w, h) == (2, 2)
+    assert px == q[(0, 0)] + q[(1, 0)] + q[(0, 1)] + q[(1, 1)]
+
+
+def test_resize_corrupt_png_falls_back_with_flag(monkeypatch):
+    _stdlib_pil(monkeypatch)
+    png = bytearray(make_png(4, 4, b"\x10" * 48))
+    png[20] ^= 0xFF  # flip one IHDR payload byte -> CRC mismatch
+    batch = pd.DataFrame({"media_id": [9], "content": [bytes(png)]})
+    (out,) = list(iter_resize_batches(iter([batch]), 2, 2))
+    row = next(out.itertuples())
+    assert row.decoded == False  # noqa: E712
+    # deterministic stand-in, not a half-decoded image
+    from curw_flo2d_data_manager_spark.operators.multimodal import (
+        _resize_stand_in,
+    )
+
+    assert row.content == _resize_stand_in(bytes(png), 2, 2)
