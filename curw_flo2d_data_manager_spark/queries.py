@@ -3934,76 +3934,30 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # touched this round take priority, then the entries whose last
     # certification is OLDEST; previously-green untouched gates rotate
     # out and are re-verified locally via tools/check_correctness.py.
-    # Round-4 window = the 5 never-certified entries + all 17 entries
-    # last certified in r1 + all 13 last certified in r2 + the 5 gates
-    # touched this round + 10 core keepers. After this round EVERY
-    # registry entry has appeared green in at least one driver window
-    # (see COVERAGE.md for the per-entry certification ledger).
+    # Round-5 window = the 11 entries never certified in any driver
+    # window (sim_label_centroids, whose array output errored the r4
+    # canonicalizer and is now reshaped, + the 10 post-freeze r4
+    # additions) + all 35 entries last certified in round 3 + the 4
+    # gates over code touched this round (IVF sample-trained quantizer,
+    # dedup cache tracking, simhash regression watch, upsert identifier
+    # validation). After this round EVERY registry entry has appeared
+    # green in >=1 driver window, and every operator family has a
+    # certification no older than the previous round (see COVERAGE.md's
+    # per-entry ledger).
     #
-    # never driver-certified across r1-r3 (round-3 verdict item 1; the
-    # verdict listed 4, but dedup_latest_version was also never in a
-    # window)
-    "dedup_latest_version": (dedup_latest_version, DEDUP_LATEST_SQL),
-    "text_url_extract": (text_url_extract, TEXT_URL_SQL),
-    "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
-    "text_repetition_gates": (text_repetition_gates, TEXT_REPETITION_SQL),
+    # never driver-certified across r1-r4 (round-4 verdict items 1+3)
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),
-    # last certified in round 1 (17 — the oldest certifications)
-    "f_hash_sample": (f_hash_sample, F_SAMPLE_SQL),
-    "f_stratified_sample": (f_stratified_sample, F_STRAT_SQL),
-    "a_rollup_cascade": (a_rollup_cascade, A_CASCADE_SQL),
-    "a_session_window_native": (a_session_window_native, A_SESSION_WINDOW_SQL),
-    "x_pivot_event_types": (x_pivot_event_types, X_PIVOT_SQL),
-    "a_rollup_totals": (a_rollup_totals, A_ROLLUP_SQL),
-    "a_distinct_counts": (a_distinct_counts, A_DISTINCT_SQL),
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
-    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
-    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
-    "q6_revenue_change": (q6_revenue_change, Q6_SQL),
-    "q4_exists_semi": (q4_exists_semi, Q4_SQL),
-    "q18_having_topk": (q18_having_topk, Q18_SQL),
-    "q10_returned_items": (q10_returned_items, Q10_SQL),
-    "q14_promo_share": (q14_promo_share, Q14_SQL),
-    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
-    "q19_disjunctive": (q19_disjunctive, Q19_SQL),
-    # last certified in round 2 (13 — rotated out for round 3)
-    "s3_first_value_lookup": (s3_first_value_lookup, S3_SQL),
-    "k1_fixed_width_render": (k1_fixed_width_render, K1_SQL),
-    "f6_sentinel_cleaning": (f6_sentinel_cleaning, F6_SQL),
-    "j5_semi_join": (j5_semi_join, J5_SQL),
-    "w2_elapsed_hours": (w2_elapsed_hours, W2_SQL),
-    "o2_ordered_topk": (o2_ordered_topk, O2_SQL),
-    "u2_set_ops": (u2_set_ops, U2_SET_SQL),
-    "x11_series_hash_id": (x11_series_hash_id, X11_SQL),
-    "dedup_fingerprint": (dedup_fingerprint_docs, DEDUP_FP_SQL),
-    "dedup_ngram_jaccard": (dedup_ngram_jaccard_docs, DEDUP_JACCARD_SQL),
-    "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
-    "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
-    "text_top_bigrams": (text_top_bigrams, TEXT_BIGRAMS_SQL),
-    # touched this round (filldown carry last-non-null fix -> parsers;
-    # multimodal decoded flag; PII oracle single-source-of-truth)
-    "p1_hychan_roundtrip": (p1_hychan_roundtrip, P1_SQL),
-    "p2_timdep_roundtrip": (p2_timdep_roundtrip, P2_SQL),
-    "mm_binary_meta": (mm_binary_meta, MM_BINARY_SQL),
-    "mm_decode_meta": (mm_decode_meta, MM_DECODE_SQL),
-    "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
-    # core keepers (flagship paths kept continuously certified; S1/K7
-    # also cover this round's JDBC work, S4/K2/K4 this round's
-    # model-spec + gen-rain advice fixes)
-    "s1_series_range_scan": (s1_series_range_scan, S1_SQL),
-    "s4_nearest_gauge_rain": (s4_nearest_gauge_rain, S4_SQL),
-    "k2_outflow_render": (k2_outflow_render, K2_SQL),
-    "k4_rain_render": (k4_rain_render, K4_SQL),
-    "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
-    "dedup_minhash_lsh": (dedup_minhash_lsh_docs, DEDUP_MINHASH_SQL),
-    "dedup_simhash": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
-    "sim_ivf_topk": (sim_ivf_topk_docs, SIM_IVF_SQL),
-    "stream_resample_events": (stream_resample_events, STREAM_A2_SQL),
-    "a_approx_distinct": (a_approx_distinct, A_APPROX_SQL),
-    # -- past the driver window --------------------------------------
-    # All 35 below were green in the round-3 driver window and are
-    # untouched since; re-verified locally via
-    # tools/check_correctness.py each round.
+    "dedup_winnowing": (dedup_winnowing_docs, DEDUP_WINNOW_SQL),
+    "dedup_winnow_pairs": (dedup_winnow_pairs_docs, DEDUP_WINNOW_PAIRS_SQL),
+    "f_weighted_sample": (f_weighted_sample, F_WEIGHTED_SQL),
+    "f_pack_sequences": (f_pack_sequences, F_PACK_SQL),
+    "dedup_contamination": (dedup_contamination, DEDUP_CONTAM_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q11_important_share": (q11_important_share, Q11_SQL),
+    "q20_heavy_suppliers": (q20_heavy_suppliers, Q20_SQL),
+    "q21_exclusive_failures": (q21_exclusive_failures, Q21_SQL),
+    # last certified in round 3 (the oldest certifications — all 35)
     "s2_grid_scan_correction": (s2_grid_scan_correction, S2_SQL),
     "s6_max_end_time": (s6_max_end_time, S6_SQL),
     "k3_raincell_render": (k3_raincell_render, K3_SQL),
@@ -4039,19 +3993,61 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
     "q17_small_quantity": (q17_small_quantity, Q17_SQL),
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),
-    # -- added in round 4 AFTER the window froze (completes the 22-query
-    # TPC-H breadth set; never driver-certified yet -> round-5 window
-    # priorities, tracked in COVERAGE.md's ledger)
-    "dedup_winnowing": (dedup_winnowing_docs, DEDUP_WINNOW_SQL),
-    "dedup_winnow_pairs": (dedup_winnow_pairs_docs, DEDUP_WINNOW_PAIRS_SQL),
-    "f_weighted_sample": (f_weighted_sample, F_WEIGHTED_SQL),
-    "f_pack_sequences": (f_pack_sequences, F_PACK_SQL),
-    "dedup_contamination": (dedup_contamination, DEDUP_CONTAM_SQL),
-    "q8_market_share": (q8_market_share, Q8_SQL),
-    "q9_product_profit": (q9_product_profit, Q9_SQL),
-    "q11_important_share": (q11_important_share, Q11_SQL),
-    "q20_heavy_suppliers": (q20_heavy_suppliers, Q20_SQL),
-    "q21_exclusive_failures": (q21_exclusive_failures, Q21_SQL),
+    # gates over code touched this round
+    "sim_ivf_topk": (sim_ivf_topk_docs, SIM_IVF_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh_docs, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
+    "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
+    # -- past the driver window --------------------------------------
+    # All 45 below were green in the round-4 driver window and are
+    # untouched since (or touched only by the sim_label_centroids
+    # reshape, itself in-window); re-verified locally via
+    # tools/check_correctness.py each round.
+    "dedup_latest_version": (dedup_latest_version, DEDUP_LATEST_SQL),
+    "text_url_extract": (text_url_extract, TEXT_URL_SQL),
+    "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
+    "text_repetition_gates": (text_repetition_gates, TEXT_REPETITION_SQL),
+    "f_hash_sample": (f_hash_sample, F_SAMPLE_SQL),
+    "f_stratified_sample": (f_stratified_sample, F_STRAT_SQL),
+    "a_rollup_cascade": (a_rollup_cascade, A_CASCADE_SQL),
+    "a_session_window_native": (a_session_window_native, A_SESSION_WINDOW_SQL),
+    "x_pivot_event_types": (x_pivot_event_types, X_PIVOT_SQL),
+    "a_rollup_totals": (a_rollup_totals, A_ROLLUP_SQL),
+    "a_distinct_counts": (a_distinct_counts, A_DISTINCT_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
+    "q6_revenue_change": (q6_revenue_change, Q6_SQL),
+    "q4_exists_semi": (q4_exists_semi, Q4_SQL),
+    "q18_having_topk": (q18_having_topk, Q18_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q14_promo_share": (q14_promo_share, Q14_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q19_disjunctive": (q19_disjunctive, Q19_SQL),
+    "s3_first_value_lookup": (s3_first_value_lookup, S3_SQL),
+    "k1_fixed_width_render": (k1_fixed_width_render, K1_SQL),
+    "f6_sentinel_cleaning": (f6_sentinel_cleaning, F6_SQL),
+    "j5_semi_join": (j5_semi_join, J5_SQL),
+    "w2_elapsed_hours": (w2_elapsed_hours, W2_SQL),
+    "o2_ordered_topk": (o2_ordered_topk, O2_SQL),
+    "u2_set_ops": (u2_set_ops, U2_SET_SQL),
+    "x11_series_hash_id": (x11_series_hash_id, X11_SQL),
+    "dedup_fingerprint": (dedup_fingerprint_docs, DEDUP_FP_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard_docs, DEDUP_JACCARD_SQL),
+    "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
+    "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
+    "text_top_bigrams": (text_top_bigrams, TEXT_BIGRAMS_SQL),
+    "p1_hychan_roundtrip": (p1_hychan_roundtrip, P1_SQL),
+    "p2_timdep_roundtrip": (p2_timdep_roundtrip, P2_SQL),
+    "mm_binary_meta": (mm_binary_meta, MM_BINARY_SQL),
+    "mm_decode_meta": (mm_decode_meta, MM_DECODE_SQL),
+    "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
+    "s1_series_range_scan": (s1_series_range_scan, S1_SQL),
+    "s4_nearest_gauge_rain": (s4_nearest_gauge_rain, S4_SQL),
+    "k2_outflow_render": (k2_outflow_render, K2_SQL),
+    "k4_rain_render": (k4_rain_render, K4_SQL),
+    "stream_resample_events": (stream_resample_events, STREAM_A2_SQL),
+    "a_approx_distinct": (a_approx_distinct, A_APPROX_SQL),
 }
 
 

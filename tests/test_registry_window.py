@@ -5,39 +5,39 @@ never driver-certified take priority, then the entries whose last
 certification is oldest; untouched previously-green gates rotate out
 and are re-verified via ``tools/check_correctness.py``.
 
-This test pins the round-4 window so a registry edit can never
+This test pins the round-5 window so a registry edit can never
 silently drop an intended gate: REQUIRED_IN_WINDOW must be edited in
 lockstep with any registry reorder."""
 
 from curw_flo2d_data_manager_spark.queries import DRIVER_WINDOW, REGISTRY
 
-# Round-4 window: keys must sit at registry position < DRIVER_WINDOW.
+# Round-5 window: keys must sit at registry position < DRIVER_WINDOW.
 REQUIRED_IN_WINDOW = {
-    # never driver-certified across r1-r3 (round-3 verdict item 1 + the
-    # fifth one the verdict missed, dedup_latest_version)
-    "dedup_latest_version", "text_url_extract", "stream_dedup_events",
-    "text_repetition_gates", "sim_label_centroids",
-    # last certified in round 1 (oldest certifications — all 17)
-    "f_hash_sample", "f_stratified_sample", "a_rollup_cascade",
-    "a_session_window_native", "x_pivot_event_types", "a_rollup_totals",
-    "a_distinct_counts", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier", "q6_revenue_change", "q4_exists_semi",
-    "q18_having_topk", "q10_returned_items", "q14_promo_share",
-    "q15_top_supplier", "q19_disjunctive",
-    # last certified in round 2 (all 13 rotated out for round 3)
-    "s3_first_value_lookup", "k1_fixed_width_render",
-    "f6_sentinel_cleaning", "j5_semi_join", "w2_elapsed_hours",
-    "o2_ordered_topk", "u2_set_ops", "x11_series_hash_id",
-    "dedup_fingerprint", "dedup_ngram_jaccard", "sim_cosine_dedup",
-    "text_lang_id", "text_top_bigrams",
-    # touched this round
-    "p1_hychan_roundtrip", "p2_timdep_roundtrip",
-    "mm_binary_meta", "mm_decode_meta", "text_pii_redact",
-    # core keepers
-    "s1_series_range_scan", "s4_nearest_gauge_rain",
-    "k2_outflow_render", "k4_rain_render", "k7_merge_upsert",
-    "dedup_minhash_lsh", "dedup_simhash", "sim_ivf_topk",
-    "stream_resample_events", "a_approx_distinct",
+    # never driver-certified across r1-r4 (round-4 verdict items 1+3:
+    # the reshaped sim_label_centroids + the 10 post-freeze r4
+    # additions)
+    "sim_label_centroids", "dedup_winnowing", "dedup_winnow_pairs",
+    "f_weighted_sample", "f_pack_sequences", "dedup_contamination",
+    "q8_market_share", "q9_product_profit", "q11_important_share",
+    "q20_heavy_suppliers", "q21_exclusive_failures",
+    # last certified in round 3 (the oldest certifications — all 35)
+    "s2_grid_scan_correction", "s6_max_end_time", "k3_raincell_render",
+    "k5_chan_render", "k8_run_metadata", "f9_get_or_create",
+    "j1_calendar_spine", "j2_dim_enrichment", "j6_nearest_rank1",
+    "j8_gap_fill", "j_asof_join", "j_range_join",
+    "a2_resample_right_closed", "a4_cumulative_fraction", "w3_fill_down",
+    "w_sessionize_events", "q12_priority_case", "x4_json_extract",
+    "stream_cumsum_events", "stream_session_events", "dedup_exact",
+    "sim_cosine_topk", "sim_lsh_pairs", "text_token_counts",
+    "text_quality", "w_moving_avg", "x_unpivot_lineitem",
+    "a_cube_counts", "a_percentiles", "q2_min_supplier",
+    "q7_nation_volume", "q13_order_distribution", "q16_supplier_cnt",
+    "q17_small_quantity", "q22_idle_customers",
+    # gates over code touched this round (IVF sample-trained quantizer,
+    # dedup tracked caches, simhash regression watch, upsert
+    # identifier validation)
+    "sim_ivf_topk", "dedup_minhash_lsh", "dedup_simhash",
+    "k7_merge_upsert",
 }
 
 
