@@ -22,6 +22,48 @@ RED_FLAGS = {
 # tiny (spine/gapfill grids, query batches); flag only for review.
 WATCH = ["BroadcastNestedLoopJoin", "SortMergeJoin"]
 
+# A non-equi join becomes a nested-loop join whose broadcast side must
+# be small; above this estimated size it is a red flag, not a watch
+# item (round-4 verdict item 8).
+BNLJ_SIZE_THRESHOLD = 32 * 1024 * 1024
+
+
+def _children(node) -> list:
+    cs = node.children()
+    return [cs.apply(i) for i in range(cs.size())]
+
+
+def bnlj_risks(df, threshold: int = BNLJ_SIZE_THRESHOLD) -> list[str]:
+    """Walk the optimized logical plan for joins with no equality in
+    their condition (these execute as nested-loop joins) and return a
+    description for each whose SMALLER side's estimated size exceeds
+    ``threshold`` — i.e. nothing is safely broadcastable and the join
+    degenerates toward n*m work at scale."""
+    out = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        stack.extend(_children(node))
+        if node.getClass().getSimpleName() != "Join":
+            continue
+        # an explicit F.broadcast() hint is the author asserting the
+        # side is tiny — those sites are reviewed by hand (spine,
+        # gapfill cells, query batches); logical size estimates for
+        # them are meaningless (cross-join stats multiply children)
+        if "strategy=broadcast" in node.hint().toString():
+            continue
+        cond = node.condition()
+        cond_str = cond.toString() if cond.isDefined() else ""
+        if "=" in cond_str:  # covers =, <=>, >=, <= (range joins keep
+            continue  # a bounded band; the pure-inequality case below)
+        sides = [int(str(c.stats().sizeInBytes())) for c in _children(node)]
+        if sides and min(sides) > threshold:
+            out.append(
+                f"non-equi join, min side ~{min(sides) // (1024 * 1024)} MiB "
+                f"(cond: {cond_str[:80] or 'none'})"
+            )
+    return out
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -43,6 +85,8 @@ def main() -> None:
             bad.append(name)
             continue
         flags = [msg for marker, msg in RED_FLAGS.items() if marker in plan]
+        if "BroadcastNestedLoopJoin" in plan:
+            flags.extend(bnlj_risks(df))
         watch = [m for m in WATCH if m in plan]
         n_exch = plan.count("Exchange")
         status = "FLAG" if flags else "ok"
