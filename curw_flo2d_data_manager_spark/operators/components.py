@@ -1,0 +1,139 @@
+"""Connected components over a duplicate-pair graph.
+
+The dedup operators (minhash LSH, SimHash, winnowing, embedding
+near-dup) all emit PAIRS ``(id_a, id_b)``. Turning pairs into "keep
+one document per duplicate CLUSTER" needs connected components:
+transitive closure of the pair relation, labeling every node with the
+minimum id in its component (the canonical survivor).
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public
+algorithm, implemented here from its published description):
+
+* large-star: every node connects its STRICTLY LARGER neighbors to
+  the minimum of its closed neighborhood;
+* small-star: every node connects its not-larger neighbors (and
+  itself) to that minimum.
+
+Both steps are one ``groupBy(src).agg(min)`` + one re-expansion join —
+pure shuffle-by-key operations, no driver-side graph state, so the
+same plan runs on a 1000-executor cluster. The edge set shrinks
+monotonically toward star graphs centered on each component's minimum;
+convergence is O(log n) rounds (vs O(diameter) for naive label
+propagation — a 1M-link chain converges in ~20 rounds, not 1M).
+
+Driver involvement per round is ONE scalar action (the convergence
+check on a multiset checksum of the edge set — no fixed-iteration
+guess, no .collect() of data). Each round's edge set is
+``localCheckpoint``-ed: both star steps reference the edge set twice,
+so without lineage TRUNCATION (persist alone keeps the logical plan)
+the plan tree quadruples per round and the driver dies on plan
+handling long before data size matters. On a real cluster with
+unreliable executors, swap ``localCheckpoint`` for a reliable
+``checkpoint`` directory — same plan shape, storage-backed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from curw_flo2d_data_manager_spark.operators.parallelism import ensure_min_partitions
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) symmetric → for each u: (v, m) for v > u, m = min(N(u) ∪ u)."""
+    nbrs = edges.select(
+        F.col("src"), F.col("dst")
+    ).unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = (
+        nbrs.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least("src", "_mn").alias("m"))
+    )
+    return (
+        nbrs.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient u ≥ v; for each u: (v, m) for v in N(u) ∪ {u}, v ≠ m."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    m = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    re_pointed = (
+        oriented.join(m, "src")
+        .select(F.col("dst").alias("node"), F.col("m"))
+        .unionByName(m.select(F.col("src").alias("node"), F.col("m")))
+    )
+    return (
+        re_pointed.filter(F.col("node") != F.col("m"))
+        .select(F.col("node").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Label every node of the pair graph with its component minimum.
+
+    Returns ``(id, component)`` — one row per distinct node appearing
+    in ``pairs``, where ``component`` is the smallest id reachable via
+    pair links (the canonical survivor for dedup: keep rows where
+    ``id == component``). Deterministic; no randomness anywhere.
+
+    ``max_rounds`` is a safety valve far above the O(log n) bound
+    (2^50 nodes); hitting it raises rather than returning a partial
+    labeling.
+    """
+    spark = pairs.sparkSession
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    edges = ensure_min_partitions(
+        pairs.select(
+            F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+        ).filter(F.col("src") != F.col("dst"))
+    ).localCheckpoint(eager=True)
+
+    # Convergence check: an order-insensitive multiset checksum of the
+    # edge set (count + sum of per-edge hashes). The step function is
+    # deterministic, so checksum-equal consecutive rounds means the
+    # edge set is (with ~2^-64 hash-collision odds) the fixed point —
+    # a star per component pointing at its minimum.
+    prev_metric = None
+    for _ in range(max_rounds):
+        stepped = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        metric = stepped.agg(
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        key = (metric["s"], metric["n"])
+        edges = stepped
+        if key == prev_metric:
+            break
+        prev_metric = key
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+    # Fixed point: every edge is (node, component_min). Nodes that are
+    # themselves the minimum appear only as dst — restore them via the
+    # node set.
+    labels = edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    return nodes.join(labels, "id", "left").select(
+        F.col("id"),
+        F.coalesce(F.col("component"), F.col("id")).alias("component"),
+    )

@@ -464,3 +464,52 @@ def ngram_contamination(
     return joined.groupBy("train_id").agg(
         F.count_distinct("_g").alias("n_hits")
     )
+
+
+# ------------------------------------------------------ passage dedup
+def passage_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    passage_words: int = 8,
+) -> DataFrame:
+    """Passage-level exact dedup: a bounded-memory form of the
+    "dedupe training data at the substring level" rule (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    ACL'22 — public description; fixed non-overlapping windows instead
+    of suffix arrays so it stays one shuffle).
+
+    Documents are chunked into consecutive ``passage_words``-word
+    passages (last chunk may be short); each passage is md5-hashed and
+    the GLOBAL first occurrence (smallest (id, pos)) is the keeper.
+
+    Scale shape: passages are hashed in the scan (pure Column exprs),
+    the passage TEXT is dropped before the only shuffle — a window
+    over md5 buckets carrying just (id, pos, hash, n_words). Returns
+    one row per passage: (id, pos, passage_hash, n_words, keep).
+    """
+    w = words(text_col)
+    n_pass = F.ceil(F.size(w) / F.lit(float(passage_words))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_pass),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(w, (i - 1) * passage_words + 1, passage_words)
+                )
+            ).alias("passage_hash"),
+            F.size(
+                F.slice(w, (i - 1) * passage_words + 1, passage_words)
+            ).alias("n_words"),
+        ),
+    )
+    exploded = (
+        ensure_min_partitions(df.filter(F.size(words(text_col)) > 0))
+        .select(F.col(id_col), F.explode(chunks).alias("p"))
+        .select(id_col, "p.pos", "p.passage_hash", "p.n_words")
+    )
+    win = Window.partitionBy("passage_hash").orderBy(id_col, "pos")
+    return exploded.withColumn(
+        "keep", (F.row_number().over(win) == 1)
+    )

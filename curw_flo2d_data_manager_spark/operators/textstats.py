@@ -340,3 +340,94 @@ def gopher_quality_flags(col: Column | str) -> Column:
         (duplicate_line_fraction(c) < 0.3).alias("dup_lines_ok"),
         (duplicate_word_fraction(c) < 0.6).alias("dup_words_ok"),
     )
+
+
+# ----------------------------------------------------------- tf-idf
+def tfidf_top_terms(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+) -> "DataFrame":
+    """Top-``k`` characteristic terms per document by smoothed tf-idf.
+
+    ``tfidf = tf * ln((N + 1) / (df + 1))`` with N = documents having
+    at least one token. The plan is two hash aggregations — term
+    frequencies shuffle on (doc, term), document frequencies on term —
+    plus one broadcast of the 1-row corpus count and a per-document
+    top-k window; no text ever moves after tokenization, only (doc,
+    term, counts). tfidf is rounded to 6 decimals BEFORE ranking so the
+    ordering (and the cross-engine oracle) never depends on the last
+    bits of ``ln``.
+
+    Returns (id, term, tf, df, tfidf, rank), rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = (
+        df.filter(F.size(words(text_col)) > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+# -------------------------------------------------- mixture planning
+def domain_mixture(
+    df: "DataFrame",
+    group_cols: list[str],
+    text_col: str = "text",
+    alpha: float = 0.7,
+) -> "DataFrame":
+    """Training-mixture statistics per domain (e.g. (lang, source)):
+    document and token counts, the domain's token share, and a
+    temperature-scaled sampling weight ``share**alpha`` renormalized
+    to 1 (alpha < 1 upweights small domains — the standard multilingual
+    rebalancing rule). One hash aggregation over the corpus + one
+    broadcast of the tiny per-domain table back onto itself for the
+    normalizers; nothing per-document leaves the first shuffle.
+    """
+    per = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(whitespace_token_count(text_col)).alias("n_tokens"),
+    )
+    totals = per.agg(
+        F.sum("n_tokens").alias("_tot_tokens"),
+    )
+    shared = per.join(F.broadcast(totals)).withColumn(
+        "token_share", F.col("n_tokens") / F.col("_tot_tokens")
+    )
+    wsum = shared.agg(
+        F.sum(F.pow("token_share", F.lit(alpha))).alias("_wsum")
+    )
+    return (
+        shared.join(F.broadcast(wsum))
+        .select(
+            *group_cols,
+            "n_docs",
+            "n_tokens",
+            F.round("token_share", 6).alias("token_share"),
+            F.round(
+                F.pow("token_share", F.lit(alpha)) / F.col("_wsum"), 6
+            ).alias("sample_weight"),
+        )
+    )

@@ -21,10 +21,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from curw_flo2d_data_manager_spark.operators.cumulative import cumulative_fraction
+from curw_flo2d_data_manager_spark.operators.components import connected_components
 from curw_flo2d_data_manager_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    passage_dedup,
     simhash_near_pairs,
 )
 from curw_flo2d_data_manager_spark.operators.gapfill import gap_fill_cross
@@ -38,6 +40,7 @@ from curw_flo2d_data_manager_spark.operators.similarity import (
 from curw_flo2d_data_manager_spark.operators.spine import spine_align
 from curw_flo2d_data_manager_spark.operators.textstats import (
     LANG_MARKERS,
+    domain_mixture,
     fingerprint,
     lang_id,
     normalize_text,
@@ -45,6 +48,7 @@ from curw_flo2d_data_manager_spark.operators.textstats import (
     quality_score,
     regex_token_count,
     stopword_ratio,
+    tfidf_top_terms,
     whitespace_token_count,
     words,
 )
@@ -3916,6 +3920,180 @@ ORDER BY bin_id
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a duplicate-pair graph (the step that
+    turns LSH/SimHash/winnowing PAIRS into per-cluster canonical ids).
+
+    The pair stream is built deterministically from documents so the
+    oracle can replay it: chain links (d, d+1) for d%10<3 give 4-node
+    paths, merge links (d, d+50) for d%25=0 stitch every 50th chain
+    into one long component — multi-hop transitive closure that a
+    single join cannot produce. Labels via alternating large-star /
+    small-star contraction (operators/components.py); the oracle is a
+    DuckDB recursive CTE propagating min-reachable-id to fixpoint.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    b = docs.select(F.col("doc_id").alias("dst_id"))
+    chain = (
+        docs.filter(F.col("doc_id") % 10 < 3)
+        .join(b, F.col("dst_id") == F.col("doc_id") + 1)
+        .select(F.col("doc_id").alias("id_a"), F.col("dst_id").alias("id_b"))
+    )
+    merge = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .join(b, F.col("dst_id") == F.col("doc_id") + 50)
+        .select(F.col("doc_id").alias("id_a"), F.col("dst_id").alias("id_b"))
+    )
+    pairs = chain.unionByName(merge)
+    return connected_components(pairs).orderBy("id")
+
+
+DEDUP_COMPONENTS_SQL = """
+WITH RECURSIVE
+e AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 10 < 3
+    UNION ALL
+    SELECT a.doc_id, b.doc_id
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 50
+    WHERE a.doc_id % 25 = 0
+),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, lab) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+)
+SELECT id, MIN(lab) AS component
+FROM reach GROUP BY id ORDER BY id
+"""
+
+
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup with planted copies: every 4th
+    document gets a verbatim copy (doc_id + 1,000,000); first-
+    occurrence-wins means every copy passage must be dropped and every
+    original kept (organic 8-word collisions don't exist in this
+    corpus, so the oracle is exact). Output is the per-document
+    retention summary a pipeline would filter on.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    p = passage_dedup(corpus, "doc_id", "text", passage_words=8)
+    return (
+        p.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept_passages"),
+            F.sum(F.when(F.col("keep"), F.col("n_words")).otherwise(0)).alias(
+                "kept_words"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_PASSAGES_SQL = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0
+),
+w AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS words
+    FROM corpus
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) != ''
+),
+p AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(words[((i-1)*8+1):(i*8)], ' ')) AS passage_hash,
+           len(words[((i-1)*8+1):(i*8)]) AS n_words
+    FROM w, UNNEST(range(1, CAST(ceil(len(words)/8.0) AS BIGINT) + 1)) AS t(i)
+),
+ranked AS (
+    SELECT doc_id, pos, n_words,
+           ROW_NUMBER() OVER (PARTITION BY passage_hash ORDER BY doc_id, pos) AS rk
+    FROM p
+)
+SELECT doc_id,
+       COUNT(*) AS n_passages,
+       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_passages,
+       CAST(SUM(CASE WHEN rk = 1 THEN n_words ELSE 0 END) AS BIGINT) AS kept_words
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed tf-idf
+    (rounded before ranking so the order is float-robust)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3).orderBy("doc_id", "rank")
+
+
+TEXT_TFIDF_SQL = """
+WITH w AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS words
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) != ''
+),
+tok AS (SELECT doc_id, unnest(words) AS term FROM w),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM w),
+scored AS (
+    SELECT t.doc_id, t.term, t.tf, d.df,
+           ROUND(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
+    FROM tf t JOIN df d USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+def text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture plan per (lang, source): doc/token counts,
+    token share, and the alpha=0.7 temperature-scaled sampling weight
+    (small domains upweighted, the standard multilingual rebalance)."""
+    docs = _t(spark, sf_dir, "documents")
+    return domain_mixture(docs, ["lang", "source"], "text", alpha=0.7).orderBy(
+        "lang", "source"
+    )
+
+
+TEXT_MIXTURE_SQL = """
+WITH per AS (
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) = ''
+                         THEN 0
+                         ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'))
+                    END) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang, source
+),
+shared AS (
+    SELECT *, CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS share_raw
+    FROM per
+)
+SELECT lang, source, n_docs, n_tokens,
+       ROUND(share_raw, 6) AS token_share,
+       ROUND(POW(share_raw, 0.7) / SUM(POW(share_raw, 0.7)) OVER (), 6) AS sample_weight
+FROM shared
+ORDER BY lang, source
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4048,6 +4226,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "k4_rain_render": (k4_rain_render, K4_SQL),
     "stream_resample_events": (stream_resample_events, STREAM_A2_SQL),
     "a_approx_distinct": (a_approx_distinct, A_APPROX_SQL),
+    # round-5 additions (appended past the window; certified locally
+    # this round, rotated into the round-6 driver window)
+    "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
+    "dedup_passages": (dedup_passages, DEDUP_PASSAGES_SQL),
+    "text_tfidf_terms": (text_tfidf_terms, TEXT_TFIDF_SQL),
+    "text_domain_mixture": (text_domain_mixture, TEXT_MIXTURE_SQL),
 }
 
 

@@ -785,3 +785,101 @@ def test_dedup_release_caches(spark):
     dedup.winnow_pairs(docs, "doc_id").collect()
     assert dedup.release_caches() == 2
     assert dedup.release_caches() == 0
+
+
+# ---------------------------------------------------------------------
+# connected components (operators/components.py)
+# ---------------------------------------------------------------------
+def test_connected_components_chains_merges_and_singletons(spark):
+    from curw_flo2d_data_manager_spark.operators.components import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4-5 merged with pair 10-11 via 5-10; isolated pair;
+    # a 40-node path (multi-round contraction, not single-hop)
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (5, 10), (20, 21)]
+    pairs += [(i, i + 1) for i in range(100, 140)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    comp = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert {comp[i] for i in [1, 2, 3, 4, 5, 10, 11]} == {1}
+    assert comp[20] == 20 and comp[21] == 20
+    assert {comp[i] for i in range(100, 141)} == {100}
+    # every node labeled, label is a member of the node set
+    assert set(comp.values()) <= set(comp.keys())
+
+
+def test_connected_components_duplicate_and_reversed_pairs(spark):
+    from curw_flo2d_data_manager_spark.operators.components import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 1), (3, 3), (2, 3)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    # self-loop (3,3) contributes the node only via its real link (2,3)
+    assert comp == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------
+# passage dedup (operators/dedup.py)
+# ---------------------------------------------------------------------
+def test_passage_dedup_first_occurrence_wins(spark):
+    from curw_flo2d_data_manager_spark.operators.dedup import passage_dedup
+
+    eight = "a b c d e f g h"
+    other = "p q r s t u v w"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{eight} {other} tail words"),  # 3 passages (last short)
+            (2, f"{eight} unique continuation here"),  # shares passage 1
+            (3, ""),  # empty -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    rows = passage_dedup(docs, "doc_id", "text", passage_words=8).collect()
+    by = {(r["doc_id"], r["pos"]): r for r in rows}
+    assert (3, 1) not in by and len({d for d, _ in by}) == 2
+    assert by[(1, 1)]["keep"] is True
+    assert by[(2, 1)]["keep"] is False  # same 8-word passage, later doc
+    assert by[(1, 3)]["n_words"] == 2  # short tail chunk
+    assert by[(1, 1)]["passage_hash"] == by[(2, 1)]["passage_hash"]
+
+
+# ---------------------------------------------------------------------
+# tf-idf + mixture (operators/textstats.py)
+# ---------------------------------------------------------------------
+def test_tfidf_top_terms_ranks_rare_terms_up(spark):
+    from curw_flo2d_data_manager_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rareword"),
+            (2, "common other stuff"),
+            (3, "common other thing"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=2).collect()
+    top1 = {r["doc_id"]: r["term"] for r in out if r["rank"] == 1}
+    # 'common' is in every doc -> lowest idf; doc 1's top term must be
+    # the unique 'rareword' even though 'common' has tf=2
+    assert top1[1] == "rareword"
+    tfidf = {(r["doc_id"], r["term"]): r["tfidf"] for r in out}
+    assert tfidf[(1, "rareword")] > tfidf.get((1, "common"), 0.0)
+
+
+def test_domain_mixture_weights_sum_to_one_and_upweight_small(spark):
+    from curw_flo2d_data_manager_spark.operators.textstats import domain_mixture
+
+    docs = spark.createDataFrame(
+        [("en", "web", "w " * 90), ("en", "web", "w " * 90), ("si", "news", "w " * 20)],
+        "lang string, source string, text string",
+    )
+    rows = domain_mixture(docs, ["lang", "source"], "text", alpha=0.7).collect()
+    by = {(r["lang"], r["source"]): r for r in rows}
+    assert abs(sum(r["sample_weight"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    # temperature scaling: small domain's weight > its raw share
+    small = by[("si", "news")]
+    assert small["sample_weight"] > small["token_share"]
