@@ -40,6 +40,10 @@ from pyspark.sql import functions as F
 
 from curw_flo2d_data_manager_spark.operators.parallelism import ensure_min_partitions
 
+# Rounds taken by the most recent connected_components call (set after
+# convergence) — observability for scale benches; not part of the API.
+last_rounds: int = 0
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """(u,v) symmetric → for each u: (v, m) for v > u, m = min(N(u) ∪ u)."""
@@ -111,8 +115,9 @@ def connected_components(
     # deterministic, so checksum-equal consecutive rounds means the
     # edge set is (with ~2^-64 hash-collision odds) the fixed point —
     # a star per component pointing at its minimum.
+    global last_rounds
     prev_metric = None
-    for _ in range(max_rounds):
+    for last_rounds in range(1, max_rounds + 1):
         stepped = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         metric = stepped.agg(
             F.coalesce(

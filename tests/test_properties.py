@@ -296,3 +296,57 @@ def test_pack_sequences_matches_sequential_property(spark, toks, budget):
         ref[i] = (start // budget, start)
         start += t
     assert got == ref
+
+
+# ---------------------------------------------------------------------
+# connected components vs a union-find oracle
+# ---------------------------------------------------------------------
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    # path-compress to final roots, then label = min of each set
+    groups = {}
+    for n in nodes:
+        groups.setdefault(find(n), set()).add(n)
+    return {n: min(members) for root, members in groups.items() for n in members}
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edges_strategy)
+def test_connected_components_matches_union_find(spark, edges):
+    from curw_flo2d_data_manager_spark.operators.components import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+    # drop self-loop-only nodes from the oracle the same way the
+    # operator does: a (x, x) pair still registers the node
+    assert got == _union_find_components(edges)
