@@ -4094,6 +4094,95 @@ ORDER BY lang, source
 """
 
 
+def dedup_cluster_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup pipeline: MinHash+LSH pairs → connected
+    components → keep-one-per-cluster decision. This is the composition
+    a real corpus dedup run executes; each stage is separately gated
+    (`dedup_minhash_lsh`, `dedup_components`) and this entry gates the
+    composition itself.
+
+    Planted clusters: every 5th document gets TWO verbatim copies
+    (sizes 3) and every 7th ONE copy (size 2; doc_id%35 gets both →
+    size 4). At jaccard_threshold=1.0 the true pair set is exactly
+    {identical shingle sets}, identity is transitive, so the connected
+    components ARE the equality classes — which DuckDB reproduces by
+    grouping on the sorted-shingle-set fingerprint. Output per corpus
+    member: its canonical cluster id, cluster size, and the keep flag
+    (survivor = smallest id in cluster).
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    pairs = minhash_lsh_pairs(
+        corpus, "doc_id", "text", num_hashes=16, bands=4, jaccard_threshold=1.0
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    labeled = (
+        corpus.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+    sizes = labeled.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labeled.join(F.broadcast(sizes), "component")
+        .select(
+            "doc_id",
+            "component",
+            "cluster_size",
+            (F.col("doc_id") == F.col("component")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTER_SQL = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 7 = 0
+),
+sh AS (
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE [array_to_string(w, ' ')] END)), chr(31)) AS key
+    FROM (
+        SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS w
+        FROM corpus
+    )
+)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY key) AS component,
+       COUNT(*) OVER (PARTITION BY key) AS cluster_size,
+       doc_id = MIN(doc_id) OVER (PARTITION BY key) AS keep
+FROM sh
+ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4232,6 +4321,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_passages": (dedup_passages, DEDUP_PASSAGES_SQL),
     "text_tfidf_terms": (text_tfidf_terms, TEXT_TFIDF_SQL),
     "text_domain_mixture": (text_domain_mixture, TEXT_MIXTURE_SQL),
+    "dedup_cluster_filter": (dedup_cluster_filter, DEDUP_CLUSTER_SQL),
 }
 
 
