@@ -111,6 +111,28 @@ def main() -> None:
     ).first()
     pack_s = time.monotonic() - t0
 
+    # passage-level exact dedup: the planted pair docs share their
+    # 6×2-word passage region only pairwise, but VERBATIM duplicate
+    # 8-word windows across the random-vocab body are ~impossible, so
+    # the expected dropped-passage count is bounded and the main
+    # assertion is throughput + a sane kept fraction.
+    from curw_flo2d_data_manager_spark.operators.dedup import passage_dedup
+
+    t0 = time.monotonic()
+    p = passage_dedup(docs, "doc_id", "text", passage_words=8)
+    prow = p.agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+    ).first()
+    passage_s = time.monotonic() - t0
+
+    from curw_flo2d_data_manager_spark.operators.textstats import tfidf_top_terms
+
+    t0 = time.monotonic()
+    tf_top = tfidf_top_terms(docs, "doc_id", "text", k=3)
+    n_tfidf = tf_top.count()
+    tfidf_s = time.monotonic() - t0
+
     print(
         json.dumps(
             {
@@ -124,6 +146,13 @@ def main() -> None:
                 "pack_docs_per_sec": int(n / pack_s),
                 "pack_bins": row["bins"],
                 "pack_mean_utilization": round(row["util"], 4),
+                "passage_dedup_sec": round(passage_s, 2),
+                "passage_dedup_passages": prow["n_passages"],
+                "passage_dedup_kept_frac": round(
+                    prow["kept"] / max(prow["n_passages"], 1), 4
+                ),
+                "tfidf_sec": round(tfidf_s, 2),
+                "tfidf_rows": n_tfidf,
             }
         )
     )
