@@ -478,6 +478,63 @@ def cmd_compact_store(args) -> None:
     print(f"compacted {n} partitions under {args.path}")
 
 
+def cmd_dedup_corpus(args) -> None:
+    """Corpus dedup as a job: pairs (by the chosen method) → connected
+    components → keep-one-per-cluster, written back as parquet. With
+    ``--keep-only`` the output is the deduplicated corpus itself;
+    otherwise it is the input plus (component, cluster_size, keep)
+    columns for downstream filtering."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.components import cluster_assign
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        release_caches,
+        simhash_near_pairs,
+    )
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="dedup-corpus")
+    df = spark.read.parquet(args.input)
+    for col in (args.id_col, args.text_col):
+        if col not in df.columns:
+            raise SystemExit(f"column {col!r} not in input ({df.columns})")
+
+    if args.method == "exact":
+        # identical normalized text → same digest; pairs = (group min,
+        # member), so components are exactly the digest groups
+        from curw_flo2d_data_manager_spark.operators.textstats import normalize_text
+
+        digest = df.select(
+            F.col(args.id_col).alias("_id"),
+            F.sha2(normalize_text(args.text_col), 256).alias("_k"),
+        )
+        winners = digest.groupBy("_k").agg(F.min("_id").alias("id_a"))
+        pairs = (
+            digest.join(winners, "_k")
+            .filter(F.col("_id") != F.col("id_a"))
+            .select("id_a", F.col("_id").alias("id_b"))
+        )
+    elif args.method == "minhash":
+        pairs = minhash_lsh_pairs(
+            df, args.id_col, args.text_col, jaccard_threshold=args.threshold
+        ).select("id_a", "id_b")
+    else:  # simhash
+        pairs = simhash_near_pairs(
+            df, args.id_col, args.text_col, max_hamming=args.max_hamming
+        ).select("id_a", "id_b")
+
+    decisions = cluster_assign(df, pairs, args.id_col)
+    out = df.join(decisions, args.id_col)
+    if args.keep_only:
+        out = out.filter(F.col("keep")).select(*df.columns)
+    out.write.mode("overwrite").parquet(args.output)
+    release_caches()
+    kept = spark.read.parquet(args.output).count()
+    total = df.count()
+    print(f"dedup-corpus[{args.method}]: {total} rows in, {kept} rows out -> {args.output}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="curw_flo2d_data_manager_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -589,6 +646,25 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--source_dir", required=True)
     sp.add_argument("--name", default="template")
     sp.set_defaults(fn=cmd_archive_templates)
+
+    sp = sub.add_parser(
+        "dedup-corpus",
+        help="dedup a parquet corpus: pairs -> connected components -> keep-one",
+    )
+    sp.add_argument("--input", required=True, help="input parquet path")
+    sp.add_argument("--output", required=True, help="output parquet path")
+    sp.add_argument("--id_col", default="doc_id")
+    sp.add_argument("--text_col", default="text")
+    sp.add_argument(
+        "--method", choices=["exact", "minhash", "simhash"], default="minhash"
+    )
+    sp.add_argument("--threshold", type=float, default=0.8,
+                    help="minhash: jaccard verify threshold")
+    sp.add_argument("--max_hamming", type=int, default=3,
+                    help="simhash: max signature hamming distance")
+    sp.add_argument("--keep_only", action="store_true",
+                    help="write only surviving rows (original columns)")
+    sp.set_defaults(fn=cmd_dedup_corpus)
     return p
 
 

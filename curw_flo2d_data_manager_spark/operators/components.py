@@ -98,7 +98,6 @@ def connected_components(
     (2^50 nodes); hitting it raises rather than returning a partial
     labeling.
     """
-    spark = pairs.sparkSession
     nodes = (
         pairs.select(F.col(id_a).alias("id"))
         .unionByName(pairs.select(F.col(id_b).alias("id")))
@@ -141,4 +140,36 @@ def connected_components(
     return nodes.join(labels, "id", "left").select(
         F.col("id"),
         F.coalesce(F.col("component"), F.col("id")).alias("component"),
+    )
+
+
+def cluster_assign(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Attach the dedup-cluster decision to every corpus row id:
+    ``(id_col, component, cluster_size, keep)`` where ``component`` is
+    the connected-component minimum over ``pairs`` (rows not in any
+    pair form singleton clusters) and ``keep`` marks the per-cluster
+    survivor. Join ``keep`` back onto the full corpus (or anti-join
+    the drops) to materialize the deduplicated output.
+    """
+    comp = connected_components(pairs, pair_a, pair_b)
+    labeled = (
+        corpus.select(F.col(id_col))
+        .join(comp, F.col(id_col) == F.col("id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    )
+    sizes = labeled.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labeled.join(F.broadcast(sizes), "component").select(
+        id_col,
+        "component",
+        "cluster_size",
+        (F.col(id_col) == F.col("component")).alias("keep"),
     )

@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from curw_flo2d_data_manager_spark.operators.cumulative import cumulative_fraction
-from curw_flo2d_data_manager_spark.operators.components import connected_components
+from curw_flo2d_data_manager_spark.operators.components import (
+    cluster_assign,
+    connected_components,
+)
 from curw_flo2d_data_manager_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -4131,24 +4134,9 @@ def dedup_cluster_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         corpus, "doc_id", "text", num_hashes=16, bands=4, jaccard_threshold=1.0
     ).select("id_a", "id_b")
-    comp = connected_components(pairs)
-    labeled = (
-        corpus.select("doc_id")
-        .join(comp, F.col("doc_id") == F.col("id"), "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
-        )
-    )
-    sizes = labeled.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
-        labeled.join(F.broadcast(sizes), "component")
-        .select(
-            "doc_id",
-            "component",
-            "cluster_size",
-            (F.col("doc_id") == F.col("component")).alias("keep"),
-        )
+        cluster_assign(corpus, pairs, "doc_id")
+        .select("doc_id", "component", "cluster_size", "keep")
         .orderBy("doc_id")
     )
 

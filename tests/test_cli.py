@@ -366,3 +366,37 @@ def test_gen_rain_flo2d_10_warns_on_ignored_method(spark, tmp_path, capsys):
     err = capsys.readouterr().err
     assert "ignored" in err and "'TSF'" in err and "MME" in err
     assert os.path.exists(out)
+
+
+def test_dedup_corpus_cli_minhash_and_exact(spark, tmp_path, capsys):
+    src = str(tmp_path / "corpus.parquet")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # verbatim dup of 1
+            (3, base.upper()),              # normalizes to the same text
+            (4, "completely different words in this unrelated document body"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    out1 = str(tmp_path / "deduped.parquet")
+    main([
+        "dedup-corpus", "--input", src, "--output", out1,
+        "--method", "minhash", "--threshold", "1.0",
+    ])
+    res = {r["doc_id"]: r for r in spark.read.parquet(out1).collect()}
+    assert res[1]["keep"] and not res[2]["keep"] and not res[3]["keep"]
+    assert res[4]["keep"] and res[4]["cluster_size"] == 1
+    assert res[2]["component"] == 1 and res[2]["cluster_size"] == 3
+
+    out2 = str(tmp_path / "survivors.parquet")
+    main([
+        "dedup-corpus", "--input", src, "--output", out2,
+        "--method", "exact", "--keep_only",
+    ])
+    kept = spark.read.parquet(out2)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4]
+    assert kept.columns == ["doc_id", "text"]
+    assert "4 rows in, 2 rows out" in capsys.readouterr().out
