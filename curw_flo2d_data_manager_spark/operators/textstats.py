@@ -431,3 +431,45 @@ def domain_mixture(
             ).alias("sample_weight"),
         )
     )
+
+
+# --------------------------------------------- unigram LM scoring
+def unigram_logprob(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-document average unigram log-probability under the corpus's
+    own add-one-smoothed unigram model — the cheap in-corpus stand-in
+    for the KenLM-perplexity quality filter of public web-corpus
+    pipelines (CCNet-style): documents whose token distribution is
+    far from the corpus's read as low avg_logprob and get filtered.
+
+    ``p(term) = (count(term) + 1) / (total_tokens + vocab_size)``.
+
+    Plan shape: tokenize in the scan, one shuffle to count unigrams,
+    a 1-row broadcast for the normalizer, one term-keyed join back
+    onto the token stream (term counts are the small side at real
+    vocab sizes but both sides shuffle on term — skew-safe for stop
+    words via AQE), one doc-keyed aggregation. avg_logprob is rounded
+    to 4 decimals so the result doesn't hinge on float summation
+    order. Returns (id, n_tokens, avg_logprob).
+    """
+    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = uni.agg(
+        F.sum("cnt").alias("n_tok"), F.count(F.lit(1)).alias("vocab")
+    )
+    return (
+        toks.join(uni, "term")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "lp",
+            F.log((F.col("cnt") + F.lit(1.0)) / (F.col("n_tok") + F.col("vocab"))),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+    )

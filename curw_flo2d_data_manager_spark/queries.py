@@ -52,6 +52,7 @@ from curw_flo2d_data_manager_spark.operators.textstats import (
     regex_token_count,
     stopword_ratio,
     tfidf_top_terms,
+    unigram_logprob,
     whitespace_token_count,
     words,
 )
@@ -4171,6 +4172,36 @@ ORDER BY doc_id
 """
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style in-corpus LM quality signal: per-doc average
+    add-one-smoothed unigram log-probability (rounded to 4 so the
+    value never hinges on float summation order)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob(docs, "doc_id", "text").orderBy("doc_id")
+
+
+TEXT_UNIGRAM_SQL = """
+WITH w AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS words
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) != ''
+),
+tok AS (SELECT doc_id, unnest(words) AS term FROM w),
+uni AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS n_tok, COUNT(*) AS vocab FROM uni),
+scored AS (
+    SELECT t.doc_id,
+           ln((u.cnt + 1.0) / (tot.n_tok + tot.vocab)) AS lp
+    FROM tok t JOIN uni u USING (term) CROSS JOIN tot
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(lp), 4) AS avg_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4310,6 +4341,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_tfidf_terms": (text_tfidf_terms, TEXT_TFIDF_SQL),
     "text_domain_mixture": (text_domain_mixture, TEXT_MIXTURE_SQL),
     "dedup_cluster_filter": (dedup_cluster_filter, DEDUP_CLUSTER_SQL),
+    "text_unigram_logprob": (text_unigram_logprob, TEXT_UNIGRAM_SQL),
 }
 
 
