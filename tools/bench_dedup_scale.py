@@ -64,6 +64,21 @@ def main() -> None:
     sh = simhash_near_pairs(docs, "doc_id", max_hamming=3).count()
     t_simhash = round(time.monotonic() - t0, 2)
 
+    # full pipeline: pairs -> connected components -> keep-one. Every
+    # planted (20j, 20j+1) pair is its own 2-cluster, so survivors must
+    # be exactly n_docs - n_planted (near-copies lose, originals win).
+    from curw_flo2d_data_manager_spark.operators import components
+    from curw_flo2d_data_manager_spark.operators.components import cluster_assign
+
+    n_planted = n_docs // 20 if n_docs % 20 == 0 else (n_docs + 18) // 20
+    t0 = time.monotonic()
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.8
+    ).select("id_a", "id_b")
+    decisions = cluster_assign(docs, pairs, "doc_id")
+    survivors = decisions.filter(F.col("keep")).count()
+    t_pipeline = round(time.monotonic() - t0, 2)
+
     print(
         json.dumps(
             {
@@ -74,6 +89,10 @@ def main() -> None:
                 "simhash_pairs_h3": sh,
                 "simhash_sec": t_simhash,
                 "docs_per_sec_minhash": int(n_docs / t_minhash),
+                "pipeline_sec": t_pipeline,
+                "pipeline_survivors": survivors,
+                "pipeline_expected_survivors": n_docs - n_planted,
+                "pipeline_cc_rounds": components.last_rounds,
             }
         )
     )
