@@ -189,3 +189,45 @@ def test_pack_sequences_single_range_exchange(spark, sf_dir):
     assert "Exchange rangepartitioning" in final
     assert "ReusedExchange" in final, final
     assert "BroadcastHashJoin" in final
+
+
+def test_passage_dedup_shuffle_carries_hashes_not_text(spark, sf_dir):
+    """passage_dedup's one shuffle (the first-occurrence window over
+    md5 buckets) must move (id, pos, hash, n_words) only — the raw
+    document text and the reconstructed passage string both stay in
+    the scan stage."""
+    from curw_flo2d_data_manager_spark.operators.dedup import passage_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = plan_of(passage_dedup(docs, "doc_id", "text"))
+    exchange_part = plan[plan.index("Exchange") :].split("===")[0]
+    # the post-shuffle stages never reference the text column
+    assert "text#" not in exchange_part.split("Exchange")[1].split("(1) Scan")[0]
+    assert "BatchEvalPython" not in plan
+
+
+def test_tfidf_partial_aggregates_before_shuffles(spark, sf_dir):
+    """Both tf-idf aggregations (term frequency, document frequency)
+    must map-side partial-aggregate: every Exchange is fed by a
+    HashAggregate, so only (keys, partial counts) shuffle."""
+    from curw_flo2d_data_manager_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = plan_of(tfidf_top_terms(docs, "doc_id", "text"), mode="simple")
+    assert "partial_count" in plan.lower() or plan.count("HashAggregate") >= 4
+    assert "BatchEvalPython" not in plan
+
+
+def test_connected_components_round_bound(spark):
+    """Star contraction must stay O(log n): a 64-node chain (diameter
+    63) converges within 10 rounds — a naive propagation would need
+    ~63. Guards against a regression to per-hop label spreading."""
+    from curw_flo2d_data_manager_spark.operators import components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["component"] for r in
+           components.connected_components(pairs).collect()}
+    assert set(out.values()) == {0} and len(out) == 65
+    assert components.last_rounds <= 10, components.last_rounds
