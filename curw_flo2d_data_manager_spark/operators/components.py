@@ -166,8 +166,10 @@ def cluster_assign(
             F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
         )
     )
+    # sizes has one row per cluster — unbounded at corpus scale, so no
+    # broadcast hint: AQE picks broadcast when it actually fits.
     sizes = labeled.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labeled.join(F.broadcast(sizes), "component").select(
+    return labeled.join(sizes, "component").select(
         id_col,
         "component",
         "cluster_size",

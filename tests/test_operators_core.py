@@ -883,3 +883,15 @@ def test_domain_mixture_weights_sum_to_one_and_upweight_small(spark):
     # temperature scaling: small domain's weight > its raw share
     small = by[("si", "news")]
     assert small["sample_weight"] > small["token_share"]
+
+
+def test_passage_dedup_window_variant_matches_skew_safe(spark):
+    from curw_flo2d_data_manager_spark.operators.dedup import passage_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h tail one"), (2, "a b c d e f g h tail two"), (3, "x " * 20)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, passage_dedup(docs, "doc_id", skew_safe=True).collect()))
+    b = sorted(map(tuple, passage_dedup(docs, "doc_id", skew_safe=False).collect()))
+    assert a == b
