@@ -483,12 +483,15 @@ def cmd_dedup_corpus(args) -> None:
     components → keep-one-per-cluster, written back as parquet. With
     ``--keep-only`` the output is the deduplicated corpus itself;
     otherwise it is the input plus (component, cluster_size, keep)
-    columns for downstream filtering."""
+    columns for downstream filtering. ``--method passage`` instead
+    REWRITES documents (duplicate passages cut, text rebuilt) rather
+    than dropping whole rows."""
     from pyspark.sql import functions as F
 
     from curw_flo2d_data_manager_spark.operators.components import cluster_assign
     from curw_flo2d_data_manager_spark.operators.dedup import (
         minhash_lsh_pairs,
+        passage_dedup_rebuild,
         release_caches,
         simhash_near_pairs,
     )
@@ -499,6 +502,22 @@ def cmd_dedup_corpus(args) -> None:
     for col in (args.id_col, args.text_col):
         if col not in df.columns:
             raise SystemExit(f"column {col!r} not in input ({df.columns})")
+
+    if args.method == "passage":
+        rebuilt = passage_dedup_rebuild(
+            df, args.id_col, args.text_col, passage_words=args.passage_words
+        )
+        out = df.drop(args.text_col).join(rebuilt, args.id_col)
+        if args.keep_only:
+            out = out.filter(F.col("n_kept") > 0).select(*df.columns)
+        out.write.mode("overwrite").parquet(args.output)
+        release_caches()
+        kept = spark.read.parquet(args.output).count()
+        print(
+            f"dedup-corpus[passage]: {df.count()} rows in, {kept} rows out "
+            f"-> {args.output}"
+        )
+        return
 
     if args.method == "exact":
         # identical normalized text → same digest; pairs = (group min,
@@ -656,8 +675,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--id_col", default="doc_id")
     sp.add_argument("--text_col", default="text")
     sp.add_argument(
-        "--method", choices=["exact", "minhash", "simhash"], default="minhash"
+        "--method",
+        choices=["exact", "minhash", "simhash", "passage"],
+        default="minhash",
     )
+    sp.add_argument("--passage_words", type=int, default=8,
+                    help="passage: words per dedup window")
     sp.add_argument("--threshold", type=float, default=0.8,
                     help="minhash: jaccard verify threshold")
     sp.add_argument("--max_hamming", type=int, default=3,

@@ -547,3 +547,76 @@ def passage_dedup(
             ).alias("keep"),
         )
     )
+
+
+def passage_dedup_rebuild(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    passage_words: int = 8,
+) -> DataFrame:
+    """Passage dedup that REBUILDS the cleaned documents: duplicate
+    passages (global first occurrence wins, as in :func:`passage_dedup`)
+    are cut out and each document's surviving passages are re-joined in
+    order. Documents whose every passage was boilerplate come back as
+    empty strings (filter on ``n_kept > 0`` to drop them).
+
+    The winner decision shuffles hashes only (same skew-safe aggregate
+    as passage_dedup); passage TEXT rides along exactly once — on the
+    explode side of the winner join — and is reassembled with one
+    doc-keyed aggregation whose state is bounded by document size.
+    Returns (id, text, n_passages, n_kept).
+    """
+    w = words(text_col)
+    n_pass = F.ceil(F.size(w) / F.lit(float(passage_words))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_pass),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ", F.slice(w, (i - 1) * passage_words + 1, passage_words)
+            ).alias("ptext"),
+        ),
+    )
+    exploded = _persist_tracked(
+        ensure_min_partitions(df.filter(F.size(words(text_col)) > 0))
+        .select(F.col(id_col), F.explode(chunks).alias("p"))
+        .select(
+            id_col,
+            "p.pos",
+            F.md5("p.ptext").alias("passage_hash"),
+            "p.ptext",
+        )
+    )
+    winners = exploded.groupBy("passage_hash").agg(
+        F.min(F.struct(F.col(id_col).alias("id"), F.col("pos").alias("pos"))).alias(
+            "_w"
+        )
+    )
+    kept = exploded.join(winners, "passage_hash").filter(
+        (F.col(id_col) == F.col("_w.id")) & (F.col("pos") == F.col("_w.pos"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ptext"))),
+                lambda s: s["ptext"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("pos").alias("_np"),
+    )
+    # left join restores docs that lost every passage (empty text)
+    totals = df.filter(F.size(words(text_col)) > 0).select(
+        F.col(id_col),
+        F.ceil(F.size(words(text_col)) / F.lit(float(passage_words)))
+        .cast("long")
+        .alias("n_passages"),
+    )
+    return totals.join(rebuilt.drop("_np"), id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        "n_passages",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )

@@ -400,3 +400,23 @@ def test_dedup_corpus_cli_minhash_and_exact(spark, tmp_path, capsys):
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4]
     assert kept.columns == ["doc_id", "text"]
     assert "4 rows in, 2 rows out" in capsys.readouterr().out
+
+
+def test_dedup_corpus_cli_passage_rewrite(spark, tmp_path, capsys):
+    src = str(tmp_path / "pcorpus.parquet")
+    eight = "a b c d e f g h"
+    spark.createDataFrame(
+        [(1, f"{eight} first doc extra content"), (2, eight), (3, "fresh words only")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "rewritten.parquet")
+    main([
+        "dedup-corpus", "--input", src, "--output", out,
+        "--method", "passage", "--keep_only",
+    ])
+    rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert 2 not in rows                      # fully-duplicated doc dropped
+    assert rows[1].startswith(eight)          # first occurrence keeps its passage
+    assert rows[3] == "fresh words only"
+    assert "3 rows in, 2 rows out" in capsys.readouterr().out

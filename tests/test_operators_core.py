@@ -895,3 +895,22 @@ def test_passage_dedup_window_variant_matches_skew_safe(spark):
     a = sorted(map(tuple, passage_dedup(docs, "doc_id", skew_safe=True).collect()))
     b = sorted(map(tuple, passage_dedup(docs, "doc_id", skew_safe=False).collect()))
     assert a == b
+
+
+def test_passage_dedup_rebuild_cuts_duplicates_and_reassembles(spark):
+    from curw_flo2d_data_manager_spark.operators.dedup import passage_dedup_rebuild
+
+    eight = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{eight} unique middle part here now yes ok fine tail"),
+            (2, f"{eight} totally different continuation of words"),  # loses p1
+            (3, eight),  # single passage, fully duplicated -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in passage_dedup_rebuild(docs, "doc_id").collect()}
+    assert out[1]["text"].startswith(eight) and out[1]["n_kept"] == out[1]["n_passages"]
+    assert not out[2]["text"].startswith(eight)  # first passage removed
+    assert out[2]["text"] == "totally different continuation of words"
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0 and out[3]["n_passages"] == 1
