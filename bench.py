@@ -106,6 +106,26 @@ def main() -> None:
             timings[name] = round(time.monotonic() - t0, 3)
         runs.append(timings)
 
+    # Non-headline extras (round-5 additions): timed once, reported
+    # under their own keys so the headline total stays comparable
+    # across rounds. dedup_components / dedup_cluster_filter include
+    # their connected-components contraction rounds by construction.
+    EXTRA = [
+        "dedup_components",
+        "dedup_passages",
+        "dedup_cluster_filter",
+        "text_tfidf_terms",
+        "text_domain_mixture",
+        "text_unigram_logprob",
+    ]
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        if name not in registry:
+            continue
+        t0 = time.monotonic()
+        _run(registry[name](spark, sf_dir))
+        extra[name] = round(time.monotonic() - t0, 3)
+
     timings = runs[0]
     total = round(sum(timings.values()), 3)
     qmin = {name: min(r[name] for r in runs) for name in HEADLINE}
@@ -129,6 +149,9 @@ def main() -> None:
     if len(runs) > 1:
         out["value_pass_a"] = total  # the rounds-1-3-comparable total
         out["value_pass_b"] = round(sum(runs[1].values()), 3)
+    if extra:
+        out["extra_queries"] = extra
+        out["extra_total"] = round(sum(extra.values()), 3)
     full = dict(out)
     full["passes"] = [
         {"pass": chr(ord("A") + i), "total": round(sum(r.values()), 3), "queries": r}

@@ -38,8 +38,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from curw_flo2d_data_manager_spark.operators.parallelism import ensure_min_partitions
-
 # Rounds taken by the most recent connected_components call (set after
 # convergence) — observability for scale benches; not part of the API.
 last_rounds: int = 0
@@ -103,11 +101,17 @@ def connected_components(
         .unionByName(pairs.select(F.col(id_b).alias("id")))
         .distinct()
     )
-    edges = ensure_min_partitions(
+    # No up-front repartition: every round is shuffle-dominated (the
+    # star groupBys), so parallelism comes from the shuffles and AQE
+    # right-sizes the reducer count per round — a forced 32-way spread
+    # of a small edge set only adds fixed per-round overhead.
+    edges = (
         pairs.select(
             F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-        ).filter(F.col("src") != F.col("dst"))
-    ).localCheckpoint(eager=True)
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
 
     # Convergence check: an order-insensitive multiset checksum of the
     # edge set (count + sum of per-edge hashes). The step function is
