@@ -339,3 +339,89 @@ def timdep_extract_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def corpus_dedup_stream(
+    spark: SparkSession,
+    watch_dir: str,
+    out_dir: str,
+    schema: StructType | str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+    available_now: bool = False,
+):
+    """File-arrival corpus ingest with INCREMENTAL exact dedup — the
+    streaming twin of ``cli dedup-corpus --method exact``.
+
+    New parquet files under ``watch_dir`` arrive as micro-batches.
+    Each batch is deduplicated in two steps inside ``foreachBatch``:
+
+    1. within-batch: keep the smallest id per normalized-text digest;
+    2. against history: left-anti join the batch's digests against the
+       digest ledger accumulated from all PREVIOUS batches.
+
+    Survivors are appended under ``out_dir/docs/batch=<id>/`` and
+    their digests under ``out_dir/digests/batch=<id>/`` — the
+    deterministic per-batch subdirectory is OVERWRITTEN on replay, so
+    a crashed-and-retried micro-batch converges to the same files
+    (idempotent; with checkpointed file discovery this is end-to-end
+    exactly-once). The ledger read excludes the current batch id for
+    the same reason: a retry must not see its own partial output.
+
+    Scale shape: the anti-join shuffles 32-byte digests, never text;
+    the ledger is digest-only parquet, so history grows by hash count,
+    not corpus bytes. At very large history, compact the ledger dir
+    (``TimeseriesStore.compact_data`` works on it unchanged) — the
+    per-batch layout keeps old files immutable.
+
+    Returns the started ``StreamingQuery``.
+    """
+    import os
+
+    from curw_flo2d_data_manager_spark.operators.textstats import normalize_text
+
+    stream = spark.readStream.schema(schema).parquet(watch_dir)
+    docs_root = os.path.join(out_dir, "docs")
+    ledger_root = os.path.join(out_dir, "digests")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_spark = batch_df.sparkSession
+        digested = batch_df.withColumn(
+            "_digest", F.sha2(normalize_text(text_col), 256)
+        )
+        w_first = (
+            digested.groupBy("_digest").agg(F.min(id_col).alias("_keep_id"))
+        )
+        local = digested.join(
+            w_first,
+            (digested["_digest"] == w_first["_digest"])
+            & (digested[id_col] == w_first["_keep_id"]),
+        ).select(digested["*"])
+        try:
+            seen = (
+                batch_spark.read.parquet(ledger_root)
+                .filter(F.col("batch") != batch_id)
+                .select("digest")
+            )
+            fresh = local.join(
+                seen, local["_digest"] == seen["digest"], "left_anti"
+            )
+        except Exception:  # first batch: no ledger yet
+            fresh = local
+        fresh = fresh.localCheckpoint(eager=True)  # read-before-overwrite safety
+        fresh.drop("_digest").write.mode("overwrite").parquet(
+            os.path.join(docs_root, f"batch={batch_id}")
+        )
+        fresh.select(
+            F.col("_digest").alias("digest"), F.lit(batch_id).alias("batch")
+        ).write.mode("overwrite").parquet(
+            os.path.join(ledger_root, f"batch={batch_id}")
+        )
+
+    writer = stream.writeStream.foreachBatch(_process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -265,3 +265,57 @@ def test_timdep_extract_stream_file_arrival(spark, tmp_path):
     )
     assert sorted(got) == batch
     assert len(batch) == 4  # 2 blocks x 2 cells (153 densified NULL)
+
+
+def test_corpus_dedup_stream_incremental_exact(spark, tmp_path):
+    """Two waves of corpus files: within-wave and cross-wave verbatim
+    duplicates are dropped, first occurrence (smallest id) wins, and a
+    restart with the same checkpoint re-admits nothing."""
+    from curw_flo2d_data_manager_spark.streaming.ingest import corpus_dedup_stream
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta words")],
+        schema,
+    ).coalesce(1).write.parquet(str(watch / "wave1"))
+
+    q = corpus_dedup_stream(
+        spark, str(watch / "*"), out, schema,
+        checkpoint=ckpt, available_now=True,
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    spark.createDataFrame(
+        [(4, "ALPHA  beta gamma!"),   # normalizes to a seen digest
+         (5, "epsilon fresh text"),
+         (6, "epsilon fresh text")],  # within-wave dup
+        schema,
+    ).coalesce(1).write.parquet(str(watch / "wave2"))
+
+    q = corpus_dedup_stream(
+        spark, str(watch / "*"), out, schema,
+        checkpoint=ckpt, available_now=True,
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    docs = spark.read.parquet(f"{out}/docs")
+    ids = sorted(r["doc_id"] for r in docs.collect())
+    assert ids == [1, 3, 5]
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert texts[1] == "alpha beta gamma"
+
+    # third run with nothing new: no re-admission, output unchanged
+    q = corpus_dedup_stream(
+        spark, str(watch / "*"), out, schema,
+        checkpoint=ckpt, available_now=True,
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert sorted(r["doc_id"] for r in spark.read.parquet(f"{out}/docs").collect()) == [1, 3, 5]
