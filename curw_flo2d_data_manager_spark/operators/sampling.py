@@ -108,3 +108,55 @@ def weighted_sample(
         .limit(n)
         .drop("_ares_key")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_cols: list[str],
+    text_col: str = "text",
+    target_tokens: int = 1_000_000,
+    alpha: float = 0.7,
+    salt: str = "",
+) -> DataFrame:
+    """Resample a corpus toward a token budget under temperature-scaled
+    domain weights — the step that turns :func:`textstats.domain_mixture`'s
+    PLAN into an actual training mix.
+
+    Per domain, the keep-fraction is
+    ``min(1, round(sample_weight, 6) * target_tokens / n_tokens)``
+    (domains whose weighted share exceeds their size keep everything —
+    upsampling is left to epoch repetition, not row duplication), and
+    rows are kept by the same deterministic md5-bucket rule as
+    :func:`hash_sample`, so the mix is reproducible row-for-row across
+    runs and engines.
+
+    Scale shape: one aggregation for the mixture table (tiny — one row
+    per domain), broadcast back onto the corpus, then a pure
+    projection+filter — no shuffle of the corpus itself. Returns the
+    kept rows of ``df`` unchanged.
+    """
+    from curw_flo2d_data_manager_spark.operators.textstats import domain_mixture
+
+    mix = domain_mixture(df, group_cols, text_col, alpha)
+    rates = mix.select(
+        *group_cols,
+        F.least(
+            F.lit(1.0),
+            F.col("sample_weight") * F.lit(float(target_tokens)) / F.col("n_tokens"),
+        ).alias("_keep_frac"),
+    )
+    # Column-expression form of hash_threshold: frac >= 1 -> "g" (sorts
+    # after every hex bucket, keep-all); else 8-hex truncation.
+    thr = F.when(F.col("_keep_frac") >= 1.0, F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(F.hex((F.col("_keep_frac") * F.lit(_SPACE)).cast("bigint"))),
+            8,
+            "0",
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), group_cols)
+        .filter(_bucket(key_cols, salt) < thr)
+        .select(*df.columns)
+    )

@@ -4202,6 +4202,64 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def f_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction end-to-end: temperature-scaled domain
+    weights → per-domain keep fractions against a 50k-token budget →
+    deterministic md5-bucket row selection; summarized per domain so
+    the oracle checks the exact kept set (counts + token sums)."""
+    from curw_flo2d_data_manager_spark.operators.sampling import mixture_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = mixture_resample(
+        docs, ["lang", "source"], ["doc_id"], "text",
+        target_tokens=50_000, alpha=0.7,
+    )
+    return (
+        kept.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum(whitespace_token_count("text")).alias("kept_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+F_MIXTURE_SQL = """
+WITH per AS (
+    SELECT lang, source,
+           CAST(SUM(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) = ''
+                         THEN 0
+                         ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'))
+                    END) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang, source
+),
+shared AS (
+    SELECT *, CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS share_raw
+    FROM per
+),
+rates AS (
+    SELECT lang, source,
+           LEAST(1.0, ROUND(POW(share_raw, 0.7) / SUM(POW(share_raw, 0.7)) OVER (), 6)
+                      * 50000.0 / n_tokens) AS kf
+    FROM shared
+),
+kept AS (
+    SELECT d.doc_id, d.lang, d.source,
+           CASE WHEN trim(regexp_replace(lower(d.text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) = ''
+                THEN 0
+                ELSE len(string_split_regex(trim(regexp_replace(lower(d.text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'))
+           END AS n_tok
+    FROM documents d JOIN rates r USING (lang, source)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+          CASE WHEN r.kf >= 1.0 THEN 'g'
+               ELSE lpad(lower(hex(CAST(FLOOR(r.kf * 4294967296) AS BIGINT))), 8, '0')
+          END
+)
+SELECT lang, source, COUNT(*) AS kept_docs, CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+FROM kept GROUP BY lang, source ORDER BY lang, source
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4342,6 +4400,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_domain_mixture": (text_domain_mixture, TEXT_MIXTURE_SQL),
     "dedup_cluster_filter": (dedup_cluster_filter, DEDUP_CLUSTER_SQL),
     "text_unigram_logprob": (text_unigram_logprob, TEXT_UNIGRAM_SQL),
+    "f_mixture_resample": (f_mixture_resample, F_MIXTURE_SQL),
 }
 
 

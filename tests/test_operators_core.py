@@ -914,3 +914,22 @@ def test_passage_dedup_rebuild_cuts_duplicates_and_reassembles(spark):
     assert not out[2]["text"].startswith(eight)  # first passage removed
     assert out[2]["text"] == "totally different continuation of words"
     assert out[3]["text"] == "" and out[3]["n_kept"] == 0 and out[3]["n_passages"] == 1
+
+
+def test_mixture_resample_budget_and_determinism(spark):
+    from curw_flo2d_data_manager_spark.operators.sampling import mixture_resample
+
+    rows = [(i, "en" if i % 4 else "si", "w " * 50) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = mixture_resample(
+        docs, ["lang"], ["doc_id"], "text", target_tokens=3000, alpha=0.7
+    )
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in kept.collect())
+    assert a == b and 0 < len(a) < 200  # deterministic, actually downsampled
+    by_lang = {r["lang"]: 0 for r in docs.select("lang").distinct().collect()}
+    for r in kept.collect():
+        by_lang[r["lang"]] += 1
+    # alpha<1 upweights the small 'si' domain: its keep RATE must
+    # exceed the big domain's
+    assert by_lang["si"] / 50 > by_lang["en"] / 150
