@@ -605,7 +605,6 @@ def passage_dedup_rebuild(
             ),
         ).alias(text_col),
         F.count(F.lit(1)).alias("n_kept"),
-        F.max("pos").alias("_np"),
     )
     # left join restores docs that lost every passage (empty text)
     totals = df.filter(F.size(words(text_col)) > 0).select(
@@ -614,7 +613,7 @@ def passage_dedup_rebuild(
         .cast("long")
         .alias("n_passages"),
     )
-    return totals.join(rebuilt.drop("_np"), id_col, "left").select(
+    return totals.join(rebuilt, id_col, "left").select(
         id_col,
         F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
         "n_passages",

@@ -398,6 +398,8 @@ def corpus_dedup_stream(
             (digested["_digest"] == w_first["_digest"])
             & (digested[id_col] == w_first["_keep_id"]),
         ).select(digested["*"])
+        from pyspark.errors import AnalysisException
+
         try:
             seen = (
                 batch_spark.read.parquet(ledger_root)
@@ -407,7 +409,7 @@ def corpus_dedup_stream(
             fresh = local.join(
                 seen, local["_digest"] == seen["digest"], "left_anti"
             )
-        except Exception:  # first batch: no ledger yet
+        except AnalysisException:  # first batch: no ledger dir yet
             fresh = local
         fresh = fresh.localCheckpoint(eager=True)  # read-before-overwrite safety
         fresh.drop("_digest").write.mode("overwrite").parquet(
