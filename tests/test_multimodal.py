@@ -374,3 +374,36 @@ def test_resize_corrupt_png_falls_back_with_flag(monkeypatch):
     )
 
     assert row.content == _resize_stand_in(bytes(png), 2, 2)
+
+
+# ---------------------------------------------------------------------
+# feature extraction (multimodal -> similarity bridge)
+# ---------------------------------------------------------------------
+def test_extract_features_stand_in_deterministic_and_ann_ready(spark):
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.multimodal import extract_features
+    from curw_flo2d_data_manager_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, b"aaaa"), (2, b"aaaa"), (3, b"bbbb"), (4, None)],
+        "media_id long, content binary",
+    )
+    out = extract_features(df, dim=8)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows[1]["embedding"]) == 8
+    assert rows[1]["embedding"] == rows[2]["embedding"]  # content-determined
+    assert rows[1]["embedding"] != rows[3]["embedding"]
+    assert rows[4]["embedding"] is None and rows[4]["decoded"] is False
+    assert all(-1.0 <= x <= 1.0 for x in rows[1]["embedding"])
+
+    # the output feeds the similarity operators directly
+    emb = out.filter("embedding is not null").select(
+        F.col("media_id").alias("vec_id"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+    q1 = emb.filter("vec_id = 1").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk(emb, q1, k=2).collect()
+    assert {r["corpus_id"] for r in top} >= {1, 2}  # identical vectors rank top
