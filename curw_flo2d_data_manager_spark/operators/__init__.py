@@ -12,6 +12,10 @@ from curw_flo2d_data_manager_spark.operators.cumulative import cumulative_fracti
 from curw_flo2d_data_manager_spark.operators.filldown import fill_down
 from curw_flo2d_data_manager_spark.operators.nearest import nearest_neighbor_join
 from curw_flo2d_data_manager_spark.operators.gapfill import gap_fill_cross
+from curw_flo2d_data_manager_spark.operators.components import (
+    cluster_assign,
+    connected_components,
+)
 
 __all__ = [
     "resample_sum",
@@ -20,4 +24,6 @@ __all__ = [
     "fill_down",
     "nearest_neighbor_join",
     "gap_fill_cross",
+    "cluster_assign",
+    "connected_components",
 ]

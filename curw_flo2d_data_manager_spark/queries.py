@@ -4260,6 +4260,74 @@ FROM kept GROUP BY lang, source ORDER BY lang, source
 """
 
 
+def stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup over file arrival: wave 1 is the
+    documents table, wave 2 re-sends every 3rd document under a new id
+    (+1,000,000) plus genuinely new synthetic docs (+2,000,000). The
+    ledger must drop every re-sent duplicate across waves and admit
+    the new docs; the oracle is the batch first-occurrence-per-
+    normalized-text rule over both waves."""
+    import tempfile
+
+    from curw_flo2d_data_manager_spark.streaming.ingest import corpus_dedup_stream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wave2 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.lit("brand new content "), F.col("doc_id").cast("string")).alias(
+                "text"
+            ),
+        )
+    )
+    watch = tempfile.mkdtemp(prefix="stream_corpus_src_")
+    out = tempfile.mkdtemp(prefix="stream_corpus_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_corpus_ckpt_")
+    docs.coalesce(1).write.parquet(f"{watch}/wave1")
+
+    q1 = corpus_dedup_stream(
+        spark, f"{watch}/*", out, "doc_id long, text string",
+        checkpoint=ckpt, available_now=True,
+    )
+    q1.awaitTermination(300)
+    q1.stop()
+    wave2.coalesce(1).write.parquet(f"{watch}/wave2")
+    q2 = corpus_dedup_stream(
+        spark, f"{watch}/*", out, "doc_id long, text string",
+        checkpoint=ckpt, available_now=True,
+    )
+    q2.awaitTermination(300)
+    q2.stop()
+    return (
+        spark.read.parquet(f"{out}/docs")
+        .select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+        .orderBy("doc_id")
+    )
+
+
+STREAM_CORPUS_SQL = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, 'brand new content ' || CAST(doc_id AS VARCHAR)
+    FROM documents WHERE doc_id % 7 = 0
+),
+keyed AS (
+    SELECT doc_id, text,
+           trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) AS norm
+    FROM corpus
+)
+SELECT doc_id, sha256(text) AS text_sha
+FROM keyed
+WHERE doc_id = (SELECT MIN(doc_id) FROM keyed k2 WHERE k2.norm = keyed.norm)
+ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4401,6 +4469,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_cluster_filter": (dedup_cluster_filter, DEDUP_CLUSTER_SQL),
     "text_unigram_logprob": (text_unigram_logprob, TEXT_UNIGRAM_SQL),
     "f_mixture_resample": (f_mixture_resample, F_MIXTURE_SQL),
+    "stream_corpus_dedup": (stream_corpus_dedup, STREAM_CORPUS_SQL),
 }
 
 
