@@ -350,3 +350,49 @@ def test_connected_components_matches_union_find(spark, edges):
     # drop self-loop-only nodes from the oracle the same way the
     # operator does: a (x, x) pair still registers the node
     assert got == _union_find_components(edges)
+
+
+# ---------------------------------------------------------------------
+# passage dedup vs a pure-Python first-occurrence oracle
+# ---------------------------------------------------------------------
+texts_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]),
+        min_size=0,
+        max_size=20,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _passage_oracle(texts, w=4):
+    seen = {}
+    rows = []
+    for doc_id, text in enumerate(texts):
+        toks = text.split() if text else []
+        for pos in range(1, (len(toks) + w - 1) // w + 1):
+            chunk = " ".join(toks[(pos - 1) * w : pos * w])
+            keep = chunk not in seen
+            if keep:
+                seen[chunk] = (doc_id, pos)
+            rows.append((doc_id, pos, len(chunk.split()), keep))
+    return sorted(rows)
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts_strategy)
+def test_passage_dedup_matches_python_oracle(spark, texts):
+    from curw_flo2d_data_manager_spark.operators.dedup import passage_dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["pos"], r["n_words"], r["keep"])
+        for r in passage_dedup(df, "doc_id", passage_words=4).collect()
+    )
+    assert got == _passage_oracle(texts)
