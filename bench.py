@@ -117,6 +117,7 @@ def main() -> None:
         "text_tfidf_terms",
         "text_domain_mixture",
         "text_unigram_logprob",
+        "f_mixture_resample",
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:
