@@ -437,3 +437,77 @@ def vector_mean(
             F.transform(F.col("_pairs"), lambda p: p["_m"]).alias(out_col),
         )
     )
+
+
+def cross_corpus_decontam_pairs(
+    train: DataFrame,
+    evals: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 64,
+    bands: int = 8,
+    cosine_threshold: float = 0.95,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: training vectors
+    whose cosine to ANY eval vector clears ``cosine_threshold`` —
+    the vector-modality twin of ``dedup.ngram_contamination``.
+
+    Both corpora get the SAME seeded hyperplane signatures (so a
+    train/eval near-pair collides in a band with the usual SRP
+    probability; identical-direction leaks collide in every band —
+    recall 1 by construction), candidates come from cross-side band
+    equi-joins only — never a train×eval product — and exact cosine
+    verifies. Returns (train_id, eval_id, cosine).
+
+    Unlike the broadcast n-gram variant, nothing here assumes the
+    eval set is small: both sides shuffle by band key, so a
+    million-example benchmark works the same as a hundred.
+    """
+    if n_bits % bands != 0:
+        raise ValueError(f"bands {bands} must divide n_bits {n_bits}")
+    width = n_bits // bands
+    mask = (1 << width) - 1
+
+    def _banded(df: DataFrame, tag: str) -> DataFrame:
+        base = ensure_min_partitions(df).select(
+            F.col(id_col).alias(f"{tag}_id"), F.col(vec_col).alias(f"{tag}_v")
+        ).withColumn("_sig", hyperplane_signature(f"{tag}_v", n_bits, seed))
+        return base.select(
+            f"{tag}_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.shiftright("_sig", b * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("band_key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("_band"),
+        ).select(f"{tag}_id", "_band.band_idx", "_band.band_key")
+
+    cand = (
+        _banded(train, "train")
+        .join(_banded(evals, "eval"), ["band_idx", "band_key"])
+        .select("train_id", "eval_id")
+        .dropDuplicates(["train_id", "eval_id"])
+    )
+    tv = train.select(
+        F.col(id_col).alias("train_id"), F.col(vec_col).alias("_tv")
+    ).withColumn("_tn", l2_norm(F.col("_tv")))
+    ev = evals.select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("_ev")
+    ).withColumn("_en", l2_norm(F.col("_ev")))
+    return (
+        cand.join(tv, "train_id")
+        .join(ev, "eval_id")
+        .withColumn(
+            "cosine", dot(F.col("_tv"), F.col("_ev")) / (F.col("_tn") * F.col("_en"))
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("train_id", "eval_id", "cosine")
+    )

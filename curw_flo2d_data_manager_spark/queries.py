@@ -39,6 +39,7 @@ from curw_flo2d_data_manager_spark.operators.resample import resample_sum
 from curw_flo2d_data_manager_spark.operators.similarity import (
     cosine_dedup_pairs,
     cosine_topk,
+    cross_corpus_decontam_pairs,
 )
 from curw_flo2d_data_manager_spark.operators.spine import spine_align
 from curw_flo2d_data_manager_spark.operators.textstats import (
@@ -4328,6 +4329,36 @@ ORDER BY doc_id
 """
 
 
+def sim_cross_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination with a planted-recall
+    oracle: the eval set is every 10th train vector scaled ×2 (same
+    direction → identical hyperplane signature → collides in EVERY
+    band → cosine exactly 1 after rounding). The query keeps only
+    planted train↔own-copy pairs (organic ≥0.95 cross pairs are
+    banding-dependent), so losing ANY planted pair — a signature,
+    banding, or verify bug — breaks the hash match."""
+    emb = _t(spark, sf_dir, "embeddings")
+    evals = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    return (
+        cross_corpus_decontam_pairs(emb, evals, cosine_threshold=0.95)
+        .filter(F.col("eval_id") == F.col("train_id") + 500_000)
+        .select("train_id", "eval_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("train_id")
+    )
+
+
+SIM_CROSS_SQL = """
+SELECT vec_id AS train_id, vec_id + 500000 AS eval_id, CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings WHERE vec_id % 10 = 0
+ORDER BY train_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4470,6 +4501,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_unigram_logprob": (text_unigram_logprob, TEXT_UNIGRAM_SQL),
     "f_mixture_resample": (f_mixture_resample, F_MIXTURE_SQL),
     "stream_corpus_dedup": (stream_corpus_dedup, STREAM_CORPUS_SQL),
+    "sim_cross_decontam": (sim_cross_decontam, SIM_CROSS_SQL),
 }
 
 

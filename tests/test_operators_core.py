@@ -933,3 +933,29 @@ def test_mixture_resample_budget_and_determinism(spark):
     # alpha<1 upweights the small 'si' domain: its keep RATE must
     # exceed the big domain's
     assert by_lang["si"] / 50 > by_lang["en"] / 150
+
+
+def test_cross_corpus_decontam_finds_leaks_and_respects_threshold(spark):
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        cross_corpus_decontam_pairs,
+    )
+
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]),
+         (3, [0.6, 0.8, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    evals = spark.createDataFrame(
+        [(100, [2.0, 0.0, 0.0, 0.0]),    # scaled copy of 1 -> leak
+         (101, [0.0, 0.0, 0.0, 1.0]),    # orthogonal to everything
+         (102, [-1.0, 0.0, 0.0, 0.0])],  # negated 1: cosine -1, excluded
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): r["cosine"]
+        for r in cross_corpus_decontam_pairs(
+            train, evals, cosine_threshold=0.95
+        ).collect()
+    }
+    assert set(got) == {(1, 100)}
+    assert abs(got[(1, 100)] - 1.0) < 1e-9
