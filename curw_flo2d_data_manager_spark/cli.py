@@ -554,6 +554,46 @@ def cmd_dedup_corpus(args) -> None:
     print(f"dedup-corpus[{args.method}]: {total} rows in, {kept} rows out -> {args.output}")
 
 
+def cmd_corpus_stats(args) -> None:
+    """One-pass corpus health report: per-(lang, source) doc/token
+    counts, mixture weights, and mean quality signals — the look-
+    before-you-train summary. Writes parquet and prints the totals."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        domain_mixture,
+        gopher_quality_flags,
+        whitespace_token_count,
+    )
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="corpus-stats")
+    df = spark.read.parquet(args.input)
+    group = [c for c in args.group_cols.split(",") if c]
+    for col in group + [args.text_col]:
+        if col not in df.columns:
+            raise SystemExit(f"column {col!r} not in input ({df.columns})")
+
+    mix = domain_mixture(df, group, args.text_col, alpha=args.alpha)
+    flags = df.select(
+        *group, gopher_quality_flags(args.text_col).alias("f")
+    ).groupBy(*group).agg(
+        F.round(F.avg(F.col("f.word_count_ok").cast("int")), 4).alias("frac_word_count_ok"),
+        F.round(F.avg(F.col("f.dup_lines_ok").cast("int")), 4).alias("frac_dup_lines_ok"),
+        F.round(F.avg(F.col("f.symbol_ratio_ok").cast("int")), 4).alias("frac_symbol_ok"),
+    )
+    report = mix.join(flags, group).orderBy(*group)
+    report.write.mode("overwrite").parquet(args.output)
+    total = df.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(whitespace_token_count(args.text_col)).alias("tokens"),
+    ).first()
+    print(
+        f"corpus-stats: {total['docs']} docs / {total['tokens']} tokens across "
+        f"{report.count()} domains -> {args.output}"
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="curw_flo2d_data_manager_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -688,6 +728,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--keep_only", action="store_true",
                     help="write only surviving rows (original columns)")
     sp.set_defaults(fn=cmd_dedup_corpus)
+
+    sp = sub.add_parser(
+        "corpus-stats",
+        help="per-domain doc/token counts, mixture weights, quality-gate rates",
+    )
+    sp.add_argument("--input", required=True, help="input parquet path")
+    sp.add_argument("--output", required=True, help="report parquet path")
+    sp.add_argument("--group_cols", default="lang,source")
+    sp.add_argument("--text_col", default="text")
+    sp.add_argument("--alpha", type=float, default=0.7)
+    sp.set_defaults(fn=cmd_corpus_stats)
     return p
 
 

@@ -420,3 +420,22 @@ def test_dedup_corpus_cli_passage_rewrite(spark, tmp_path, capsys):
     assert rows[1].startswith(eight)          # first occurrence keeps its passage
     assert rows[3] == "fresh words only"
     assert "3 rows in, 2 rows out" in capsys.readouterr().out
+
+
+def test_corpus_stats_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "scorpus.parquet")
+    spark.createDataFrame(
+        [(1, "en", "web", "word " * 60), (2, "en", "web", "word " * 80),
+         (3, "si", "news", "term " * 55)],
+        "doc_id long, lang string, source string, text string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "report.parquet")
+    main(["corpus-stats", "--input", src, "--output", out])
+    rows = {(r["lang"], r["source"]): r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {("en", "web"), ("si", "news")}
+    en = rows[("en", "web")]
+    assert en["n_docs"] == 2 and en["n_tokens"] == 140
+    assert 0.0 <= en["frac_word_count_ok"] <= 1.0
+    assert abs(sum(r["sample_weight"] for r in rows.values()) - 1.0) < 1e-4
+    assert "3 docs / 195 tokens across 2 domains" in capsys.readouterr().out
