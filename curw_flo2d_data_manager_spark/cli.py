@@ -366,8 +366,8 @@ def cmd_extract_water_level(args) -> None:
     from curw_flo2d_data_manager_spark.plans.extract import (
         extract_hychan_forecast,
         insert_run_metadata,
-        latest_fgt,
         run_metadata_record,
+        update_run_dates,
     )
     from curw_flo2d_data_manager_spark.session import get_spark
     from curw_flo2d_data_manager_spark.sinks.upsert import merge_upsert
@@ -433,9 +433,17 @@ def cmd_extract_water_level(args) -> None:
         # discard the forecast history on the overwrite below.
         merged = forecast
     _overwrite_parquet(merged, target)
-    _overwrite_parquet(
-        latest_fgt(forecast), os.path.join(args.store, "fcst_latest_fgt")
-    )
+    # run-dim dates: start_date pinned at series creation (reference
+    # update_start_date, extract_water_level.py:213-214), fgt advanced
+    # every run (update_latest_fgt, :216-217). Reads the prior dim
+    # (legacy fgt-only schema upgraded in place) and full-outer-merges
+    # the new payload's per-series aggregate.
+    dim_target = os.path.join(args.store, "fcst_latest_fgt")
+    try:
+        run_dim = update_run_dates(spark.read.parquet(dim_target), forecast)
+    except AnalysisException:
+        run_dim = update_run_dates(None, forecast)
+    _overwrite_parquet(run_dim, dim_target)
 
     # K8 run provenance (reference: extract_water_level.py:588-591 —
     # run_meta.json blob next to the output file + template path).
@@ -507,7 +515,21 @@ def cmd_dedup_corpus(args) -> None:
         rebuilt = passage_dedup_rebuild(
             df, args.id_col, args.text_col, passage_words=args.passage_words
         )
-        out = df.drop(args.text_col).join(rebuilt, args.id_col)
+        # left join: rebuild output only covers docs with >=1 normalized
+        # word, but the annotated mode's contract is "input plus
+        # columns" — zero-word docs come back with empty text and zero
+        # counts instead of silently vanishing (round-5 advice)
+        out = (
+            df.drop(args.text_col)
+            .join(rebuilt, args.id_col, "left")
+            .withColumn(args.text_col, F.coalesce(F.col(args.text_col), F.lit("")))
+            .withColumn(
+                "n_passages", F.coalesce(F.col("n_passages"), F.lit(0).cast("long"))
+            )
+            .withColumn(
+                "n_kept", F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
+            )
+        )
         if args.keep_only:
             out = out.filter(F.col("n_kept") > 0).select(*df.columns)
         out.write.mode("overwrite").parquet(args.output)

@@ -95,20 +95,48 @@ def connected_components(
     ``max_rounds`` is a safety valve far above the O(log n) bound
     (2^50 nodes); hitting it raises rather than returning a partial
     labeling.
+
+    Ids of any type are accepted: integral ids run the contraction
+    natively; string/UUID/other ids are xxhash64-mapped to long for
+    the star rounds (collision-checked up front — one aggregate over
+    the node set, which is tiny next to the edge rounds) and mapped
+    back at the end, with ``component`` restored to the MINIMUM
+    ORIGINAL id of the cluster so the documented canonical-survivor
+    semantics hold for every id type (round-5 advice: the blind
+    ``cast("long")`` crashed under ANSI mode on string ids and
+    silently dropped every edge with ANSI off).
     """
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    dtypes = dict(pairs.dtypes)
+    native = dtypes[id_a] in integral and dtypes[id_b] in integral
     nodes = (
         pairs.select(F.col(id_a).alias("id"))
         .unionByName(pairs.select(F.col(id_b).alias("id")))
         .distinct()
     )
+    if native:
+        src, dst = F.col(id_a).cast("long"), F.col(id_b).cast("long")
+    else:
+        nodes = nodes.withColumn(
+            "_h", F.xxhash64(F.col("id").cast("string"))
+        ).localCheckpoint(eager=True)
+        chk = nodes.agg(
+            F.count(F.lit(1)).alias("n"), F.count_distinct("_h").alias("nh")
+        ).collect()[0]
+        if chk["n"] != chk["nh"]:
+            raise ValueError(
+                "connected_components: xxhash64 collision among "
+                f"{chk['n']} non-integral ids — cannot map ids to long "
+                "safely; pre-assign integral ids instead"
+            )
+        src = F.xxhash64(F.col(id_a).cast("string"))
+        dst = F.xxhash64(F.col(id_b).cast("string"))
     # No up-front repartition: every round is shuffle-dominated (the
     # star groupBys), so parallelism comes from the shuffles and AQE
     # right-sizes the reducer count per round — a forced 32-way spread
     # of a small edge set only adds fixed per-round overhead.
     edges = (
-        pairs.select(
-            F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-        )
+        pairs.select(src.alias("src"), dst.alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .localCheckpoint(eager=True)
     )
@@ -140,11 +168,26 @@ def connected_components(
     # Fixed point: every edge is (node, component_min). Nodes that are
     # themselves the minimum appear only as dst — restore them via the
     # node set.
-    labels = edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
-    return nodes.join(labels, "id", "left").select(
-        F.col("id"),
-        F.coalesce(F.col("component"), F.col("id")).alias("component"),
+    if native:
+        labels = edges.select(
+            F.col("src").alias("id"), F.col("dst").alias("component")
+        )
+        return nodes.join(labels, "id", "left").select(
+            F.col("id"),
+            F.coalesce(F.col("component"), F.col("id")).alias("component"),
+        )
+    # Hashed path: map hash labels back to original ids, then restore
+    # the min-ORIGINAL-id canonical per cluster (the hash min is a
+    # deterministic but arbitrary member). Two joins + one aggregate
+    # over the label set — one row per node, tiny next to the rounds.
+    labels = edges.select(
+        F.col("src").alias("_hid"), F.col("dst").alias("_hcomp")
     )
+    with_comp = nodes.join(
+        labels, nodes["_h"] == labels["_hid"], "left"
+    ).select("id", F.coalesce("_hcomp", "_h").alias("_hcomp"))
+    canon = with_comp.groupBy("_hcomp").agg(F.min("id").alias("component"))
+    return with_comp.join(canon, "_hcomp").select("id", "component")
 
 
 def cluster_assign(

@@ -338,40 +338,41 @@ def _feature_stand_in(b: bytes, dim: int) -> list[float]:
     return out
 
 
-def _load_feature_extractor(dim: int):
-    """Real-model branch when an embedding stack is importable
-    (torch + torchvision — absent in this sandbox), deterministic
-    stand-in otherwise; blobs the model can't process fall back to
-    the stand-in with decoded=False, never fail the stage."""
-    try:  # real model path — exercised wherever the stack exists
-        import torch  # noqa: F401
-        import torchvision  # noqa: F401
+def _load_feature_extractor(dim: int, encoder=None):
+    """Per-blob feature callable returning ``(embedding, decoded)``.
 
-        def _do(b: bytes | None) -> tuple[list[float] | None, bool]:
-            if b is None:
-                return None, False
+    ``encoder`` is an optional REAL model hook — any callable
+    ``bytes -> list[float]`` (decode → preprocess → forward → pooled
+    embedding); when it succeeds the row is marked ``decoded=True``.
+    No embedding stack ships in this sandbox, so there is no
+    try-import default (a dead branch would make ``decoded`` a lie —
+    round-5 advice); without an encoder every row gets the
+    deterministic sha256 stand-in with ``decoded=False``. Blobs the
+    encoder raises on fall back to the stand-in (decoded=False) —
+    at 100 TB a malformed row must never kill the stage."""
+
+    def _do(b: bytes | None) -> tuple[list[float] | None, bool]:
+        if b is None:
+            return None, False
+        if encoder is not None:
             try:
-                raise NotImplementedError(
-                    "wire a real encoder here: decode -> preprocess -> "
-                    "model.forward -> pooled embedding"
-                )
+                vec = [float(x) for x in encoder(bytes(b))]
+                if len(vec) != dim:
+                    raise ValueError(
+                        f"encoder returned {len(vec)} dims, expected {dim}"
+                    )
+                return vec, True
             except Exception:
                 return _feature_stand_in(b, dim), False
-
-    except ImportError:  # model-free stand-in
-
-        def _do(b: bytes | None) -> tuple[list[float] | None, bool]:
-            if b is None:
-                return None, False
-            return _feature_stand_in(b, dim), False
+        return _feature_stand_in(b, dim), False
 
     return _do
 
 
 def iter_feature_batches(
-    batches: Iterator[pd.DataFrame], dim: int, content_col: str
+    batches: Iterator[pd.DataFrame], dim: int, content_col: str, encoder=None
 ) -> Iterator[pd.DataFrame]:
-    do = _load_feature_extractor(dim)
+    do = _load_feature_extractor(dim, encoder)
     for pdf in batches:
         pairs = pdf[content_col].map(do)
         yield pd.DataFrame(
@@ -384,19 +385,21 @@ def iter_feature_batches(
 
 
 def extract_features(
-    df: DataFrame, content_col: str = "content", dim: int = 16
+    df: DataFrame, content_col: str = "content", dim: int = 16, encoder=None
 ) -> DataFrame:
     """Embed media blobs into fixed-width feature vectors — the
     multimodal → similarity bridge (feed the output straight into
     ``similarity.build_ivf_index`` / ``cosine_topk``). Arrow-batched
-    mapInPandas; the model loads once per PYTHON WORKER (inside the
-    generator), never per row. Real encoder gated behind a try-import
-    (torch/torchvision absent here); the deterministic stand-in keeps
-    the Spark-side plumbing — schema, batching, null/fallback paths —
-    fully testable, with ``decoded`` marking stand-in rows.
+    mapInPandas; the callable is built once per PYTHON WORKER (inside
+    the generator), never per row. Pass ``encoder`` (a picklable
+    ``bytes -> list[float]``, e.g. a lazy-loading model wrapper) to
+    wire a real model — its rows come back ``decoded=True``; without
+    one the deterministic stand-in keeps the Spark-side plumbing —
+    schema, batching, null/fallback paths — fully testable, with
+    ``decoded=False`` marking every stand-in row.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        yield from iter_feature_batches(batches, dim, content_col)
+        yield from iter_feature_batches(batches, dim, content_col, encoder)
 
     return df.select("media_id", content_col).mapInPandas(_extract, FEATURE_SCHEMA)

@@ -110,6 +110,46 @@ def weighted_sample(
     )
 
 
+def split_assign(
+    df: DataFrame,
+    key_cols: list[str],
+    fractions: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic, leak-free train/val/test assignment: each key's
+    md5 bucket lands in one of the consecutive [0, 1) intervals defined
+    by ``fractions`` (insertion order = interval order), and the row
+    gets that split's name in ``split_col``.
+
+    Leak-free by construction: rows sharing the SAME key always land
+    in the same split (dedup/decontaminate first, or key on the dedup
+    component id), re-runs and other engines agree row-for-row, and
+    growing the corpus never moves an existing key between splits.
+    If the fractions sum to < 1 the remaining keys get NULL
+    (unassigned — an explicit holdout pool); summing to > 1 raises.
+
+    Pure narrow projection — no shuffle, pushes through any plan.
+    """
+    total = 0.0
+    bounds: list[tuple[str, str]] = []
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction {frac} for split {name!r} outside [0, 1]")
+        total += frac
+        # float accumulation guard: 0.8+0.1+0.1 = 0.9999999999999999,
+        # which would leave bucket 'ffffffff' keys NULL — snap to 1.0
+        eff = 1.0 if total >= 1.0 - 1e-9 else total
+        bounds.append((hash_threshold(min(eff, 1.0)), name))
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    bucket = _bucket(key_cols, salt)
+    col = F.lit(None).cast("string")
+    for thr, name in reversed(bounds):
+        col = F.when(bucket < F.lit(thr), F.lit(name)).otherwise(col)
+    return df.withColumn(split_col, col)
+
+
 def mixture_resample(
     df: DataFrame,
     group_cols: list[str],
@@ -139,12 +179,24 @@ def mixture_resample(
     from curw_flo2d_data_manager_spark.operators.textstats import domain_mixture
 
     mix = domain_mixture(df, group_cols, text_col, alpha)
+    # A domain whose every text normalizes to empty has n_tokens = 0:
+    # the division would be NULL (÷0 → NULL without ANSI), silently
+    # dropping the whole domain (round-5 advice). Such rows cost
+    # nothing against the token budget, so keep them all — explicit,
+    # not an arithmetic accident.
     rates = mix.select(
         *group_cols,
-        F.least(
-            F.lit(1.0),
-            F.col("sample_weight") * F.lit(float(target_tokens)) / F.col("n_tokens"),
-        ).alias("_keep_frac"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.least(
+                F.lit(1.0),
+                F.col("sample_weight")
+                * F.lit(float(target_tokens))
+                / F.col("n_tokens"),
+            ),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("_keep_frac"),
     )
     # Column-expression form of hash_threshold: frac >= 1 -> "g" (sorts
     # after every hex bucket, keep-all); else 8-hex truncation.

@@ -433,6 +433,73 @@ def domain_mixture(
     )
 
 
+# --------------------------------------------- bigram LM scoring
+def bigram_logprob(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-document average conditional bigram log-probability under
+    the corpus's own add-one-smoothed bigram model — one rung up from
+    :func:`unigram_logprob` toward the KenLM-perplexity filters of
+    public web-corpus pipelines: word-salad documents whose unigram
+    mix looks normal still read as low avg_logprob because their
+    TRANSITIONS are rare.
+
+    ``p(w2 | w1) = (c(w1 w2) + 1) / (c(w1·) + V)`` where ``c(w1·)``
+    sums the bigram counts with context ``w1`` and ``V`` is the number
+    of distinct context terms.
+
+    Plan shape mirrors the reshaped unigram scorer: tokenize ONCE in
+    the scan — bigrams are built JVM-side from the word array
+    (zip_with over two slices, no self-join on positions) — into a
+    persisted per-(doc, w1, w2) ``tf`` relation (tracked; see
+    ``operators.caching.release_caches``) that feeds the model counts
+    AND the scoring join, so the corpus text never rides a shuffle and
+    is never re-tokenized. Model relations are aggregate-compressed
+    (one row per bigram/context TYPE); the scoring join shuffles
+    (doc, bigram, tf) — skew on stop-word bigrams is AQE territory.
+    Docs with fewer than two tokens have no bigrams and are absent
+    from the output. avg_logprob is the tf-weighted mean rounded to 4
+    decimals. Returns (id, n_bigrams, avg_logprob).
+    """
+    from curw_flo2d_data_manager_spark.operators.caching import persist_tracked
+
+    w = words(text_col)
+    n = F.greatest(F.size(w) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(w, 1, n),
+        F.slice(w, 2, n),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    tf = persist_tracked(
+        df.filter(F.size(words(text_col)) >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    cw = cb.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    vocab = cw.agg(F.count(F.lit(1)).alias("vocab"))
+    return (
+        tf.join(cb, ["w1", "w2"])
+        .join(cw, "w1")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "lp",
+            F.log((F.col("cb") + F.lit(1.0)) / (F.col("cw") + F.col("vocab"))),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(F.sum(F.col("tf") * F.col("lp")) / F.sum("tf"), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 # --------------------------------------------- unigram LM scoring
 def unigram_logprob(
     df: "DataFrame",
@@ -447,21 +514,32 @@ def unigram_logprob(
 
     ``p(term) = (count(term) + 1) / (total_tokens + vocab_size)``.
 
-    Plan shape: tokenize in the scan, one shuffle to count unigrams,
-    a 1-row broadcast for the normalizer, one term-keyed join back
-    onto the token stream (term counts are the small side at real
-    vocab sizes but both sides shuffle on term — skew-safe for stop
-    words via AQE), one doc-keyed aggregation. avg_logprob is rounded
-    to 4 decimals so the result doesn't hinge on float summation
-    order. Returns (id, n_tokens, avg_logprob).
+    Plan shape (round-5 verdict item 4): tokenize ONCE in the scan
+    into per-(doc, term) counts ``tf`` — persisted (tracked; see
+    ``operators.caching.release_caches``) because both the unigram
+    model and the scoring join consume it. Unigram counts aggregate
+    the tf relation (partial aggregates before the term shuffle), a
+    1-row broadcast carries the normalizer, and the model joins back
+    onto the (doc, term, tf) relation — NOT the raw token stream, so
+    the term-keyed join input shrinks by the per-document term
+    multiplicity and the corpus is never tokenized twice. The per-doc
+    average is tf-weighted, which is exactly the token-stream average.
+    avg_logprob is rounded to 4 decimals so the result doesn't hinge
+    on float summation order. Returns (id, n_tokens, avg_logprob).
     """
-    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
-    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    from curw_flo2d_data_manager_spark.operators.caching import persist_tracked
+
+    tf = persist_tracked(
+        df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    uni = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     totals = uni.agg(
         F.sum("cnt").alias("n_tok"), F.count(F.lit(1)).alias("vocab")
     )
     return (
-        toks.join(uni, "term")
+        tf.join(uni, "term")
         .join(F.broadcast(totals))
         .withColumn(
             "lp",
@@ -469,7 +547,9 @@ def unigram_logprob(
         )
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+            F.sum("tf").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * F.col("lp")) / F.sum("tf"), 4).alias(
+                "avg_logprob"
+            ),
         )
     )

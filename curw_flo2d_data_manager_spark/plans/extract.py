@@ -84,6 +84,47 @@ def latest_fgt(forecast: DataFrame) -> DataFrame:
     return forecast.groupBy("tms_id").agg(F.max("fgt").alias("fgt"))
 
 
+def update_run_dates(existing: DataFrame | None, forecast: DataFrame) -> DataFrame:
+    """Run-dim date maintenance per series: the reference's
+    ``update_start_date`` (extract_water_level.py:213-214 — set only
+    when the series id is FIRST created) together with
+    ``update_latest_fgt`` (:216-217 — advanced on every run).
+
+    ``existing`` is the stored run dim ``(tms_id, start_date, fgt)``
+    (or ``None`` / a legacy ``(tms_id, fgt)`` relation from before
+    start-date maintenance existed — its stored fgt is adopted as the
+    best-available creation stamp). ``forecast`` is the K7 upsert
+    payload of the current run.
+
+    A series KEEPS the ``start_date`` from the run that created it;
+    ``fgt`` advances to the newest forecast-generated time seen.
+    Plan: one per-series hash aggregate over the new payload + a
+    full-outer join against the run dim — both sides are one row per
+    series, so the fact relation never re-shuffles; at 100 TB the dim
+    is millions of rows, not billions.
+    """
+    incoming = forecast.groupBy("tms_id").agg(
+        F.min("fgt").alias("_new_start"), F.max("fgt").alias("_new_fgt")
+    )
+    if existing is None:
+        return incoming.select(
+            "tms_id",
+            F.col("_new_start").alias("start_date"),
+            F.col("_new_fgt").alias("fgt"),
+        )
+    ex = existing
+    if "start_date" not in ex.columns:
+        ex = ex.withColumn("start_date", F.col("fgt"))
+    ex = ex.select("tms_id", "start_date", F.col("fgt").alias("_old_fgt"))
+    # F.greatest skips NULLs, so a series present on only one side
+    # takes that side's fgt.
+    return ex.join(incoming, "tms_id", "full_outer").select(
+        "tms_id",
+        F.coalesce("start_date", "_new_start").alias("start_date"),
+        F.greatest("_old_fgt", "_new_fgt").alias("fgt"),
+    )
+
+
 RUN_METADATA_SCHEMA = (
     "source_id bigint, variable_id bigint, sim_tag string, "
     "fgt timestamp, metadata string, template_path string"

@@ -508,6 +508,68 @@ SELECT * FROM merged ORDER BY source_id, variable_id, sim_tag
 """
 
 
+def k8_start_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 companion: run-dim date maintenance across three simulated
+    extraction runs (reference ``update_start_date``,
+    output/extract_water_level.py:213-214 + ``update_latest_fgt``,
+    :216-217). Series = (event_type, user_id mod 97); run 1 covers
+    week 1 (creating 476 of 485 series), run 2 covers everything
+    (9 series created late must get run 2's fgt as start_date), run 3
+    is an OUT-OF-ORDER backfill whose older fgt must advance nothing.
+    start_date is pinned at creation; fgt is the max seen."""
+    from curw_flo2d_data_manager_spark.plans.extract import update_run_dates
+
+    ev = _events(spark, sf_dir)
+
+    def payload(df: DataFrame, fgt: str) -> DataFrame:
+        return df.select(
+            F.concat_ws(
+                "_", "event_type", (F.col("user_id") % 97).cast("string")
+            ).alias("tms_id"),
+            F.lit(fgt).cast("timestamp").alias("fgt"),
+        )
+
+    cut = lambda d: ev.filter(F.col("ts") < F.lit(d).cast("timestamp"))  # noqa: E731
+    dim = update_run_dates(None, payload(cut("2024-01-08"), "2024-01-08 00:00:00"))
+    dim = update_run_dates(dim, payload(ev, "2024-01-31 00:00:00"))
+    dim = update_run_dates(
+        dim, payload(cut("2024-01-20"), "2024-01-15 00:00:00")
+    )
+    return dim.orderBy("tms_id")
+
+
+K8_START_SQL = """
+WITH ev AS (
+    SELECT event_type || '_' || CAST(user_id % 97 AS VARCHAR) AS tms_id,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+),
+run1 AS (SELECT tms_id, MIN(TIMESTAMP '2024-01-08 00:00:00') AS fgt_min,
+                MAX(TIMESTAMP '2024-01-08 00:00:00') AS fgt_max
+         FROM ev WHERE ts < TIMESTAMP '2024-01-08' GROUP BY tms_id),
+run2 AS (SELECT tms_id, MIN(TIMESTAMP '2024-01-31 00:00:00') AS fgt_min,
+                MAX(TIMESTAMP '2024-01-31 00:00:00') AS fgt_max
+         FROM ev GROUP BY tms_id),
+run3 AS (SELECT tms_id, MIN(TIMESTAMP '2024-01-15 00:00:00') AS fgt_min,
+                MAX(TIMESTAMP '2024-01-15 00:00:00') AS fgt_max
+         FROM ev WHERE ts < TIMESTAMP '2024-01-20' GROUP BY tms_id),
+d1 AS (SELECT tms_id, fgt_min AS start_date, fgt_max AS fgt FROM run1),
+d2 AS (
+    SELECT COALESCE(d.tms_id, i.tms_id) AS tms_id,
+           COALESCE(d.start_date, i.fgt_min) AS start_date,
+           GREATEST(COALESCE(d.fgt, i.fgt_max), COALESCE(i.fgt_max, d.fgt)) AS fgt
+    FROM d1 d FULL OUTER JOIN run2 i ON d.tms_id = i.tms_id
+),
+d3 AS (
+    SELECT COALESCE(d.tms_id, i.tms_id) AS tms_id,
+           COALESCE(d.start_date, i.fgt_min) AS start_date,
+           GREATEST(COALESCE(d.fgt, i.fgt_max), COALESCE(i.fgt_max, d.fgt)) AS fgt
+    FROM d2 d FULL OUTER JOIN run3 i ON d.tms_id = i.tms_id
+)
+SELECT tms_id, start_date, fgt FROM d3 ORDER BY tms_id
+"""
+
+
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar-aggregate subquery — lineitems
     below 20% of their part's average quantity (decorrelates to a
@@ -4203,6 +4265,71 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-corpus bigram-LM quality signal (one rung up from
+    text_unigram_logprob toward KenLM filters): per-doc tf-weighted
+    average of add-one-smoothed conditional bigram log-probability."""
+    from curw_flo2d_data_manager_spark.operators.textstats import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob(docs, "doc_id", "text").orderBy("doc_id")
+
+
+TEXT_BIGRAM_SQL = """
+WITH w AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS words
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) != ''
+),
+tok AS (
+    SELECT doc_id,
+           unnest(words[1:len(words)-1]) AS w1,
+           unnest(words[2:len(words)]) AS w2
+    FROM w WHERE len(words) >= 2
+),
+tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3),
+cb AS (SELECT w1, w2, SUM(tf) AS cb FROM tf GROUP BY 1, 2),
+cw AS (SELECT w1, SUM(cb) AS cw FROM cb GROUP BY 1),
+v AS (SELECT COUNT(*) AS vocab FROM cw),
+scored AS (
+    SELECT t.doc_id, t.tf,
+           ln((c.cb + 1.0) / (x.cw + v.vocab)) AS lp
+    FROM tf t JOIN cb c USING (w1, w2) JOIN cw x USING (w1) CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(tf * lp) / SUM(tf), 4) AS avg_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def f_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leak-free train/val/test assignment over the
+    documents table: 0.8/0.1/0.1 by md5 bucket of doc_id — the oracle
+    re-derives every row's split independently from the same hash."""
+    from curw_flo2d_data_manager_spark.operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return split_assign(
+        docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).orderBy("doc_id")
+
+
+F_SPLIT_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN b < 'cccccccc' THEN 'train'
+            WHEN b < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id, lang,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS b
+    FROM documents
+)
+ORDER BY doc_id
+"""
+
+
 def f_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix construction end-to-end: temperature-scaled domain
     weights → per-domain keep fractions against a 50k-token budget →
@@ -4377,30 +4504,84 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # touched this round take priority, then the entries whose last
     # certification is OLDEST; previously-green untouched gates rotate
     # out and are re-verified locally via tools/check_correctness.py.
-    # Round-5 window = the 11 entries never certified in any driver
-    # window (sim_label_centroids, whose array output errored the r4
-    # canonicalizer and is now reshaped, + the 10 post-freeze r4
-    # additions) + all 35 entries last certified in round 3 + the 4
-    # gates over code touched this round (IVF sample-trained quantizer,
-    # dedup cache tracking, simhash regression watch, upsert identifier
-    # validation). After this round EVERY registry entry has appeared
-    # green in >=1 driver window, and every operator family has a
-    # certification no older than the previous round (see COVERAGE.md's
-    # per-entry ledger).
+    # Round-6 window = the 9 round-5 additions (local-green at sf0.001
+    # + sf0.01, never driver-certified — round-5 verdict item 1) + the
+    # 3 gates over code touched this round (update_start_date parity,
+    # the ngram_contamination broadcast guard, the multimodal feature-
+    # extractor encoder hook) + 38 of the 45 entries last certified in
+    # round 4 (the oldest certifications; the 6 left over — s1, p1,
+    # p2, k2, mm_binary, stream_resample, each green in >=3 windows —
+    # rotate in next round). See COVERAGE.md's per-entry ledger.
     #
-    # never driver-certified across r1-r4 (round-4 verdict items 1+3)
+    # round-5 additions, never driver-certified (verdict item 1)
+    "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
+    "dedup_passages": (dedup_passages, DEDUP_PASSAGES_SQL),
+    "text_tfidf_terms": (text_tfidf_terms, TEXT_TFIDF_SQL),
+    "text_domain_mixture": (text_domain_mixture, TEXT_MIXTURE_SQL),
+    "dedup_cluster_filter": (dedup_cluster_filter, DEDUP_CLUSTER_SQL),
+    "text_unigram_logprob": (text_unigram_logprob, TEXT_UNIGRAM_SQL),
+    "f_mixture_resample": (f_mixture_resample, F_MIXTURE_SQL),
+    "stream_corpus_dedup": (stream_corpus_dedup, STREAM_CORPUS_SQL),
+    "sim_cross_decontam": (sim_cross_decontam, SIM_CROSS_SQL),
+    # gates over code touched this round
+    "k8_start_date": (k8_start_date, K8_START_SQL),
+    "dedup_contamination": (dedup_contamination, DEDUP_CONTAM_SQL),
+    "mm_decode_meta": (mm_decode_meta, MM_DECODE_SQL),
+    # last certified in round 4 (the oldest certifications — 38 of 45)
+    "dedup_latest_version": (dedup_latest_version, DEDUP_LATEST_SQL),
+    "text_url_extract": (text_url_extract, TEXT_URL_SQL),
+    "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
+    "text_repetition_gates": (text_repetition_gates, TEXT_REPETITION_SQL),
+    "f_hash_sample": (f_hash_sample, F_SAMPLE_SQL),
+    "f_stratified_sample": (f_stratified_sample, F_STRAT_SQL),
+    "a_rollup_cascade": (a_rollup_cascade, A_CASCADE_SQL),
+    "a_session_window_native": (a_session_window_native, A_SESSION_WINDOW_SQL),
+    "x_pivot_event_types": (x_pivot_event_types, X_PIVOT_SQL),
+    "a_rollup_totals": (a_rollup_totals, A_ROLLUP_SQL),
+    "a_distinct_counts": (a_distinct_counts, A_DISTINCT_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
+    "q6_revenue_change": (q6_revenue_change, Q6_SQL),
+    "q4_exists_semi": (q4_exists_semi, Q4_SQL),
+    "q18_having_topk": (q18_having_topk, Q18_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q14_promo_share": (q14_promo_share, Q14_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q19_disjunctive": (q19_disjunctive, Q19_SQL),
+    "s3_first_value_lookup": (s3_first_value_lookup, S3_SQL),
+    "k1_fixed_width_render": (k1_fixed_width_render, K1_SQL),
+    "f6_sentinel_cleaning": (f6_sentinel_cleaning, F6_SQL),
+    "j5_semi_join": (j5_semi_join, J5_SQL),
+    "w2_elapsed_hours": (w2_elapsed_hours, W2_SQL),
+    "o2_ordered_topk": (o2_ordered_topk, O2_SQL),
+    "u2_set_ops": (u2_set_ops, U2_SET_SQL),
+    "x11_series_hash_id": (x11_series_hash_id, X11_SQL),
+    "dedup_fingerprint": (dedup_fingerprint_docs, DEDUP_FP_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard_docs, DEDUP_JACCARD_SQL),
+    "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
+    "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
+    "text_top_bigrams": (text_top_bigrams, TEXT_BIGRAMS_SQL),
+    "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
+    "s4_nearest_gauge_rain": (s4_nearest_gauge_rain, S4_SQL),
+    "k4_rain_render": (k4_rain_render, K4_SQL),
+    "a_approx_distinct": (a_approx_distinct, A_APPROX_SQL),
+    # -- past the driver window --------------------------------------
+    # The 50 below were green in the round-5 driver window
+    # (CORRECTNESS_r05.json, minus dedup_contamination which moved
+    # back in as a touched-code gate) plus the 6 most-certified r4
+    # entries left over from the rotation; all re-verified locally via
+    # tools/check_correctness.py each round.
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),
     "dedup_winnowing": (dedup_winnowing_docs, DEDUP_WINNOW_SQL),
     "dedup_winnow_pairs": (dedup_winnow_pairs_docs, DEDUP_WINNOW_PAIRS_SQL),
     "f_weighted_sample": (f_weighted_sample, F_WEIGHTED_SQL),
     "f_pack_sequences": (f_pack_sequences, F_PACK_SQL),
-    "dedup_contamination": (dedup_contamination, DEDUP_CONTAM_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_product_profit": (q9_product_profit, Q9_SQL),
     "q11_important_share": (q11_important_share, Q11_SQL),
     "q20_heavy_suppliers": (q20_heavy_suppliers, Q20_SQL),
     "q21_exclusive_failures": (q21_exclusive_failures, Q21_SQL),
-    # last certified in round 3 (the oldest certifications — all 35)
     "s2_grid_scan_correction": (s2_grid_scan_correction, S2_SQL),
     "s6_max_end_time": (s6_max_end_time, S6_SQL),
     "k3_raincell_render": (k3_raincell_render, K3_SQL),
@@ -4436,72 +4617,21 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
     "q17_small_quantity": (q17_small_quantity, Q17_SQL),
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),
-    # gates over code touched this round
     "sim_ivf_topk": (sim_ivf_topk_docs, SIM_IVF_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh_docs, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
     "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
-    # -- past the driver window --------------------------------------
-    # All 45 below were green in the round-4 driver window and are
-    # untouched since (or touched only by the sim_label_centroids
-    # reshape, itself in-window); re-verified locally via
-    # tools/check_correctness.py each round.
-    "dedup_latest_version": (dedup_latest_version, DEDUP_LATEST_SQL),
-    "text_url_extract": (text_url_extract, TEXT_URL_SQL),
-    "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
-    "text_repetition_gates": (text_repetition_gates, TEXT_REPETITION_SQL),
-    "f_hash_sample": (f_hash_sample, F_SAMPLE_SQL),
-    "f_stratified_sample": (f_stratified_sample, F_STRAT_SQL),
-    "a_rollup_cascade": (a_rollup_cascade, A_CASCADE_SQL),
-    "a_session_window_native": (a_session_window_native, A_SESSION_WINDOW_SQL),
-    "x_pivot_event_types": (x_pivot_event_types, X_PIVOT_SQL),
-    "a_rollup_totals": (a_rollup_totals, A_ROLLUP_SQL),
-    "a_distinct_counts": (a_distinct_counts, A_DISTINCT_SQL),
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
-    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
-    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
-    "q6_revenue_change": (q6_revenue_change, Q6_SQL),
-    "q4_exists_semi": (q4_exists_semi, Q4_SQL),
-    "q18_having_topk": (q18_having_topk, Q18_SQL),
-    "q10_returned_items": (q10_returned_items, Q10_SQL),
-    "q14_promo_share": (q14_promo_share, Q14_SQL),
-    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
-    "q19_disjunctive": (q19_disjunctive, Q19_SQL),
-    "s3_first_value_lookup": (s3_first_value_lookup, S3_SQL),
-    "k1_fixed_width_render": (k1_fixed_width_render, K1_SQL),
-    "f6_sentinel_cleaning": (f6_sentinel_cleaning, F6_SQL),
-    "j5_semi_join": (j5_semi_join, J5_SQL),
-    "w2_elapsed_hours": (w2_elapsed_hours, W2_SQL),
-    "o2_ordered_topk": (o2_ordered_topk, O2_SQL),
-    "u2_set_ops": (u2_set_ops, U2_SET_SQL),
-    "x11_series_hash_id": (x11_series_hash_id, X11_SQL),
-    "dedup_fingerprint": (dedup_fingerprint_docs, DEDUP_FP_SQL),
-    "dedup_ngram_jaccard": (dedup_ngram_jaccard_docs, DEDUP_JACCARD_SQL),
-    "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
-    "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
-    "text_top_bigrams": (text_top_bigrams, TEXT_BIGRAMS_SQL),
+    "s1_series_range_scan": (s1_series_range_scan, S1_SQL),
     "p1_hychan_roundtrip": (p1_hychan_roundtrip, P1_SQL),
     "p2_timdep_roundtrip": (p2_timdep_roundtrip, P2_SQL),
     "mm_binary_meta": (mm_binary_meta, MM_BINARY_SQL),
-    "mm_decode_meta": (mm_decode_meta, MM_DECODE_SQL),
-    "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
-    "s1_series_range_scan": (s1_series_range_scan, S1_SQL),
-    "s4_nearest_gauge_rain": (s4_nearest_gauge_rain, S4_SQL),
     "k2_outflow_render": (k2_outflow_render, K2_SQL),
-    "k4_rain_render": (k4_rain_render, K4_SQL),
     "stream_resample_events": (stream_resample_events, STREAM_A2_SQL),
-    "a_approx_distinct": (a_approx_distinct, A_APPROX_SQL),
-    # round-5 additions (appended past the window; certified locally
-    # this round, rotated into the round-6 driver window)
-    "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
-    "dedup_passages": (dedup_passages, DEDUP_PASSAGES_SQL),
-    "text_tfidf_terms": (text_tfidf_terms, TEXT_TFIDF_SQL),
-    "text_domain_mixture": (text_domain_mixture, TEXT_MIXTURE_SQL),
-    "dedup_cluster_filter": (dedup_cluster_filter, DEDUP_CLUSTER_SQL),
-    "text_unigram_logprob": (text_unigram_logprob, TEXT_UNIGRAM_SQL),
-    "f_mixture_resample": (f_mixture_resample, F_MIXTURE_SQL),
-    "stream_corpus_dedup": (stream_corpus_dedup, STREAM_CORPUS_SQL),
-    "sim_cross_decontam": (sim_cross_decontam, SIM_CROSS_SQL),
+    # round-6 additions (appended past the window after the round-6
+    # rotation was pinned; verified locally at sf0.001 + sf0.01, first
+    # in line for the round-7 window)
+    "text_bigram_logprob": (text_bigram_logprob, TEXT_BIGRAM_SQL),
+    "f_split_assign": (f_split_assign, F_SPLIT_SQL),
 }
 
 

@@ -422,6 +422,28 @@ def test_dedup_corpus_cli_passage_rewrite(spark, tmp_path, capsys):
     assert "3 rows in, 2 rows out" in capsys.readouterr().out
 
 
+def test_dedup_corpus_cli_passage_annotated_keeps_empty_docs(spark, tmp_path, capsys):
+    """Annotated mode (no --keep_only) is 'input plus columns': a doc
+    whose text normalizes to ZERO words must come back (empty text,
+    zero counts), not silently vanish (round-5 advice)."""
+    src = str(tmp_path / "pcorpus2.parquet")
+    spark.createDataFrame(
+        [(1, "some real words here"), (2, "   "), (3, "!!!")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "annotated.parquet")
+    main([
+        "dedup-corpus", "--input", src, "--output", out, "--method", "passage",
+    ])
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_kept"] == 1 and rows[1]["text"] == "some real words here"
+    for empty_id in (2, 3):
+        r = rows[empty_id]
+        assert r["text"] == "" and r["n_passages"] == 0 and r["n_kept"] == 0
+
+
 def test_corpus_stats_cli(spark, tmp_path, capsys):
     src = str(tmp_path / "scorpus.parquet")
     spark.createDataFrame(

@@ -407,3 +407,30 @@ def test_extract_features_stand_in_deterministic_and_ann_ready(spark):
     )
     top = cosine_topk(emb, q1, k=2).collect()
     assert {r["corpus_id"] for r in top} >= {1, 2}  # identical vectors rank top
+
+
+def test_extract_features_injected_encoder_marks_decoded(spark):
+    """With a REAL encoder injected, its rows come back decoded=True
+    with the encoder's embedding; nulls and encoder failures fall back
+    to the stand-in with decoded=False (round-5 advice: the old
+    try-import torch branch was dead code, so decoded could never be
+    True)."""
+    from curw_flo2d_data_manager_spark.operators.multimodal import extract_features
+
+    # defined INSIDE the test: cloudpickle ships closures by value, so
+    # the worker needs no importable test module
+    def _toy_encoder(b: bytes) -> list[float]:
+        return [float(len(b)), 1.0]
+
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, None)], "media_id long, content binary"
+    )
+    rows = {r["media_id"]: r for r in
+            extract_features(df, dim=2, encoder=_toy_encoder).collect()}
+    assert rows[1]["decoded"] is True and rows[1]["embedding"] == [3.0, 1.0]
+    assert rows[2]["embedding"] is None and rows[2]["decoded"] is False
+
+    # dim mismatch = encoder failure -> deterministic stand-in, flagged
+    rows4 = {r["media_id"]: r for r in
+             extract_features(df, dim=4, encoder=_toy_encoder).collect()}
+    assert rows4[1]["decoded"] is False and len(rows4[1]["embedding"]) == 4

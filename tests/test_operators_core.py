@@ -746,6 +746,17 @@ def test_ngram_contamination_shuffle_join_parity(spark):
         )
     )
     assert got == want and want
+    # auto mode (broadcast=None) with a 1-gram ceiling must take the
+    # same fallback and still agree (round-5 verdict item 5)
+    auto = sorted(
+        map(
+            tuple,
+            ngram_contamination(
+                train, bench, "doc_id", n=5, max_broadcast_grams=1
+            ).collect(),
+        )
+    )
+    assert auto == want
 
 
 def test_pack_sequences_without_exchange_reuse(spark):
@@ -819,6 +830,36 @@ def test_connected_components_duplicate_and_reversed_pairs(spark):
     comp = {r["id"]: r["component"] for r in connected_components(df).collect()}
     # self-loop (3,3) contributes the node only via its real link (2,3)
     assert comp == {1: 1, 2: 1, 3: 1}
+
+
+def test_connected_components_string_ids(spark):
+    """String/UUID doc ids (round-5 advice: the blind cast('long')
+    crashed under ANSI and silently no-op'd without it): ids are
+    xxhash64-mapped for the rounds and mapped BACK, with component =
+    the min ORIGINAL id so canonical-survivor semantics match the
+    integral path."""
+    from curw_flo2d_data_manager_spark.operators.components import (
+        cluster_assign,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("zz", "yy")],
+        "id_a string, id_b string",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "yy": "yy", "zz": "yy",
+    }
+    corpus = spark.createDataFrame(
+        [("doc-a",), ("doc-b",), ("doc-c",), ("solo",)], "doc_id string"
+    )
+    dec = {r["doc_id"]: r for r in
+           cluster_assign(corpus, pairs, "doc_id").collect()}
+    assert dec["doc-a"]["keep"] and not dec["doc-b"]["keep"]
+    assert dec["solo"]["keep"] and dec["solo"]["cluster_size"] == 1
+    assert dec["doc-c"]["component"] == "doc-a"
 
 
 # ---------------------------------------------------------------------
@@ -935,6 +976,27 @@ def test_mixture_resample_budget_and_determinism(spark):
     assert by_lang["si"] / 50 > by_lang["en"] / 150
 
 
+def test_mixture_resample_zero_token_domain_kept(spark):
+    """A domain whose every text normalizes to empty has n_tokens=0;
+    the keep-fraction division would be NULL and silently drop the
+    whole domain (round-5 advice) — such rows cost nothing against
+    the token budget and must be kept explicitly."""
+    from curw_flo2d_data_manager_spark.operators.sampling import mixture_resample
+
+    rows = [(i, "en", "word " * 20) for i in range(50)] + [
+        (100 + i, "blank", "   ") for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = mixture_resample(
+        docs, ["lang"], ["doc_id"], "text", target_tokens=200, alpha=0.7
+    )
+    by_lang: dict[str, int] = {}
+    for r in kept.collect():
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert by_lang.get("blank", 0) == 5  # degenerate domain fully kept
+    assert 0 < by_lang["en"] < 50  # real domain still downsampled
+
+
 def test_cross_corpus_decontam_finds_leaks_and_respects_threshold(spark):
     from curw_flo2d_data_manager_spark.operators.similarity import (
         cross_corpus_decontam_pairs,
@@ -959,3 +1021,85 @@ def test_cross_corpus_decontam_finds_leaks_and_respects_threshold(spark):
     }
     assert set(got) == {(1, 100)}
     assert abs(got[(1, 100)] - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------
+# bigram LM scoring + split assignment (round-6 additions)
+# ---------------------------------------------------------------------
+def test_bigram_logprob_exact_small_corpus(spark):
+    """Hand-computed add-one bigram model: corpus 'a b a b' / 'a b c'
+    gives cb(a,b)=3, cb(b,a)=1, cb(b,c)=1, cw(a)=3, cw(b)=2, V=2
+    (contexts {a, b}); single-token docs have no bigrams and are
+    absent."""
+    import math
+
+    from curw_flo2d_data_manager_spark.operators.caching import release_caches
+    from curw_flo2d_data_manager_spark.operators.textstats import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    try:
+        got = {r["doc_id"]: r for r in
+               bigram_logprob(docs, "doc_id", "text").collect()}
+    finally:
+        release_caches()
+    assert set(got) == {1, 2}
+    lp_ab = math.log((3 + 1) / (3 + 2))   # p(b|a)
+    lp_ba = math.log((1 + 1) / (2 + 2))   # p(a|b)
+    lp_bc = math.log((1 + 1) / (2 + 2))   # p(c|b)
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["avg_logprob"] == round((2 * lp_ab + lp_ba) / 3, 4)
+    assert got[2]["n_bigrams"] == 2
+    assert got[2]["avg_logprob"] == round((lp_ab + lp_bc) / 2, 4)
+
+
+def test_split_assign_partition_and_determinism(spark):
+    from curw_flo2d_data_manager_spark.operators.sampling import split_assign
+
+    docs = spark.createDataFrame(
+        [(i, f"payload {i}") for i in range(1000)], "doc_id long, text string"
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in
+         split_assign(docs, ["doc_id"], fr).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         split_assign(docs, ["doc_id"], fr).collect()}
+    assert a == b and len(a) == 1000
+    counts = {}
+    for s in a.values():
+        assert s in fr  # fractions sum to 1 -> nobody unassigned
+        counts[s] = counts.get(s, 0) + 1
+    assert 700 < counts["train"] < 900  # ~80% within loose hash bounds
+    assert 50 < counts["val"] < 170 and 50 < counts["test"] < 170
+
+    # leak-free: rows sharing a key always share a split
+    dup = spark.createDataFrame(
+        [(7, "one copy"), (7, "another copy")], "doc_id long, text string"
+    )
+    splits = {r["split"] for r in split_assign(dup, ["doc_id"], fr).collect()}
+    assert len(splits) == 1
+
+    # sum < 1 -> explicit NULL holdout; sum > 1 -> raises
+    part = {r["doc_id"]: r["split"] for r in
+            split_assign(docs, ["doc_id"], {"train": 0.5}).collect()}
+    assert sum(1 for v in part.values() if v is None) > 300
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_assign(docs, ["doc_id"], {"a": 0.8, "b": 0.4})
+
+
+def test_split_assign_salt_reshuffles(spark):
+    from curw_flo2d_data_manager_spark.operators.sampling import split_assign
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    )
+    fr = {"train": 0.5, "test": 0.5}
+    a = {r["doc_id"]: r["split"] for r in
+         split_assign(docs, ["doc_id"], fr).collect()}
+    c = {r["doc_id"]: r["split"] for r in
+         split_assign(docs, ["doc_id"], fr, salt="v2").collect()}
+    moved = sum(1 for k in a if a[k] != c[k])
+    assert 100 < moved < 400  # independent resample, not a no-op

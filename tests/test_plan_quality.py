@@ -218,6 +218,27 @@ def test_tfidf_partial_aggregates_before_shuffles(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_unigram_logprob_single_tokenize(spark, sf_dir):
+    """unigram_logprob (round-5 verdict item 4) must tokenize the
+    corpus ONCE: the per-(doc, term) tf relation is persisted and
+    feeds both the unigram model and the scoring join, so every
+    Generate(explode) in the plan sits INSIDE the cached subtree
+    (printed once per InMemoryTableScan consumer) — a bare Generate
+    outside the cache means the corpus is being re-tokenized. The
+    scoring join must also consume tf, not the raw token stream."""
+    from curw_flo2d_data_manager_spark.operators.caching import release_caches
+    from curw_flo2d_data_manager_spark.operators.textstats import unigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    try:
+        plan = plan_of(unigram_logprob(docs, "doc_id", "text"), mode="simple")
+        assert plan.count("InMemoryTableScan") >= 2  # both consumers hit the cache
+        assert plan.count("Generate") == plan.count("InMemoryRelation"), plan
+        assert "BatchEvalPython" not in plan
+    finally:
+        release_caches()
+
+
 def test_connected_components_round_bound(spark):
     """Star contraction must stay O(log n): a 64-node chain (diameter
     63) converges within 10 rounds — a naive propagation would need

@@ -157,6 +157,15 @@ def test_read_lines_order_under_forced_splits(spark, tmp_path):
             per_file.setdefault(r.file.rsplit("/", 1)[-1], []).append(r.value)
         assert per_file["a.txt"] == [f"a{i:06d}" for i in range(n)]
         assert per_file["b.txt"] == [f"b{i:06d}" for i in range(n // 2)]
+
+        # the runtime upgrade gate must agree with the golden check
+        # above under the SAME forced 1 KiB splits (round-5 verdict
+        # item 9: this is the CI wiring of assert_line_order)
+        from curw_flo2d_data_manager_spark.sources.line_text import (
+            assert_line_order,
+        )
+
+        assert_line_order(spark, str(p1))
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
