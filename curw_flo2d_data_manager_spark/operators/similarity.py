@@ -439,6 +439,79 @@ def vector_mean(
     )
 
 
+def centroid_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid from a PROVIDED
+    list (no training pass — centroids come from :func:`build_ivf_index`,
+    an offline clustering job, or a fixed codebook).
+
+    Returns ``(id_col, vec_col, cluster)``. The argmax is an
+    ``array_max`` over (score, -index) structs — one codegen
+    expression, no per-row Python, no when-chain blowup; ties take the
+    SMALLEST centroid index. Pure narrow projection, no shuffle.
+    """
+    v = F.col(vec_col)
+    vn = l2_norm(v)
+    scored = []
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        norm = sum(float(x) * float(x) for x in c) ** 0.5
+        scored.append(
+            F.struct(
+                (dot(v, arr) / (vn * F.lit(norm))).alias("s"),
+                F.lit(-i).alias("ni"),
+            )
+        )
+    best = F.array_max(F.array(*scored))
+    return df.select(
+        F.col(id_col), F.col(vec_col), (-best["ni"]).alias("cluster")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023 —
+    public method: cluster the embedding space, then prune near-
+    duplicate pairs WITHIN clusters only): greedy keep-smallest-id —
+    a row is dropped iff some smaller-id row in the SAME cluster has
+    cosine ≥ ``threshold`` with it.
+
+    Returns ``(id_col, cluster, keep)`` for every input row.
+
+    Scale shape: assignment is a narrow projection; the candidate join
+    is an equi-join on cluster id (never an all-pairs product), so
+    compared pairs shrink by ~n_clusters versus brute force — the same
+    blocking argument as IVF. Cluster sizes bound the quadratic term;
+    at 100 TB use enough centroids that clusters stay ~10⁴-10⁵ rows
+    (SemDeDup's published recipe) and feed this the persisted
+    ``build_ivf_index`` assignment instead of re-assigning.
+    """
+    assigned = centroid_assign(df, centroids, id_col, vec_col)
+    pairs = cosine_dedup_pairs(
+        assigned, threshold, id_col=id_col, vec_col=vec_col, block_col="cluster"
+    )
+    dropped = pairs.select(F.col("id_b").alias("_drop")).distinct()
+    return (
+        assigned.join(
+            dropped, assigned[id_col] == dropped["_drop"], "left"
+        )
+        .select(
+            id_col,
+            "cluster",
+            F.col("_drop").isNull().alias("keep"),
+        )
+    )
+
+
 def cross_corpus_decontam_pairs(
     train: DataFrame,
     evals: DataFrame,

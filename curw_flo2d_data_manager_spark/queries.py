@@ -4486,6 +4486,57 @@ ORDER BY train_id
 """
 
 
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup with a fixed 8-centroid one-hot
+    codebook (axis-aligned unit vectors → cluster = argmax of the
+    first 8 embedding components, so BOTH engines derive the
+    assignment from raw component comparisons, no arithmetic drift):
+    every 10th vector gets a ×2-scaled planted copy (cosine exactly 1,
+    same cluster); the copy must be dropped, everything else kept.
+    DuckDB re-derives clusters, within-cluster pairs, and the greedy
+    smallest-id-wins keep set independently."""
+    from curw_flo2d_data_manager_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    dim = 64
+    centroids = [
+        [1.0 if j == i else 0.0 for j in range(dim)] for i in range(8)
+    ]
+    return semantic_dedup(corpus, centroids, threshold=0.9).orderBy("vec_id")
+
+
+SIM_SEMDEDUP_SQL = """
+WITH corpus AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+           CAST(CAST(list_transform(embedding, x -> x * 2) AS FLOAT[]) AS DOUBLE[])
+    FROM embeddings WHERE vec_id % 10 = 0
+),
+assigned AS (
+    SELECT vec_id, emb,
+           list_indexof(emb[1:8], list_aggregate(emb[1:8], 'max')) - 1 AS cluster
+    FROM corpus
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM assigned a JOIN assigned b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9
+)
+SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS keep
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4632,6 +4683,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # in line for the round-7 window)
     "text_bigram_logprob": (text_bigram_logprob, TEXT_BIGRAM_SQL),
     "f_split_assign": (f_split_assign, F_SPLIT_SQL),
+    "sim_semantic_dedup": (sim_semantic_dedup, SIM_SEMDEDUP_SQL),
 }
 
 

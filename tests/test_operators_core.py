@@ -1103,3 +1103,45 @@ def test_split_assign_salt_reshuffles(spark):
          split_assign(docs, ["doc_id"], fr, salt="v2").collect()}
     moved = sum(1 for k in a if a[k] != c[k])
     assert 100 < moved < 400  # independent resample, not a no-op
+
+
+def test_semantic_dedup_custom_centroids_greedy_keep(spark):
+    """SemDeDup blocking + greedy smallest-id-wins with arbitrary
+    (non-one-hot) centroids: scaled copies collapse onto their
+    original; near-but-below-threshold neighbors survive."""
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        centroid_assign,
+        semantic_dedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.1]),   # cluster 0
+        (2, [2.0, 0.2]),   # scaled copy of 1 -> dropped
+        (3, [0.1, 1.0]),   # cluster 1, lone -> kept
+        (4, [1.0, 0.9]),   # cluster 0 but cosine(1,4) ~ 0.81 -> kept
+        (5, [4.0, 0.4]),   # another copy of 1 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    clusters = {r["vec_id"]: r["cluster"] for r in
+                centroid_assign(df, centroids).collect()}
+    assert clusters == {1: 0, 2: 0, 3: 1, 4: 0, 5: 0}
+    got = {r["vec_id"]: (r["cluster"], r["keep"]) for r in
+           semantic_dedup(df, centroids, threshold=0.95).collect()}
+    assert got == {1: (0, True), 2: (0, False), 3: (1, True),
+                   4: (0, True), 5: (0, False)}
+
+
+def test_semantic_dedup_cross_cluster_pairs_not_compared(spark):
+    """Identical vectors in DIFFERENT clusters are never compared —
+    the blocking contract (SemDeDup trades that recall for the
+    n_clusters speedup)."""
+    from curw_flo2d_data_manager_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.95]), (2, [0.95, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["keep"] for r in
+           semantic_dedup(df, [[1.0, 0.0], [0.0, 1.0]], 0.9).collect()}
+    assert got == {1: True, 2: True}  # cosine ~0.999 but blocked apart
