@@ -492,10 +492,33 @@ def semantic_dedup(
     compared pairs shrink by ~n_clusters versus brute force — the same
     blocking argument as IVF. Cluster sizes bound the quadratic term;
     at 100 TB use enough centroids that clusters stay ~10⁴-10⁵ rows
-    (SemDeDup's published recipe) and feed this the persisted
-    ``build_ivf_index`` assignment instead of re-assigning.
+    (SemDeDup's published recipe) and use
+    :func:`semantic_dedup_assigned` over the persisted
+    ``build_ivf_index`` assignment instead of the literal-codebook
+    argmax here (which is O(k·d) expression code per row — fine to
+    ~100 centroids, codegen-hostile past that).
     """
     assigned = centroid_assign(df, centroids, id_col, vec_col)
+    return semantic_dedup_assigned(assigned, threshold, id_col, vec_col)
+
+
+def semantic_dedup_assigned(
+    assigned: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """:func:`semantic_dedup` over a PRECOMPUTED cluster assignment —
+    the scale path. :func:`centroid_assign` evaluates an O(k·d)
+    expression per row, fine for codebooks up to ~100 entries but past
+    that the literal expression tree defeats codegen; at real scale
+    feed the persisted :func:`build_ivf_index` assignment (JVM-
+    vectorized KMeans transform) or any (id, vec, cluster) relation
+    here instead.
+    """
+    if cluster_col != "cluster":
+        assigned = assigned.withColumnRenamed(cluster_col, "cluster")
     pairs = cosine_dedup_pairs(
         assigned, threshold, id_col=id_col, vec_col=vec_col, block_col="cluster"
     )

@@ -1131,6 +1131,16 @@ def test_semantic_dedup_custom_centroids_greedy_keep(spark):
     assert got == {1: (0, True), 2: (0, False), 3: (1, True),
                    4: (0, True), 5: (0, False)}
 
+    # the precomputed-assignment scale path must agree exactly
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        semantic_dedup_assigned,
+    )
+
+    assigned = centroid_assign(df, centroids)
+    got2 = {r["vec_id"]: (r["cluster"], r["keep"]) for r in
+            semantic_dedup_assigned(assigned, threshold=0.95).collect()}
+    assert got2 == got
+
 
 def test_semantic_dedup_cross_cluster_pairs_not_compared(spark):
     """Identical vectors in DIFFERENT clusters are never compared —

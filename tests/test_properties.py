@@ -396,3 +396,64 @@ def test_passage_dedup_matches_python_oracle(spark, texts):
         for r in passage_dedup(df, "doc_id", passage_words=4).collect()
     )
     assert got == _passage_oracle(texts)
+
+
+# --------------------------------------------------- bigram LM oracle
+def _bigram_oracle(texts):
+    """Pure-Python add-one bigram model mirroring bigram_logprob."""
+    import math
+    from collections import Counter
+
+    per_doc: dict[int, Counter] = {}
+    for doc_id, text in enumerate(texts):
+        toks = text.split()
+        if len(toks) < 2:
+            continue
+        per_doc[doc_id] = Counter(zip(toks, toks[1:]))
+    cb: Counter = Counter()
+    for c in per_doc.values():
+        cb.update(c)
+    cw: Counter = Counter()
+    for (w1, _), n in cb.items():
+        cw[w1] += n
+    vocab = len(cw)
+    out = {}
+    for doc_id, c in per_doc.items():
+        n = sum(c.values())
+        s = sum(
+            tf * math.log((cb[bg] + 1.0) / (cw[bg[0]] + vocab))
+            for bg, tf in c.items()
+        )
+        out[doc_id] = (n, round(s / n, 4))
+    return out
+
+
+bigram_texts_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=8
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=bigram_texts_strategy)
+def test_bigram_logprob_matches_python_oracle(spark, texts):
+    from curw_flo2d_data_manager_spark.operators.caching import release_caches
+    from curw_flo2d_data_manager_spark.operators.textstats import bigram_logprob
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    try:
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+            for r in bigram_logprob(df, "doc_id", "text").collect()
+        }
+    finally:
+        release_caches()
+    assert got == _bigram_oracle(texts)
