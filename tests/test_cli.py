@@ -315,6 +315,33 @@ def test_extract_with_timdep_and_run_metadata(spark, tmp_path):
     assert spark.read.parquet(os.path.join(store, "run_metadata")).count() == 1
     assert spark.read.parquet(os.path.join(store, "fcst_data")).count() == n_before
 
+    # run dim (reference update_start_date + update_latest_fgt): one
+    # row per series with start_date pinned to the creating run's fgt
+    dim = spark.read.parquet(os.path.join(store, "fcst_latest_fgt"))
+    assert set(dim.columns) == {"tms_id", "start_date", "fgt"}
+    rows = dim.collect()
+    assert rows and all(
+        str(r.start_date) == "2024-01-01 06:00:00"
+        and str(r.fgt) == "2024-01-01 06:00:00"
+        for r in rows
+    )
+
+    # a LATER run over the same series advances fgt but never start_date
+    main([
+        "extract-water-level", "-m", "flo2d_150_v2",
+        "--hychan", str(hychan), "--base_time", "2024-01-01 00:00:00",
+        "--store", store, "--fgt", "2024-01-02 06:00:00",
+        "--timdep", str(timdep), "--flood_stations", flood,
+        "--source_id", "12", "--variable_id", "3",
+        "--template", "/archives/template.tar.gz",
+    ])
+    dim2 = spark.read.parquet(os.path.join(store, "fcst_latest_fgt")).collect()
+    assert all(
+        str(r.start_date) == "2024-01-01 06:00:00"
+        and str(r.fgt) == "2024-01-02 06:00:00"
+        for r in dim2
+    )
+
 
 def test_compact_store_cli(spark, tmp_path):
     import glob
@@ -400,6 +427,32 @@ def test_dedup_corpus_cli_minhash_and_exact(spark, tmp_path, capsys):
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4]
     assert kept.columns == ["doc_id", "text"]
     assert "4 rows in, 2 rows out" in capsys.readouterr().out
+
+
+def test_dedup_corpus_cli_string_doc_ids(spark, tmp_path, capsys):
+    """dedup-corpus with string/UUID-style ids (round-5 advice: the
+    long cast used to crash under ANSI and silently no-op without it);
+    survivor = lexicographically smallest id per cluster."""
+    src = str(tmp_path / "scorpus_ids.parquet")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    spark.createDataFrame(
+        [
+            ("doc-b", base),
+            ("doc-a", base),                # dup; 'doc-a' wins (min id)
+            ("doc-z", "totally unrelated words fill this other document"),
+        ],
+        "doc_id string, text string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "sdeduped.parquet")
+    main([
+        "dedup-corpus", "--input", src, "--output", out,
+        "--method", "minhash", "--threshold", "1.0",
+    ])
+    res = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert res["doc-a"]["keep"] and not res["doc-b"]["keep"]
+    assert res["doc-b"]["component"] == "doc-a"
+    assert res["doc-z"]["keep"] and res["doc-z"]["cluster_size"] == 1
 
 
 def test_dedup_corpus_cli_passage_rewrite(spark, tmp_path, capsys):
