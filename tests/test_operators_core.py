@@ -1155,3 +1155,68 @@ def test_semantic_dedup_cross_cluster_pairs_not_compared(spark):
     got = {r["vec_id"]: r["keep"] for r in
            semantic_dedup(df, [[1.0, 0.0], [0.0, 1.0]], 0.9).collect()}
     assert got == {1: True, 2: True}  # cosine ~0.999 but blocked apart
+
+
+# ---------------------------------------------------------------------
+# z-order layout (operators/zorder.py)
+# ---------------------------------------------------------------------
+def test_zorder_layout_clusters_every_column(spark, tmp_path):
+    """Each z-ordered file must cover a compact rectangle of (x, y):
+    versus an x-sorted layout, the per-file y-span collapses while the
+    x-span stays far below the full range — the property that lets
+    parquet row-group stats prune range scans on EITHER column."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.zorder import write_zordered
+
+    n, rng = 20000, 10007
+    rows = [(i, (i * 2654435761) % rng, (i * 40503) % rng) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+
+    p_z = str(tmp_path / "zorder.parquet")
+    frame = write_zordered(df, p_z, ["x", "y"], n_files=16)
+    assert frame["x"][0] == 0.0 and frame["x"][1] >= rng - 100
+
+    p_x = str(tmp_path / "xsort.parquet")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(p_x)
+
+    def spans(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("dx"),
+                (F.max("y") - F.min("y")).alias("dy"),
+            )
+            .collect()
+        )
+        k = len(per_file)
+        return sum(r["dx"] for r in per_file) / k, sum(r["dy"] for r in per_file) / k
+
+    zx, zy = spans(p_z)
+    xx, xy = spans(p_x)
+    # rows survive the round-trip
+    assert spark.read.parquet(p_z).count() == n
+    # x-sorted: near-perfect on x, no clustering on y
+    assert xy > 0.9 * rng
+    # z-ordered: BOTH dims clustered (16 files ~ 4x4 quadrants =>
+    # spans ~ rng/4; allow boundary-straddling slack)
+    assert zy < 0.45 * xy, (zy, xy)
+    assert zx < 0.5 * rng, (zx, rng)
+
+
+def test_zorder_index_nulls_and_degenerate_span(spark):
+    from curw_flo2d_data_manager_spark.operators.zorder import zorder_index
+
+    df = spark.createDataFrame(
+        [(None, 5.0), (3.0, None), (0.0, 0.0)], "a double, b double"
+    )
+    out = df.select(
+        zorder_index(["a", "b"], [0.0, 0.0], [10.0, 10.0], bits=4).alias("z")
+    ).collect()
+    assert all(r["z"] is not None and r["z"] >= 0 for r in out)
+    # zero span -> constant 0 contribution, no division blow-up
+    one = df.select(
+        zorder_index(["a", "b"], [0.0, 0.0], [0.0, 10.0], bits=4).alias("z")
+    ).collect()
+    assert all(r["z"] is not None for r in one)
