@@ -127,6 +127,10 @@ def main() -> None:
         "text_domain_mixture",
         "text_unigram_logprob",
         "f_mixture_resample",
+        # round-6 additions
+        "text_bigram_logprob",
+        "f_split_assign",
+        "sim_semantic_dedup",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -84,6 +84,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 50,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """Label every node of the pair graph with its component minimum.
 
@@ -95,6 +96,18 @@ def connected_components(
     ``max_rounds`` is a safety valve far above the O(log n) bound
     (2^50 nodes); hitting it raises rather than returning a partial
     labeling.
+
+    **Adaptive small-graph path**: the distributed contraction pays a
+    fixed per-round cost (localCheckpoint + convergence action) that
+    dwarfs the data cost on small pair graphs — and dedup pair graphs
+    are usually tiny relative to the corpus (only near-duplicates
+    appear). When the edge count (one metadata-cheap count over the
+    already-checkpointed edge set) is at most ``driver_threshold``,
+    the labels come from a driver-side union-find over an Arrow
+    collect instead — identical output, ~round-trip latency instead of
+    O(log n) Spark jobs. Above the threshold (at most tens of MB on
+    the driver) the star contraction runs as before; pass
+    ``driver_threshold=0`` to force the distributed path.
 
     Ids of any type are accepted: integral ids run the contraction
     natively; string/UUID/other ids are xxhash64-mapped to long for
@@ -141,12 +154,17 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    global last_rounds
+    if edges.count() <= driver_threshold:
+        last_rounds = 0
+        labels = _driver_union_find(edges)
+        return _attach_labels(nodes, labels, native)
+
     # Convergence check: an order-insensitive multiset checksum of the
     # edge set (count + sum of per-edge hashes). The step function is
     # deterministic, so checksum-equal consecutive rounds means the
     # edge set is (with ~2^-64 hash-collision odds) the fixed point —
     # a star per component pointing at its minimum.
-    global last_rounds
     prev_metric = None
     for last_rounds in range(1, max_rounds + 1):
         stepped = _small_star(_large_star(edges)).localCheckpoint(eager=True)
@@ -168,24 +186,60 @@ def connected_components(
     # Fixed point: every edge is (node, component_min). Nodes that are
     # themselves the minimum appear only as dst — restore them via the
     # node set.
+    labels = edges.select(
+        F.col("src").alias("_lid"), F.col("dst").alias("_lcomp")
+    )
+    return _attach_labels(nodes, labels, native)
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Exact (node, min-reachable-id) labels for a SMALL edge set via
+    a driver-side union-find over an Arrow collect. Same output shape
+    as the star-contraction fixed point: one row per non-isolated
+    node, ``(_lid, _lcomp)`` longs."""
+    pdf = edges.toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        rs, rd = find(int(s)), find(int(d))
+        if rs != rd:
+            parent[rd] = rs
+    comp_min: dict[int, int] = {}
+    for x in list(parent):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    rows = [(x, comp_min[find(x)]) for x in parent]
+    return edges.sparkSession.createDataFrame(
+        rows, "_lid long, _lcomp long"
+    )
+
+
+def _attach_labels(nodes: DataFrame, labels: DataFrame, native: bool) -> DataFrame:
+    """Join component labels back onto the node set. ``labels`` is
+    ``(_lid, _lcomp)`` over the (possibly hashed) long node keys;
+    isolated nodes (absent from labels) become their own component."""
     if native:
-        labels = edges.select(
-            F.col("src").alias("id"), F.col("dst").alias("component")
-        )
-        return nodes.join(labels, "id", "left").select(
+        return nodes.join(
+            labels, nodes["id"] == labels["_lid"], "left"
+        ).select(
             F.col("id"),
-            F.coalesce(F.col("component"), F.col("id")).alias("component"),
+            F.coalesce(F.col("_lcomp"), F.col("id")).alias("component"),
         )
     # Hashed path: map hash labels back to original ids, then restore
     # the min-ORIGINAL-id canonical per cluster (the hash min is a
     # deterministic but arbitrary member). Two joins + one aggregate
     # over the label set — one row per node, tiny next to the rounds.
-    labels = edges.select(
-        F.col("src").alias("_hid"), F.col("dst").alias("_hcomp")
-    )
     with_comp = nodes.join(
-        labels, nodes["_h"] == labels["_hid"], "left"
-    ).select("id", F.coalesce("_hcomp", "_h").alias("_hcomp"))
+        labels, nodes["_h"] == labels["_lid"], "left"
+    ).select("id", F.coalesce("_lcomp", "_h").alias("_hcomp"))
     canon = with_comp.groupBy("_hcomp").agg(F.min("id").alias("component"))
     return with_comp.join(canon, "_hcomp").select("id", "component")
 

@@ -1220,3 +1220,32 @@ def test_zorder_index_nulls_and_degenerate_span(spark):
         zorder_index(["a", "b"], [0.0, 0.0], [0.0, 10.0], bits=4).alias("z")
     ).collect()
     assert all(r["z"] is not None for r in one)
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    """The adaptive driver-side union-find (small edge sets) must
+    produce EXACTLY the distributed star contraction's labels — for
+    both integral and string ids."""
+    from curw_flo2d_data_manager_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (3, 2), (10, 11), (12, 12), (11, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    fast = sorted(map(tuple, connected_components(pairs).collect()))
+    dist = sorted(
+        map(tuple, connected_components(pairs, driver_threshold=0).collect())
+    )
+    assert fast == dist and fast
+
+    spairs = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("y", "z")], "id_a string, id_b string"
+    )
+    sfast = sorted(map(tuple, connected_components(spairs).collect()))
+    sdist = sorted(
+        map(tuple, connected_components(spairs, driver_threshold=0).collect())
+    )
+    assert sfast == sdist == [("a", "a"), ("b", "a"), ("c", "a"),
+                              ("y", "y"), ("z", "y")]

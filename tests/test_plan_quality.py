@@ -248,7 +248,10 @@ def test_connected_components_round_bound(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], "id_a long, id_b long"
     )
+    # driver_threshold=0 forces the distributed star contraction (the
+    # adaptive driver-side union-find would otherwise absorb a graph
+    # this small)
     out = {r["id"]: r["component"] for r in
-           components.connected_components(pairs).collect()}
+           components.connected_components(pairs, driver_threshold=0).collect()}
     assert set(out.values()) == {0} and len(out) == 65
     assert components.last_rounds <= 10, components.last_rounds
