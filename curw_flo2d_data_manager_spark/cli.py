@@ -576,6 +576,67 @@ def cmd_dedup_corpus(args) -> None:
     print(f"dedup-corpus[{args.method}]: {total} rows in, {kept} rows out -> {args.output}")
 
 
+def cmd_import_corpus(args) -> None:
+    """JSONL → parquet ingestion: the front door of the training-data
+    pipeline. Reads line-delimited JSON (Spark's json source handles
+    .gz transparently and splits plain files), optionally with an
+    explicit DDL schema — ALWAYS pass one at scale: schema inference
+    is a full extra pass over the data — an early projection, and an
+    optional Z-order layout over numeric/timestamp columns so range
+    scans on any of them prune row groups from day one."""
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="import-corpus")
+    reader = spark.read
+    if args.schema:
+        reader = reader.schema(args.schema)
+    df = reader.json(args.input)
+    if args.select:
+        df = df.select(*[c.strip() for c in args.select.split(",")])
+    if args.zorder:
+        from curw_flo2d_data_manager_spark.operators.zorder import write_zordered
+
+        cols = [c.strip() for c in args.zorder.split(",")]
+        write_zordered(df, args.output, cols, n_files=args.files)
+    else:
+        out = df.repartition(args.files) if args.files else df
+        out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"imported {n} rows -> {args.output}")
+
+
+def cmd_split_corpus(args) -> None:
+    """Materialize a deterministic leak-free train/val/test split:
+    one pass per split (pure hash filter, no shuffle), each written
+    under <output>/<name>. Same key always lands in the same split
+    across runs, engines, and corpus growth."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.sampling import split_assign
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    fractions: dict[str, float] = {}
+    for part in args.fractions.split(","):
+        name, _, frac = part.partition("=")
+        if not _ or not name.strip():
+            raise SystemExit(f"bad --fractions entry {part!r} (want name=frac)")
+        fractions[name.strip()] = float(frac)
+    spark = get_spark(app_name="split-corpus")
+    df = spark.read.parquet(args.input)
+    keys = [c.strip() for c in args.key_cols.split(",")]
+    for col in keys:
+        if col not in df.columns:
+            raise SystemExit(f"key column {col!r} not in input ({df.columns})")
+    assigned = split_assign(df, keys, fractions, salt=args.salt)
+    counts = []
+    for name in fractions:
+        target = os.path.join(args.output, name)
+        part = assigned.filter(F.col("split") == name).drop("split")
+        part.write.mode("overwrite").parquet(target)
+        counts.append(f"{name}={spark.read.parquet(target).count()}")
+    print(f"split {df.count()} rows -> {', '.join(counts)} under {args.output}")
+
+
 def cmd_corpus_stats(args) -> None:
     """One-pass corpus health report: per-(lang, source) doc/token
     counts, mixture weights, and mean quality signals — the look-
@@ -761,6 +822,38 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text_col", default="text")
     sp.add_argument("--alpha", type=float, default=0.7)
     sp.set_defaults(fn=cmd_corpus_stats)
+
+    sp = sub.add_parser(
+        "import-corpus",
+        help="JSONL (optionally .gz) -> parquet corpus, optional Z-order layout",
+    )
+    sp.add_argument("--input", required=True, help="jsonl path/glob")
+    sp.add_argument("--output", required=True, help="output parquet path")
+    sp.add_argument("--schema", default=None,
+                    help="DDL schema (e.g. 'doc_id long, text string'); "
+                         "inferred when omitted")
+    sp.add_argument("--select", default=None,
+                    help="comma-separated columns to keep (project early)")
+    sp.add_argument("--zorder", default=None,
+                    help="comma-separated numeric/timestamp columns to "
+                         "Z-order the layout by")
+    sp.add_argument("--files", type=int, default=None,
+                    help="output file count (default: shuffle partitions)")
+    sp.set_defaults(fn=cmd_import_corpus)
+
+    sp = sub.add_parser(
+        "split-corpus",
+        help="deterministic leak-free train/val/test split of a parquet corpus",
+    )
+    sp.add_argument("--input", required=True, help="input parquet path")
+    sp.add_argument("--output", required=True,
+                    help="output root; each split lands under <output>/<name>")
+    sp.add_argument("--key_cols", default="doc_id",
+                    help="comma-separated split-key columns (same key -> same split)")
+    sp.add_argument("--fractions", default="train=0.8,val=0.1,test=0.1",
+                    help="name=frac[,name=frac...]; sums <= 1, remainder unassigned")
+    sp.add_argument("--salt", default="", help="independent resample handle")
+    sp.set_defaults(fn=cmd_split_corpus)
     return p
 
 

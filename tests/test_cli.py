@@ -514,3 +514,53 @@ def test_corpus_stats_cli(spark, tmp_path, capsys):
     assert 0.0 <= en["frac_word_count_ok"] <= 1.0
     assert abs(sum(r["sample_weight"] for r in rows.values()) - 1.0) < 1e-4
     assert "3 docs / 195 tokens across 2 domains" in capsys.readouterr().out
+
+
+def test_import_corpus_cli_jsonl_with_schema_and_zorder(spark, tmp_path, capsys):
+    src = tmp_path / "raw.jsonl"
+    src.write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": f"doc {i}", "score": i % 7,
+                        "extra": "drop me"})
+            for i in range(200)
+        )
+    )
+    out = str(tmp_path / "corpus.parquet")
+    main([
+        "import-corpus", "--input", str(src), "--output", out,
+        "--schema", "doc_id long, text string, score long, extra string",
+        "--select", "doc_id,text,score",
+        "--zorder", "doc_id,score", "--files", "4",
+    ])
+    got = spark.read.parquet(out)
+    assert got.columns == ["doc_id", "text", "score"]
+    assert got.count() == 200
+    assert "imported 200 rows" in capsys.readouterr().out
+
+
+def test_split_corpus_cli_partitions_and_determinism(spark, tmp_path, capsys):
+    src = str(tmp_path / "full.parquet")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(500)], "doc_id long, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "splits")
+    main([
+        "split-corpus", "--input", src, "--output", out,
+        "--fractions", "train=0.8,val=0.1,test=0.1",
+    ])
+    parts = {
+        name: {r["doc_id"] for r in
+               spark.read.parquet(f"{out}/{name}").collect()}
+        for name in ("train", "val", "test")
+    }
+    all_ids = parts["train"] | parts["val"] | parts["test"]
+    assert len(all_ids) == 500  # exact partition, nothing lost
+    assert not (parts["train"] & parts["val"]) and not (parts["val"] & parts["test"])
+    assert len(parts["train"]) > len(parts["val"])
+    # re-run into a second root -> identical assignment
+    out2 = str(tmp_path / "splits2")
+    main([
+        "split-corpus", "--input", src, "--output", out2,
+        "--fractions", "train=0.8,val=0.1,test=0.1",
+    ])
+    assert {r["doc_id"] for r in spark.read.parquet(f"{out2}/train").collect()} == parts["train"]
