@@ -576,6 +576,50 @@ def cmd_dedup_corpus(args) -> None:
     print(f"dedup-corpus[{args.method}]: {total} rows in, {kept} rows out -> {args.output}")
 
 
+def cmd_dedup_embeddings(args) -> None:
+    """Semantic (embedding-space) corpus dedup as a job: IVF KMeans
+    cluster assignment → within-cluster cosine pairs → greedy
+    smallest-id keep, written back as parquet (annotated with
+    (cluster, keep), or the surviving rows only with --keep_only).
+    The SemDeDup recipe end-to-end; cluster count defaults to
+    rows/500 so the within-cluster quadratic term stays bounded."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        build_ivf_index,
+        semantic_dedup_assigned,
+    )
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="dedup-embeddings")
+    df = spark.read.parquet(args.input)
+    for col in (args.id_col, args.vec_col):
+        if col not in df.columns:
+            raise SystemExit(f"column {col!r} not in input ({df.columns})")
+    n = df.count()
+    n_clusters = args.clusters or max(4, n // 500)
+    assigned, _ = build_ivf_index(
+        df, n_clusters=n_clusters, id_col=args.id_col, vec_col=args.vec_col
+    )
+    assigned = assigned.withColumnRenamed("corpus_id", args.id_col).persist()
+    dec = semantic_dedup_assigned(
+        assigned,
+        threshold=args.threshold,
+        id_col=args.id_col,
+        vec_col="embedding",
+    )
+    out = df.join(dec, args.id_col)
+    if args.keep_only:
+        out = out.filter(F.col("keep")).select(*df.columns)
+    out.write.mode("overwrite").parquet(args.output)
+    assigned.unpersist()
+    kept = spark.read.parquet(args.output).count()
+    print(
+        f"dedup-embeddings: {n} rows in, {kept} rows out "
+        f"({n_clusters} clusters, cosine >= {args.threshold}) -> {args.output}"
+    )
+
+
 def cmd_import_corpus(args) -> None:
     """JSONL → parquet ingestion: the front door of the training-data
     pipeline. Reads line-delimited JSON (Spark's json source handles
@@ -822,6 +866,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text_col", default="text")
     sp.add_argument("--alpha", type=float, default=0.7)
     sp.set_defaults(fn=cmd_corpus_stats)
+
+    sp = sub.add_parser(
+        "dedup-embeddings",
+        help="semantic dedup of an embedding corpus: IVF assign -> "
+             "within-cluster cosine -> keep-one (SemDeDup recipe)",
+    )
+    sp.add_argument("--input", required=True, help="input parquet path")
+    sp.add_argument("--output", required=True, help="output parquet path")
+    sp.add_argument("--id_col", default="vec_id")
+    sp.add_argument("--vec_col", default="embedding")
+    sp.add_argument("--threshold", type=float, default=0.95,
+                    help="cosine duplicate threshold")
+    sp.add_argument("--clusters", type=int, default=None,
+                    help="IVF cluster count (default rows/500)")
+    sp.add_argument("--keep_only", action="store_true",
+                    help="write only surviving rows (original columns)")
+    sp.set_defaults(fn=cmd_dedup_embeddings)
 
     sp = sub.add_parser(
         "import-corpus",

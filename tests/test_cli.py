@@ -564,3 +564,49 @@ def test_split_corpus_cli_partitions_and_determinism(spark, tmp_path, capsys):
         "--fractions", "train=0.8,val=0.1,test=0.1",
     ])
     assert {r["doc_id"] for r in spark.read.parquet(f"{out2}/train").collect()} == parts["train"]
+
+
+def test_dedup_embeddings_cli_drops_scaled_copies(spark, tmp_path, capsys):
+    """SemDeDup end-to-end via the CLI: planted x2-scaled copies
+    (cosine exactly 1, same KMeans cell — assignment is on normalized
+    vectors) must be dropped; everything else survives."""
+    import math
+
+    import random
+
+    src = str(tmp_path / "emb.parquet")
+    rng = random.Random(42)
+    rows = []
+    for i in range(120):
+        # seeded-PRNG noise comparable to the base keeps distinct ids
+        # below the 0.999 cosine threshold (structured/periodic noise
+        # creates accidental near-duplicates); only the planted scaled
+        # copies hit cosine 1
+        base = [
+            math.cos(0.3 * (i % 6) * (d + 1)) + 2.0 * rng.random()
+            for d in range(8)
+        ]
+        rows.append((i, [float(x) for x in base]))
+    # planted copies of vectors 0 and 7 under new ids
+    rows.append((1000, [x * 2.0 for x in rows[0][1]]))
+    rows.append((1007, [x * 2.0 for x in rows[7][1]]))
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(src)
+
+    out = str(tmp_path / "emb_dedup.parquet")
+    main([
+        "dedup-embeddings", "--input", src, "--output", out,
+        "--threshold", "0.999", "--clusters", "4", "--keep_only",
+    ])
+    kept = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert 1000 not in kept and 1007 not in kept
+    assert {0, 7} <= kept and len(kept) == 120
+    assert "122 rows in, 120 rows out" in capsys.readouterr().out
+
+    # annotated mode keeps every row with (cluster, keep)
+    out2 = str(tmp_path / "emb_annotated.parquet")
+    main([
+        "dedup-embeddings", "--input", src, "--output", out2,
+        "--threshold", "0.999", "--clusters", "4",
+    ])
+    ann = {r["vec_id"]: r for r in spark.read.parquet(out2).collect()}
+    assert len(ann) == 122 and not ann[1000]["keep"] and ann[0]["keep"]
