@@ -701,13 +701,27 @@ def cmd_corpus_stats(args) -> None:
         if col not in df.columns:
             raise SystemExit(f"column {col!r} not in input ({df.columns})")
 
+    from curw_flo2d_data_manager_spark.operators.textstats import normalize_text
+
     mix = domain_mixture(df, group, args.text_col, alpha=args.alpha)
     flags = df.select(
-        *group, gopher_quality_flags(args.text_col).alias("f")
+        *group,
+        gopher_quality_flags(args.text_col).alias("f"),
+        F.xxhash64(normalize_text(args.text_col)).alias("_fp"),
     ).groupBy(*group).agg(
         F.round(F.avg(F.col("f.word_count_ok").cast("int")), 4).alias("frac_word_count_ok"),
         F.round(F.avg(F.col("f.dup_lines_ok").cast("int")), 4).alias("frac_dup_lines_ok"),
         F.round(F.avg(F.col("f.symbol_ratio_ok").cast("int")), 4).alias("frac_symbol_ok"),
+        # HLL++ distinct fingerprints vs rows: the exact-dup rate
+        # estimate per domain, one scan, no extra shuffle of text
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - F.approx_count_distinct("_fp") / F.count(F.lit(1)),
+            ),
+            4,
+        ).alias("approx_dup_rate"),
     )
     report = mix.join(flags, group).orderBy(*group)
     report.write.mode("overwrite").parquet(args.output)

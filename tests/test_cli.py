@@ -513,6 +513,9 @@ def test_corpus_stats_cli(spark, tmp_path, capsys):
     assert en["n_docs"] == 2 and en["n_tokens"] == 140
     assert 0.0 <= en["frac_word_count_ok"] <= 1.0
     assert abs(sum(r["sample_weight"] for r in rows.values()) - 1.0) < 1e-4
+    # both 'en' docs are pure "word" repeats of different lengths ->
+    # distinct fingerprints, dup rate 0 at these tiny counts (HLL exact)
+    assert en["approx_dup_rate"] == 0.0
     assert "3 docs / 195 tokens across 2 domains" in capsys.readouterr().out
 
 
