@@ -4456,6 +4456,75 @@ ORDER BY doc_id
 """
 
 
+def stream_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gated streaming ingest over two file-arrival waves
+    (documents split by doc_id parity): the union of the accepted and
+    dead-letter sinks must reproduce the BATCH gate decision
+    (n_words >= 5 AND punct_ratio <= 0.2) for every document — the
+    oracle recomputes both signals and the routing directly."""
+    import tempfile
+
+    from curw_flo2d_data_manager_spark.streaming.ingest import (
+        corpus_quality_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    watch = tempfile.mkdtemp(prefix="stream_quality_src_")
+    out = tempfile.mkdtemp(prefix="stream_quality_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_quality_ckpt_")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{watch}/wave1"
+    )
+    for _ in range(2):  # second pass picks up wave2
+        q = corpus_quality_stream(
+            spark, f"{watch}/*", out, "doc_id long, text string",
+            min_words=5, max_punct_ratio=0.2,
+            checkpoint=ckpt, available_now=True,
+        )
+        q.awaitTermination(300)
+        q.stop()
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "ignore"
+        ).parquet(f"{watch}/wave2")
+    accepted = spark.read.parquet(f"{out}/accepted").select(
+        "doc_id", F.lit(True).alias("accepted")
+    )
+    rejected = spark.read.parquet(f"{out}/rejected").select(
+        "doc_id",
+        F.lit(False).alias("accepted"),
+        "n_words",
+        "punct_ratio",
+    )
+    return (
+        accepted.withColumn("n_words", F.lit(None).cast("long"))
+        .withColumn("punct_ratio", F.lit(None).cast("double"))
+        .unionByName(rejected)
+        .orderBy("doc_id")
+    )
+
+
+STREAM_QUALITY_SQL = """
+WITH scored AS (
+    SELECT doc_id,
+           CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) = ''
+                THEN 0
+                ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'))
+           END AS n_words,
+           ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS punct_ratio
+    FROM documents
+)
+SELECT doc_id,
+       (n_words >= 5 AND punct_ratio <= 0.2) AS accepted,
+       CASE WHEN n_words >= 5 AND punct_ratio <= 0.2
+            THEN NULL ELSE CAST(n_words AS BIGINT) END AS n_words,
+       CASE WHEN n_words >= 5 AND punct_ratio <= 0.2
+            THEN NULL ELSE punct_ratio END AS punct_ratio
+FROM scored
+ORDER BY doc_id
+"""
+
+
 def sim_cross_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space benchmark decontamination with a planted-recall
     oracle: the eval set is every 10th train vector scaled ×2 (same
@@ -4684,6 +4753,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_bigram_logprob": (text_bigram_logprob, TEXT_BIGRAM_SQL),
     "f_split_assign": (f_split_assign, F_SPLIT_SQL),
     "sim_semantic_dedup": (sim_semantic_dedup, SIM_SEMDEDUP_SQL),
+    "stream_corpus_quality": (stream_corpus_quality, STREAM_QUALITY_SQL),
 }
 
 

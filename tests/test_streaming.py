@@ -319,3 +319,55 @@ def test_corpus_dedup_stream_incremental_exact(spark, tmp_path):
     q.awaitTermination(120)
     q.stop()
     assert sorted(r["doc_id"] for r in spark.read.parquet(f"{out}/docs").collect()) == [1, 3, 5]
+
+
+def test_corpus_quality_stream_routes_and_replays(spark, tmp_path):
+    """Two waves of quality-gated ingest: accepted + rejected exactly
+    partition the input, rejected rows carry their measurements, and a
+    restart with the same checkpoint changes nothing."""
+    from curw_flo2d_data_manager_spark.streaming.ingest import (
+        corpus_quality_stream,
+    )
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [(1, "six clean words of real content"),
+         (2, "short"),                              # < 5 words
+         (3, "!!! ??? ;;; ### $$$ %%% words here")],  # punct-heavy
+        schema,
+    ).coalesce(1).write.parquet(str(watch / "wave1"))
+
+    def run():
+        q = corpus_quality_stream(
+            spark, str(watch / "*"), out, schema,
+            min_words=5, max_punct_ratio=0.2,
+            checkpoint=ckpt, available_now=True,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    spark.createDataFrame(
+        [(4, "another perfectly fine document with words")], schema
+    ).coalesce(1).write.parquet(str(watch / "wave2"))
+    run()
+
+    acc = spark.read.parquet(f"{out}/accepted")
+    rej = spark.read.parquet(f"{out}/rejected")
+    assert sorted(r["doc_id"] for r in acc.collect()) == [1, 4]
+    rej_rows = {r["doc_id"]: r for r in rej.collect()}
+    assert set(rej_rows) == {2, 3}
+    assert rej_rows[2]["n_words"] == 1  # measurements ride the dead letter
+    assert rej_rows[3]["punct_ratio"] > 0.2
+    # accepted rows pass through unchanged (plus the batch=<id>
+    # partition directory surfacing as a column on read)
+    assert sorted(acc.columns) == ["batch", "doc_id", "text"]
+
+    run()  # nothing new: no re-admission anywhere
+    assert sorted(r["doc_id"] for r in spark.read.parquet(f"{out}/accepted").collect()) == [1, 4]
+    assert sorted(r["doc_id"] for r in spark.read.parquet(f"{out}/rejected").collect()) == [2, 3]
