@@ -158,6 +158,45 @@ def build_ivf_index(
     return assignments, centers
 
 
+def ivf_assign(
+    batch: DataFrame,
+    centers: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign NEW vectors to an EXISTING IVF quantizer — the
+    incremental-index-maintenance half of :func:`build_ivf_index`:
+    ingest batches get their cluster id from the stored centers (the
+    quantizer's normalized-euclidean metric, nearest center, smallest
+    index on ties) with NO retraining and no shuffle, and the result
+    appends directly into the ``partitionBy("cluster")`` parquet index
+    (``.write.mode("append").partitionBy("cluster")``). Re-train only
+    when drift makes cells unbalanced — the standard IVF operating
+    recipe. Output schema matches ``build_ivf_index``'s assignments:
+    ``(corpus_id, embedding, cluster)``.
+    """
+    sqdist = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    scored = []
+    for i, ctr in enumerate(centers):
+        arr = F.array(*[F.lit(float(x)) for x in ctr])
+        scored.append(
+            F.struct(
+                (-sqdist(_unit(F.col(vec_col)), arr)).alias("s"),
+                F.lit(-i).alias("ni"),
+            )
+        )
+    best = F.array_max(F.array(*scored))
+    return batch.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("embedding"),
+        (-best["ni"]).alias("cluster"),
+    )
+
+
 def ivf_query(
     assignments: DataFrame,
     centers: list[list[float]],

@@ -1249,3 +1249,50 @@ def test_connected_components_driver_path_matches_distributed(spark):
     )
     assert sfast == sdist == [("a", "a"), ("b", "a"), ("c", "a"),
                               ("y", "y"), ("z", "y")]
+
+
+def test_ivf_assign_appends_compatibly_with_built_index(spark, tmp_path):
+    """Incremental IVF maintenance: a new batch assigned via
+    ivf_assign against the STORED centers must (a) agree with the
+    KMeans model's own assignment for vectors the build saw, and
+    (b) make appended vectors findable by ivf_query at rank 1."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_assign,
+        ivf_query,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    assignments, centers = build_ivf_index(emb, n_clusters=8, seed=42)
+    built = {r["corpus_id"]: r["cluster"] for r in assignments.collect()}
+
+    # (a) re-assigning the SAME vectors through the stored centers
+    # reproduces the model's clusters
+    re_assigned = {r["corpus_id"]: r["cluster"] for r in
+                   ivf_assign(emb, centers).collect()}
+    assert re_assigned == built
+
+    # (b) append a scaled copy of vector 0 under a new id; the merged
+    # index must return it for a query equal to vector 0
+    idx = str(tmp_path / "ivf")
+    assignments.write.partitionBy("cluster").parquet(idx)
+    batch = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 900000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    ivf_assign(batch, centers).write.mode("append").partitionBy(
+        "cluster"
+    ).parquet(idx)
+    merged = spark.read.parquet(idx)
+    assert merged.count() == emb.count() + 1
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = ivf_query(merged, centers, q0, k=2, nprobe=2).collect()
+    assert {r["corpus_id"] for r in top} == {0, 900000}
