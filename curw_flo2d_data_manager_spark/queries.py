@@ -3817,6 +3817,49 @@ ORDER BY event_type
 """
 
 
+def a_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles (percentile_approx,
+    accuracy=10000) per event type, tolerance-band certified like
+    a_approx_distinct: the sketch value is engine-specific, so the
+    output is the EXACT continuous percentile plus a flag asserting
+    the estimate landed within 5% of the value range — wide enough to
+    absorb the sketch's element-vs-interpolated definition gap on
+    small groups, tight enough that a broken sketch fails; the
+    accuracy contract itself is what hash-matches."""
+    ev = _events(spark, sf_dir)
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("_ap"),
+        F.expr("percentile(value, array(0.5, 0.95))").alias("_ex"),
+        (F.max("value") - F.min("value")).alias("_span"),
+    )
+    return approx.select(
+        "event_type",
+        F.round(F.element_at("_ex", 1), 4).alias("exact_p50"),
+        F.round(F.element_at("_ex", 2), 4).alias("exact_p95"),
+        (
+            (
+                F.abs(F.element_at("_ap", 1) - F.element_at("_ex", 1))
+                <= 0.05 * F.col("_span")
+            )
+            & (
+                F.abs(F.element_at("_ap", 2) - F.element_at("_ex", 2))
+                <= 0.05 * F.col("_span")
+            )
+        ).cast("int").alias("within_5pct_of_range"),
+    ).orderBy("event_type")
+
+
+A_APPROX_PCT_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
+       ROUND(quantile_cont(value, 0.95), 4) AS exact_p95,
+       1 AS within_5pct_of_range
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH near-dup search with a FULL oracle: plant one
     scaled copy of every embedding (cosine exactly 1 with its source;
@@ -4754,6 +4797,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "f_split_assign": (f_split_assign, F_SPLIT_SQL),
     "sim_semantic_dedup": (sim_semantic_dedup, SIM_SEMDEDUP_SQL),
     "stream_corpus_quality": (stream_corpus_quality, STREAM_QUALITY_SQL),
+    "a_approx_percentiles": (a_approx_percentiles, A_APPROX_PCT_SQL),
 }
 
 
