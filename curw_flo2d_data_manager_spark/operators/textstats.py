@@ -433,6 +433,54 @@ def domain_mixture(
     )
 
 
+# --------------------------------------------- document chunking
+def chunk_documents(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str = "text",
+    chunk_words: int = 256,
+    overlap: int = 0,
+) -> "DataFrame":
+    """Split long documents into fixed-size word windows with optional
+    overlap — the chunking step between raw documents and
+    ``packing.pack_sequences`` (models take bounded contexts; chunk
+    first, pack the chunks).
+
+    Chunk ``k`` covers words ``[k·stride, k·stride + chunk_words)``
+    with ``stride = chunk_words − overlap``; every document with ≥1
+    word yields ≥1 chunk, and every word belongs to at least one
+    chunk. Pure Column expressions: the word array is built once in
+    the scan and chunk slices are ``transform``+``slice`` over it, so
+    the only data movement is the explode — no shuffle, no Python.
+    Returns (id, chunk_idx, n_words, chunk_text), chunk_idx 0-based.
+    """
+    if overlap >= chunk_words:
+        raise ValueError(f"overlap {overlap} must be < chunk_words {chunk_words}")
+    stride = chunk_words - overlap
+    w = words(text_col)
+    n = F.size(w)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(float(stride)))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.struct(
+            k.cast("int").alias("chunk_idx"),
+            F.slice(w, k * stride + 1, chunk_words).alias("cw"),
+        ),
+    )
+    return (
+        df.filter(F.size(words(text_col)) > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.cw").alias("n_words"),
+            F.concat_ws(" ", F.col("c.cw")).alias("chunk_text"),
+        )
+    )
+
+
 # --------------------------------------------- bigram LM scoring
 def bigram_logprob(
     df: "DataFrame",

@@ -4347,6 +4347,52 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking (32 words, 8 overlap) — the
+    pre-packing step. The oracle re-derives every chunk's word slice
+    and sha via DuckDB list slicing, so boundaries, overlap, and the
+    at-least-one-chunk rule are all hash-checked."""
+    from curw_flo2d_data_manager_spark.operators.textstats import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        chunk_documents(docs, "doc_id", "text", chunk_words=32, overlap=8)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_words",
+            F.sha2("chunk_text", 256).alias("chunk_sha"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+TEXT_CHUNK_SQL = """
+WITH w AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS words
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) != ''
+),
+n AS (
+    SELECT doc_id, words,
+           CAST(greatest(1, ceil((len(words) - 8) / 24.0)) AS INT) AS n_chunks
+    FROM w
+),
+chunks AS (
+    SELECT doc_id,
+           CAST(k AS INT) AS chunk_idx,
+           words[k * 24 + 1 : k * 24 + 32] AS cw
+    FROM n, LATERAL (SELECT unnest(range(0, n_chunks)) AS k)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(cw) AS INT) AS n_words,
+       sha256(array_to_string(cw, ' ')) AS chunk_sha
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def f_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic leak-free train/val/test assignment over the
     documents table: 0.8/0.1/0.1 by md5 bucket of doc_id — the oracle
@@ -4798,6 +4844,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_semantic_dedup": (sim_semantic_dedup, SIM_SEMDEDUP_SQL),
     "stream_corpus_quality": (stream_corpus_quality, STREAM_QUALITY_SQL),
     "a_approx_percentiles": (a_approx_percentiles, A_APPROX_PCT_SQL),
+    "text_chunk_documents": (text_chunk_documents, TEXT_CHUNK_SQL),
 }
 
 

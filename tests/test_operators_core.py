@@ -1296,3 +1296,32 @@ def test_ivf_assign_appends_compatibly_with_built_index(spark, tmp_path):
     )
     top = ivf_query(merged, centers, q0, k=2, nprobe=2).collect()
     assert {r["corpus_id"] for r in top} == {0, 900000}
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from curw_flo2d_data_manager_spark.operators.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))),  # 10 words
+         (2, "solo"),                                 # 1 word -> 1 chunk
+         (3, "   ")],                                 # 0 words -> absent
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["chunk_idx"]): r for r in
+           chunk_documents(docs, "doc_id", chunk_words=4, overlap=1).collect()}
+    # stride 3: ceil((10-1)/3) = 3 chunks at starts 0,3,6 cover all 10
+    assert {k for k in got if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert got[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert got[(1, 1)]["chunk_text"] == "w3 w4 w5 w6"  # 1-word overlap
+    assert got[(1, 2)]["chunk_text"] == "w6 w7 w8 w9"
+    assert got[(2, 0)]["chunk_text"] == "solo"
+    assert not any(k[0] == 3 for k in got)
+    # every word appears in at least one chunk
+    covered = set()
+    for (d, _), r in got.items():
+        if d == 1:
+            covered.update(r["chunk_text"].split())
+    assert covered == {f"w{i}" for i in range(10)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", chunk_words=4, overlap=4)
