@@ -457,3 +457,44 @@ def test_bigram_logprob_matches_python_oracle(spark, texts):
     finally:
         release_caches()
     assert got == _bigram_oracle(texts)
+
+
+# --------------------------------------------- chunking oracle
+def _chunk_oracle(texts, chunk_words, overlap):
+    stride = chunk_words - overlap
+    rows = []
+    for doc_id, text in enumerate(texts):
+        toks = text.split()
+        if not toks:
+            continue
+        n_chunks = max(1, -(-(len(toks) - overlap) // stride))
+        for k in range(n_chunks):
+            cw = toks[k * stride: k * stride + chunk_words]
+            rows.append((doc_id, k, len(cw), " ".join(cw)))
+    return sorted(rows)
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12)
+        .map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    chunk_words=st.integers(min_value=2, max_value=5),
+    overlap=st.integers(min_value=0, max_value=1),
+)
+def test_chunk_documents_matches_python_oracle(spark, texts, chunk_words, overlap):
+    from curw_flo2d_data_manager_spark.operators.textstats import chunk_documents
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_words"], r["chunk_text"])
+        for r in chunk_documents(
+            df, "doc_id", chunk_words=chunk_words, overlap=overlap
+        ).collect()
+    )
+    assert got == _chunk_oracle(texts, chunk_words, overlap)
