@@ -239,6 +239,23 @@ def test_unigram_logprob_single_tokenize(spark, sf_dir):
         release_caches()
 
 
+def test_chunk_and_split_are_shuffle_free(spark, sf_dir):
+    """chunk_documents (explode-only) and split_assign (pure hash
+    projection) must never introduce an Exchange — their 100 TB story
+    is precisely that they push through any plan without data
+    movement."""
+    from curw_flo2d_data_manager_spark.operators.sampling import split_assign
+    from curw_flo2d_data_manager_spark.operators.textstats import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    chunk_plan = plan_of(chunk_documents(docs, "doc_id", chunk_words=32))
+    assert "Exchange" not in chunk_plan and "BatchEvalPython" not in chunk_plan
+    split_plan = plan_of(
+        split_assign(docs, ["doc_id"], {"train": 0.9, "test": 0.1})
+    )
+    assert "Exchange" not in split_plan and "BatchEvalPython" not in split_plan
+
+
 def test_connected_components_round_bound(spark):
     """Star contraction must stay O(log n): a 64-node chain (diameter
     63) converges within 10 rounds — a naive propagation would need
