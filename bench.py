@@ -131,6 +131,8 @@ def main() -> None:
         "text_bigram_logprob",
         "f_split_assign",
         "sim_semantic_dedup",
+        "text_chunk_documents",
+        "a_approx_percentiles",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):
