@@ -502,6 +502,7 @@ def cmd_dedup_corpus(args) -> None:
         passage_dedup_rebuild,
         release_caches,
         simhash_near_pairs,
+        winnow_pairs,
     )
     from curw_flo2d_data_manager_spark.session import get_spark
 
@@ -559,6 +560,13 @@ def cmd_dedup_corpus(args) -> None:
     elif args.method == "minhash":
         pairs = minhash_lsh_pairs(
             df, args.id_col, args.text_col, jaccard_threshold=args.threshold
+        ).select("id_a", "id_b")
+    elif args.method == "winnow":
+        # passage-level near-copies: shared MOSS winnowing fingerprints
+        # catch quotation/plagiarism overlap that whole-document
+        # signatures dilute away
+        pairs = winnow_pairs(
+            df, args.id_col, args.text_col, min_shared=args.min_shared
         ).select("id_a", "id_b")
     else:  # simhash
         pairs = simhash_near_pairs(
@@ -857,7 +865,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text_col", default="text")
     sp.add_argument(
         "--method",
-        choices=["exact", "minhash", "simhash", "passage"],
+        choices=["exact", "minhash", "simhash", "winnow", "passage"],
         default="minhash",
     )
     sp.add_argument("--passage_words", type=int, default=8,
@@ -866,6 +874,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="minhash: jaccard verify threshold")
     sp.add_argument("--max_hamming", type=int, default=3,
                     help="simhash: max signature hamming distance")
+    sp.add_argument("--min_shared", type=int, default=2,
+                    help="winnow: min shared fingerprints per pair")
     sp.add_argument("--keep_only", action="store_true",
                     help="write only surviving rows (original columns)")
     sp.set_defaults(fn=cmd_dedup_corpus)

@@ -613,3 +613,29 @@ def test_dedup_embeddings_cli_drops_scaled_copies(spark, tmp_path, capsys):
     ])
     ann = {r["vec_id"]: r for r in spark.read.parquet(out2).collect()}
     assert len(ann) == 122 and not ann[1000]["keep"] and ann[0]["keep"]
+
+
+def test_dedup_corpus_cli_winnow_passage_overlap(spark, tmp_path, capsys):
+    """--method winnow clusters docs sharing a long PASSAGE even when
+    the rest of the documents differ (where minhash-style whole-doc
+    similarity stays low)."""
+    src = str(tmp_path / "wcorpus.parquet")
+    shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    spark.createDataFrame(
+        [
+            (1, shared + " plus a first unique continuation of words"),
+            (2, "different opening text here then " + shared),
+            (3, "no overlap with anything else in this corpus at all"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "wdeduped.parquet")
+    main([
+        "dedup-corpus", "--input", src, "--output", out,
+        "--method", "winnow",
+    ])
+    res = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert res[1]["keep"] and not res[2]["keep"]
+    assert res[2]["component"] == 1
+    assert res[3]["keep"] and res[3]["cluster_size"] == 1
