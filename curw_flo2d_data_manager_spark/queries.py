@@ -4347,6 +4347,32 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def text_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the corpus token stream (terms with ≥0.2%
+    of all tokens) via Misra-Gries candidates + an exact verification
+    pass — the sketch only decides candidacy, so the certified output
+    is exactly DuckDB's groupBy + threshold filter."""
+    from curw_flo2d_data_manager_spark.operators.textstats import frequent_terms
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return frequent_terms(docs, "text", min_share=0.002).orderBy("term")
+
+
+TEXT_FREQ_SQL = """
+WITH tok AS (
+    SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+')) AS term
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) != ''
+),
+tot AS (SELECT COUNT(*) AS n_tok FROM tok)
+SELECT term, COUNT(*) AS cnt
+FROM tok CROSS JOIN tot
+GROUP BY term, tot.n_tok
+HAVING COUNT(*) >= CEIL(0.002 * tot.n_tok)
+ORDER BY term
+"""
+
+
 def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-window document chunking (32 words, 8 overlap) — the
     pre-packing step. The oracle re-derives every chunk's word slice
@@ -4845,6 +4871,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stream_corpus_quality": (stream_corpus_quality, STREAM_QUALITY_SQL),
     "a_approx_percentiles": (a_approx_percentiles, A_APPROX_PCT_SQL),
     "text_chunk_documents": (text_chunk_documents, TEXT_CHUNK_SQL),
+    "text_frequent_terms": (text_frequent_terms, TEXT_FREQ_SQL),
 }
 
 

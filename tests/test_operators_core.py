@@ -1325,3 +1325,60 @@ def test_chunk_documents_boundaries_and_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(docs, "doc_id", chunk_words=4, overlap=4)
+
+
+def test_frequent_terms_exact_under_adversarial_partitioning(spark):
+    """Misra-Gries candidates + exact verify must equal brute-force
+    groupBy heavy hitters regardless of how rows are partitioned, and
+    the caches must release."""
+    from curw_flo2d_data_manager_spark.operators.caching import release_caches
+    from curw_flo2d_data_manager_spark.operators.textstats import frequent_terms
+
+    # skewed synthetic corpus: "hot" in ~1/3 of docs, "warm" in 1/10,
+    # long tail of unique terms
+    rows = []
+    for i in range(600):
+        toks = [f"tail{i}a", f"tail{i}b"]
+        if i % 3 == 0:
+            toks += ["hot", "hot"]
+        if i % 10 == 0:
+            toks.append("warm")
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(13)
+    try:
+        got = {(r["term"], r["cnt"]) for r in
+               frequent_terms(df, "text", min_share=0.02).collect()}
+    finally:
+        release_caches()
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.textstats import words
+
+    toks = df.select(F.explode(words("text")).alias("t"))
+    n = toks.count()
+    import math
+
+    thr = math.ceil(0.02 * n)
+    want = {(r["t"], r["c"]) for r in
+            toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= thr).collect()}
+    assert got == want and ("hot", 400) in got
+    assert not any(t.startswith("tail") for t, _ in got)
+
+
+def test_mg_merge_bounds_and_survivors():
+    """Unit check of the mergeable Misra-Gries summary: capacity never
+    exceeds k, and a true heavy hitter (count > N/k) always survives
+    an adversarial merge order."""
+    from curw_flo2d_data_manager_spark.operators.textstats import _mg_merge
+
+    state: dict = {}
+    n = 0
+    # 40 batches: one hot key + churning unique tail
+    for b in range(40):
+        batch = {f"u{b}_{j}": 1 for j in range(30)}
+        batch["hot"] = 5
+        n += 35
+        _mg_merge(state, batch, k=8)
+        assert len(state) <= 8
+    assert "hot" in state  # 200 occurrences > N/k = 1400/8
