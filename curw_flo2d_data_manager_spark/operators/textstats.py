@@ -433,6 +433,45 @@ def domain_mixture(
     )
 
 
+def epoch_plan(
+    df: "DataFrame",
+    group_cols: list[str],
+    text_col: str = "text",
+    target_tokens: int = 1_000_000,
+    alpha: float = 0.7,
+) -> "DataFrame":
+    """Turn :func:`domain_mixture`'s weights into a per-domain TRAINING
+    PLAN against a token budget: each domain's desired token mass is
+    ``sample_weight · target_tokens``; domains LARGER than their share
+    downsample (``keep_fraction < 1``, feed
+    ``sampling.mixture_resample``), domains SMALLER than it repeat for
+    ``epochs > 1`` passes — the standard two-sided mixture rule
+    (downsample by selection, upsample by epoch repetition, never by
+    row duplication). One hash aggregate + window normalizers over the
+    tiny per-domain table; nothing per-document moves.
+
+    Returns (group_cols…, n_tokens, target_domain_tokens,
+    keep_fraction, epochs); ``epochs`` = desired/available (≥1 means
+    repeat, rounded to 4), keep_fraction = min(1, desired/available).
+    Zero-token domains get keep_fraction 1 / epochs 1 (nothing to
+    repeat or cut).
+    """
+    mix = domain_mixture(df, group_cols, text_col, alpha)
+    desired = F.col("sample_weight") * F.lit(float(target_tokens))
+    safe = F.col("n_tokens") > 0
+    return mix.select(
+        *group_cols,
+        "n_tokens",
+        F.round(desired).cast("long").alias("target_domain_tokens"),
+        F.when(safe, F.round(F.least(F.lit(1.0), desired / F.col("n_tokens")), 6))
+        .otherwise(F.lit(1.0))
+        .alias("keep_fraction"),
+        F.when(safe, F.round(F.greatest(F.lit(1.0), desired / F.col("n_tokens")), 4))
+        .otherwise(F.lit(1.0))
+        .alias("epochs"),
+    )
+
+
 # --------------------------------------------- heavy hitters
 def _mg_merge(state: dict, batch_counts: dict, k: int) -> None:
     """Merge a batch's exact counter into a Misra-Gries summary of at

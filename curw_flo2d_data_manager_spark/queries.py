@@ -4347,6 +4347,51 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def text_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided training-mix plan against a 100k-token budget:
+    oversized domains get keep_fraction < 1, undersized ones get
+    epochs > 1 — DuckDB re-derives the whole plan from the mixture
+    weights."""
+    from curw_flo2d_data_manager_spark.operators.textstats import epoch_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_plan(
+        docs, ["lang", "source"], "text", target_tokens=100_000, alpha=0.7
+    ).orderBy("lang", "source")
+
+
+TEXT_EPOCH_SQL = """
+WITH per AS (
+    SELECT lang, source,
+           CAST(SUM(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) = ''
+                         THEN 0
+                         ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'))
+                    END) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang, source
+),
+shared AS (
+    SELECT *, CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS share_raw
+    FROM per
+),
+planned AS (
+    SELECT lang, source, n_tokens,
+           ROUND(POW(share_raw, 0.7) / SUM(POW(share_raw, 0.7)) OVER (), 6)
+               * 100000.0 AS desired
+    FROM shared
+)
+SELECT lang, source, n_tokens,
+       CAST(ROUND(desired) AS BIGINT) AS target_domain_tokens,
+       CASE WHEN n_tokens > 0
+            THEN ROUND(LEAST(1.0, desired / n_tokens), 6) ELSE 1.0
+       END AS keep_fraction,
+       CASE WHEN n_tokens > 0
+            THEN ROUND(GREATEST(1.0, desired / n_tokens), 4) ELSE 1.0
+       END AS epochs
+FROM planned
+ORDER BY lang, source
+"""
+
+
 def text_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters over the corpus token stream (terms with ≥0.2%
     of all tokens) via Misra-Gries candidates + an exact verification
@@ -4872,6 +4917,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "a_approx_percentiles": (a_approx_percentiles, A_APPROX_PCT_SQL),
     "text_chunk_documents": (text_chunk_documents, TEXT_CHUNK_SQL),
     "text_frequent_terms": (text_frequent_terms, TEXT_FREQ_SQL),
+    "text_epoch_plan": (text_epoch_plan, TEXT_EPOCH_SQL),
 }
 
 

@@ -1382,3 +1382,31 @@ def test_mg_merge_bounds_and_survivors():
         _mg_merge(state, batch, k=8)
         assert len(state) <= 8
     assert "hot" in state  # 200 occurrences > N/k = 1400/8
+
+
+def test_epoch_plan_two_sided(spark):
+    """Oversized domains downsample (keep_fraction<1, epochs=1);
+    undersized domains repeat (keep_fraction=1, epochs>1); zero-token
+    domains are inert."""
+    rows = (
+        [(i, "big", "word " * 100) for i in range(90)]
+        + [(100 + i, "small", "term " * 100) for i in range(10)]
+        + [(200, "blank", "  ")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    from curw_flo2d_data_manager_spark.operators.textstats import epoch_plan
+
+    plan = {r["lang"]: r for r in
+            epoch_plan(docs, ["lang"], "text", target_tokens=10_000,
+                       alpha=0.5).collect()}
+    big, small, blank = plan["big"], plan["small"], plan["blank"]
+    # alpha=0.5 pulls shares toward each other: big gets < its 90%
+    assert big["keep_fraction"] < 1.0 and big["epochs"] == 1.0
+    assert small["keep_fraction"] == 1.0 and small["epochs"] > 1.0
+    assert blank["keep_fraction"] == 1.0 and blank["epochs"] == 1.0
+    # plan is self-consistent: target ~= n_tokens * keep * epochs
+    for d in (big, small):
+        recon = d["n_tokens"] * d["keep_fraction"] * d["epochs"]
+        assert abs(recon - d["target_domain_tokens"]) <= max(
+            2.0, 0.001 * d["target_domain_tokens"]
+        )
