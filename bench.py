@@ -133,6 +133,8 @@ def main() -> None:
         "sim_semantic_dedup",
         "text_chunk_documents",
         "a_approx_percentiles",
+        "text_frequent_terms",
+        "text_epoch_plan",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):
