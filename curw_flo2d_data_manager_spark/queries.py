@@ -4685,6 +4685,83 @@ ORDER BY doc_id
 """
 
 
+def stream_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup over two file-arrival waves with the
+    signature ledger: wave 2 re-sends every 3rd document with trailing
+    punctuation noise (normalizes to the SAME shingle set → identical
+    MinHash signature → dropped against history deterministically)
+    plus genuinely new docs. At threshold=1.0 'near-dup' means
+    identical shingle set exactly, so DuckDB reproduces the survivor
+    set as first-occurrence-per-shingle-set-key."""
+    import tempfile
+
+    from curw_flo2d_data_manager_spark.streaming.ingest import (
+        corpus_neardup_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wave2 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" !!!")).alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("brand new near content "), F.col("doc_id").cast("string")
+            ).alias("text"),
+        )
+    )
+    watch = tempfile.mkdtemp(prefix="stream_neardup_src_")
+    out = tempfile.mkdtemp(prefix="stream_neardup_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_neardup_ckpt_")
+    docs.coalesce(1).write.parquet(f"{watch}/wave1")
+    for _ in range(2):
+        q = corpus_neardup_stream(
+            spark, f"{watch}/*", out, "doc_id long, text string",
+            threshold=1.0, checkpoint=ckpt, available_now=True,
+        )
+        q.awaitTermination(300)
+        q.stop()
+        wave2.coalesce(1).write.mode("ignore").parquet(f"{watch}/wave2")
+    return (
+        spark.read.parquet(f"{out}/docs")
+        .select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+        .orderBy("doc_id")
+    )
+
+
+STREAM_NEARDUP_SQL = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' !!!' FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, 'brand new near content ' || CAST(doc_id AS VARCHAR)
+    FROM documents WHERE doc_id % 7 = 0
+),
+-- NOTE the normalization class uses RE2's \\x{ffff} upper bound: the
+-- \\uffff spelling used elsewhere is NOT an RE2 escape, which happens
+-- to be harmless on the raw corpus charset but mis-keeps the '!'
+-- noise this query plants (verified equal to the legacy class over
+-- the unmodified corpus).
+sh AS (
+    SELECT doc_id, text,
+           array_to_string(list_sort(list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE [array_to_string(w, ' ')] END)), chr(31)) AS key
+    FROM (
+        SELECT doc_id, text,
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+') AS w
+        FROM corpus
+    )
+)
+SELECT doc_id, sha256(text) AS text_sha
+FROM sh
+WHERE doc_id = (SELECT MIN(doc_id) FROM sh s2 WHERE s2.key = sh.key)
+ORDER BY doc_id
+"""
+
+
 def sim_cross_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space benchmark decontamination with a planted-recall
     oracle: the eval set is every 10th train vector scaled ×2 (same
@@ -4918,6 +4995,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_chunk_documents": (text_chunk_documents, TEXT_CHUNK_SQL),
     "text_frequent_terms": (text_frequent_terms, TEXT_FREQ_SQL),
     "text_epoch_plan": (text_epoch_plan, TEXT_EPOCH_SQL),
+    "stream_corpus_neardup": (stream_corpus_neardup, STREAM_NEARDUP_SQL),
 }
 
 

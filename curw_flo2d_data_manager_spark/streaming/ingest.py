@@ -495,3 +495,158 @@ def corpus_quality_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def corpus_neardup_stream(
+    spark: SparkSession,
+    watch_dir: str,
+    out_dir: str,
+    schema: StructType | str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    checkpoint: str | None = None,
+    available_now: bool = False,
+):
+    """File-arrival corpus ingest with INCREMENTAL NEAR-duplicate
+    dedup — the fuzzy twin of ``corpus_dedup_stream``: instead of a
+    digest ledger, history keeps each admitted document's MinHash
+    SIGNATURE plus its LSH band keys, so later batches can drop
+    near-copies of documents whose text is long gone.
+
+    Per micro-batch inside ``foreachBatch``:
+
+    1. within-batch: ``dedup.minhash_lsh_pairs`` (exact-Jaccard verify
+       — the batch still has its text), smallest id wins;
+    2. against history: the batch's band keys equi-join the band
+       ledger (never a batch×history product), candidates verify by
+       SIGNATURE agreement — the fraction of matching minhash
+       components estimates Jaccard (unbiased, exact 1.0 for identical
+       shingle sets), which is the standard memory-bounded choice when
+       history keeps ~256 B of signature per document instead of its
+       text. ``threshold=1.0`` therefore means "identical shingle set"
+       EXACTLY (deterministic), while fuzzier thresholds trade the
+       estimator's variance for storage.
+
+    Survivors append under ``out_dir/docs/batch=<id>/``; their band
+    rows under ``out_dir/bands/batch=<id>/`` and signatures under
+    ``out_dir/sigs/batch=<id>/`` — deterministic per-batch overwrite =
+    replay-idempotent, same exactly-once argument as the exact stream.
+    Scale shape: band join shuffles (band_idx, band_hash) keys only;
+    the signature join moves num_hashes longs per CANDIDATE, not per
+    document. Returns the started ``StreamingQuery``.
+    """
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from curw_flo2d_data_manager_spark.operators.caching import release_caches
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signature,
+        word_shingles,
+    )
+
+    rows_per_band = num_hashes // bands
+    stream = spark.readStream.schema(schema).parquet(watch_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        sig = batch_df.withColumn(
+            "_sig", minhash_signature(word_shingles(text_col, shingle_n), num_hashes)
+        ).persist()
+        banded = sig.select(
+            F.col(id_col).alias("_bid"),
+            "_sig",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band_idx"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                            )
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("_b"),
+        ).select("_bid", "_sig", "_b.band_idx", "_b.band_hash")
+
+        # within-batch (exact verify over the batch's own text)
+        within = minhash_lsh_pairs(
+            batch_df, id_col, text_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            jaccard_threshold=threshold,
+        ).select(F.col("id_b").alias("_drop")).distinct()
+
+        # against the signature ledger
+        try:
+            hist_bands = bspark.read.parquet(
+                os.path.join(out_dir, "bands")
+            ).filter(F.col("batch") != batch_id)
+            hist_sigs = bspark.read.parquet(
+                os.path.join(out_dir, "sigs")
+            ).filter(F.col("batch") != batch_id)
+            cand = (
+                banded.join(hist_bands, ["band_idx", "band_hash"])
+                .select("_bid", "_sig", F.col("hist_id"))
+                .distinct()
+                .join(hist_sigs, "hist_id")
+            )
+            est = (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("_sig"), F.col("hist_sig"), lambda a, b: a == b
+                        ),
+                        lambda x: x,
+                    )
+                )
+                / F.lit(float(num_hashes))
+            )
+            dominated = (
+                cand.withColumn("_est", est)
+                .filter(F.col("_est") >= threshold)
+                .select(F.col("_bid").alias("_drop"))
+                .distinct()
+            )
+            drops = within.unionByName(dominated).distinct()
+        except AnalysisException:  # first batch: no ledger yet
+            drops = within
+
+        survivors = sig.join(
+            drops, sig[id_col] == drops["_drop"], "left_anti"
+        ).localCheckpoint(eager=True)  # read-before-overwrite safety
+        survivors.drop("_sig").write.mode("overwrite").parquet(
+            os.path.join(out_dir, "docs", f"batch={batch_id}")
+        )
+        surv_banded = banded.join(
+            survivors.select(F.col(id_col).alias("_keep")),
+            banded["_bid"] == F.col("_keep"),
+        )
+        surv_banded.select(
+            "band_idx", "band_hash", F.col("_bid").alias("hist_id"),
+            F.lit(batch_id).alias("batch"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "bands", f"batch={batch_id}")
+        )
+        survivors.select(
+            F.col(id_col).alias("hist_id"), F.col("_sig").alias("hist_sig"),
+            F.lit(batch_id).alias("batch"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "sigs", f"batch={batch_id}")
+        )
+        release_caches()
+        sig.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

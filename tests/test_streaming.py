@@ -371,3 +371,50 @@ def test_corpus_quality_stream_routes_and_replays(spark, tmp_path):
     run()  # nothing new: no re-admission anywhere
     assert sorted(r["doc_id"] for r in spark.read.parquet(f"{out}/accepted").collect()) == [1, 4]
     assert sorted(r["doc_id"] for r in spark.read.parquet(f"{out}/rejected").collect()) == [2, 3]
+
+
+def test_corpus_neardup_stream_signature_ledger(spark, tmp_path):
+    """Incremental NEAR-dup dedup: a cross-wave near-copy (one word
+    appended) is dropped against the signature ledger even though the
+    original's text is gone; within-batch copies drop too; restart
+    with the same checkpoint re-admits nothing."""
+    from curw_flo2d_data_manager_spark.streaming.ingest import (
+        corpus_neardup_stream,
+    )
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(60))
+
+    def run():
+        q = corpus_neardup_stream(
+            spark, str(watch / "*"), out, schema,
+            threshold=0.5, checkpoint=ckpt, available_now=True,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    spark.createDataFrame(
+        [(1, base), (2, "totally different words in this other document body")],
+        schema,
+    ).coalesce(1).write.parquet(str(watch / "wave1"))
+    run()
+
+    spark.createDataFrame(
+        [(3, base + " extra"),             # near-copy of 1 (cross-wave)
+         (4, "fresh unseen content with several more words"),
+         (5, "fresh unseen content with several more words")],  # within-wave copy
+        schema,
+    ).coalesce(1).write.parquet(str(watch / "wave2"))
+    run()
+
+    ids = sorted(r["doc_id"] for r in
+                 spark.read.parquet(f"{out}/docs").collect())
+    assert ids == [1, 2, 4]
+
+    run()  # replay with nothing new
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(f"{out}/docs").collect()) == [1, 2, 4]
