@@ -677,9 +677,9 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_BIGRAMS_SQL = """
 WITH w AS (
     SELECT doc_id,
-           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS words
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+') AS words
     FROM documents
-    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) != ''
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) != ''
 ),
 grams AS (
     SELECT DISTINCT doc_id, g.gram
@@ -895,9 +895,9 @@ WITH base AS (
     SELECT doc_id, text,
            list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
                        s -> s != '') AS lines,
-           CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\x80-\uffff-]+', ' ', 'g')) = ''
+           CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\x80-\x{ffff}-]+', ' ', 'g')) = ''
                 THEN []::VARCHAR[]
-                ELSE string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\x80-\uffff-]+', ' ', 'g')), '\s+')
+                ELSE string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\x80-\x{ffff}-]+', ' ', 'g')), '\s+')
            END AS w
     FROM documents
 ),
@@ -2334,7 +2334,7 @@ def dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_FP_SQL = """
 SELECT sha256(array_to_string(list_sort(list_distinct(
-           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+')
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+')
        )), ' ')) AS fp,
        MIN(doc_id) AS kept_id, COUNT(*) AS n_dups
 FROM documents
@@ -2370,7 +2370,7 @@ def dedup_winnowing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_WINNOW_SQL = r"""
 WITH g AS (
     SELECT doc_id,
-           trim(regexp_replace(lower(text), '[^a-z0-9\x80-\uffff-]+', ' ', 'g')) AS norm
+           trim(regexp_replace(lower(text), '[^a-z0-9\x80-\x{ffff}-]+', ' ', 'g')) AS norm
     FROM documents
 ),
 h AS (
@@ -2417,7 +2417,7 @@ def dedup_winnow_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_WINNOW_PAIRS_SQL = r"""
 WITH g AS (
     SELECT doc_id,
-           trim(regexp_replace(lower(text), '[^a-z0-9\x80-\uffff-]+', ' ', 'g')) AS norm
+           trim(regexp_replace(lower(text), '[^a-z0-9\x80-\x{ffff}-]+', ' ', 'g')) AS norm
     FROM documents
 ),
 h AS (
@@ -2469,7 +2469,7 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_CONTAM_SQL = """
 WITH w AS (
     SELECT doc_id,
-           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS w
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+') AS w
     FROM documents
 ),
 g AS (
@@ -2506,7 +2506,7 @@ WITH sh AS (
                 ELSE [array_to_string(w, ' ')] END) AS grams
     FROM (
         SELECT doc_id, source,
-               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS w
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+') AS w
         FROM documents
     )
 )
@@ -2562,7 +2562,7 @@ sh AS (
                ELSE [array_to_string(w, ' ')] END)), chr(31)) AS key
     FROM (
         SELECT doc_id,
-               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS w
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+') AS w
         FROM corpus
     )
 )
@@ -2669,9 +2669,9 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_TOKENS_SQL = """
 SELECT doc_id,
-       CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) = ''
+       CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) = ''
             THEN 0
-            ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'))
+            ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+'))
        END AS n_words,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
 FROM documents
@@ -2694,12 +2694,12 @@ SELECT doc_id,
        ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
              / greatest(length(text), 1), 6) AS punct_ratio,
        ROUND(CAST(len(list_filter(
-                 string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'),
+                 string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+'),
                  x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)
              )) AS DOUBLE)
-             / greatest(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) = ''
+             / greatest(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) = ''
                              THEN 0
-                             ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'))
+                             ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+'))
                         END, 1), 6) AS stopword_ratio
 FROM documents
 ORDER BY doc_id
@@ -2723,7 +2723,7 @@ def _lang_score_sql(lang: str) -> str:
     markers = ",".join(f"'{m}'" for m in LANG_MARKERS[lang])
     return (
         "len(list_filter(string_split_regex(trim(regexp_replace(lower(text), "
-        "'[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'), "
+        "'[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+'), "
         f"x -> list_contains([{markers}], x)))"
     )
 
@@ -4008,9 +4008,9 @@ def f_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 F_PACK_SQL = """
 WITH toks AS (
     SELECT doc_id,
-           least(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) = ''
+           least(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) = ''
                       THEN 0
-                      ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'))
+                      ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+'))
                  END, 512) AS n_tokens
     FROM documents
 ),
@@ -4117,9 +4117,9 @@ WITH corpus AS (
 ),
 w AS (
     SELECT doc_id,
-           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS words
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+') AS words
     FROM corpus
-    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) != ''
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) != ''
 ),
 p AS (
     SELECT doc_id, i AS pos,
@@ -4150,9 +4150,9 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_TFIDF_SQL = """
 WITH w AS (
     SELECT doc_id,
-           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS words
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+') AS words
     FROM documents
-    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) != ''
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) != ''
 ),
 tok AS (SELECT doc_id, unnest(words) AS term FROM w),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
@@ -4186,9 +4186,9 @@ def text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_MIXTURE_SQL = """
 WITH per AS (
     SELECT lang, source, COUNT(*) AS n_docs,
-           CAST(SUM(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) = ''
+           CAST(SUM(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) = ''
                          THEN 0
-                         ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'))
+                         ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+'))
                     END) AS BIGINT) AS n_tokens
     FROM documents GROUP BY lang, source
 ),
@@ -4265,7 +4265,7 @@ sh AS (
                ELSE [array_to_string(w, ' ')] END)), chr(31)) AS key
     FROM (
         SELECT doc_id,
-               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS w
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+') AS w
         FROM corpus
     )
 )
@@ -4289,9 +4289,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_UNIGRAM_SQL = """
 WITH w AS (
     SELECT doc_id,
-           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS words
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+') AS words
     FROM documents
-    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) != ''
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) != ''
 ),
 tok AS (SELECT doc_id, unnest(words) AS term FROM w),
 uni AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
@@ -4321,9 +4321,9 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_BIGRAM_SQL = """
 WITH w AS (
     SELECT doc_id,
-           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS words
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+') AS words
     FROM documents
-    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) != ''
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) != ''
 ),
 tok AS (
     SELECT doc_id,
@@ -4363,9 +4363,9 @@ def text_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_EPOCH_SQL = """
 WITH per AS (
     SELECT lang, source,
-           CAST(SUM(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) = ''
+           CAST(SUM(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) = ''
                          THEN 0
-                         ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'))
+                         ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+'))
                     END) AS BIGINT) AS n_tokens
     FROM documents GROUP BY lang, source
 ),
@@ -4405,9 +4405,9 @@ def text_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_FREQ_SQL = """
 WITH tok AS (
-    SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+')) AS term
+    SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+')) AS term
     FROM documents
-    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) != ''
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) != ''
 ),
 tot AS (SELECT COUNT(*) AS n_tok FROM tok)
 SELECT term, COUNT(*) AS cnt
@@ -4441,9 +4441,9 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_CHUNK_SQL = """
 WITH w AS (
     SELECT doc_id,
-           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+') AS words
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+') AS words
     FROM documents
-    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) != ''
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) != ''
 ),
 n AS (
     SELECT doc_id, words,
@@ -4515,9 +4515,9 @@ def f_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 F_MIXTURE_SQL = """
 WITH per AS (
     SELECT lang, source,
-           CAST(SUM(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) = ''
+           CAST(SUM(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) = ''
                          THEN 0
-                         ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'))
+                         ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+'))
                     END) AS BIGINT) AS n_tokens
     FROM documents GROUP BY lang, source
 ),
@@ -4533,9 +4533,9 @@ rates AS (
 ),
 kept AS (
     SELECT d.doc_id, d.lang, d.source,
-           CASE WHEN trim(regexp_replace(lower(d.text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) = ''
+           CASE WHEN trim(regexp_replace(lower(d.text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) = ''
                 THEN 0
-                ELSE len(string_split_regex(trim(regexp_replace(lower(d.text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'))
+                ELSE len(string_split_regex(trim(regexp_replace(lower(d.text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+'))
            END AS n_tok
     FROM documents d JOIN rates r USING (lang, source)
     WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
@@ -4606,7 +4606,7 @@ WITH corpus AS (
 ),
 keyed AS (
     SELECT doc_id, text,
-           trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) AS norm
+           trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) AS norm
     FROM corpus
 )
 SELECT doc_id, sha256(text) AS text_sha
@@ -4666,9 +4666,9 @@ def stream_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_QUALITY_SQL = """
 WITH scored AS (
     SELECT doc_id,
-           CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')) = ''
+           CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) = ''
                 THEN 0
-                ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\uffff-]+', ' ', 'g')), '\\s+'))
+                ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+'))
            END AS n_words,
            ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
                  / greatest(length(text), 1), 6) AS punct_ratio
@@ -4739,11 +4739,11 @@ WITH corpus AS (
     SELECT doc_id + 2000000, 'brand new near content ' || CAST(doc_id AS VARCHAR)
     FROM documents WHERE doc_id % 7 = 0
 ),
--- NOTE the normalization class uses RE2's \\x{ffff} upper bound: the
--- \\uffff spelling used elsewhere is NOT an RE2 escape, which happens
--- to be harmless on the raw corpus charset but mis-keeps the '!'
--- noise this query plants (verified equal to the legacy class over
--- the unmodified corpus).
+-- NOTE every oracle's normalization class uses RE2's \\x{ffff}
+-- upper bound: the Java-style backslash-uffff spelling is not an RE2
+-- escape (the whole class silently matched NOTHING in DuckDB — only
+-- harmless while the corpus charset is bare lowercase ASCII), and
+-- this query's planted '!' noise is what exposed it.
 sh AS (
     SELECT doc_id, text,
            array_to_string(list_sort(list_distinct(CASE WHEN len(w) >= 3
