@@ -212,3 +212,62 @@ def mixture_resample(
         .filter(_bucket(key_cols, salt) < thr)
         .select(*df.columns)
     )
+
+
+def _thr_col(frac: Column) -> Column:
+    """Column form of :func:`hash_threshold`: frac >= 1 -> 'g' (sorts
+    after every hex bucket, keep-all); else 8-hex truncation."""
+    return F.when(frac >= 1.0, F.lit("g")).otherwise(
+        F.lpad(F.lower(F.hex((frac * F.lit(_SPACE)).cast("bigint"))), 8, "0")
+    )
+
+
+def materialize_mixture(
+    df: DataFrame,
+    group_cols: list[str],
+    key_cols: list[str],
+    text_col: str = "text",
+    target_tokens: int = 1_000_000,
+    alpha: float = 0.7,
+    salt: str = "",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Materialize :func:`textstats.epoch_plan` into the PHYSICAL
+    training mix: oversized domains keep a deterministic md5-selected
+    subset once; undersized domains repeat whole — ⌊epochs⌋ full
+    passes plus an md5-selected fractional pass — and every output row
+    carries its 1-based ``epoch_col``, so downstream chunk/pack stages
+    see exactly the token mass the plan prescribed.
+
+    Determinism contract as everywhere in this module: the selected
+    sets derive from md5 of the row's keys (the fractional-epoch draw
+    salts the key with ':epoch' so it is independent of the
+    downsampling draw); re-runs and other engines agree row-for-row.
+
+    Scale shape: the per-domain plan is a tiny broadcast; copies per
+    row is a Column expression and the only data movement is the
+    explode of at most ⌈epochs⌉ copies — no shuffle of the corpus.
+    """
+    from curw_flo2d_data_manager_spark.operators.textstats import epoch_plan
+
+    plan = epoch_plan(df, group_cols, text_col, target_tokens, alpha)
+    rates = plan.select(*group_cols, "keep_fraction", "epochs")
+    joined = df.join(F.broadcast(rates), group_cols)
+    sel_keep = _bucket(key_cols, salt) < _thr_col(F.col("keep_fraction"))
+    frac = F.col("epochs") - F.floor(F.col("epochs"))
+    sel_extra = _bucket(key_cols, salt + ":epoch") < _thr_col(frac)
+    copies = (
+        F.when(F.col("keep_fraction") < 1.0, sel_keep.cast("int"))
+        .otherwise(F.floor("epochs").cast("int") + sel_extra.cast("int"))
+    )
+    return (
+        joined.withColumn(
+            epoch_col,
+            F.explode(
+                F.when(
+                    copies >= 1, F.sequence(F.lit(1), copies)
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .select(*df.columns, epoch_col)
+    )

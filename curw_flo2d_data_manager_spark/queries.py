@@ -4548,6 +4548,76 @@ FROM kept GROUP BY lang, source ORDER BY lang, source
 """
 
 
+def f_materialize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical training mix from the epoch plan against a 30k-token
+    budget: oversized domains appear once for an md5-selected subset,
+    undersized domains repeat ⌊epochs⌋ times plus an md5-selected
+    fractional pass, every row stamped with its epoch — DuckDB
+    re-derives the full (doc_id, epoch) multiset."""
+    from curw_flo2d_data_manager_spark.operators.sampling import (
+        materialize_mixture,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        materialize_mixture(
+            docs, ["lang", "source"], ["doc_id"], "text",
+            target_tokens=30_000, alpha=0.7,
+        )
+        .select("doc_id", "lang", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
+F_MATERIALIZE_SQL = """
+WITH per AS (
+    SELECT lang, source,
+           CAST(SUM(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) = ''
+                         THEN 0
+                         ELSE len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+'))
+                    END) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang, source
+),
+shared AS (
+    SELECT *, CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS share_raw
+    FROM per
+),
+plan AS (
+    SELECT lang, source, n_tokens,
+           ROUND(POW(share_raw, 0.7) / SUM(POW(share_raw, 0.7)) OVER (), 6)
+               * 30000.0 AS desired
+    FROM shared
+),
+rates AS (
+    SELECT lang, source,
+           CASE WHEN n_tokens > 0
+                THEN ROUND(LEAST(1.0, desired / n_tokens), 6) ELSE 1.0
+           END AS kf,
+           CASE WHEN n_tokens > 0
+                THEN ROUND(GREATEST(1.0, desired / n_tokens), 4) ELSE 1.0
+           END AS ep
+    FROM plan
+),
+copies AS (
+    SELECT d.doc_id, d.lang, d.source,
+           CASE WHEN r.kf < 1.0 THEN
+                    CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+                              lpad(lower(hex(CAST(FLOOR(r.kf * 4294967296) AS BIGINT))), 8, '0')
+                         THEN 1 ELSE 0 END
+                ELSE CAST(FLOOR(r.ep) AS INT) +
+                    CASE WHEN r.ep - FLOOR(r.ep) > 0
+                              AND substr(md5(CAST(d.doc_id AS VARCHAR) || ':epoch'), 1, 8) <
+                                  lpad(lower(hex(CAST(FLOOR((r.ep - FLOOR(r.ep)) * 4294967296) AS BIGINT))), 8, '0')
+                         THEN 1 ELSE 0 END
+           END AS n_copies
+    FROM documents d JOIN rates r USING (lang, source)
+)
+SELECT doc_id, lang, source, CAST(e AS INT) AS epoch
+FROM copies, LATERAL (SELECT unnest(range(1, n_copies + 1)) AS e)
+ORDER BY doc_id, epoch
+"""
+
+
 def stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup over file arrival: wave 1 is the
     documents table, wave 2 re-sends every 3rd document under a new id
@@ -4996,6 +5066,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_frequent_terms": (text_frequent_terms, TEXT_FREQ_SQL),
     "text_epoch_plan": (text_epoch_plan, TEXT_EPOCH_SQL),
     "stream_corpus_neardup": (stream_corpus_neardup, STREAM_NEARDUP_SQL),
+    "f_materialize_mixture": (f_materialize_mixture, F_MATERIALIZE_SQL),
 }
 
 

@@ -1410,3 +1410,48 @@ def test_epoch_plan_two_sided(spark):
         assert abs(recon - d["target_domain_tokens"]) <= max(
             2.0, 0.001 * d["target_domain_tokens"]
         )
+
+
+def test_materialize_mixture_epochs_and_downsample(spark):
+    """Undersized domains come back whole with ⌊epochs⌋ or ⌈epochs⌉
+    copies each (epoch column 1..n); oversized domains come back at
+    most once per row; total token mass lands near the plan's target;
+    the multiset is deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.sampling import (
+        materialize_mixture,
+    )
+    from curw_flo2d_data_manager_spark.operators.textstats import epoch_plan
+
+    rows = (
+        [(i, "big", "word " * 100) for i in range(90)]
+        + [(100 + i, "small", "term " * 100) for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = materialize_mixture(
+        docs, ["lang"], ["doc_id"], "text", target_tokens=10_000, alpha=0.5
+    )
+    a = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    assert a == b  # deterministic multiset
+
+    plan = {r["lang"]: r for r in
+            epoch_plan(docs, ["lang"], "text", target_tokens=10_000,
+                       alpha=0.5).collect()}
+    per_doc: dict[int, int] = {}
+    for d, _ in a:
+        per_doc[d] = per_doc.get(d, 0) + 1
+    import math
+
+    ep = plan["small"]["epochs"]
+    small_counts = {per_doc.get(100 + i, 0) for i in range(10)}
+    assert small_counts <= {math.floor(ep), math.ceil(ep)} and ep > 1
+    big_counts = [per_doc.get(i, 0) for i in range(90)]
+    assert all(c <= 1 for c in big_counts) and 0 < sum(big_counts) < 90
+    # realized token mass tracks the per-domain targets within ~15%
+    for lang, n_docs in (("big", 90), ("small", 10)):
+        realized = sum(c for d, c in per_doc.items()
+                       if (d >= 100) == (lang == "small")) * 100
+        target = plan[lang]["target_domain_tokens"]
+        assert abs(realized - target) <= 0.15 * target + 200, (lang, realized, target)
