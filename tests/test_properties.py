@@ -498,3 +498,35 @@ def test_chunk_documents_matches_python_oracle(spark, texts, chunk_words, overla
         ).collect()
     )
     assert got == _chunk_oracle(texts, chunk_words, overlap)
+
+
+# --------------------------------------------- split partitioning
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fracs=st.lists(
+        st.floats(min_value=0.05, max_value=0.6, allow_nan=False),
+        min_size=1, max_size=4,
+    )
+)
+def test_split_assign_partitions_exactly(spark, fracs):
+    """For ANY fraction list with sum <= 1: every key gets at most one
+    split, fraction order never matters for a given cumulative
+    boundary, and when the sum reaches 1 nobody is left NULL."""
+    from curw_flo2d_data_manager_spark.operators.sampling import split_assign
+
+    total = sum(fracs)
+    if total > 1.0:
+        fracs = [f / total for f in fracs]
+        total = 1.0
+    names = [f"s{i}" for i in range(len(fracs))]
+    df = spark.createDataFrame([(i,) for i in range(300)], "k long")
+    got = {r["k"]: r["split"] for r in
+           split_assign(df, ["k"], dict(zip(names, fracs))).collect()}
+    assert len(got) == 300
+    assigned = [v for v in got.values() if v is not None]
+    assert set(assigned) <= set(names)
+    if total >= 1.0 - 1e-9:
+        assert len(assigned) == 300  # fully partitioned
