@@ -628,6 +628,73 @@ def cmd_dedup_embeddings(args) -> None:
     )
 
 
+def cmd_chunk_corpus(args) -> None:
+    """Chunk long documents into fixed word windows (the pre-packing
+    step) and, with --pack, assign each chunk a packing bin against a
+    token budget — together the physical sequence-construction stage
+    of a training pipeline, written back as parquet."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.textstats import chunk_documents
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="chunk-corpus")
+    df = spark.read.parquet(args.input)
+    for col in (args.id_col, args.text_col):
+        if col not in df.columns:
+            raise SystemExit(f"column {col!r} not in input ({df.columns})")
+    chunks = chunk_documents(
+        df, args.id_col, args.text_col,
+        chunk_words=args.chunk_words, overlap=args.overlap,
+    ).withColumn(
+        "chunk_id",
+        F.concat_ws("#", F.col(args.id_col).cast("string"), F.col("chunk_idx")),
+    )
+    if args.pack:
+        from curw_flo2d_data_manager_spark.operators.packing import pack_sequences
+
+        chunks = pack_sequences(
+            chunks, "chunk_id", "n_words", budget=args.budget
+        )
+    chunks.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    extra = ""
+    if args.pack:
+        bins = spark.read.parquet(args.output).agg(
+            F.count_distinct("bin_id")
+        ).first()[0]
+        extra = f" into {bins} bins of {args.budget} tokens"
+    print(f"chunk-corpus: {df.count()} docs -> {n} chunks{extra} -> {args.output}")
+
+
+def cmd_materialize_mix(args) -> None:
+    """Materialize the two-sided training mix (epoch plan → physical
+    rows): oversized domains downsample once, undersized domains
+    repeat with epoch stamps — the exact token mass the temperature-
+    scaled weights prescribe, written back as parquet."""
+    from curw_flo2d_data_manager_spark.operators.sampling import (
+        materialize_mixture,
+    )
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="materialize-mix")
+    df = spark.read.parquet(args.input)
+    group = [c for c in args.group_cols.split(",") if c]
+    for col in group + [args.id_col, args.text_col]:
+        if col not in df.columns:
+            raise SystemExit(f"column {col!r} not in input ({df.columns})")
+    out = materialize_mixture(
+        df, group, [args.id_col], args.text_col,
+        target_tokens=args.target_tokens, alpha=args.alpha, salt=args.salt,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(
+        f"materialize-mix: {df.count()} rows in, {n} mix rows out "
+        f"(target {args.target_tokens} tokens, alpha {args.alpha}) -> {args.output}"
+    )
+
+
 def cmd_import_corpus(args) -> None:
     """JSONL → parquet ingestion: the front door of the training-data
     pipeline. Reads line-delimited JSON (Spark's json source handles
@@ -890,6 +957,38 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text_col", default="text")
     sp.add_argument("--alpha", type=float, default=0.7)
     sp.set_defaults(fn=cmd_corpus_stats)
+
+    sp = sub.add_parser(
+        "chunk-corpus",
+        help="split long docs into fixed word windows; --pack bins the "
+             "chunks against a token budget",
+    )
+    sp.add_argument("--input", required=True, help="input parquet path")
+    sp.add_argument("--output", required=True, help="output parquet path")
+    sp.add_argument("--id_col", default="doc_id")
+    sp.add_argument("--text_col", default="text")
+    sp.add_argument("--chunk_words", type=int, default=256)
+    sp.add_argument("--overlap", type=int, default=0)
+    sp.add_argument("--pack", action="store_true",
+                    help="also assign packing bins (adds bin_id/bin_offset)")
+    sp.add_argument("--budget", type=int, default=2048,
+                    help="pack: tokens per bin")
+    sp.set_defaults(fn=cmd_chunk_corpus)
+
+    sp = sub.add_parser(
+        "materialize-mix",
+        help="epoch plan -> physical training mix (downsample once / "
+             "repeat with epoch stamps)",
+    )
+    sp.add_argument("--input", required=True, help="input parquet path")
+    sp.add_argument("--output", required=True, help="output parquet path")
+    sp.add_argument("--id_col", default="doc_id")
+    sp.add_argument("--text_col", default="text")
+    sp.add_argument("--group_cols", default="lang,source")
+    sp.add_argument("--target_tokens", type=int, default=1_000_000)
+    sp.add_argument("--alpha", type=float, default=0.7)
+    sp.add_argument("--salt", default="")
+    sp.set_defaults(fn=cmd_materialize_mix)
 
     sp = sub.add_parser(
         "dedup-embeddings",

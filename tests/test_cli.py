@@ -639,3 +639,53 @@ def test_dedup_corpus_cli_winnow_passage_overlap(spark, tmp_path, capsys):
     assert res[1]["keep"] and not res[2]["keep"]
     assert res[2]["component"] == 1
     assert res[3]["keep"] and res[3]["cluster_size"] == 1
+
+
+def test_chunk_corpus_cli_with_packing(spark, tmp_path, capsys):
+    src = str(tmp_path / "longdocs.parquet")
+    spark.createDataFrame(
+        [(1, "w " * 50), (2, "v " * 10), (3, "  ")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "chunks.parquet")
+    main([
+        "chunk-corpus", "--input", src, "--output", out,
+        "--chunk_words", "16", "--overlap", "4", "--pack", "--budget", "32",
+    ])
+    rows = spark.read.parquet(out).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 50 words, stride 12 -> ceil((50-4)/12) = 4 chunks; doc 3 empty
+    assert len(by_doc[1]) == 4 and len(by_doc[2]) == 1 and 3 not in by_doc
+    assert all(r["bin_id"] is not None for r in rows)
+    # bin capacity respected for full-size chunks (16 <= 32, 2 per bin)
+    from collections import Counter
+    per_bin = Counter(r["bin_id"] for r in rows)
+    assert max(per_bin.values()) <= 3
+    assert "3 docs -> 5 chunks" in capsys.readouterr().out
+
+
+def test_materialize_mix_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "mixsrc.parquet")
+    rows = (
+        [(i, "en", "word " * 80) for i in range(80)]
+        + [(100 + i, "si", "term " * 80) for i in range(8)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "mix.parquet")
+    main([
+        "materialize-mix", "--input", src, "--output", out,
+        "--group_cols", "lang", "--target_tokens", "5000", "--alpha", "0.5",
+    ])
+    got = spark.read.parquet(out)
+    assert "epoch" in got.columns
+    by_lang = {r["lang"]: r["n"] for r in
+               got.groupBy("lang").agg(__import__("pyspark.sql.functions",
+               fromlist=["count"]).count("*").alias("n")).collect()}
+    # en (oversized) downsampled below 80; si repeated to >= 8 rows
+    assert 0 < by_lang["en"] < 80
+    assert by_lang["si"] >= 8
+    assert "mix rows out" in capsys.readouterr().out
