@@ -135,6 +135,7 @@ def main() -> None:
         "a_approx_percentiles",
         "text_frequent_terms",
         "text_epoch_plan",
+        "f_materialize_mixture",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):
