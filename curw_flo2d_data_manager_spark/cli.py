@@ -615,10 +615,16 @@ def cmd_dedup_embeddings(args) -> None:
         threshold=args.threshold,
         id_col=args.id_col,
         vec_col="embedding",
+    ).select(
+        args.id_col,
+        # prefixed so an input parquet that already carries a
+        # 'cluster'/'keep' column doesn't collide on the join-back
+        F.col("cluster").alias("semdedup_cluster"),
+        F.col("keep").alias("semdedup_keep"),
     )
     out = df.join(dec, args.id_col)
     if args.keep_only:
-        out = out.filter(F.col("keep")).select(*df.columns)
+        out = out.filter(F.col("semdedup_keep")).select(*df.columns)
     out.write.mode("overwrite").parquet(args.output)
     assigned.unpersist()
     kept = spark.read.parquet(args.output).count()
@@ -643,6 +649,12 @@ def cmd_chunk_corpus(args) -> None:
     for col in (args.id_col, args.text_col):
         if col not in df.columns:
             raise SystemExit(f"column {col!r} not in input ({df.columns})")
+    reserved = {"chunk_idx", "n_words", "chunk_text", "chunk_id"}
+    if args.id_col in reserved:
+        raise SystemExit(
+            f"--id-col {args.id_col!r} collides with a chunk output column "
+            f"({sorted(reserved)}); rename the input id column first"
+        )
     chunks = chunk_documents(
         df, args.id_col, args.text_col,
         chunk_words=args.chunk_words, overlap=args.overlap,

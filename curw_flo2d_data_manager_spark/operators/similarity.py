@@ -322,7 +322,13 @@ def cosine_dedup_pairs(
         r, (F.col("l._blk") == F.col("r._blk")) & (F.col("l._id") < F.col("r._id"))
     ).withColumn(
         "cosine",
-        dot(F.col("l._v"), F.col("r._v")) / (F.col("l._n") * F.col("r._n")),
+        # try_divide: a zero-norm (all-zero) vector has no defined
+        # cosine — NULL never clears the threshold, so such rows are
+        # always kept rather than erroring under ANSI mode
+        F.try_divide(
+            dot(F.col("l._v"), F.col("r._v")),
+            F.col("l._n") * F.col("r._n"),
+        ),
     )
     return pairs.filter(F.col("cosine") >= threshold).select(
         F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), "cosine"
@@ -492,6 +498,13 @@ def centroid_assign(
     ``array_max`` over (score, -index) structs — one codegen
     expression, no per-row Python, no when-chain blowup; ties take the
     SMALLEST centroid index. Pure narrow projection, no shuffle.
+
+    An all-zero vector has no defined cosine against any centroid
+    (Spark's double division by zero yields NULL, which would make the
+    argmax undefined); such rows get the sentinel ``cluster = -1`` so
+    they stay visible downstream instead of silently escaping —
+    semantic-dedup pairing on cluster -1 compares NULL cosines, which
+    never clear the threshold, so zero vectors are always kept.
     """
     v = F.col(vec_col)
     vn = l2_norm(v)
@@ -501,14 +514,13 @@ def centroid_assign(
         norm = sum(float(x) * float(x) for x in c) ** 0.5
         scored.append(
             F.struct(
-                (dot(v, arr) / (vn * F.lit(norm))).alias("s"),
+                F.try_divide(dot(v, arr), vn * F.lit(norm)).alias("s"),
                 F.lit(-i).alias("ni"),
             )
         )
     best = F.array_max(F.array(*scored))
-    return df.select(
-        F.col(id_col), F.col(vec_col), (-best["ni"]).alias("cluster")
-    )
+    cluster = F.when(vn == 0, F.lit(-1)).otherwise(-best["ni"])
+    return df.select(F.col(id_col), F.col(vec_col), cluster.alias("cluster"))
 
 
 def semantic_dedup(

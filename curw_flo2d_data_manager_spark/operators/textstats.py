@@ -9,6 +9,8 @@ over any text column.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -543,12 +545,20 @@ def frequent_terms(
     schema = StructType([StructField("term", StringType(), False)])
     candidates = toks.mapInPandas(_cands, schema).distinct()
     totals = toks.agg(F.count(F.lit(1)).alias("n_tok"))
+    # Exact rational threshold: for integer cnt, cnt >= ceil(x) iff
+    # cnt >= x, so compare cnt·den >= num·n_tok in integer math —
+    # no double rounding to flip the gate when min_share·n_tok lands
+    # exactly on an integer (e.g. n_tok divisible by 500 at 0.002).
+    frac = Fraction(str(min_share)).limit_denominator(10**9)
     return (
         toks.join(F.broadcast(candidates), "term")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .join(F.broadcast(totals))
-        .filter(F.col("cnt") >= F.ceil(F.lit(min_share) * F.col("n_tok")))
+        .filter(
+            F.col("cnt") * F.lit(frac.denominator)
+            >= F.lit(frac.numerator) * F.col("n_tok")
+        )
         .select("term", "cnt")
     )
 

@@ -84,7 +84,11 @@ def latest_fgt(forecast: DataFrame) -> DataFrame:
     return forecast.groupBy("tms_id").agg(F.max("fgt").alias("fgt"))
 
 
-def update_run_dates(existing: DataFrame | None, forecast: DataFrame) -> DataFrame:
+def update_run_dates(
+    existing: DataFrame | None,
+    forecast: DataFrame,
+    fgt_mode: str = "max_seen",
+) -> DataFrame:
     """Run-dim date maintenance per series: the reference's
     ``update_start_date`` (extract_water_level.py:213-214 — set only
     when the series id is FIRST created) together with
@@ -96,13 +100,24 @@ def update_run_dates(existing: DataFrame | None, forecast: DataFrame) -> DataFra
     best-available creation stamp). ``forecast`` is the K7 upsert
     payload of the current run.
 
+    ``fgt_mode`` picks the fgt advance policy. The reference's
+    ``update_latest_fgt`` is a plain last-write-wins UPDATE — an
+    out-of-order backfill run REGRESSES the stored fgt there;
+    ``fgt_mode="last_write"`` reproduces that exactly. The default
+    ``"max_seen"`` is a DELIBERATE DEVIATION: fgt only advances
+    (``greatest`` of old and new), so backfills can never move the
+    "latest forecast" pointer backwards — the semantics a scheduler
+    that reruns historical windows actually wants.
+
     A series KEEPS the ``start_date`` from the run that created it;
-    ``fgt`` advances to the newest forecast-generated time seen.
+    ``fgt`` advances per ``fgt_mode``.
     Plan: one per-series hash aggregate over the new payload + a
     full-outer join against the run dim — both sides are one row per
     series, so the fact relation never re-shuffles; at 100 TB the dim
     is millions of rows, not billions.
     """
+    if fgt_mode not in ("max_seen", "last_write"):
+        raise ValueError(f"fgt_mode {fgt_mode!r} not in (max_seen, last_write)")
     incoming = forecast.groupBy("tms_id").agg(
         F.min("fgt").alias("_new_start"), F.max("fgt").alias("_new_fgt")
     )
@@ -116,12 +131,18 @@ def update_run_dates(existing: DataFrame | None, forecast: DataFrame) -> DataFra
     if "start_date" not in ex.columns:
         ex = ex.withColumn("start_date", F.col("fgt"))
     ex = ex.select("tms_id", "start_date", F.col("fgt").alias("_old_fgt"))
-    # F.greatest skips NULLs, so a series present on only one side
-    # takes that side's fgt.
+    if fgt_mode == "last_write":
+        # reference parity: the run's fgt overwrites whenever the
+        # series appears in this run, even if older (backfill regress)
+        new_fgt = F.coalesce("_new_fgt", "_old_fgt")
+    else:
+        # F.greatest skips NULLs, so a series present on only one side
+        # takes that side's fgt.
+        new_fgt = F.greatest("_old_fgt", "_new_fgt")
     return ex.join(incoming, "tms_id", "full_outer").select(
         "tms_id",
         F.coalesce("start_date", "_new_start").alias("start_date"),
-        F.greatest("_old_fgt", "_new_fgt").alias("fgt"),
+        new_fgt.alias("fgt"),
     )
 
 

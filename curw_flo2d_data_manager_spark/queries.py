@@ -4413,7 +4413,7 @@ tot AS (SELECT COUNT(*) AS n_tok FROM tok)
 SELECT term, COUNT(*) AS cnt
 FROM tok CROSS JOIN tot
 GROUP BY term, tot.n_tok
-HAVING COUNT(*) >= CEIL(0.002 * tot.n_tok)
+HAVING COUNT(*) * 500 >= tot.n_tok
 ORDER BY term
 """
 

@@ -543,7 +543,10 @@ def corpus_neardup_stream(
 
     from pyspark.errors import AnalysisException
 
-    from curw_flo2d_data_manager_spark.operators.caching import release_caches
+    from curw_flo2d_data_manager_spark.operators.caching import (
+        cache_mark,
+        release_caches_since,
+    )
     from curw_flo2d_data_manager_spark.operators.dedup import (
         minhash_lsh_pairs,
         minhash_signature,
@@ -555,6 +558,10 @@ def corpus_neardup_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         bspark = batch_df.sparkSession
+        # scoped release: free only the caches THIS micro-batch
+        # persists (inside minhash_lsh_pairs), never intermediates a
+        # co-resident operator tracked in the shared session ledger.
+        cache_base = cache_mark()
         sig = batch_df.withColumn(
             "_sig", minhash_signature(word_shingles(text_col, shingle_n), num_hashes)
         ).persist()
@@ -641,7 +648,7 @@ def corpus_neardup_stream(
         ).write.mode("overwrite").parquet(
             os.path.join(out_dir, "sigs", f"batch={batch_id}")
         )
-        release_caches()
+        release_caches_since(cache_base)
         sig.unpersist()
 
     writer = stream.writeStream.foreachBatch(_process)

@@ -593,7 +593,13 @@ def test_dedup_embeddings_cli_drops_scaled_copies(spark, tmp_path, capsys):
     # planted copies of vectors 0 and 7 under new ids
     rows.append((1000, [x * 2.0 for x in rows[0][1]]))
     rows.append((1007, [x * 2.0 for x in rows[7][1]]))
-    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(src)
+    # a pre-existing 'keep' column must NOT collide with the
+    # decision columns on the annotated join-back (r6 advice)
+    from pyspark.sql import functions as F
+
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).withColumn("keep", F.lit("user-data")).write.parquet(src)
 
     out = str(tmp_path / "emb_dedup.parquet")
     main([
@@ -605,14 +611,17 @@ def test_dedup_embeddings_cli_drops_scaled_copies(spark, tmp_path, capsys):
     assert {0, 7} <= kept and len(kept) == 120
     assert "122 rows in, 120 rows out" in capsys.readouterr().out
 
-    # annotated mode keeps every row with (cluster, keep)
+    # annotated mode keeps every row, with the decision columns
+    # PREFIXED (semdedup_cluster/semdedup_keep) so an input that
+    # already has 'cluster'/'keep' columns cannot collide (r6 advice)
     out2 = str(tmp_path / "emb_annotated.parquet")
     main([
         "dedup-embeddings", "--input", src, "--output", out2,
         "--threshold", "0.999", "--clusters", "4",
     ])
     ann = {r["vec_id"]: r for r in spark.read.parquet(out2).collect()}
-    assert len(ann) == 122 and not ann[1000]["keep"] and ann[0]["keep"]
+    assert len(ann) == 122
+    assert not ann[1000]["semdedup_keep"] and ann[0]["semdedup_keep"]
 
 
 def test_dedup_corpus_cli_winnow_passage_overlap(spark, tmp_path, capsys):

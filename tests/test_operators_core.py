@@ -798,6 +798,38 @@ def test_dedup_release_caches(spark):
     assert dedup.release_caches() == 0
 
 
+def test_cache_scope_releases_only_inner_caches(spark):
+    """cache_scope() / release_caches_since() free ONLY the caches
+    persisted inside the scope — a co-resident caller-owned cache in
+    the shared session ledger survives (round-6 advice: streaming
+    micro-batches must not drain the global ledger)."""
+    from curw_flo2d_data_manager_spark.operators import dedup
+    from curw_flo2d_data_manager_spark.operators.caching import (
+        cache_mark,
+        cache_scope,
+        release_caches,
+        release_caches_since,
+    )
+
+    release_caches()
+    docs = spark.createDataFrame(
+        [(i, f"shared passage text with unique token {i} " * 3)
+         for i in range(10)],
+        "doc_id int, text string",
+    )
+    dedup.minhash_lsh_pairs(docs, "doc_id").collect()  # outer cache
+    with cache_scope():
+        dedup.winnow_pairs(docs, "doc_id").collect()   # inner cache
+    # inner released by the scope; the outer cache must still be there
+    assert release_caches() == 1
+
+    dedup.minhash_lsh_pairs(docs, "doc_id").collect()
+    mark = cache_mark()
+    dedup.winnow_pairs(docs, "doc_id").collect()
+    assert release_caches_since(mark) == 1
+    assert release_caches() == 1
+
+
 # ---------------------------------------------------------------------
 # connected components (operators/components.py)
 # ---------------------------------------------------------------------
@@ -1142,6 +1174,31 @@ def test_semantic_dedup_custom_centroids_greedy_keep(spark):
     assert got2 == got
 
 
+def test_centroid_assign_zero_vector_sentinel(spark):
+    """An all-zero embedding has no defined cosine to any centroid —
+    it must land in sentinel cluster -1 and always be KEPT by
+    semantic dedup rather than silently escaping with an undefined
+    cluster (round-6 advice)."""
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        centroid_assign,
+        semantic_dedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 0.0]),   # zero vector
+        (3, [0.0, 0.0]),   # second zero vector — must not pair with 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    clusters = {r["vec_id"]: r["cluster"] for r in
+                centroid_assign(df, centroids).collect()}
+    assert clusters == {1: 0, 2: -1, 3: -1}
+    got = {r["vec_id"]: (r["cluster"], r["keep"]) for r in
+           semantic_dedup(df, centroids, threshold=0.95).collect()}
+    assert got == {1: (0, True), 2: (-1, True), 3: (-1, True)}
+
+
 def test_semantic_dedup_cross_cluster_pairs_not_compared(spark):
     """Identical vectors in DIFFERENT clusters are never compared —
     the blocking contract (SemDeDup trades that recall for the
@@ -1364,6 +1421,34 @@ def test_frequent_terms_exact_under_adversarial_partitioning(spark):
             .filter(F.col("c") >= thr).collect()}
     assert got == want and ("hot", 400) in got
     assert not any(t.startswith("tail") for t, _ in got)
+
+
+def test_frequent_terms_threshold_exact_on_integer_boundary(spark):
+    """When min_share·n_tok lands EXACTLY on an integer, a term whose
+    count equals the threshold must pass — the gate is exact rational
+    math, not double-rounded ceil (round-6 advice: double product can
+    round up and drop the boundary term)."""
+    from curw_flo2d_data_manager_spark.operators.caching import release_caches
+    from curw_flo2d_data_manager_spark.operators.textstats import frequent_terms
+
+    # 500 tokens total, min_share=0.002 -> threshold exactly 1 token;
+    # and a 8-token corpus at 0.25 -> threshold exactly 2.
+    rows = [(0, " ".join(f"u{i}" for i in range(500)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        got = {r["term"] for r in
+               frequent_terms(df, "text", min_share=0.002).collect()}
+        # every unique term has cnt=1 = exact threshold -> all pass
+        assert len(got) == 500
+
+        df2 = spark.createDataFrame(
+            [(0, "a a b c d e f g")], "doc_id long, text string"
+        )
+        got2 = {(r["term"], r["cnt"]) for r in
+                frequent_terms(df2, "text", min_share=0.25).collect()}
+        assert got2 == {("a", 2)}  # cnt 2 == ceil(0.25*8) passes; 1s don't
+    finally:
+        release_caches()
 
 
 def test_mg_merge_bounds_and_survivors():

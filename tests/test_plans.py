@@ -358,6 +358,32 @@ def test_update_run_dates_create_then_extend(spark):
     assert str(got["c"]["start_date"]) == t1 and str(got["c"]["fgt"]) == t1
 
 
+def test_update_run_dates_last_write_matches_reference(spark):
+    """fgt_mode='last_write' reproduces the reference's plain UPDATE
+    (extract_water_level.py:216-217): an out-of-order backfill
+    REGRESSES fgt for the series it touches, start_date still pinned;
+    series absent from the run keep their stored fgt."""
+    from curw_flo2d_data_manager_spark.plans.extract import update_run_dates
+
+    def payload(rows):
+        return spark.createDataFrame(rows, "tms_id string, fgt string").withColumn(
+            "fgt", F.col("fgt").cast("timestamp")
+        )
+
+    t0, t1, t2 = "2024-01-01 00:00:00", "2024-01-05 00:00:00", "2024-01-03 00:00:00"
+    dim = update_run_dates(None, payload([("a", t1), ("b", t1)]))
+    dim = update_run_dates(dim, payload([("b", t2)]), fgt_mode="last_write")
+    got = {r["tms_id"]: r for r in dim.collect()}
+    assert str(got["b"]["fgt"]) == t2  # regressed, as the reference would
+    assert str(got["b"]["start_date"]) == t1  # creation stamp untouched
+    assert str(got["a"]["fgt"]) == t1  # untouched series keeps stored fgt
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        update_run_dates(dim, payload([("a", t0)]), fgt_mode="nonsense")
+
+
 def test_update_run_dates_upgrades_legacy_fgt_only_dim(spark):
     """A pre-start-date dim (tms_id, fgt) adopts its stored fgt as the
     creation stamp instead of failing or nulling out."""
