@@ -136,6 +136,11 @@ def main() -> None:
         "text_frequent_terms",
         "text_epoch_plan",
         "f_materialize_mixture",
+        # round-7 additions
+        "sim_knn_graph",
+        "text_dsir_weights",
+        "f_length_buckets",
+        "dedup_bloom_filter",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -614,3 +614,122 @@ def passage_dedup_rebuild(
         "n_passages",
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
     )
+
+
+# --------------------------------------------- Bloom-filter blocklist
+def bloom_build(
+    blocklist: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 5
+) -> list[int]:
+    """Build a Bloom filter over ``blocklist[key_col]`` as a list of
+    ``m_bits/64`` bit-words — the compact membership sketch for
+    :func:`bloom_blocklist_filter`.
+
+    The k probe positions come from Kirsch-Mitzenmacher double
+    hashing: ``pos_i = (h1 + i·h2) mod m`` with ``h1 = xxhash64(key)``
+    and ``h2 = xxhash64(key, salt)`` — two JVM hash evaluations per
+    key regardless of k. Bit-words are aggregated DISTRIBUTED
+    (explode positions → group by word index → bit_or), so the
+    blocklist itself is never collected; only the fixed-size word
+    array (m_bits/8 bytes — 128 KiB at the default) comes back to the
+    driver, like any broadcast dimension.
+    """
+    if m_bits % 64:
+        raise ValueError(f"m_bits {m_bits} not a multiple of 64")
+    if k < 1:
+        raise ValueError(f"k {k} < 1")
+    key = F.col(key_col).cast("string")
+    # reduce both hashes mod m BEFORE combining — h1 + i·h2 on raw
+    # 64-bit hashes overflows under ANSI mode
+    h1 = F.pmod(F.xxhash64(key), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit("bloom-salt")), F.lit(m_bits))
+    pos = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.pmod(h1 + i * h2, F.lit(m_bits)),
+        )
+    )
+    words_df = (
+        blocklist.select(pos.alias("_pos"))
+        .select(
+            (F.col("_pos") / 64).cast("long").alias("_w"),
+            # shiftleft's DataFrame binding wants a literal shift, so
+            # the bit value is built with a SQL expr over _pos
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_pos, 64) AS INT))"
+            ).alias("_b"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_b").alias("_bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for row in words_df:
+        words[row["_w"]] = row["_bits"]
+    return words
+
+
+def bloom_might_contain(
+    words: list[int], key: Column, m_bits: int, k: int = 5
+) -> Column:
+    """Probe column for a :func:`bloom_build` filter: true iff every
+    one of the key's k bit positions is set. Pure Column expression —
+    k array lookups against the literal word array, evaluated
+    map-side inside codegen; no join, no shuffle."""
+    arr = F.lit(words)
+    h1 = F.pmod(F.xxhash64(key.cast("string")), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(key.cast("string"), F.lit("bloom-salt")), F.lit(m_bits))
+    checks = []
+    for i in range(k):
+        pos = F.pmod(h1 + i * h2, F.lit(m_bits))
+        word = F.element_at(arr, ((pos / 64).cast("int") + 1))
+        checks.append(F.getbit(word, (pos % 64).cast("int")) == 1)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_blocklist_filter(
+    corpus: DataFrame,
+    blocklist: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Exact blocklist anti-join with a Bloom prefilter: drop every
+    corpus row whose ``key_col`` appears in ``blocklist[key_col]``,
+    without ever shuffling the corpus — the decontamination /
+    already-trained-shard filter shape for corpora whose blocklist is
+    too big to broadcast raw but whose BLOOM is tiny (1 B fingerprints
+    ≈ 8 GB raw vs ~128 KiB-1 GiB of bits at 10 bits/key).
+
+    Two phases, both exact in the end:
+
+    1. **Map-side prefilter** — :func:`bloom_might_contain` over the
+       broadcast bit-words. No false negatives, so rows failing the
+       probe are DEFINITELY clean and pass through with zero join
+       work; only true matches plus the false-positive sliver
+       (~0.6% at m/n=16, k=5) continue.
+    2. **Exact verify** — the candidate sliver left-anti joins the
+       blocklist on the key, removing exactly the true matches. The
+       join input is the sliver, not the corpus, so the shuffle (or
+       broadcast) is proportional to the blocklist hit rate.
+
+    The corpus relation is traversed by two branches (clean + sliver);
+    at scale either persist the probed scan or rely on columnar
+    re-scan with the probe pushed into both branches — both stay
+    narrow. Result == plain anti-join, verified property-style in
+    tests even with adversarially tiny filters (false positives only
+    cost verify work, never correctness).
+    """
+    words = bloom_build(blocklist, key_col, m_bits=m_bits, k=k)
+    probe = bloom_might_contain(words, F.col(key_col), m_bits, k=k)
+    probed = corpus.withColumn("_bloom_hit", probe)
+    clean = probed.filter(~F.col("_bloom_hit"))
+    sliver = probed.filter(F.col("_bloom_hit"))
+    verified = sliver.join(
+        blocklist.select(F.col(key_col).alias("_blk_key")).distinct(),
+        sliver[key_col] == F.col("_blk_key"),
+        "left_anti",
+    )
+    return clean.unionByName(verified).drop("_bloom_hit")

@@ -120,3 +120,75 @@ def bin_stats(packed: DataFrame, budget: int) -> DataFrame:
             F.round(F.col("bin_tokens") / F.lit(int(budget)), 4),
         )
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    batch_size: int,
+    boundaries: list[int] | None = None,
+    n_shards: int = 1,
+) -> DataFrame:
+    """Length-bucketed batch assembly: group documents of similar
+    length into fixed-size training batches so a batch's padding waste
+    is bounded by its bucket's length spread (the standard dynamic-
+    batching trick for variable-length sequence training).
+
+    ``boundaries`` are ascending upper-exclusive bucket edges; a row
+    with length ``L`` lands in ``bucket = #{b : b <= L}`` (so edges
+    [16, 64, 256] make 4 buckets: <16, 16-63, 64-255, >=256). Within a
+    bucket, rows are sharded by the first 8 hex digits of ``md5(id)``
+    taken as an integer mod ``n_shards`` (hash-uniform AND re-derivable
+    in any engine) and ordered by ``(md5(id), id)`` — fully
+    deterministic, re-runs batch identically; ``batch_idx`` counts off
+    ``batch_size`` rows per (bucket, shard). The trailing batch of
+    each (bucket, shard) may be short.
+
+    Scale shape: the only wide operation is the per-(bucket, shard)
+    row_number window. Buckets are FEW (a dozen edges) — a naive
+    per-bucket window would funnel a 100-TB corpus through a dozen
+    reducers, so the shard key exists precisely to restore
+    parallelism: batches never cross shards, every (bucket, shard)
+    partition is ~rows/(buckets·shards), and shard count scales with
+    the cluster, not the data. ``n_shards=1`` reproduces the
+    single-stream order for small corpora and oracle checks.
+
+    Returns (id, length, bucket, shard, batch_idx, batch_pos) with
+    batch_pos 0-based inside the batch.
+    """
+    if batch_size < 1:
+        raise ValueError(f"batch_size {batch_size} < 1")
+    if n_shards < 1:
+        raise ValueError(f"n_shards {n_shards} < 1")
+    # None -> default edges; an explicit [] means a single bucket
+    edges = sorted([32, 128, 512, 2048] if boundaries is None else boundaries)
+    length = F.col(len_col).cast("long")
+    if edges:
+        bucket = F.size(
+            F.filter(
+                F.array(*[F.lit(int(b)) for b in edges]), lambda b: b <= length
+            )
+        )
+    else:
+        bucket = F.lit(0)
+    sid = F.col(id_col).cast("string")
+    out = df.select(
+        F.col(id_col),
+        length.alias("length"),
+        bucket.alias("bucket"),
+        F.md5(sid).alias("_ord"),
+    ).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring("_ord", 1, 8), 16, 10).cast("long"),
+            F.lit(int(n_shards)),
+        ),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("_ord", id_col)
+    seq = F.row_number().over(w) - 1
+    return (
+        out.withColumn("batch_idx", F.floor(seq / F.lit(int(batch_size))))
+        .withColumn("batch_pos", seq % F.lit(int(batch_size)))
+        .drop("_ord")
+    )

@@ -335,6 +335,62 @@ def cosine_dedup_pairs(
     )
 
 
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """k-nearest-neighbor graph over an embedding corpus: for every
+    vector, directed edges to its ``k`` highest-cosine OTHER vectors —
+    the input to graph-based clustering, kNN-LM retrieval, and
+    connectivity-based semantic dedup.
+
+    Returns ``(src, dst, cosine, rank)``, rank 1..k per src (fewer if
+    the block has < k+1 members), ties broken by smallest dst id.
+
+    Scale shape: with ``block_col`` (an IVF cluster from
+    ``build_ivf_index``, an LSH bucket, or any blocking key) the
+    candidate join is an equi-join on the block — per-block quadratic,
+    never corpus-quadratic, the same blocking argument as
+    :func:`cosine_dedup_pairs`; the top-k window then partitions by
+    src inside each block. ``block_col=None`` is the exact all-pairs
+    baseline for oracle checks and small corpora only. Zero-norm
+    vectors have no defined cosine (``try_divide`` → NULL) and emit no
+    edges — as src or dst.
+    """
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("_blk"),
+    ).withColumn("_n", l2_norm(F.col("_v")))
+    left, right = base.alias("l"), base.alias("r")
+    scored = left.join(
+        right,
+        (F.col("l._blk") == F.col("r._blk")) & (F.col("l._id") != F.col("r._id")),
+    ).withColumn(
+        "cosine",
+        F.try_divide(
+            dot(F.col("l._v"), F.col("r._v")), F.col("l._n") * F.col("r._n")
+        ),
+    )
+    w = Window.partitionBy(F.col("l._id")).orderBy(
+        F.desc("cosine"), F.asc(F.col("r._id"))
+    )
+    return (
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col("l._id").alias("src"),
+            F.col("r._id").alias("dst"),
+            "cosine",
+            F.col("_rk").alias("rank"),
+        )
+    )
+
+
 def hyperplane_signature(
     vec_col: Column | str, n_bits: int = 64, seed: int = 7
 ) -> Column:

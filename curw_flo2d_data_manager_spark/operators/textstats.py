@@ -731,3 +731,81 @@ def unigram_logprob(
             ),
         )
     )
+
+
+def dsir_log_ratio(
+    df: "DataFrame",
+    id_col: str,
+    target_col: str,
+    text_col: str = "text",
+) -> "DataFrame":
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023 — public method): per-document average
+    log-ratio of an add-one-smoothed TARGET-domain unigram LM to the
+    RAW-corpus unigram LM. Documents whose token distribution looks
+    like the target domain score high; feed the weights into
+    ``sampling.weighted_sample``/``mixture_resample`` to select
+    pretraining data that matches a small high-quality target set.
+
+    ``target_col`` is a boolean column marking the target-domain rows
+    (e.g. a curated subset, or ``lang == 'en'``). Both models smooth
+    over the SAME raw-corpus vocabulary ``V`` so the ratio is defined
+    for every term::
+
+        p_t(w) = (c_target(w) + 1) / (N_target + V)
+        p_r(w) = (c_raw(w)    + 1) / (N_raw    + V)
+        weight(doc) = Σ_w tf(doc,w)·(ln p_t(w) − ln p_r(w)) / n_tokens(doc)
+
+    Plan shape mirrors :func:`unigram_logprob`: tokenize ONCE into a
+    persisted per-(doc, term) ``tf`` relation (tracked — see
+    ``operators.caching.release_caches``) that carries the doc's
+    target flag; ONE term-level aggregate produces both models'
+    counts (``c_raw = Σ tf``, ``c_target = Σ tf·flag`` — partial
+    aggregates before the term shuffle); a 1-row broadcast carries the
+    normalizers; the model joins back onto ``tf``, never the raw token
+    stream. Returns (id, n_tokens, avg_logratio) — rounded to 4
+    decimals so the result doesn't hinge on float summation order.
+    """
+    from curw_flo2d_data_manager_spark.operators.caching import persist_tracked
+
+    tf = persist_tracked(
+        df.select(
+            F.col(id_col),
+            F.col(target_col).cast("boolean").alias("_tgt"),
+            F.explode(words(text_col)).alias("term"),
+        )
+        .groupBy(id_col, "_tgt", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    lm = tf.groupBy("term").agg(
+        F.sum("tf").alias("c_raw"),
+        F.sum(F.when(F.col("_tgt"), F.col("tf")).otherwise(F.lit(0))).alias(
+            "c_tgt"
+        ),
+    )
+    totals = lm.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    return (
+        tf.join(lm, "term")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "lr",
+            F.log(
+                (F.col("c_tgt") + F.lit(1.0)) / (F.col("n_tgt") + F.col("vocab"))
+            )
+            - F.log(
+                (F.col("c_raw") + F.lit(1.0)) / (F.col("n_raw") + F.col("vocab"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            # + 0.0 collapses IEEE -0.0 to +0.0 (a doc whose rounded
+            # ratio is a signed zero must compare equal everywhere)
+            (F.round(F.sum(F.col("tf") * F.col("lr")) / F.sum("tf"), 4)
+             + F.lit(0.0)).alias("avg_logratio"),
+        )
+    )

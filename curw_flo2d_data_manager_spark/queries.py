@@ -4913,6 +4913,150 @@ ORDER BY a.vec_id
 """
 
 
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN graph construction blocked by label (the IVF-cluster stand-
+    in): every vector's 5 nearest same-block neighbors as directed
+    edges — the input to graph clustering and kNN-LM retrieval."""
+    from curw_flo2d_data_manager_spark.operators.similarity import knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_graph(emb, k=5, block_col="label")
+    return out.select(
+        "src", "dst", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("src", "rank")
+
+
+SIM_KNN_SQL = """
+WITH scored AS (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT src, dst, cosine,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rank
+    FROM scored
+)
+SELECT src, dst, ROUND(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+ORDER BY src, rank
+"""
+
+
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): per-doc average
+    log-ratio of the target-domain (lang='en') unigram LM to the raw-
+    corpus LM, both add-one smoothed over the shared vocabulary — the
+    score that importance-resamples pretraining data toward a target
+    distribution."""
+    from curw_flo2d_data_manager_spark.operators.textstats import dsir_log_ratio
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_tgt")
+    )
+    return dsir_log_ratio(docs, "doc_id", "is_tgt").orderBy("doc_id")
+
+
+TEXT_DSIR_SQL = """
+WITH w AS (
+    SELECT doc_id, lang = 'en' AS tgt,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+') AS words
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) != ''
+),
+tok AS (SELECT doc_id, tgt, unnest(words) AS term FROM w),
+tf AS (SELECT doc_id, tgt, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3),
+lm AS (
+    SELECT term, SUM(tf) AS c_raw,
+           SUM(CASE WHEN tgt THEN tf ELSE 0 END) AS c_tgt
+    FROM tf GROUP BY 1
+),
+tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt, COUNT(*) AS vocab FROM lm),
+scored AS (
+    SELECT t.doc_id, t.tf,
+           ln((l.c_tgt + 1.0) / (tot.n_tgt + tot.vocab))
+         - ln((l.c_raw + 1.0) / (tot.n_raw + tot.vocab)) AS lr
+    FROM tf t JOIN lm l USING (term) CROSS JOIN tot
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(SUM(tf * lr) / SUM(tf), 4) + 0.0 AS avg_logratio
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def f_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly: documents bucketed by n_chars
+    edges, sharded by an md5-derived hash for window parallelism, and
+    counted off into deterministic fixed-size batches — the dynamic-
+    batching step that bounds per-batch padding waste."""
+    from curw_flo2d_data_manager_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return length_bucketed_batches(
+        docs, "doc_id", "n_chars",
+        batch_size=16, boundaries=[120, 160, 200], n_shards=2,
+    ).orderBy("doc_id")
+
+
+F_LENBUCKET_SQL = """
+WITH base AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS length,
+           (CASE WHEN n_chars >= 120 THEN 1 ELSE 0 END
+          + CASE WHEN n_chars >= 160 THEN 1 ELSE 0 END
+          + CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS bucket,
+           md5(CAST(doc_id AS VARCHAR)) AS ord_key
+    FROM documents
+),
+sharded AS (
+    SELECT *, CAST(concat('0x', substring(ord_key, 1, 8)) AS BIGINT) % 2 AS shard
+    FROM base
+),
+seq AS (
+    SELECT doc_id, length, bucket, shard,
+           ROW_NUMBER() OVER (PARTITION BY bucket, shard ORDER BY ord_key, doc_id) - 1 AS rn
+    FROM sharded
+)
+SELECT doc_id, length, bucket, shard,
+       rn // 16 AS batch_idx, rn % 16 AS batch_pos
+FROM seq ORDER BY doc_id
+"""
+
+
+def dedup_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered blocklist anti-join: drop every document
+    whose exact text fingerprint appears in the src0 'already-trained'
+    shard, keeping the corpus scan shuffle-free (map-side broadcast
+    bit-words + exact verify on the candidate sliver). The tiny
+    m_bits forces real false positives through the verify phase, so
+    the oracle certifies the exactness guarantee, not a lucky hash."""
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        bloom_blocklist_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "lang", "source", F.md5("text").alias("fp"))
+    blocklist = docs.filter(F.col("source") == "src0").select(
+        F.md5("text").alias("fp")
+    )
+    out = bloom_blocklist_filter(corpus, blocklist, "fp", m_bits=4096, k=3)
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+DEDUP_BLOOM_SQL = """
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE NOT EXISTS (
+    SELECT 1 FROM documents b
+    WHERE b.source = 'src0' AND md5(b.text) = md5(d.text)
+)
+ORDER BY d.doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4926,21 +5070,62 @@ ORDER BY a.vec_id
 DRIVER_WINDOW = 50
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- driver window (first 50) -------------------------------------
-    # The window ROTATES each round: entries never driver-certified or
-    # touched this round take priority, then the entries whose last
-    # certification is OLDEST; previously-green untouched gates rotate
-    # out and are re-verified locally via tools/check_correctness.py.
-    # Round-6 window = the 9 round-5 additions (local-green at sf0.001
-    # + sf0.01, never driver-certified — round-5 verdict item 1) + the
-    # 3 gates over code touched this round (update_start_date parity,
-    # the ngram_contamination broadcast guard, the multimodal feature-
-    # extractor encoder hook) + 38 of the 45 entries last certified in
-    # round 4 (the oldest certifications; the 6 left over — s1, p1,
-    # p2, k2, mm_binary, stream_resample, each green in >=3 windows —
-    # rotate in next round). See COVERAGE.md's per-entry ledger.
-    #
-    # round-5 additions, never driver-certified (verdict item 1)
+    # ---- round-7 driver window (positions 1-50; see
+    # tests/test_registry_window.py): the ten never-certified
+    # round-6 additions, the four round-7 additions, gates over
+    # code touched this round, then the oldest certifications.
+    "text_bigram_logprob": (text_bigram_logprob, TEXT_BIGRAM_SQL),
+    "f_split_assign": (f_split_assign, F_SPLIT_SQL),
+    "sim_semantic_dedup": (sim_semantic_dedup, SIM_SEMDEDUP_SQL),
+    "stream_corpus_quality": (stream_corpus_quality, STREAM_QUALITY_SQL),
+    "a_approx_percentiles": (a_approx_percentiles, A_APPROX_PCT_SQL),
+    "text_chunk_documents": (text_chunk_documents, TEXT_CHUNK_SQL),
+    "text_frequent_terms": (text_frequent_terms, TEXT_FREQ_SQL),
+    "text_epoch_plan": (text_epoch_plan, TEXT_EPOCH_SQL),
+    "stream_corpus_neardup": (stream_corpus_neardup, STREAM_NEARDUP_SQL),
+    "f_materialize_mixture": (f_materialize_mixture, F_MATERIALIZE_SQL),
+    "sim_knn_graph": (sim_knn_graph, SIM_KNN_SQL),
+    "text_dsir_weights": (text_dsir_weights, TEXT_DSIR_SQL),
+    "f_length_buckets": (f_length_buckets, F_LENBUCKET_SQL),
+    "dedup_bloom_filter": (dedup_bloom_filter, DEDUP_BLOOM_SQL),
+    "k8_start_date": (k8_start_date, K8_START_SQL),
+    "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
+    "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),
+    "s1_series_range_scan": (s1_series_range_scan, S1_SQL),
+    "p1_hychan_roundtrip": (p1_hychan_roundtrip, P1_SQL),
+    "p2_timdep_roundtrip": (p2_timdep_roundtrip, P2_SQL),
+    "mm_binary_meta": (mm_binary_meta, MM_BINARY_SQL),
+    "k2_outflow_render": (k2_outflow_render, K2_SQL),
+    "stream_resample_events": (stream_resample_events, STREAM_A2_SQL),
+    "dedup_winnowing": (dedup_winnowing_docs, DEDUP_WINNOW_SQL),
+    "dedup_winnow_pairs": (dedup_winnow_pairs_docs, DEDUP_WINNOW_PAIRS_SQL),
+    "f_weighted_sample": (f_weighted_sample, F_WEIGHTED_SQL),
+    "f_pack_sequences": (f_pack_sequences, F_PACK_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q11_important_share": (q11_important_share, Q11_SQL),
+    "q20_heavy_suppliers": (q20_heavy_suppliers, Q20_SQL),
+    "q21_exclusive_failures": (q21_exclusive_failures, Q21_SQL),
+    "s2_grid_scan_correction": (s2_grid_scan_correction, S2_SQL),
+    "s6_max_end_time": (s6_max_end_time, S6_SQL),
+    "k3_raincell_render": (k3_raincell_render, K3_SQL),
+    "k5_chan_render": (k5_chan_render, K5_SQL),
+    "k8_run_metadata": (k8_run_metadata, K8_SQL),
+    "f9_get_or_create": (f9_get_or_create, F9_SQL),
+    "j1_calendar_spine": (j1_calendar_spine, J1_SQL),
+    "j2_dim_enrichment": (j2_dim_enrichment, J2_SQL),
+    "j6_nearest_rank1": (j6_nearest_rank1, J6_SQL),
+    "j8_gap_fill": (j8_gap_fill, J8_SQL),
+    "j_asof_join": (j_asof_join, J_ASOF_SQL),
+    "j_range_join": (j_range_join, J_RANGE_SQL),
+    "a2_resample_right_closed": (a2_resample_right_closed, A2_SQL),
+    "a4_cumulative_fraction": (a4_cumulative_fraction, A4_SQL),
+    "w3_fill_down": (w3_fill_down, W3_SQL),
+    "w_sessionize_events": (w_sessionize_events, W_SESSION_SQL),
+    "q12_priority_case": (q12_priority_case, Q12_SQL),
+    "x4_json_extract": (x4_json_extract, X4_SQL),
+    # ---- past the window: certified round 5/6, rotating back in
+    # future rounds; re-verified locally via tools/check_correctness.py
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_passages": (dedup_passages, DEDUP_PASSAGES_SQL),
     "text_tfidf_terms": (text_tfidf_terms, TEXT_TFIDF_SQL),
@@ -4950,11 +5135,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "f_mixture_resample": (f_mixture_resample, F_MIXTURE_SQL),
     "stream_corpus_dedup": (stream_corpus_dedup, STREAM_CORPUS_SQL),
     "sim_cross_decontam": (sim_cross_decontam, SIM_CROSS_SQL),
-    # gates over code touched this round
-    "k8_start_date": (k8_start_date, K8_START_SQL),
     "dedup_contamination": (dedup_contamination, DEDUP_CONTAM_SQL),
     "mm_decode_meta": (mm_decode_meta, MM_DECODE_SQL),
-    # last certified in round 4 (the oldest certifications — 38 of 45)
     "dedup_latest_version": (dedup_latest_version, DEDUP_LATEST_SQL),
     "text_url_extract": (text_url_extract, TEXT_URL_SQL),
     "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
@@ -4986,47 +5168,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "x11_series_hash_id": (x11_series_hash_id, X11_SQL),
     "dedup_fingerprint": (dedup_fingerprint_docs, DEDUP_FP_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_docs, DEDUP_JACCARD_SQL),
-    "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
     "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
     "text_top_bigrams": (text_top_bigrams, TEXT_BIGRAMS_SQL),
     "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
     "s4_nearest_gauge_rain": (s4_nearest_gauge_rain, S4_SQL),
     "k4_rain_render": (k4_rain_render, K4_SQL),
     "a_approx_distinct": (a_approx_distinct, A_APPROX_SQL),
-    # -- past the driver window --------------------------------------
-    # The 50 below were green in the round-5 driver window
-    # (CORRECTNESS_r05.json, minus dedup_contamination which moved
-    # back in as a touched-code gate) plus the 6 most-certified r4
-    # entries left over from the rotation; all re-verified locally via
-    # tools/check_correctness.py each round.
-    "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),
-    "dedup_winnowing": (dedup_winnowing_docs, DEDUP_WINNOW_SQL),
-    "dedup_winnow_pairs": (dedup_winnow_pairs_docs, DEDUP_WINNOW_PAIRS_SQL),
-    "f_weighted_sample": (f_weighted_sample, F_WEIGHTED_SQL),
-    "f_pack_sequences": (f_pack_sequences, F_PACK_SQL),
-    "q8_market_share": (q8_market_share, Q8_SQL),
-    "q9_product_profit": (q9_product_profit, Q9_SQL),
-    "q11_important_share": (q11_important_share, Q11_SQL),
-    "q20_heavy_suppliers": (q20_heavy_suppliers, Q20_SQL),
-    "q21_exclusive_failures": (q21_exclusive_failures, Q21_SQL),
-    "s2_grid_scan_correction": (s2_grid_scan_correction, S2_SQL),
-    "s6_max_end_time": (s6_max_end_time, S6_SQL),
-    "k3_raincell_render": (k3_raincell_render, K3_SQL),
-    "k5_chan_render": (k5_chan_render, K5_SQL),
-    "k8_run_metadata": (k8_run_metadata, K8_SQL),
-    "f9_get_or_create": (f9_get_or_create, F9_SQL),
-    "j1_calendar_spine": (j1_calendar_spine, J1_SQL),
-    "j2_dim_enrichment": (j2_dim_enrichment, J2_SQL),
-    "j6_nearest_rank1": (j6_nearest_rank1, J6_SQL),
-    "j8_gap_fill": (j8_gap_fill, J8_SQL),
-    "j_asof_join": (j_asof_join, J_ASOF_SQL),
-    "j_range_join": (j_range_join, J_RANGE_SQL),
-    "a2_resample_right_closed": (a2_resample_right_closed, A2_SQL),
-    "a4_cumulative_fraction": (a4_cumulative_fraction, A4_SQL),
-    "w3_fill_down": (w3_fill_down, W3_SQL),
-    "w_sessionize_events": (w_sessionize_events, W_SESSION_SQL),
-    "q12_priority_case": (q12_priority_case, Q12_SQL),
-    "x4_json_extract": (x4_json_extract, X4_SQL),
     "stream_cumsum_events": (stream_cumsum_events, STREAM_CUMSUM_SQL),
     "stream_session_events": (stream_session_events, STREAM_SESSION_SQL),
     "dedup_exact": (dedup_exact_docs, DEDUP_EXACT_SQL),
@@ -5048,25 +5195,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_minhash_lsh": (dedup_minhash_lsh_docs, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
     "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
-    "s1_series_range_scan": (s1_series_range_scan, S1_SQL),
-    "p1_hychan_roundtrip": (p1_hychan_roundtrip, P1_SQL),
-    "p2_timdep_roundtrip": (p2_timdep_roundtrip, P2_SQL),
-    "mm_binary_meta": (mm_binary_meta, MM_BINARY_SQL),
-    "k2_outflow_render": (k2_outflow_render, K2_SQL),
-    "stream_resample_events": (stream_resample_events, STREAM_A2_SQL),
-    # round-6 additions (appended past the window after the round-6
-    # rotation was pinned; verified locally at sf0.001 + sf0.01, first
-    # in line for the round-7 window)
-    "text_bigram_logprob": (text_bigram_logprob, TEXT_BIGRAM_SQL),
-    "f_split_assign": (f_split_assign, F_SPLIT_SQL),
-    "sim_semantic_dedup": (sim_semantic_dedup, SIM_SEMDEDUP_SQL),
-    "stream_corpus_quality": (stream_corpus_quality, STREAM_QUALITY_SQL),
-    "a_approx_percentiles": (a_approx_percentiles, A_APPROX_PCT_SQL),
-    "text_chunk_documents": (text_chunk_documents, TEXT_CHUNK_SQL),
-    "text_frequent_terms": (text_frequent_terms, TEXT_FREQ_SQL),
-    "text_epoch_plan": (text_epoch_plan, TEXT_EPOCH_SQL),
-    "stream_corpus_neardup": (stream_corpus_neardup, STREAM_NEARDUP_SQL),
-    "f_materialize_mixture": (f_materialize_mixture, F_MATERIALIZE_SQL),
 }
 
 

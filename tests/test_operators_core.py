@@ -1540,3 +1540,162 @@ def test_materialize_mixture_epochs_and_downsample(spark):
                        if (d >= 100) == (lang == "small")) * 100
         target = plan[lang]["target_domain_tokens"]
         assert abs(realized - target) <= 0.15 * target + 200, (lang, realized, target)
+
+
+def test_knn_graph_exact_and_blocked(spark):
+    """knn_graph: exact mode ranks every other vector by cosine;
+    blocked mode only connects same-block vectors; zero vectors emit
+    and receive no edges."""
+    from curw_flo2d_data_manager_spark.operators.similarity import knn_graph
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 0),
+        (4, [0.0, 0.0], 0),   # zero vector
+        (5, [1.0, 0.0], 1),   # other block, same direction as 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = {(r["src"], r["rank"]): r["dst"] for r in knn_graph(df, k=2).collect()}
+    # 1's nearest is 2 (cos~0.994) then 5 (identical dir but larger id
+    # than 2? no: cos(1,5)=1.0 > cos(1,2)) -> rank1=5, rank2=2
+    assert exact[(1, 1)] == 5 and exact[(1, 2)] == 2
+    assert not any(s == 4 for s, _ in exact)           # zero vec: no out-edges
+    assert not any(d == 4 for d in exact.values())     # ... and no in-edges
+
+    blocked = {(r["src"], r["rank"]): r["dst"]
+               for r in knn_graph(df, k=2, block_col="label").collect()}
+    assert blocked[(1, 1)] == 2          # 5 is in another block now
+    assert not any(s == 5 for s, _ in blocked)  # 5's block is a singleton
+
+
+def test_bloom_blocklist_filter_exact_even_with_tiny_filter(spark):
+    """bloom_blocklist_filter must equal the plain anti-join EXACTLY
+    even with an adversarially tiny filter (m_bits=64 over 40 keys →
+    heavy false-positive traffic through the verify phase), and the
+    probe must never produce a false negative."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        bloom_blocklist_filter,
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    corpus = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("key-"), F.col("id")).alias("fp")
+    )
+    blocklist = spark.range(0, 80, 2).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("fp")
+    )
+    got = {r["id"] for r in
+           bloom_blocklist_filter(corpus, blocklist, "fp", m_bits=64, k=2).collect()}
+    want = set(range(1, 80, 2)) | set(range(80, 100))
+    assert got == want
+
+    # no false negatives: every blocklisted key probes true
+    words = bloom_build(blocklist, "fp", m_bits=64, k=2)
+    probe = bloom_might_contain(words, F.col("fp"), 64, k=2)
+    hits = corpus.withColumn("_h", probe)
+    assert hits.filter((F.col("id") % 2 == 0) & (F.col("id") < 80)
+                       & ~F.col("_h")).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bloom_build(blocklist, "fp", m_bits=100)  # not a multiple of 64
+    with _pytest.raises(ValueError):
+        bloom_build(blocklist, "fp", k=0)
+
+
+def test_length_bucketed_batches_shape_and_determinism(spark):
+    """Batches respect bucket edges, never exceed batch_size, never
+    cross (bucket, shard), and re-runs produce identical assignments;
+    n_shards=1 reproduces the single-stream md5 order."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 97 + 1).alias("len")
+    )
+    out = length_bucketed_batches(
+        df, "id", "len", batch_size=5, boundaries=[10, 50], n_shards=3
+    )
+    rows = out.collect()
+    assert len(rows) == 200
+    for r in rows:
+        if r["length"] < 10:
+            assert r["bucket"] == 0
+        elif r["length"] < 50:
+            assert r["bucket"] == 1
+        else:
+            assert r["bucket"] == 2
+        assert 0 <= r["shard"] < 3 and 0 <= r["batch_pos"] < 5
+    # batch occupancy: positions within each batch are 0..n-1, n<=5
+    from collections import defaultdict
+
+    batches = defaultdict(list)
+    for r in rows:
+        batches[(r["bucket"], r["shard"], r["batch_idx"])].append(r["batch_pos"])
+    for pos in batches.values():
+        assert sorted(pos) == list(range(len(pos))) and len(pos) <= 5
+    # determinism
+    again = {(r["id"], r["bucket"], r["shard"], r["batch_idx"], r["batch_pos"])
+             for r in length_bucketed_batches(
+                 df, "id", "len", batch_size=5, boundaries=[10, 50], n_shards=3
+             ).collect()}
+    assert again == {(r["id"], r["bucket"], r["shard"], r["batch_idx"],
+                      r["batch_pos"]) for r in rows}
+    # n_shards=1: order within a bucket is exactly the sorted md5 order
+    single = length_bucketed_batches(
+        df, "id", "len", batch_size=1000, boundaries=[], n_shards=1
+    ).collect()
+    import hashlib
+
+    want_order = sorted(
+        (hashlib.md5(str(r["id"]).encode()).hexdigest(), r["id"])
+        for r in single
+    )
+    got_order = sorted(
+        ((r["batch_idx"], r["batch_pos"]), r["id"]) for r in single
+    )
+    assert [i for _, i in want_order] == [i for _, i in got_order]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        length_bucketed_batches(df, "id", "len", batch_size=0)
+    with _pytest.raises(ValueError):
+        length_bucketed_batches(df, "id", "len", batch_size=5, n_shards=0)
+
+
+def test_dsir_log_ratio_scores_target_like_docs_higher(spark):
+    """DSIR importance weight must rank a doc written in the target
+    domain's vocabulary above one written in the off-domain
+    vocabulary, with target-flagged docs defining the target LM."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.caching import release_caches
+    from curw_flo2d_data_manager_spark.operators.textstats import dsir_log_ratio
+
+    rows = (
+        [(i, "alpha beta gamma delta", True) for i in range(10)]        # target
+        + [(100 + i, "omega sigma tau rho", False) for i in range(10)]  # off
+        + [(900, "alpha beta alpha gamma", False),                      # target-like
+           (901, "omega tau omega sigma", False)]                       # off-like
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    try:
+        got = {r["doc_id"]: r for r in
+               dsir_log_ratio(df, "doc_id", "is_tgt").collect()}
+    finally:
+        release_caches()
+    assert got[900]["n_tokens"] == 4 and got[901]["n_tokens"] == 4
+    assert got[900]["avg_logratio"] > 0 > got[901]["avg_logratio"]
+    # every pure-target doc scores above every pure-off-domain doc
+    assert min(got[i]["avg_logratio"] for i in range(10)) > max(
+        got[100 + i]["avg_logratio"] for i in range(10)
+    )

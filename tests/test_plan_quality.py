@@ -272,3 +272,71 @@ def test_connected_components_round_bound(spark):
            components.connected_components(pairs, driver_threshold=0).collect()}
     assert set(out.values()) == {0} and len(out) == 65
     assert components.last_rounds <= 10, components.last_rounds
+
+
+def test_bloom_prefilter_is_mapside_and_verify_joins_sliver(spark, sf_dir):
+    """bloom_blocklist_filter's 100-TB contract: the clean branch is a
+    pure scan+filter (the probe is a literal-array expression — no
+    Exchange, no join), and the only join in the whole plan is the
+    left-anti verify fed by the candidate sliver."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        bloom_blocklist_filter,
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select("doc_id", F.md5("text").alias("fp"))
+    blocklist = docs.filter(F.col("source") == "src0").select(
+        F.md5("text").alias("fp")
+    )
+    # the probe alone must stay map-side
+    words = bloom_build(blocklist, "fp", m_bits=4096, k=3)
+    probe_plan = plan_of(
+        corpus.filter(~bloom_might_contain(words, F.col("fp"), 4096, k=3))
+    )
+    assert "Exchange" not in probe_plan and "Join" not in probe_plan
+    assert "BatchEvalPython" not in probe_plan
+    # the full operator has exactly one join (the anti verify)
+    full_plan = plan_of(
+        bloom_blocklist_filter(corpus, blocklist, "fp", m_bits=4096, k=3),
+        mode="simple",
+    )
+    assert full_plan.count("Join") == 1 and "LeftAnti" in full_plan
+
+
+def test_knn_graph_blocked_join_is_equi_not_cartesian(spark, sf_dir):
+    """Blocked knn_graph must plan the candidate join as a hash/merge
+    equi-join on the block key — a BroadcastNestedLoop or Cartesian
+    means the blocking key was lost and the plan is corpus-quadratic."""
+    from curw_flo2d_data_manager_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(knn_graph(emb, k=5, block_col="label"), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dsir_single_tokenize_and_partial_aggregates(spark, sf_dir):
+    """dsir_log_ratio mirrors unigram_logprob's plan contract: the
+    corpus is tokenized ONCE into the cached tf relation (every
+    Generate sits inside the cache), and the LM join consumes tf, not
+    the raw token stream."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.caching import release_caches
+    from curw_flo2d_data_manager_spark.operators.textstats import dsir_log_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_tgt")
+    )
+    try:
+        plan = plan_of(dsir_log_ratio(docs, "doc_id", "is_tgt"), mode="simple")
+        assert plan.count("InMemoryTableScan") >= 2
+        assert plan.count("Generate") == plan.count("InMemoryRelation"), plan
+        assert "BatchEvalPython" not in plan
+    finally:
+        release_caches()

@@ -5,38 +5,42 @@ never driver-certified take priority, then the entries whose last
 certification is oldest; untouched previously-green gates rotate out
 and are re-verified via ``tools/check_correctness.py``.
 
-This test pins the round-6 window so a registry edit can never
+This test pins the round-7 window so a registry edit can never
 silently drop an intended gate: REQUIRED_IN_WINDOW must be edited in
 lockstep with any registry reorder."""
 
 from curw_flo2d_data_manager_spark.queries import DRIVER_WINDOW, REGISTRY
 
-# Round-6 window: keys must sit at registry position < DRIVER_WINDOW.
+# Round-7 window: keys must sit at registry position < DRIVER_WINDOW.
 REQUIRED_IN_WINDOW = {
-    # the nine round-5 additions, never driver-certified (round-5
-    # verdict item 1 — local-green at sf0.001 + sf0.01 since round 5)
-    "dedup_components", "dedup_passages", "text_tfidf_terms",
-    "text_domain_mixture", "dedup_cluster_filter", "text_unigram_logprob",
-    "f_mixture_resample", "stream_corpus_dedup", "sim_cross_decontam",
-    # gates over code touched in round 6 (update_start_date parity,
-    # the ngram_contamination broadcast-size guard, the multimodal
-    # encoder hook)
-    "k8_start_date", "dedup_contamination", "mm_decode_meta",
-    # last certified in round 4 — the 38 oldest certifications (the 6
-    # left over, each green in >=3 windows, rotate in next round)
-    "dedup_latest_version", "text_url_extract", "stream_dedup_events",
-    "text_repetition_gates", "f_hash_sample", "f_stratified_sample",
-    "a_rollup_cascade", "a_session_window_native", "x_pivot_event_types",
-    "a_rollup_totals", "a_distinct_counts", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier", "q6_revenue_change",
-    "q4_exists_semi", "q18_having_topk", "q10_returned_items",
-    "q14_promo_share", "q15_top_supplier", "q19_disjunctive",
-    "s3_first_value_lookup", "k1_fixed_width_render",
-    "f6_sentinel_cleaning", "j5_semi_join", "w2_elapsed_hours",
-    "o2_ordered_topk", "u2_set_ops", "x11_series_hash_id",
-    "dedup_fingerprint", "dedup_ngram_jaccard", "sim_cosine_dedup",
-    "text_lang_id", "text_top_bigrams", "text_pii_redact",
-    "s4_nearest_gauge_rain", "k4_rain_render", "a_approx_distinct",
+    # the ten round-6 additions, never driver-certified (local-green
+    # at sf0.001 + sf0.01 since round 6)
+    "text_bigram_logprob", "f_split_assign", "sim_semantic_dedup",
+    "stream_corpus_quality", "a_approx_percentiles", "text_chunk_documents",
+    "text_frequent_terms", "text_epoch_plan", "stream_corpus_neardup",
+    "f_materialize_mixture",
+    # the four round-7 additions
+    "sim_knn_graph", "text_dsir_weights", "f_length_buckets",
+    "dedup_bloom_filter",
+    # gates over code touched in round 7 (update_run_dates fgt_mode,
+    # try_divide in the cosine pair path, centroid_assign zero-norm
+    # sentinel, frequent_terms exact threshold — the latter is already
+    # above as a round-6 addition)
+    "k8_start_date", "sim_cosine_dedup", "sim_label_centroids",
+    # oldest certifications (round 4)
+    "s1_series_range_scan", "p1_hychan_roundtrip", "p2_timdep_roundtrip",
+    "mm_binary_meta", "k2_outflow_render", "stream_resample_events",
+    # round-5 certifications — the oldest 27 of the remaining 48
+    # (the other 21 rotate in round 8 together with the round-6 set)
+    "dedup_winnowing", "dedup_winnow_pairs", "f_weighted_sample",
+    "f_pack_sequences", "q8_market_share", "q9_product_profit",
+    "q11_important_share", "q20_heavy_suppliers", "q21_exclusive_failures",
+    "s2_grid_scan_correction", "s6_max_end_time", "k3_raincell_render",
+    "k5_chan_render", "k8_run_metadata", "f9_get_or_create",
+    "j1_calendar_spine", "j2_dim_enrichment", "j6_nearest_rank1",
+    "j8_gap_fill", "j_asof_join", "j_range_join",
+    "a2_resample_right_closed", "a4_cumulative_fraction", "w3_fill_down",
+    "w_sessionize_events", "q12_priority_case", "x4_json_extract",
 }
 
 
