@@ -768,6 +768,133 @@ def cmd_split_corpus(args) -> None:
     print(f"split {df.count()} rows -> {', '.join(counts)} under {args.output}")
 
 
+def cmd_decontam_corpus(args) -> None:
+    """Drop every corpus row whose fingerprint appears in a blocklist
+    corpus (benchmark decontamination / already-trained-shard
+    exclusion) via the Bloom-prefiltered exact anti-join: the corpus
+    never shuffles — the blocklist's bit-blob broadcasts and only the
+    candidate sliver is join-verified. Exact by construction at any
+    false-positive rate."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        bloom_blocklist_filter,
+    )
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="decontam-corpus")
+    corpus = spark.read.parquet(args.input)
+    block = spark.read.parquet(args.blocklist)
+
+    def keyed(df, key_col, text_col, side):
+        if key_col and key_col in df.columns:
+            return df, key_col
+        if text_col not in df.columns:
+            raise SystemExit(
+                f"{side}: neither key column {key_col!r} nor text column "
+                f"{text_col!r} present ({df.columns})"
+            )
+        fp = "_decontam_fp"
+        return df.withColumn(fp, F.md5(F.col(text_col))), fp
+
+    corpus_k, ckey = keyed(corpus, args.key_col, args.text_col, "--input")
+    block_k, bkey = keyed(
+        block, args.blocklist_key_col or args.key_col, args.text_col,
+        "--blocklist",
+    )
+    if bkey != ckey:
+        block_k = block_k.withColumnRenamed(bkey, ckey)
+    m_bits = args.m_bits
+    if not m_bits:
+        n_block = block_k.count()
+        m_bits = 1 << max(16, (max(1, n_block) * 10).bit_length())
+    kept = bloom_blocklist_filter(
+        corpus_k, block_k.select(ckey), ckey, m_bits=m_bits, k=args.k
+    ).select(*corpus.columns)
+    kept.write.mode("overwrite").parquet(args.output)
+    n_in = corpus.count()
+    n_out = spark.read.parquet(args.output).count()
+    print(
+        f"decontam-corpus: {n_in} rows in, {n_out} kept "
+        f"({n_in - n_out} blocklisted; m_bits={m_bits}, k={args.k}) "
+        f"-> {args.output}"
+    )
+
+
+def cmd_score_corpus(args) -> None:
+    """Per-document training-data signals written back as parquet:
+    token counts / quality ratios / predicted language (one pure-
+    Column pass), optional in-corpus unigram-LM logprob, and optional
+    DSIR importance weights toward a --target-lang subset. The
+    filter-by-score step is a plain parquet predicate afterwards."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.caching import (
+        cache_mark,
+        release_caches_since,
+    )
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        dsir_log_ratio,
+        text_profile,
+        unigram_logprob,
+    )
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    signals = {s.strip() for s in args.signals.split(",") if s.strip()}
+    known = {"profile", "unigram", "dsir"}
+    if signals - known:
+        raise SystemExit(f"unknown --signals {sorted(signals - known)}; "
+                         f"choose from {sorted(known)}")
+    spark = get_spark(app_name="score-corpus")
+    df = spark.read.parquet(args.input)
+    for col in (args.id_col, args.text_col):
+        if col not in df.columns:
+            raise SystemExit(f"column {col!r} not in input ({df.columns})")
+    out = df
+    if "profile" in signals:
+        out = text_profile(out, args.text_col)
+    mark = cache_mark()
+    try:
+        if "unigram" in signals:
+            lp = unigram_logprob(
+                df.select(args.id_col, args.text_col), args.id_col,
+                args.text_col,
+            ).select(
+                args.id_col,
+                F.col("n_tokens").alias("unigram_n_tokens"),
+                F.col("avg_logprob").alias("unigram_avg_logprob"),
+            )
+            out = out.join(lp, args.id_col, "left")
+        if "dsir" in signals:
+            if args.lang_col not in df.columns:
+                raise SystemExit(
+                    f"--signals dsir needs --lang-col ({args.lang_col!r} "
+                    f"not in input {df.columns})"
+                )
+            scored = dsir_log_ratio(
+                df.select(
+                    args.id_col,
+                    args.text_col,
+                    (F.col(args.lang_col) == args.target_lang).alias("_tgt"),
+                ),
+                args.id_col,
+                "_tgt",
+                args.text_col,
+            ).select(
+                args.id_col,
+                F.col("avg_logratio").alias("dsir_logratio"),
+            )
+            out = out.join(scored, args.id_col, "left")
+        out.write.mode("overwrite").parquet(args.output)
+    finally:
+        release_caches_since(mark)
+    n = spark.read.parquet(args.output).count()
+    print(
+        f"score-corpus: {n} rows scored ({', '.join(sorted(signals))}) "
+        f"-> {args.output}"
+    )
+
+
 def cmd_corpus_stats(args) -> None:
     """One-pass corpus health report: per-(lang, source) doc/token
     counts, mixture weights, and mean quality signals — the look-
@@ -1050,6 +1177,44 @@ def build_parser() -> argparse.ArgumentParser:
                     help="name=frac[,name=frac...]; sums <= 1, remainder unassigned")
     sp.add_argument("--salt", default="", help="independent resample handle")
     sp.set_defaults(fn=cmd_split_corpus)
+
+    sp = sub.add_parser(
+        "decontam-corpus",
+        help="drop corpus rows whose fingerprint appears in a blocklist "
+             "corpus (Bloom-prefiltered exact anti-join)",
+    )
+    sp.add_argument("--input", required=True, help="corpus parquet path")
+    sp.add_argument("--blocklist", required=True,
+                    help="blocklist parquet path (benchmark / trained shard)")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--key-col", default=None,
+                    help="fingerprint column present in both inputs; "
+                         "default: md5 of --text-col")
+    sp.add_argument("--blocklist-key-col", default=None,
+                    help="blocklist fingerprint column if named differently")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--m-bits", type=int, default=0,
+                    help="Bloom size in bits (0 = auto: ~10 bits/key, "
+                         "next power of two)")
+    sp.add_argument("--k", type=int, default=5, help="Bloom hash count")
+    sp.set_defaults(fn=cmd_decontam_corpus)
+
+    sp = sub.add_parser(
+        "score-corpus",
+        help="per-doc training-data signals: profile (tokens/quality/lang), "
+             "unigram-LM logprob, DSIR target weights",
+    )
+    sp.add_argument("--input", required=True, help="corpus parquet path")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--signals", default="profile",
+                    help="comma list of profile,unigram,dsir")
+    sp.add_argument("--lang-col", default="lang",
+                    help="language column for the dsir target subset")
+    sp.add_argument("--target-lang", default="en",
+                    help="dsir target domain: rows with lang-col == this")
+    sp.set_defaults(fn=cmd_score_corpus)
     return p
 
 

@@ -698,3 +698,61 @@ def test_materialize_mix_cli(spark, tmp_path, capsys):
     assert 0 < by_lang["en"] < 80
     assert by_lang["si"] >= 8
     assert "mix rows out" in capsys.readouterr().out
+
+
+def test_decontam_corpus_cli_bloom_exact(spark, tmp_path, capsys):
+    """decontam-corpus drops exactly the rows whose text fingerprint
+    appears in the blocklist corpus — including via the auto-derived
+    md5(text) key — and keeps everything else."""
+    corpus = str(tmp_path / "corpus.parquet")
+    blk = str(tmp_path / "blk.parquet")
+    rows = [(i, f"document body number {i}") for i in range(200)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(corpus)
+    # blocklist shares text with corpus docs 0,3,6,...,57 (20 rows)
+    spark.createDataFrame(
+        [(1000 + i, f"document body number {3 * i}") for i in range(20)],
+        "bench_id long, text string",
+    ).write.parquet(blk)
+
+    out = str(tmp_path / "clean.parquet")
+    main([
+        "decontam-corpus", "--input", corpus, "--blocklist", blk,
+        "--output", out,
+    ])
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == set(range(200)) - {3 * i for i in range(20)}
+    assert "200 rows in, 180 kept (20 blocklisted" in capsys.readouterr().out
+    # helper columns must not leak into the output
+    assert set(spark.read.parquet(out).columns) == {"doc_id", "text"}
+
+
+def test_score_corpus_cli_all_signals(spark, tmp_path, capsys):
+    """score-corpus attaches profile + unigram + dsir columns keyed by
+    doc id, one row per input row."""
+    src = str(tmp_path / "docs.parquet")
+    rows = (
+        [(i, "alpha beta gamma delta words here", "en") for i in range(8)]
+        + [(100 + i, "omega sigma tau rho other tongue", "xx") for i in range(8)]
+    )
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
+    out = str(tmp_path / "scored.parquet")
+    main([
+        "score-corpus", "--input", src, "--output", out,
+        "--signals", "profile,unigram,dsir",
+    ])
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 16
+    r = got[0]
+    assert r["n_tokens_ws"] == 6 and r["pred_lang"] is not None
+    assert r["unigram_n_tokens"] == 6 and r["unigram_avg_logprob"] < 0
+    # en docs must score above xx docs on the dsir target weight
+    assert min(got[i]["dsir_logratio"] for i in range(8)) > max(
+        got[100 + i]["dsir_logratio"] for i in range(8)
+    )
+    assert "16 rows scored" in capsys.readouterr().out
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["score-corpus", "--input", src, "--output", out,
+              "--signals", "nonsense"])
