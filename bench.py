@@ -141,6 +141,7 @@ def main() -> None:
         "text_dsir_weights",
         "f_length_buckets",
         "dedup_bloom_filter",
+        "sim_pq_adc",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -714,3 +714,109 @@ def cross_corpus_decontam_pairs(
         .filter(F.col("cosine") >= cosine_threshold)
         .select("train_id", "eval_id", "cosine")
     )
+
+
+# --------------------------------------------- product quantization
+def pq_assign(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization code assignment (Jégou et al. 2011 —
+    public method): split each vector into ``m = len(codebooks)``
+    contiguous subvectors and replace every subvector by the index of
+    its nearest sub-centroid (squared L2). Returns
+    ``(id_col, pq_code)`` with the m sub-codes packed into one long
+    (``code = Σ code_i · ksub^i``) — a 64-dim float32 vector (256 B)
+    compresses to 8 B riding every downstream shuffle.
+
+    The argmin per subspace is an ``array_min`` over (dist, idx)
+    structs — one codegen expression per subspace, ties to the
+    SMALLEST index. Like :func:`centroid_assign` the codebook is
+    compiled into the plan: keep ``m · ksub`` to a few hundred
+    entries; at larger codebooks assign via an ML-pipeline transform
+    instead. Pure narrow projection — no shuffle, no Python.
+    """
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    total = None
+    for i in range(m):
+        sub = F.slice(v, i * dsub + 1, dsub)
+        scored = []
+        for c_idx, cent in enumerate(codebooks[i]):
+            carr = F.array(*[F.lit(float(x)) for x in cent])
+            d = F.aggregate(
+                F.zip_with(sub, carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            scored.append(F.struct(d.alias("d"), F.lit(c_idx).alias("i")))
+        code_i = F.array_min(F.array(*scored))["i"].cast("long")
+        total = code_i if total is None else total + code_i * F.lit(ksub**i)
+    return df.select(F.col(id_col), total.alias("pq_code"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: approximate
+    ``||q − x||²`` as the sum over subspaces of the distance from the
+    query's subvector to x's ASSIGNED sub-centroid. The corpus side of
+    the ranking join is ``(id, 8-byte code)`` — the raw embeddings
+    never ride it, which is the point: at 100 TB of vectors the
+    candidate stream shrinks ~32x versus shipping float32 vectors,
+    and the codes relation is small enough to persist hot.
+
+    ``queries`` must be broadcastable (a query batch). Returns
+    ``(query_id, corpus_id, adc, rank)``, rank 1..k per query by
+    ascending ADC distance, ties to the smallest corpus id. Exactness
+    is bounded by quantization error — rerank the top-k with true
+    distances when recall matters (the standard IVF-PQ recipe).
+    """
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    codes = pq_assign(corpus, codebooks, id_col, vec_col).select(
+        F.col(id_col).alias("corpus_id"), "pq_code"
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    pairs = codes.crossJoin(F.broadcast(q))
+    total = None
+    for i in range(m):
+        code_i = F.pmod(
+            F.floor(F.col("pq_code") / F.lit(ksub**i)), F.lit(ksub)
+        ).cast("int")
+        qsub = F.slice(F.col("_qv"), i * dsub + 1, dsub)
+        # literal nested array (ksub x dsub) — constant-folded once
+        cb = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in cent])
+                for cent in codebooks[i]
+            ]
+        )
+        cent = F.element_at(cb, code_i + 1)
+        d = F.aggregate(
+            F.zip_with(qsub, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        total = d if total is None else total + d
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("corpus_id"))
+    return (
+        pairs.withColumn("adc", total)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "adc", "rank")
+    )

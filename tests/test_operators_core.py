@@ -1699,3 +1699,37 @@ def test_dsir_log_ratio_scores_target_like_docs_higher(spark):
     assert min(got[i]["avg_logratio"] for i in range(10)) > max(
         got[100 + i]["avg_logratio"] for i in range(10)
     )
+
+
+def test_pq_assign_and_adc_recover_planted_codes(spark):
+    """A vector assembled FROM sub-centroids must get exactly those
+    sub-codes, and ADC must rank it at distance ~0 for a query equal
+    to it — the quantize/search contract of product quantization."""
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_assign,
+    )
+
+    # 2 subspaces x 3 centroids x 2 dims
+    cbs = [
+        [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+        [[5.0, 5.0], [6.0, 5.0], [5.0, 6.0]],
+    ]
+    rows = [
+        (1, [1.0, 0.0, 5.0, 6.0]),    # codes (1, 2) -> packed 1 + 2*3 = 7
+        (2, [0.0, 0.0, 5.0, 5.0]),    # codes (0, 0) -> 0
+        (3, [0.9, 0.1, 5.9, 5.1]),    # nearest (1, 1) -> 1 + 1*3 = 4
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes = {r["vec_id"]: r["pq_code"] for r in pq_assign(df, cbs).collect()}
+    assert codes == {1: 7, 2: 0, 3: 4}
+
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 5.0, 6.0])], "query_id long, embedding array<float>"
+    )
+    got = {r["rank"]: r for r in pq_adc_topk(df, q, cbs, k=3).collect()}
+    assert got[1]["corpus_id"] == 1 and abs(got[1]["adc"]) < 1e-12
+    # vectors 2 and 3 both land at ADC 2.0 (codes (0,0): 1+1; codes
+    # (1,1): 0+2) — the tie must break to the smaller corpus id
+    assert got[2]["corpus_id"] == 2 and abs(got[2]["adc"] - 2.0) < 1e-9
+    assert got[3]["corpus_id"] == 3 and abs(got[3]["adc"] - 2.0) < 1e-9
