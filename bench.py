@@ -142,6 +142,7 @@ def main() -> None:
         "f_length_buckets",
         "dedup_bloom_filter",
         "sim_pq_adc",
+        "sim_pq_rerank",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -820,3 +820,65 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "adc", "rank")
     )
+
+
+def pq_adc_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    candidate_mult: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The standard PQ search recipe end-to-end: ADC over the 8-byte
+    codes selects ``k·candidate_mult`` candidates per query (cheap —
+    the corpus embeddings never ride that join), then ONLY the
+    candidates join back to their true vectors for an exact-cosine
+    rerank to the final top-k. Quantization error is confined to
+    candidate SELECTION; the returned ranking is exact over the
+    candidate set — recall loss happens only when a true top-k member
+    falls outside the ADC candidates (tune ``candidate_mult`` /
+    codebook size against that).
+
+    Returns ``(query_id, corpus_id, cosine, rank)`` like
+    :func:`cosine_topk`. Scale shape: candidates per query are
+    ``k·candidate_mult`` rows, so the rerank join's stream side is
+    tiny regardless of corpus size; the candidate→vector join is an
+    equi-join on the corpus id (partition-prunable when the codes
+    relation is co-partitioned with the vectors).
+    """
+    cands = pq_adc_topk(
+        corpus,
+        queries,
+        codebooks,
+        k=k * candidate_mult,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select("query_id", "corpus_id")
+    vecs = corpus.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+    scored = (
+        cands.join(vecs, cands["corpus_id"] == F.col("_cid"))
+        .join(F.broadcast(q), cands["query_id"] == F.col("_qid"))
+        .withColumn(
+            "cosine",
+            F.try_divide(
+                dot(F.col("_cv"), F.col("_qv")), F.col("_cn") * F.col("_qn")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

@@ -5161,6 +5161,61 @@ ORDER BY query_id, rank
 SIM_PQ_SQL = _pq_sql()
 
 
+def sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search end-to-end: ADC over the packed codes selects 20
+    candidates per query, exact cosine reranks them to the top-5 —
+    the standard IVF-PQ recipe's refine step. The oracle re-derives
+    the ADC candidate set from the shared codebook and reranks with
+    DuckDB's cosine, so candidate selection AND the exact refine are
+    both value-gated."""
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        pq_adc_rerank_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_adc_rerank_topk(emb, qs, PQ_CODEBOOKS, k=5, candidate_mult=4)
+    return out.select(
+        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def _pq_rerank_sql() -> str:
+    """Oracle for ``sim_pq_rerank``: the generated ADC ranking
+    truncated at 20 candidates, joined back to the vectors and
+    reranked by list_cosine_similarity."""
+    adc = _pq_sql()
+    # reuse the generated ADC SQL up to the ranked CTE, then rerank
+    head = adc[: adc.index("SELECT query_id, corpus_id, ROUND(adc, 6)")]
+    return (
+        head.rstrip()
+        + """,
+cands AS (SELECT query_id, corpus_id FROM ranked WHERE rank <= 20),
+rr AS (
+    SELECT cands.query_id, cands.corpus_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(qe.embedding AS DOUBLE[])) AS cosine
+    FROM cands
+    JOIN embeddings e ON e.vec_id = cands.corpus_id
+    JOIN embeddings qe ON qe.vec_id = cands.query_id
+),
+rr_ranked AS (
+    SELECT query_id, corpus_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+    FROM rr
+)
+SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+FROM rr_ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+    )
+
+
+SIM_PQ_RERANK_SQL = _pq_rerank_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5193,6 +5248,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "f_length_buckets": (f_length_buckets, F_LENBUCKET_SQL),
     "dedup_bloom_filter": (dedup_bloom_filter, DEDUP_BLOOM_SQL),
     "sim_pq_adc": (sim_pq_adc, SIM_PQ_SQL),
+    "sim_pq_rerank": (sim_pq_rerank, SIM_PQ_RERANK_SQL),
     "k8_start_date": (k8_start_date, K8_START_SQL),
     "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),
