@@ -5216,6 +5216,59 @@ ORDER BY query_id, rank
 SIM_PQ_RERANK_SQL = _pq_rerank_sql()
 
 
+def stream_corpus_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-decontaminating streaming ingest over two file-arrival
+    waves (documents split by doc_id parity) against a static
+    blocklist (the src0 shard's text fingerprints): the union of the
+    accepted and blocked sinks must reproduce the batch anti-join
+    decision for every document — the oracle recomputes md5-level
+    membership directly."""
+    import tempfile
+
+    from curw_flo2d_data_manager_spark.streaming.ingest import (
+        corpus_decontam_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    blocklist = docs.filter(F.col("source") == "src0").select("text")
+    watch = tempfile.mkdtemp(prefix="stream_decontam_src_")
+    out = tempfile.mkdtemp(prefix="stream_decontam_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_decontam_ckpt_")
+    feed = docs.select("doc_id", "text")
+    feed.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{watch}/wave1"
+    )
+    for _ in range(2):  # second pass picks up wave2
+        q = corpus_decontam_stream(
+            spark, f"{watch}/*", out, "doc_id long, text string",
+            blocklist, m_bits=4096, k=3,
+            checkpoint=ckpt, available_now=True,
+        )
+        q.awaitTermination(300)
+        q.stop()
+        feed.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "ignore"
+        ).parquet(f"{watch}/wave2")
+    accepted = spark.read.parquet(f"{out}/accepted").select(
+        "doc_id", F.lit(True).alias("accepted")
+    )
+    blocked = spark.read.parquet(f"{out}/blocked").select(
+        "doc_id", F.lit(False).alias("accepted")
+    )
+    return accepted.unionByName(blocked).orderBy("doc_id")
+
+
+STREAM_DECONTAM_SQL = """
+SELECT d.doc_id,
+       NOT EXISTS (
+           SELECT 1 FROM documents b
+           WHERE b.source = 'src0' AND md5(b.text) = md5(d.text)
+       ) AS accepted
+FROM documents d
+ORDER BY d.doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5249,6 +5302,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_bloom_filter": (dedup_bloom_filter, DEDUP_BLOOM_SQL),
     "sim_pq_adc": (sim_pq_adc, SIM_PQ_SQL),
     "sim_pq_rerank": (sim_pq_rerank, SIM_PQ_RERANK_SQL),
+    "stream_corpus_decontam": (stream_corpus_decontam, STREAM_DECONTAM_SQL),
     "k8_start_date": (k8_start_date, K8_START_SQL),
     "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),

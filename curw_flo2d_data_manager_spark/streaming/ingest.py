@@ -657,3 +657,86 @@ def corpus_neardup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def corpus_decontam_stream(
+    spark: SparkSession,
+    watch_dir: str,
+    out_dir: str,
+    schema: StructType | str,
+    blocklist: DataFrame,
+    key_col: str | None = None,
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    checkpoint: str | None = None,
+    available_now: bool = False,
+):
+    """File-arrival corpus ingest with BLOCKLIST decontamination: every
+    micro-batch drops rows whose fingerprint appears in a static
+    blocklist corpus (benchmark sets, already-trained shards), routing
+    survivors to ``out_dir/accepted/batch=<id>/`` and the blocked rows
+    to the auditable ``out_dir/blocked/batch=<id>/``.
+
+    The Bloom blob over the blocklist is built ONCE when the stream is
+    wired (``dedup.bloom_build`` — distributed aggregation, only the
+    m/8-byte blob reaches the driver) and is then a plan literal in
+    every micro-batch: the probe is map-side, no per-batch blocklist
+    scan on the clean path, and only the candidate sliver (true
+    matches + ~0.1% false positives at the default sizing) joins the
+    blocklist for the exact verify. ``key_col=None`` fingerprints rows
+    as ``md5(text_col)`` on both sides.
+
+    Deterministic per-batch directories are OVERWRITTEN on replay, so
+    with checkpointed file discovery a crashed-and-retried micro-batch
+    converges to the same files — exactly-once, same argument as
+    ``corpus_quality_stream``. Returns the started ``StreamingQuery``.
+    """
+    import os
+
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    def keyed(df: DataFrame) -> tuple[DataFrame, str]:
+        if key_col is not None:
+            return df, key_col
+        return df.withColumn("_fp", F.md5(F.col(text_col))), "_fp"
+
+    blk, bkey = keyed(blocklist)
+    blk_keys = blk.select(F.col(bkey).alias("_blk_key")).distinct()
+    blob = bloom_build(blk_keys, "_blk_key", m_bits=m_bits, k=k)
+
+    stream = spark.readStream.schema(schema).parquet(watch_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        probed, ckey = keyed(batch_df)
+        probed = probed.withColumn(
+            "_hit", bloom_might_contain(blob, F.col(ckey), m_bits, k=k)
+        ).persist()
+        try:
+            clean = probed.filter(~F.col("_hit"))
+            sliver = probed.filter(F.col("_hit"))
+            verified = sliver.join(
+                blk_keys, sliver[ckey] == F.col("_blk_key"), "left_anti"
+            )
+            blocked = sliver.join(
+                blk_keys, sliver[ckey] == F.col("_blk_key"), "left_semi"
+            )
+            drop = ["_hit"] + ([] if key_col is not None else ["_fp"])
+            clean.unionByName(verified).drop(*drop).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, "accepted", f"batch={batch_id}"))
+            blocked.drop(*drop).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "blocked", f"batch={batch_id}")
+            )
+        finally:
+            probed.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -19,9 +19,10 @@ REQUIRED_IN_WINDOW = {
     "stream_corpus_quality", "a_approx_percentiles", "text_chunk_documents",
     "text_frequent_terms", "text_epoch_plan", "stream_corpus_neardup",
     "f_materialize_mixture",
-    # the six round-7 additions
+    # the seven round-7 additions
     "sim_knn_graph", "text_dsir_weights", "f_length_buckets",
     "dedup_bloom_filter", "sim_pq_adc", "sim_pq_rerank",
+    "stream_corpus_decontam",
     # gates over code touched in round 7 (update_run_dates fgt_mode,
     # try_divide in the cosine pair path, centroid_assign zero-norm
     # sentinel, frequent_terms exact threshold — the latter is already
@@ -40,9 +41,9 @@ REQUIRED_IN_WINDOW = {
     "j1_calendar_spine", "j2_dim_enrichment", "j6_nearest_rank1",
     "j8_gap_fill", "j_asof_join", "j_range_join",
     "a2_resample_right_closed", "a4_cumulative_fraction", "w3_fill_down",
-    "w_sessionize_events",
-    # (x4_json_extract and q12_priority_case, certified r5, yielded
-    # their slots to sim_pq_adc / sim_pq_rerank; rotate back round 8)
+    # (x4_json_extract, q12_priority_case, and w_sessionize_events,
+    # certified r5, yielded their slots to sim_pq_adc / sim_pq_rerank /
+    # stream_corpus_decontam; rotate back round 8)
 }
 
 

@@ -418,3 +418,54 @@ def test_corpus_neardup_stream_signature_ledger(spark, tmp_path):
     run()  # replay with nothing new
     assert sorted(r["doc_id"] for r in
                   spark.read.parquet(f"{out}/docs").collect()) == [1, 2, 4]
+
+
+def test_corpus_decontam_stream_blocks_and_replays(spark, tmp_path):
+    """Blocklist decontamination across waves: blocklisted texts land
+    in the blocked sink with full audit rows, everything else is
+    accepted unchanged, an adversarially tiny Bloom (guaranteed false
+    positives) never changes the decision, and replay with the same
+    checkpoint is idempotent."""
+    from curw_flo2d_data_manager_spark.streaming.ingest import (
+        corpus_decontam_stream,
+    )
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    blocklist = spark.createDataFrame(
+        [(f"blocked body {i}",) for i in range(30)], "text string"
+    )
+
+    def run():
+        q = corpus_decontam_stream(
+            spark, str(watch / "*"), out, schema, blocklist,
+            m_bits=64, k=2,  # tiny on purpose: force false positives
+            checkpoint=ckpt, available_now=True,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    spark.createDataFrame(
+        [(1, "clean one"), (2, "blocked body 3"), (3, "clean two")], schema
+    ).coalesce(1).write.parquet(str(watch / "wave1"))
+    run()
+    spark.createDataFrame(
+        [(4, "blocked body 17"), (5, "clean three")], schema
+    ).coalesce(1).write.parquet(str(watch / "wave2"))
+    run()
+
+    acc = sorted(r["doc_id"] for r in spark.read.parquet(f"{out}/accepted").collect())
+    blk = sorted(r["doc_id"] for r in spark.read.parquet(f"{out}/blocked").collect())
+    assert acc == [1, 3, 5] and blk == [2, 4]
+    # accepted rows: original columns + the batch provenance partition;
+    # no probe/fingerprint helper columns leak through
+    assert set(spark.read.parquet(f"{out}/accepted").columns) == {
+        "doc_id", "text", "batch",
+    }
+
+    run()  # replay: nothing new, same outputs
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(f"{out}/accepted").collect()) == [1, 3, 5]
