@@ -143,6 +143,8 @@ def main() -> None:
         "dedup_bloom_filter",
         "sim_pq_adc",
         "sim_pq_rerank",
+        "text_ccnet_buckets",
+        "text_hash_classifier",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -809,3 +809,97 @@ def dsir_log_ratio(
              + F.lit(0.0)).alias("avg_logratio"),
         )
     )
+
+
+def logprob_buckets(
+    scored: "DataFrame",
+    score_col: str = "avg_logprob",
+    labels: tuple[str, str, str] = ("tail", "middle", "head"),
+) -> "DataFrame":
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 — public
+    method): split a scored corpus into head/middle/tail terciles of
+    LM log-probability (head = most fluent under the LM). Feed
+    :func:`unigram_logprob`/:func:`bigram_logprob` output in.
+
+    Buckets are assigned by comparing against the corpus's exact
+    continuous tercile THRESHOLDS (one 2-value aggregate, broadcast
+    back) rather than a global ``ntile`` sort: ties stay together, the
+    assignment is engine-portable, and the plan has no corpus-wide
+    single-reducer window — the 100-TB shape. Adds a ``bucket``
+    column; all input columns pass through.
+    """
+    cuts = scored.agg(
+        F.expr(
+            f"percentile({score_col}, array(1.0D/3.0D, 2.0D/3.0D))"
+        ).alias("_cuts")
+    )
+    return (
+        scored.join(F.broadcast(cuts))
+        .withColumn(
+            "bucket",
+            F.when(F.col(score_col) <= F.element_at("_cuts", 1), labels[0])
+            .when(F.col(score_col) <= F.element_at("_cuts", 2), labels[1])
+            .otherwise(labels[2]),
+        )
+        .drop("_cuts")
+    )
+
+
+def hash_classifier_score(
+    df: "DataFrame",
+    id_col: str,
+    weights: list[float],
+    bias: float = 0.0,
+    text_col: str = "text",
+) -> "DataFrame":
+    """Linear text classifier over HASHED bag-of-words features — the
+    fastText-style quality-classifier shape used by public pretraining
+    pipelines (train the weights offline, score the corpus at scale):
+
+        score(doc) = sigmoid(bias + Σ_w tf(doc,w)·W[h(w)] / n_tokens)
+
+    ``h(w)`` buckets terms by the first 8 hex digits of ``md5(w)``
+    modulo ``len(weights)`` — engine-portable (any SQL engine can
+    re-derive it) and partition-independent. The weight table joins as
+    a broadcast relation rather than a literal array lookup (a
+    ``lit(list)`` is a per-row CreateArray — the Bloom-filter lesson),
+    so the plan is: one tokenize into per-(doc, term) counts, one
+    broadcast join, one doc aggregate. Returns
+    (id, n_tokens, score) with score rounded to 6 decimals.
+    """
+    dim = len(weights)
+    if dim < 1:
+        raise ValueError("weights must be non-empty")
+    spark = df.sparkSession
+    wtab = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate(weights)], "bucket int, w double"
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+        % dim
+    ).cast("int")
+    scored = tf.withColumn("bucket", bucket).join(F.broadcast(wtab), "bucket")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(
+                            F.lit(float(bias))
+                            + F.sum(F.col("tf") * F.col("w")) / F.sum("tf")
+                        )
+                    )
+                ),
+                6,
+            ).alias("score"),
+        )
+    )

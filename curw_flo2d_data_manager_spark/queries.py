@@ -5269,6 +5269,125 @@ ORDER BY d.doc_id
 """
 
 
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document under the in-corpus unigram LM, then split into
+    head/middle/tail terciles by exact continuous thresholds —
+    broadcast cuts, no corpus-wide sort. The standard quality-tiering
+    step before mixture construction."""
+    from curw_flo2d_data_manager_spark.operators.caching import (
+        cache_mark,
+        release_caches_since,
+    )
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        logprob_buckets,
+        unigram_logprob,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mark = cache_mark()
+    try:
+        scored = unigram_logprob(docs, "doc_id")
+        out = logprob_buckets(scored).select(
+            "doc_id", "avg_logprob", "bucket"
+        ).orderBy("doc_id")
+        out = out.localCheckpoint(eager=True)  # materialize before release
+    finally:
+        release_caches_since(mark)
+    return out
+
+
+TEXT_CCNET_SQL = """
+WITH w AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+') AS words
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) != ''
+),
+tok AS (SELECT doc_id, unnest(words) AS term FROM w),
+uni AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS n_tok, COUNT(*) AS vocab FROM uni),
+scored AS (
+    SELECT t.doc_id, ln((u.cnt + 1.0) / (tot.n_tok + tot.vocab)) AS lp
+    FROM tok t JOIN uni u USING (term) CROSS JOIN tot
+),
+doc AS (
+    SELECT doc_id, ROUND(AVG(lp), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id
+),
+cuts AS (
+    SELECT quantile_cont(avg_logprob, 1.0/3.0) AS t1,
+           quantile_cont(avg_logprob, 2.0/3.0) AS t2
+    FROM doc
+)
+SELECT doc_id, avg_logprob,
+       CASE WHEN avg_logprob <= t1 THEN 'tail'
+            WHEN avg_logprob <= t2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM doc CROSS JOIN cuts
+ORDER BY doc_id
+"""
+
+
+def _classifier_weights(dim: int = 64, seed: int = 424242) -> list[float]:
+    """Deterministic stand-in classifier weights (LCG, 6-decimal
+    literals) shared by the Spark query and the generated oracle — in
+    production these come from an offline-trained quality model."""
+    x = seed
+    out = []
+    for _ in range(dim):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append(round(x / (1 << 31) * 4.0 - 2.0, 6))
+    return out
+
+
+CLASSIFIER_WEIGHTS = _classifier_weights()
+
+
+def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear classifier scoring: per-doc
+    sigmoid of the mean hashed-bag-of-words weight under a provided
+    (offline-trained) weight vector — the quality-classifier filter
+    shape of public pretraining pipelines, md5-bucketed so any engine
+    re-derives the same features."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        hash_classifier_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return hash_classifier_score(
+        docs, "doc_id", CLASSIFIER_WEIGHTS, bias=0.25
+    ).orderBy("doc_id")
+
+
+def _classifier_sql() -> str:
+    vals = ", ".join(
+        f"({i}, {w!r})" for i, w in enumerate(CLASSIFIER_WEIGHTS)
+    )
+    return f"""
+WITH w AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{{ffff}}-]+', ' ', 'g')), '\\s+') AS words
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{{ffff}}-]+', ' ', 'g')) != ''
+),
+tok AS (SELECT doc_id, unnest(words) AS term FROM w),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+wt(bucket, wgt) AS (VALUES {vals}),
+joined AS (
+    SELECT tf.doc_id, tf.tf, wt.wgt
+    FROM tf JOIN wt
+      ON CAST(concat('0x', substring(md5(tf.term), 1, 8)) AS BIGINT) % 64 = wt.bucket
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(1.0 / (1.0 + exp(-(0.25 + SUM(tf * wgt) / SUM(tf)))), 6) AS score
+FROM joined GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+TEXT_CLASSIFIER_SQL = _classifier_sql()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5303,6 +5422,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_pq_adc": (sim_pq_adc, SIM_PQ_SQL),
     "sim_pq_rerank": (sim_pq_rerank, SIM_PQ_RERANK_SQL),
     "stream_corpus_decontam": (stream_corpus_decontam, STREAM_DECONTAM_SQL),
+    "text_ccnet_buckets": (text_ccnet_buckets, TEXT_CCNET_SQL),
+    "text_hash_classifier": (text_hash_classifier, TEXT_CLASSIFIER_SQL),
     "k8_start_date": (k8_start_date, K8_START_SQL),
     "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),

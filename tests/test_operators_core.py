@@ -1733,3 +1733,61 @@ def test_pq_assign_and_adc_recover_planted_codes(spark):
     # (1,1): 0+2) — the tie must break to the smaller corpus id
     assert got[2]["corpus_id"] == 2 and abs(got[2]["adc"] - 2.0) < 1e-9
     assert got[3]["corpus_id"] == 3 and abs(got[3]["adc"] - 2.0) < 1e-9
+
+
+def test_logprob_buckets_terciles_and_tie_cohesion(spark):
+    """logprob_buckets: thresholds split the corpus ~evenly, equal
+    scores always share a bucket (no ntile tie-splitting), and all
+    input columns pass through."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.textstats import logprob_buckets
+
+    rows = [(i, float(-(i % 30)) / 10.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, avg_logprob double")
+    got = logprob_buckets(df).collect()
+    assert len(got) == 300 and {r["bucket"] for r in got} == {
+        "head", "middle", "tail",
+    }
+    by_score = {}
+    for r in got:
+        by_score.setdefault(r["avg_logprob"], set()).add(r["bucket"])
+    assert all(len(b) == 1 for b in by_score.values())  # ties cohere
+    # ordering: higher logprob never lands in a lower bucket
+    rank = {"tail": 0, "middle": 1, "head": 2}
+    pairs = sorted((r["avg_logprob"], rank[r["bucket"]]) for r in got)
+    assert all(pairs[i][1] <= pairs[i + 1][1] for i in range(len(pairs) - 1))
+
+
+def test_hash_classifier_score_separates_by_weights(spark):
+    """hash_classifier_score: a doc made of positively-weighted terms
+    scores above 0.5+bias territory while negatively-weighted terms
+    score low; scores are deterministic re-run to re-run."""
+    import hashlib
+
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        hash_classifier_score,
+    )
+
+    dim = 16
+
+    def bucket(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % dim
+
+    # craft weights so 'goodword' is strongly positive, 'badword' negative
+    weights = [0.0] * dim
+    weights[bucket("goodword")] = 3.0
+    weights[bucket("badword")] = -3.0
+    df = spark.createDataFrame(
+        [(1, "goodword goodword goodword"), (2, "badword badword")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           hash_classifier_score(df, "doc_id", weights).collect()}
+    assert got[1]["score"] > 0.9 and got[2]["score"] < 0.1
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_classifier_score(df, "doc_id", [])
