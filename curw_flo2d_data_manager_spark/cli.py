@@ -736,6 +736,46 @@ def cmd_import_corpus(args) -> None:
     print(f"imported {n} rows -> {args.output}")
 
 
+def cmd_export_corpus(args) -> None:
+    """Parquet → JSONL shard export: the back door of the pipeline —
+    ship a cleaned/mixed corpus to a trainer that consumes line-
+    delimited JSON. Shard assignment is DETERMINISTIC (md5 bucket of
+    the sort key, the split_assign trick), so re-exports produce the
+    same document→shard mapping; optional gzip. Each shard is one
+    file under <output>/ written by Spark's json sink."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="export-corpus")
+    df = spark.read.parquet(args.input)
+    if args.key_col not in df.columns:
+        raise SystemExit(f"--key-col {args.key_col!r} not in input ({df.columns})")
+    shards = max(1, args.shards)
+    # explicit shard DIRECTORIES (shard=K/): repartition(n, expr) hashes
+    # the expression, so two md5 buckets can collide into one partition
+    # and leave another empty — partitionBy keys the layout by VALUE
+    out = df.withColumn(
+        "_shard",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(args.key_col).cast("string")), 1, 8),
+                16, 10,
+            ).cast("long"),
+            F.lit(shards),
+        ),
+    ).repartition(shards, F.col("_shard"))
+    writer = out.write.partitionBy("_shard").mode("overwrite")
+    if args.gzip:
+        writer = writer.option("compression", "gzip")
+    writer.json(args.output)
+    n = spark.read.json(args.output).drop("_shard").count()
+    print(
+        f"exported {n} rows -> {args.output} "
+        f"({shards} shards{', gzip' if args.gzip else ''})"
+    )
+
+
 def cmd_split_corpus(args) -> None:
     """Materialize a deterministic leak-free train/val/test split:
     one pass per split (pure hash filter, no shuffle), each written
@@ -1163,6 +1203,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--files", type=int, default=None,
                     help="output file count (default: shuffle partitions)")
     sp.set_defaults(fn=cmd_import_corpus)
+
+    sp = sub.add_parser(
+        "export-corpus",
+        help="parquet corpus -> deterministic JSONL shards (optional gzip)",
+    )
+    sp.add_argument("--input", required=True, help="input parquet path")
+    sp.add_argument("--output", required=True, help="output JSONL directory")
+    sp.add_argument("--key-col", default="doc_id",
+                    help="column whose md5 decides the shard (stable re-exports)")
+    sp.add_argument("--shards", type=int, default=8)
+    sp.add_argument("--gzip", action="store_true")
+    sp.set_defaults(fn=cmd_export_corpus)
 
     sp = sub.add_parser(
         "split-corpus",
