@@ -340,3 +340,75 @@ def test_dsir_single_tokenize_and_partial_aggregates(spark, sf_dir):
         assert "BatchEvalPython" not in plan
     finally:
         release_caches()
+
+
+def test_pq_assign_is_narrow_and_adc_ships_codes_not_vectors(spark, sf_dir):
+    """pq_assign must be a pure narrow projection (no Exchange, no
+    Python); pq_adc_topk's ranking join must carry the packed code,
+    never SortMergeJoin or CartesianProduct — the broadcast query side
+    makes it a BroadcastNestedLoop by design."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_assign,
+    )
+    from curw_flo2d_data_manager_spark.queries import PQ_CODEBOOKS
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign_plan = plan_of(pq_assign(emb, PQ_CODEBOOKS))
+    assert "Exchange" not in assign_plan
+    assert "BatchEvalPython" not in assign_plan
+
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    adc_plan = plan_of(pq_adc_topk(emb, qs, PQ_CODEBOOKS, k=5), mode="simple")
+    assert "SortMergeJoin" not in adc_plan
+    assert "CartesianProduct" not in adc_plan
+    assert "BatchEvalPython" not in adc_plan
+
+
+def test_ccnet_buckets_broadcast_cuts_no_global_sort(spark, sf_dir):
+    """logprob_buckets must assign by broadcast thresholds — a global
+    ntile/rank Window over the corpus would funnel 100 TB through one
+    reducer. The only acceptable window-free plan: aggregate to the
+    2-value cuts, broadcast-join back."""
+    from curw_flo2d_data_manager_spark.operators.caching import release_caches
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        logprob_buckets,
+        unigram_logprob,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    try:
+        plan = plan_of(logprob_buckets(unigram_logprob(docs, "doc_id")),
+                       mode="simple")
+        assert "Window" not in plan
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row cuts join
+        assert "BatchEvalPython" not in plan
+    finally:
+        release_caches()
+
+
+def test_hash_classifier_broadcasts_weights_and_partial_aggregates(spark, sf_dir):
+    """hash_classifier_score: the weight table joins broadcast (never
+    a shuffle of the tf relation against a 64-row dim) and the doc
+    aggregate partial-aggregates before its exchange."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        hash_classifier_score,
+    )
+    from curw_flo2d_data_manager_spark.queries import CLASSIFIER_WEIGHTS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = plan_of(
+        hash_classifier_score(docs, "doc_id", CLASSIFIER_WEIGHTS),
+        mode="simple",
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan

@@ -530,3 +530,111 @@ def test_split_assign_partitions_exactly(spark, fracs):
     assert set(assigned) <= set(names)
     if total >= 1.0 - 1e-9:
         assert len(assigned) == 300  # fully partitioned
+
+
+@SETTINGS
+@given(
+    corpus_keys=st.lists(st.integers(min_value=0, max_value=60),
+                         min_size=1, max_size=40, unique=True),
+    block_keys=st.lists(st.integers(min_value=0, max_value=60),
+                        min_size=0, max_size=25, unique=True),
+    m_bits=st.sampled_from([64, 128, 1024]),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_bloom_blocklist_filter_equals_plain_anti_join(
+    spark, corpus_keys, block_keys, m_bits, k
+):
+    """For ANY corpus/blocklist and ANY filter sizing — including
+    saturated 64-bit filters where almost every probe is a false
+    positive — bloom_blocklist_filter must return exactly the plain
+    anti-join's rows."""
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        bloom_blocklist_filter,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"key-{i}") for i in corpus_keys], "id long, fp string"
+    )
+    blocklist = spark.createDataFrame(
+        [(f"key-{i}",) for i in block_keys] or [("never-matches",)],
+        "fp string",
+    )
+    got = {r["id"] for r in bloom_blocklist_filter(
+        corpus, blocklist, "fp", m_bits=m_bits, k=k).collect()}
+    want = set(corpus_keys) - (set(block_keys) if block_keys else set())
+    assert got == want
+
+
+@SETTINGS
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=300),
+                  min_size=1, max_size=40),
+    batch_size=st.integers(min_value=1, max_value=7),
+    n_shards=st.integers(min_value=1, max_value=4),
+)
+def test_length_buckets_match_python_oracle(spark, lens, batch_size, n_shards):
+    """length_bucketed_batches == a pure-Python re-derivation: same
+    bucket, same shard, same (batch_idx, batch_pos) under the md5
+    order — for any lengths, batch size, and shard count."""
+    import hashlib
+
+    from curw_flo2d_data_manager_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    edges = [10, 50, 200]
+    rows = [(i, ln) for i, ln in enumerate(lens)]
+    df = spark.createDataFrame(rows, "id long, len long")
+    got = {r["id"]: (r["bucket"], r["shard"], r["batch_idx"], r["batch_pos"])
+           for r in length_bucketed_batches(
+               df, "id", "len", batch_size=batch_size,
+               boundaries=edges, n_shards=n_shards).collect()}
+
+    def oracle():
+        out = {}
+        groups = {}
+        for i, ln in rows:
+            md5 = hashlib.md5(str(i).encode()).hexdigest()
+            bucket = sum(1 for b in edges if b <= ln)
+            shard = int(md5[:8], 16) % n_shards
+            groups.setdefault((bucket, shard), []).append((md5, i, ln))
+        for (bucket, shard), members in groups.items():
+            for pos, (_, i, ln) in enumerate(sorted(members)):
+                out[i] = (bucket, shard, pos // batch_size, pos % batch_size)
+        return out
+
+    assert got == oracle()
+
+
+@SETTINGS
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(min_value=-1, max_value=1, allow_nan=False,
+                           width=32), min_size=4, max_size=4),
+        min_size=1, max_size=15,
+    )
+)
+def test_pq_assign_matches_numpy_argmin(spark, vecs):
+    """pq_assign's packed codes == numpy per-subspace squared-L2
+    argmin (first-min tie break) for arbitrary float vectors."""
+    import numpy as np
+
+    from curw_flo2d_data_manager_spark.operators.similarity import pq_assign
+
+    cbs = [
+        [[0.5, 0.5], [-0.5, 0.5], [0.0, -0.7]],
+        [[0.9, 0.0], [0.0, 0.9], [-0.9, -0.9]],
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["pq_code"] for r in pq_assign(df, cbs).collect()}
+    arr = np.array(vecs, dtype=np.float32).astype(np.float64)
+    for i, v in enumerate(arr):
+        code = 0
+        for s in range(2):
+            sub = v[2 * s: 2 * s + 2]
+            d = [((sub - np.array(c)) ** 2).sum() for c in cbs[s]]
+            code += int(np.argmin(d)) * (3 ** s)
+        assert got[i] == code, (i, vecs[i])
