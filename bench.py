@@ -145,6 +145,7 @@ def main() -> None:
         "sim_pq_rerank",
         "text_ccnet_buckets",
         "text_hash_classifier",
+        "sim_ivfpq",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -793,29 +793,11 @@ def pq_adc_topk(
         F.col(vec_col).cast("array<double>").alias("_qv"),
     )
     pairs = codes.crossJoin(F.broadcast(q))
-    total = None
-    for i in range(m):
-        code_i = F.pmod(
-            F.floor(F.col("pq_code") / F.lit(ksub**i)), F.lit(ksub)
-        ).cast("int")
-        qsub = F.slice(F.col("_qv"), i * dsub + 1, dsub)
-        # literal nested array (ksub x dsub) — constant-folded once
-        cb = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in cent])
-                for cent in codebooks[i]
-            ]
-        )
-        cent = F.element_at(cb, code_i + 1)
-        d = F.aggregate(
-            F.zip_with(qsub, cent, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        total = d if total is None else total + d
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("corpus_id"))
     return (
-        pairs.withColumn("adc", total)
+        pairs.withColumn(
+            "adc", _adc_dist(F.col("_qv"), F.col("pq_code"), codebooks)
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "adc", "rank")
@@ -873,6 +855,133 @@ def pq_adc_rerank_topk(
                 dot(F.col("_cv"), F.col("_qv")), F.col("_cn") * F.col("_qn")
             ),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def _adc_dist(
+    qv: Column, code: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """Asymmetric distance from a query vector to a packed PQ code:
+    Σ_i ||q_sub_i − centroid(i, code_i)||². Pure Column expression;
+    the codebook folds into the plan as nested array literals."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    total = None
+    for i in range(m):
+        code_i = F.pmod(F.floor(code / F.lit(ksub**i)), F.lit(ksub)).cast("int")
+        qsub = F.slice(qv, i * dsub + 1, dsub)
+        cb = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cent]) for cent in codebooks[i]]
+        )
+        cent = F.element_at(cb, code_i + 1)
+        d = F.aggregate(
+            F.zip_with(qsub, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        total = d if total is None else total + d
+    return total
+
+
+def ivfpq_query(
+    assignments: DataFrame,
+    centers: list[list[float]],
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    candidate_mult: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """The full IVF-PQ retrieval stack (the 100-TB ANN recipe) as one
+    operator: IVF partition pruning → ADC over packed codes inside the
+    probed cells → exact-cosine rerank of the short candidate list.
+
+    1. **Probe**: rank centroids per query in the quantizer's metric,
+       keep ``nprobe`` — with the codes relation persisted
+       ``partitionBy(cluster)``, the equi-join reads only
+       nprobe/n_clusters of the index (partition pruning).
+    2. **ADC**: candidates rank by asymmetric distance computed from
+       the 8-byte code — the probed cells' float vectors are NOT read;
+       only ``k·candidate_mult`` survivors per query continue.
+    3. **Rerank**: the survivors join back to their true vectors for
+       the exact top-k, so quantization error affects candidate
+       SELECTION only.
+
+    ``assignments`` is ``build_ivf_index`` output ``(corpus_id,
+    embedding, cluster)``; pass ``codes`` (``(corpus_id, cluster,
+    pq_code)``) to reuse a persisted code relation, else codes are
+    derived in-plan. Output schema matches :func:`cosine_topk`.
+    """
+    if codes is None:
+        codes = assignments.select(
+            "corpus_id",
+            F.col("cluster"),
+            F.col(vec_col).alias("_v"),
+        )
+        codes = (
+            pq_assign(codes, codebooks, id_col="corpus_id", vec_col="_v")
+            .join(assignments.select("corpus_id", "cluster"), "corpus_id")
+        )
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    centers_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in ctr]) for ctr in centers]
+    )
+    sqdist = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    q_probes = (
+        q.withColumn("_ctrs", centers_arr)
+        .select("query_id", "_qv", F.posexplode("_ctrs").alias("cluster", "_ctr"))
+        .withColumn("_qdist", sqdist(_unit(F.col("_qv")), F.col("_ctr")))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.asc("_qdist"), F.asc("cluster")
+    )
+    q_sel = (
+        q_probes.withColumn("_prk", F.row_number().over(w_probe))
+        .filter(F.col("_prk") <= nprobe)
+        .select("query_id", "_qv", "cluster")
+    )
+
+    cand = codes.join(F.broadcast(q_sel), "cluster").withColumn(
+        "_adc", _adc_dist(F.col("_qv"), F.col("pq_code"), codebooks)
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("_adc"), F.asc("corpus_id")
+    )
+    short = (
+        cand.withColumn("_ark", F.row_number().over(w_adc))
+        .filter(F.col("_ark") <= k * candidate_mult)
+        .select("query_id", "corpus_id", "_qv")
+    )
+
+    vecs = assignments.select(
+        F.col("corpus_id").alias("_cid"), F.col(vec_col).alias("_cv")
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    scored = short.join(vecs, short["corpus_id"] == F.col("_cid")).withColumn(
+        "cosine",
+        F.try_divide(
+            dot(F.col("_cv"), F.col("_qv")),
+            F.col("_cn") * l2_norm(F.col("_qv")),
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("corpus_id")

@@ -5388,6 +5388,55 @@ FROM joined GROUP BY doc_id ORDER BY doc_id
 TEXT_CLASSIFIER_SQL = _classifier_sql()
 
 
+def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ retrieval stack (partition-pruned probe → ADC
+    over packed codes → exact rerank) with the planted full oracle of
+    `sim_ivf_topk`: every vector has a verbatim copy, so each of 50
+    queries MUST return itself at rank 1 and its copy at rank 2 with
+    cosine exactly 1 — a broken cell assignment, code, ADC ranking, or
+    rerank drops one of them and breaks the hash match.
+
+    ``candidate_mult`` is saturated past the probed-cell population so
+    the gate certifies the probe+ADC+rerank COMPOSITION exactly (the
+    synthetic corpus collapses many vectors onto identical PQ codes,
+    making a selective ADC cut tie-broken and data-dependent); the ADC
+    cut's selectivity is separately value-certified by `sim_pq_adc` /
+    `sim_pq_rerank` and recall-certified at 1M vectors by
+    `tools/bench_pq_scale.py`."""
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        build_ivf_index,
+        ivfpq_query,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    assigned, centers = build_ivf_index(corpus, n_clusters=8)
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_query(
+        assigned, centers, queries, PQ_CODEBOOKS,
+        k=2, nprobe=2, candidate_mult=1000,
+    )
+    return out.select(
+        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+SIM_IVFPQ_SQL = """
+SELECT vec_id AS query_id, vec_id AS corpus_id,
+       CAST(1.0 AS DOUBLE) AS cosine, 1 AS rank
+FROM embeddings WHERE vec_id < 50
+UNION ALL
+SELECT vec_id, vec_id + 1000000, CAST(1.0 AS DOUBLE), 2
+FROM embeddings WHERE vec_id < 50
+ORDER BY query_id, rank
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5424,6 +5473,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stream_corpus_decontam": (stream_corpus_decontam, STREAM_DECONTAM_SQL),
     "text_ccnet_buckets": (text_ccnet_buckets, TEXT_CCNET_SQL),
     "text_hash_classifier": (text_hash_classifier, TEXT_CLASSIFIER_SQL),
+    "sim_ivfpq": (sim_ivfpq, SIM_IVFPQ_SQL),
     "k8_start_date": (k8_start_date, K8_START_SQL),
     "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),

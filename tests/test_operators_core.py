@@ -1791,3 +1791,57 @@ def test_hash_classifier_score_separates_by_weights(spark):
 
     with _pytest.raises(ValueError):
         hash_classifier_score(df, "doc_id", [])
+
+
+def test_ivfpq_query_selective_cut_finds_planted_partner(spark):
+    """ivfpq_query with a SELECTIVE ADC cut (small candidate_mult) and
+    data-trained discriminative codebooks: planted near-duplicate
+    partners survive the probe AND the ADC cut and land at rank 2
+    behind the query itself — the full IVF-PQ stack working as a
+    retrieval system, not just as a composition."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        build_ivf_index,
+        ivfpq_query,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 800, 16
+    base = rng.normal(size=(n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i in range(n):
+        v = base[i].copy()
+        if i % 100 == 1:  # partner of i-1
+            v = base[i - 1] + rng.normal(scale=0.02, size=dim)
+            v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # train 4x8 codebooks on the data itself (tiny Lloyd's on driver)
+    sample = np.array([r[1] for r in rows])
+    books = []
+    for s in range(4):
+        x = sample[:, s * 4: (s + 1) * 4]
+        cent = x[rng.choice(n, 8, replace=False)].copy()
+        for _ in range(8):
+            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(8):
+                if (a == c).any():
+                    cent[c] = x[a == c].mean(axis=0)
+        books.append([[round(float(v), 6) for v in row] for row in cent])
+
+    assigned, centers = build_ivf_index(df, n_clusters=4)
+    queries = df.filter(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_query(
+        assigned, centers, queries, books, k=2, nprobe=2, candidate_mult=8
+    ).collect()
+    got = {(r["query_id"], r["rank"]): r["corpus_id"] for r in out}
+    for q in range(1, n, 100):
+        assert got[(q, 1)] == q          # the query itself
+        assert got[(q, 2)] == q - 1      # its planted partner
