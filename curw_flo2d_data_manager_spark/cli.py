@@ -935,6 +935,60 @@ def cmd_score_corpus(args) -> None:
     )
 
 
+def cmd_prepare_corpus(args) -> None:
+    """One-shot training-data pipeline runner: execute a JSON spec of
+    corpus stages (import-corpus, dedup-corpus, decontam-corpus,
+    score-corpus, split-corpus, chunk-corpus, materialize-mix,
+    export-corpus, ...) in order, each through its own CLI entry — so
+    every stage keeps its full argument validation — with manifest-
+    style idempotence: a stage whose ``output`` directory already
+    exists is SKIPPED (same F9 get-or-create contract as the FLO-2D
+    generators), so a crashed run resumes where it stopped. ``--force``
+    re-runs everything.
+
+    Spec format::
+
+        {"stages": [
+          {"run": "import-corpus",
+           "args": {"input": "raw/*.jsonl", "output": "work/raw",
+                    "schema": "doc_id long, text string"}},
+          {"run": "dedup-corpus",
+           "args": {"input": "work/raw", "output": "work/dedup",
+                    "keep_only": true}}
+        ]}
+
+    Boolean true emits a bare flag; stage outputs chain by path.
+    """
+    import json as _json
+
+    spec = _json.load(open(args.spec))
+    stages = spec.get("stages")
+    if not isinstance(stages, list) or not stages:
+        raise SystemExit(f"{args.spec}: spec needs a non-empty 'stages' list")
+    for i, stage in enumerate(stages):
+        name = stage.get("run")
+        stage_args = stage.get("args", {})
+        if not name or not isinstance(stage_args, dict):
+            raise SystemExit(f"stage {i}: needs 'run' and dict 'args'")
+        out = stage_args.get("output")
+        if out and os.path.exists(out) and not args.force:
+            print(f"[prepare-corpus {i + 1}/{len(stages)}] {name}: "
+                  f"output {out} exists, skipping (F9)")
+            continue
+        argv = [name]
+        for k, v in stage_args.items():
+            flag = f"--{k}"
+            if isinstance(v, bool):
+                if v:
+                    argv.append(flag)
+            else:
+                argv.extend([flag, str(v)])
+        print(f"[prepare-corpus {i + 1}/{len(stages)}] {name} "
+              f"{' '.join(argv[1:])}")
+        main(argv)
+    print(f"prepare-corpus: {len(stages)} stages complete")
+
+
 def cmd_corpus_stats(args) -> None:
     """One-pass corpus health report: per-(lang, source) doc/token
     counts, mixture weights, and mean quality signals — the look-
@@ -1215,6 +1269,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--shards", type=int, default=8)
     sp.add_argument("--gzip", action="store_true")
     sp.set_defaults(fn=cmd_export_corpus)
+
+    sp = sub.add_parser(
+        "prepare-corpus",
+        help="run a JSON pipeline spec of corpus stages with "
+             "skip-if-output-exists resumability",
+    )
+    sp.add_argument("--spec", required=True, help="pipeline spec JSON path")
+    sp.add_argument("--force", action="store_true",
+                    help="re-run stages whose output already exists")
+    sp.set_defaults(fn=cmd_prepare_corpus)
 
     sp = sub.add_parser(
         "split-corpus",

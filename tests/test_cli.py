@@ -797,3 +797,54 @@ def test_export_corpus_cli_roundtrip_deterministic_shards(spark, tmp_path, capsy
     got = {(r["doc_id"], r["text"], r["lang"])
            for r in spark.read.parquet(back).collect()}
     assert got == set(rows)
+
+
+def test_prepare_corpus_pipeline_runs_and_resumes(spark, tmp_path, capsys):
+    """prepare-corpus executes a multi-stage spec end-to-end (import →
+    dedup keep-one → split), then a re-run SKIPS every completed stage
+    (F9 idempotence) and --force re-runs them."""
+    import gzip
+    import json as _json
+
+    raw = tmp_path / "raw.jsonl"
+    docs = [{"doc_id": i, "text": f"unique body {i}"} for i in range(40)]
+    docs += [{"doc_id": 100 + i, "text": f"unique body {i}"} for i in range(10)]
+    raw.write_text("\n".join(_json.dumps(d) for d in docs))
+
+    work = tmp_path / "work"
+    spec = {
+        "stages": [
+            {"run": "import-corpus",
+             "args": {"input": str(raw), "output": f"{work}/raw",
+                      "schema": "doc_id long, text string"}},
+            {"run": "dedup-corpus",
+             "args": {"input": f"{work}/raw", "output": f"{work}/dedup",
+                      "method": "exact", "keep_only": True}},
+            {"run": "split-corpus",
+             "args": {"input": f"{work}/dedup", "output": f"{work}/splits",
+                      "key_cols": "doc_id",
+                      "fractions": "train=0.8,val=0.2"}},
+        ]
+    }
+    spec_path = tmp_path / "pipeline.json"
+    spec_path.write_text(_json.dumps(spec))
+
+    main(["prepare-corpus", "--spec", str(spec_path)])
+    out = capsys.readouterr().out
+    assert "3 stages complete" in out and "skipping" not in out
+    deduped = spark.read.parquet(f"{work}/dedup")
+    assert deduped.count() == 40  # the 10 verbatim copies dropped
+    n_train = spark.read.parquet(f"{work}/splits/train").count()
+    n_val = spark.read.parquet(f"{work}/splits/val").count()
+    assert n_train + n_val == 40
+
+    # resume: everything exists -> all three stages skip
+    main(["prepare-corpus", "--spec", str(spec_path)])
+    out = capsys.readouterr().out
+    assert out.count("skipping (F9)") == 3
+
+    # bad spec fails loudly
+    bad = tmp_path / "bad.json"
+    bad.write_text(_json.dumps({"stages": []}))
+    with pytest.raises(SystemExit):
+        main(["prepare-corpus", "--spec", str(bad)])
