@@ -341,6 +341,7 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    mutual: bool = False,
 ) -> DataFrame:
     """k-nearest-neighbor graph over an embedding corpus: for every
     vector, directed edges to its ``k`` highest-cosine OTHER vectors —
@@ -349,6 +350,11 @@ def knn_graph(
 
     Returns ``(src, dst, cosine, rank)``, rank 1..k per src (fewer if
     the block has < k+1 members), ties broken by smallest dst id.
+    ``mutual=True`` keeps only edges whose REVERSE edge is also a
+    top-k edge — the mutual-kNN graph whose connected components are
+    the classic density-robust clustering (a hub vector cannot chain
+    unrelated regions together through one-directional edges); ranks
+    are preserved from the forward edge.
 
     Scale shape: with ``block_col`` (an IVF cluster from
     ``build_ivf_index``, an LSH bucket, or any blocking key) the
@@ -378,7 +384,7 @@ def knn_graph(
     w = Window.partitionBy(F.col("l._id")).orderBy(
         F.desc("cosine"), F.asc(F.col("r._id"))
     )
-    return (
+    edges = (
         scored.filter(F.col("cosine").isNotNull())
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
@@ -388,6 +394,19 @@ def knn_graph(
             "cosine",
             F.col("_rk").alias("rank"),
         )
+    )
+    if not mutual:
+        return edges
+    # keep (src, dst) iff (dst, src) is also a top-k edge: a left-semi
+    # join of the edge set against its own transpose — shuffles only
+    # (src, dst) pairs, never vectors.
+    reverse = edges.select(
+        F.col("dst").alias("_rs"), F.col("src").alias("_rd")
+    )
+    return edges.join(
+        reverse,
+        (edges["src"] == F.col("_rs")) & (edges["dst"] == F.col("_rd")),
+        "left_semi",
     )
 
 

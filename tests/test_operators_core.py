@@ -1845,3 +1845,25 @@ def test_ivfpq_query_selective_cut_finds_planted_partner(spark):
     for q in range(1, n, 100):
         assert got[(q, 1)] == q          # the query itself
         assert got[(q, 2)] == q - 1      # its planted partner
+
+
+def test_knn_graph_mutual_filters_one_directional_hub_edges(spark):
+    """mutual=True drops edges whose reverse is not also top-k: a hub
+    that everyone points at keeps only the reciprocated links."""
+    from curw_flo2d_data_manager_spark.operators.similarity import knn_graph
+
+    # directions at 0°, 10°, 25°: the pair (0°, 10°) is mutual under
+    # k=1, but 25° points at 10° WITHOUT reciprocation (10° prefers
+    # 0°) — the classic one-directional chain edge mutual-kNN cuts
+    import math
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [(1, at(0.0)), (2, at(10.0)), (3, at(25.0))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plain = {(r["src"], r["dst"]) for r in knn_graph(df, k=1).collect()}
+    assert plain == {(1, 2), (2, 1), (3, 2)}
+    mut = {(r["src"], r["dst"]) for r in knn_graph(df, k=1, mutual=True).collect()}
+    assert mut == {(1, 2), (2, 1)}  # 3's one-directional edge is gone
