@@ -146,6 +146,7 @@ def main() -> None:
         "text_ccnet_buckets",
         "text_hash_classifier",
         "sim_ivfpq",
+        "dedup_repeated_spans",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -760,3 +760,93 @@ def bloom_blocklist_filter(
         "left_anti",
     )
     return clean.unionByName(verified).drop("_bloom_hit")
+
+
+# --------------------------------------------- repeated token spans
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Token-level MAXIMAL repeated spans — the exact-substring dedup
+    shape of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better", public method), approximated at k-gram
+    granularity: a position is marked when its k-token gram occurs
+    ``min_count``+ times corpus-wide; maximal runs of marked positions
+    merge into spans, so a 200-token boilerplate block shared by two
+    documents surfaces as ONE (start, end) span per document, not 193
+    overlapping windows. Span boundaries are k-1 tokens coarse (the
+    final gram extends the span to its last token).
+
+    Returns ``(id_col, span_start, span_end, span_tokens)`` with
+    token positions 0-based inclusive; documents without repeated
+    spans emit nothing. Cut, mask, or count the spans downstream --
+    ``span_tokens`` summed per doc is the duplicated-token budget the
+    Lee et al. pipeline reports.
+
+    Plan shape: one tokenize into per-position gram hashes (first 8
+    md5 hex chars as a long -- engine-reproducible, the winnowing
+    convention); the gram-frequency aggregate partial-aggregates
+    before its hash shuffle (grams never carry text); marked positions
+    join back hash-to-hash; the island merge is a per-document window
+    (``pos - row_number()`` gaps-and-islands), partitioned by doc id --
+    never a global sort. Hash width is the documented 32-bit
+    collision trade (a colliding gram marks a position spuriously;
+    at web scale widen the prefix).
+    """
+    if k < 1:
+        raise ValueError(f"k {k} < 1")
+    w = words(text_col)
+    grams = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col).alias("_id"), w.alias("_w"))
+        .filter(F.size(F.col("_w")) >= k)
+        .select(
+            "_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col("_w")) - k),
+                    lambda i: F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    " ", F.slice(F.col("_w"), i + 1, k)
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                )
+            ).alias("_pos", "_gh"),
+        )
+    )
+    grams = _persist_tracked(grams)
+    dup = (
+        grams.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("_gh")
+    )
+    marked = grams.join(dup, "_gh").select("_id", "_pos").distinct()
+    win = Window.partitionBy("_id").orderBy("_pos")
+    islands = marked.withColumn(
+        "_grp", F.col("_pos") - F.row_number().over(win)
+    )
+    return (
+        islands.groupBy("_id", "_grp")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + k - 1).alias("span_end"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

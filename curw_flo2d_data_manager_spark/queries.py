@@ -5437,6 +5437,49 @@ ORDER BY query_id, rank
 """
 
 
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level maximal repeated spans (Lee et al. 2021 exact-
+    substring dedup at 8-gram granularity): every maximal run of
+    positions whose 8-token gram occurs twice+ corpus-wide, as
+    (doc, start, end) spans — the oracle re-derives every gram hash,
+    the duplicate-gram set, and the gaps-and-islands merge."""
+    from curw_flo2d_data_manager_spark.operators.dedup import repeated_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repeated_spans(docs, "doc_id", k=8).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+DEDUP_SPANS_SQL = r"""
+WITH w AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\x80-\x{ffff}-]+', ' ', 'g')), '\s+') AS words
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\x80-\x{ffff}-]+', ' ', 'g')) != ''
+),
+g AS (
+    SELECT doc_id, i - 1 AS pos,
+           CAST(('0x' || substring(md5(array_to_string(words[i:i+7], ' ')), 1, 8)) AS BIGINT) AS gh
+    FROM (SELECT doc_id, words, unnest(range(1, len(words) - 6)) AS i
+          FROM w WHERE len(words) >= 8)
+),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+marked AS (SELECT DISTINCT doc_id, pos FROM g JOIN dup USING (gh)),
+islands AS (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM marked
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + 7 AS span_end,
+       MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens
+FROM islands GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5474,6 +5517,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_ccnet_buckets": (text_ccnet_buckets, TEXT_CCNET_SQL),
     "text_hash_classifier": (text_hash_classifier, TEXT_CLASSIFIER_SQL),
     "sim_ivfpq": (sim_ivfpq, SIM_IVFPQ_SQL),
+    "dedup_repeated_spans": (dedup_repeated_spans, DEDUP_SPANS_SQL),
     "k8_start_date": (k8_start_date, K8_START_SQL),
     "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),

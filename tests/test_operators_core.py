@@ -1867,3 +1867,33 @@ def test_knn_graph_mutual_filters_one_directional_hub_edges(spark):
     assert plain == {(1, 2), (2, 1), (3, 2)}
     mut = {(r["src"], r["dst"]) for r in knn_graph(df, k=1, mutual=True).collect()}
     assert mut == {(1, 2), (2, 1)}  # 3's one-directional edge is gone
+
+
+def test_repeated_spans_merges_maximal_runs(spark):
+    """A shared multi-gram boilerplate block surfaces as ONE maximal
+    span per document (not per-window fragments); unique text emits
+    nothing; spans sit at the right token offsets on both sides."""
+    from curw_flo2d_data_manager_spark.operators.caching import release_caches
+    from curw_flo2d_data_manager_spark.operators.dedup import repeated_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, f"intro one two three {boiler} outro alpha beta"),
+        (2, f"different head words here and more {boiler}"),
+        (3, "totally unrelated content with no shared grams at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        got = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+               for r in repeated_spans(df, "doc_id", k=4).collect()}
+    finally:
+        release_caches()
+    # boiler = 12 tokens; doc 1 prefix 4 tokens, doc 2 prefix 6 tokens
+    assert got[1] == (4, 15, 12)
+    assert got[2] == (6, 17, 12)
+    assert 3 not in got
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        repeated_spans(df, "doc_id", k=0)
