@@ -881,7 +881,7 @@ def cmd_score_corpus(args) -> None:
     from curw_flo2d_data_manager_spark.session import get_spark
 
     signals = {s.strip() for s in args.signals.split(",") if s.strip()}
-    known = {"profile", "unigram", "dsir"}
+    known = {"profile", "unigram", "dsir", "spans"}
     if signals - known:
         raise SystemExit(f"unknown --signals {sorted(signals - known)}; "
                          f"choose from {sorted(known)}")
@@ -925,6 +925,25 @@ def cmd_score_corpus(args) -> None:
                 F.col("avg_logratio").alias("dsir_logratio"),
             )
             out = out.join(scored, args.id_col, "left")
+        if "spans" in signals:
+            from curw_flo2d_data_manager_spark.operators.dedup import (
+                repeated_spans,
+            )
+
+            spans = (
+                repeated_spans(
+                    df.select(args.id_col, args.text_col), args.id_col,
+                    args.text_col,
+                )
+                .groupBy(args.id_col)
+                .agg(
+                    F.sum("span_tokens").alias("dup_span_tokens"),
+                    F.count(F.lit(1)).alias("n_dup_spans"),
+                )
+            )
+            out = out.join(spans, args.id_col, "left").fillna(
+                {"dup_span_tokens": 0, "n_dup_spans": 0}
+            )
         out.write.mode("overwrite").parquet(args.output)
     finally:
         release_caches_since(mark)
@@ -1325,7 +1344,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--signals", default="profile",
-                    help="comma list of profile,unigram,dsir")
+                    help="comma list of profile,unigram,dsir,spans")
     sp.add_argument("--lang-col", default="lang",
                     help="language column for the dsir target subset")
     sp.add_argument("--target-lang", default="en",

@@ -731,24 +731,26 @@ def test_score_corpus_cli_all_signals(spark, tmp_path, capsys):
     doc id, one row per input row."""
     src = str(tmp_path / "docs.parquet")
     rows = (
-        [(i, "alpha beta gamma delta words here", "en") for i in range(8)]
-        + [(100 + i, "omega sigma tau rho other tongue", "xx") for i in range(8)]
+        [(i, "alpha beta gamma delta words here again more", "en") for i in range(8)]
+        + [(100 + i, "omega sigma tau rho other tongue style words", "xx") for i in range(8)]
     )
     spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
     out = str(tmp_path / "scored.parquet")
     main([
         "score-corpus", "--input", src, "--output", out,
-        "--signals", "profile,unigram,dsir",
+        "--signals", "profile,unigram,dsir,spans",
     ])
     got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     assert len(got) == 16
     r = got[0]
-    assert r["n_tokens_ws"] == 6 and r["pred_lang"] is not None
-    assert r["unigram_n_tokens"] == 6 and r["unigram_avg_logprob"] < 0
+    assert r["n_tokens_ws"] == 8 and r["pred_lang"] is not None
+    assert r["unigram_n_tokens"] == 8 and r["unigram_avg_logprob"] < 0
     # en docs must score above xx docs on the dsir target weight
     assert min(got[i]["dsir_logratio"] for i in range(8)) > max(
         got[100 + i]["dsir_logratio"] for i in range(8)
     )
+    # all 8 'en' docs share their 8-token text -> one full-width span
+    assert got[0]["dup_span_tokens"] == 8 and got[0]["n_dup_spans"] == 1
     assert "16 rows scored" in capsys.readouterr().out
 
     import pytest as _pytest
