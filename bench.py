@@ -147,6 +147,7 @@ def main() -> None:
         "text_hash_classifier",
         "sim_ivfpq",
         "dedup_repeated_spans",
+        "dedup_span_rebuild",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

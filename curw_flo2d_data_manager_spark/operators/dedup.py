@@ -850,3 +850,63 @@ def repeated_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cut every :func:`repeated_spans` span from every document and
+    reassemble the surviving tokens — the strict boilerplate-removal
+    variant (ALL occurrences go; pipelines that keep one occurrence
+    run span detection + a keep-winner policy instead).
+
+    Returns ``(id_col, text_col, n_tokens_cut)`` for EVERY input row —
+    documents without spans pass through with ``n_tokens_cut = 0``;
+    a document that is entirely repeated text comes back empty, its
+    row preserved for auditability.
+
+    Plan shape: spans aggregate per (doc, span) and join back to the
+    tokenized corpus as position intervals collected per doc (a small
+    array — spans per doc, not tokens per doc); the token filter is a
+    Column expression over the word array, so the rebuild adds one
+    doc-keyed join and zero extra tokenize scans beyond
+    :func:`repeated_spans`' own.
+    """
+    spans = repeated_spans(df, id_col, text_col, k=k, min_count=min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.sum("span_tokens").alias("n_tokens_cut"),
+    )
+    w = words(text_col)
+    base = df.select(F.col(id_col), w.alias("_w"))
+    joined = base.join(per_doc, id_col, "left")
+    # two-arg transform lambda = (element, index) — empty-array safe,
+    # unlike zip_with against sequence(0, size-1) which DESCENDS for
+    # empty docs
+    indexed = F.transform(
+        F.col("_w"), lambda tok, i: F.struct(tok.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.coalesce(
+                F.col("_spans"),
+                F.array().cast(
+                    "array<struct<span_start:bigint,span_end:bigint>>"
+                ),
+            ),
+            lambda sp: (s["i"] >= sp["span_start"])
+            & (s["i"] <= sp["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.transform(kept, lambda s: s["t"])
+        ).alias(text_col),
+        F.coalesce("n_tokens_cut", F.lit(0)).alias("n_tokens_cut"),
+    )

@@ -5437,6 +5437,76 @@ ORDER BY query_id, rank
 """
 
 
+def dedup_span_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict boilerplate removal end-to-end: cut every repeated
+    8-gram span from every document and reassemble the survivors —
+    sha-checked text per doc plus the cut-token budget, one row per
+    input document (fully-cut docs come back empty, not absent)."""
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = remove_repeated_spans(docs, "doc_id", k=8)
+    return out.select(
+        "doc_id", F.sha2("text", 256).alias("text_sha"), "n_tokens_cut"
+    ).orderBy("doc_id")
+
+
+DEDUP_SPAN_REBUILD_SQL = r"""
+WITH w AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\x80-\x{ffff}-]+', ' ', 'g')), '\s+') AS words
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\x80-\x{ffff}-]+', ' ', 'g')) != ''
+),
+g AS (
+    SELECT doc_id, i - 1 AS pos,
+           CAST(('0x' || substring(md5(array_to_string(words[i:i+7], ' ')), 1, 8)) AS BIGINT) AS gh
+    FROM (SELECT doc_id, words, unnest(range(1, len(words) - 6)) AS i
+          FROM w WHERE len(words) >= 8)
+),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+marked AS (SELECT DISTINCT doc_id, pos FROM g JOIN dup USING (gh)),
+islands AS (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM marked
+),
+spans AS (
+    SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+    FROM islands GROUP BY doc_id, grp
+),
+cutpos AS (
+    SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS pos FROM spans
+),
+toks AS (
+    SELECT doc_id, unnest(words) AS tok,
+           unnest(range(0, len(words))) AS pos
+    FROM w
+),
+keep AS (
+    SELECT t.doc_id, t.tok, t.pos
+    FROM toks t LEFT JOIN cutpos c ON t.doc_id = c.doc_id AND t.pos = c.pos
+    WHERE c.pos IS NULL
+),
+rebuilt AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+    FROM keep GROUP BY doc_id
+),
+cutn AS (
+    SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS n FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       sha256(COALESCE(r.text, '')) AS text_sha,
+       COALESCE(cutn.n, 0) AS n_tokens_cut
+FROM documents d
+LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+LEFT JOIN cutn ON d.doc_id = cutn.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level maximal repeated spans (Lee et al. 2021 exact-
     substring dedup at 8-gram granularity): every maximal run of
@@ -5518,6 +5588,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_hash_classifier": (text_hash_classifier, TEXT_CLASSIFIER_SQL),
     "sim_ivfpq": (sim_ivfpq, SIM_IVFPQ_SQL),
     "dedup_repeated_spans": (dedup_repeated_spans, DEDUP_SPANS_SQL),
+    "dedup_span_rebuild": (dedup_span_rebuild, DEDUP_SPAN_REBUILD_SQL),
     "k8_start_date": (k8_start_date, K8_START_SQL),
     "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),

@@ -1897,3 +1897,33 @@ def test_repeated_spans_merges_maximal_runs(spark):
 
     with _pytest.raises(ValueError):
         repeated_spans(df, "doc_id", k=0)
+
+
+def test_remove_repeated_spans_rebuild(spark):
+    """Strict span removal: shared boilerplate is cut from EVERY doc,
+    unique docs pass through untouched (normalized join), a fully-
+    repeated doc comes back empty but present, empty docs survive."""
+    from curw_flo2d_data_manager_spark.operators.caching import release_caches
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, f"intro one two three {boiler} outro alpha beta"),
+        (2, f"head words are here {boiler}"),
+        (3, "totally unrelated content with no shared grams at all"),
+        (4, boiler),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        got = {r["doc_id"]: (r["text"], r["n_tokens_cut"]) for r in
+               remove_repeated_spans(df, "doc_id", k=4).collect()}
+    finally:
+        release_caches()
+    assert got[1] == ("intro one two three outro alpha beta", 12)
+    assert got[2] == ("head words are here", 12)
+    assert got[3] == ("totally unrelated content with no shared grams at all", 0)
+    assert got[4] == ("", 12)
+    assert got[5] == ("", 0)
