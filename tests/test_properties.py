@@ -638,3 +638,52 @@ def test_pq_assign_matches_numpy_argmin(spark, vecs):
             d = [((sub - np.array(c)) ** 2).sum() for c in cbs[s]]
             code += int(np.argmin(d)) * (3 ** s)
         assert got[i] == code, (i, vecs[i])
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                 min_size=0, max_size=14),
+        min_size=1, max_size=8,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_repeated_spans_match_python_oracle(spark, texts, k):
+    """repeated_spans == a pure-Python re-derivation (gram counting,
+    marking, island merge) over adversarial tiny-vocabulary corpora
+    where almost every gram repeats."""
+    from curw_flo2d_data_manager_spark.operators.caching import release_caches
+    from curw_flo2d_data_manager_spark.operators.dedup import repeated_spans
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        got = {(r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+               for r in repeated_spans(df, "doc_id", k=k).collect()}
+    finally:
+        release_caches()
+
+    from collections import Counter
+
+    grams = Counter()
+    per_doc = {}
+    for i, ws in enumerate(texts):
+        per_doc[i] = [tuple(ws[p:p + k]) for p in range(len(ws) - k + 1)]
+        grams.update(per_doc[i])
+    want = set()
+    for i, gs in per_doc.items():
+        marked = [p for p, g in enumerate(gs) if grams[g] >= 2]
+        run = []
+        for p in marked:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    want.add((i, run[0], run[-1] + k - 1,
+                              run[-1] + k - 1 - run[0] + 1))
+                run = [p]
+        if run:
+            want.add((i, run[0], run[-1] + k - 1,
+                      run[-1] + k - 1 - run[0] + 1))
+    assert got == want
