@@ -148,6 +148,7 @@ def main() -> None:
         "sim_ivfpq",
         "dedup_repeated_spans",
         "dedup_span_rebuild",
+        "w_hampel_despike",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -5507,6 +5507,60 @@ ORDER BY d.doc_id
 """
 
 
+def w_hampel_despike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel-filter despiking over the events series (per event_type,
+    ordered by ts): rolling median + MAD over a 5-row frame, spikes
+    flagged at 5 MADs and replaced by the rolling median — the robust
+    generalization of the reference's fixed sentinel cleaning (F6).
+    The oracle re-derives every frame, both medians, and the flag via
+    an explicit neighbor self-join."""
+    from curw_flo2d_data_manager_spark.operators.despike import hampel_despike
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "ts", "value")
+    out = hampel_despike(
+        ev, ["event_type"], ["ts", "event_id"], "value",
+        half_window=2, n_mad=5.0,
+    )
+    return out.select(
+        "event_id",
+        F.round("rolling_median", 6).alias("rolling_median"),
+        F.round("rolling_mad", 6).alias("rolling_mad"),
+        "is_spike",
+        F.round("value_clean", 6).alias("value_clean"),
+    ).orderBy("event_id")
+
+
+W_HAMPEL_SQL = """
+WITH e AS (
+    SELECT event_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+    FROM events
+),
+n AS (
+    SELECT a.event_type, a.rn, b.value AS nv
+    FROM e a JOIN e b
+      ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 2 AND a.rn + 2
+),
+m AS (
+    SELECT event_type, rn, quantile_cont(nv, 0.5) AS med
+    FROM n GROUP BY event_type, rn
+),
+d AS (
+    SELECT n.event_type, n.rn, quantile_cont(abs(n.nv - m.med), 0.5) AS mad
+    FROM n JOIN m USING (event_type, rn)
+    GROUP BY n.event_type, n.rn
+)
+SELECT e.event_id,
+       ROUND(m.med, 6) AS rolling_median,
+       ROUND(d.mad, 6) AS rolling_mad,
+       abs(e.value - m.med) > 5.0 * d.mad AS is_spike,
+       ROUND(CASE WHEN abs(e.value - m.med) > 5.0 * d.mad
+                  THEN m.med ELSE e.value END, 6) AS value_clean
+FROM e JOIN m USING (event_type, rn) JOIN d USING (event_type, rn)
+ORDER BY e.event_id
+"""
+
+
 def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level maximal repeated spans (Lee et al. 2021 exact-
     substring dedup at 8-gram granularity): every maximal run of
@@ -5589,6 +5643,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_ivfpq": (sim_ivfpq, SIM_IVFPQ_SQL),
     "dedup_repeated_spans": (dedup_repeated_spans, DEDUP_SPANS_SQL),
     "dedup_span_rebuild": (dedup_span_rebuild, DEDUP_SPAN_REBUILD_SQL),
+    "w_hampel_despike": (w_hampel_despike, W_HAMPEL_SQL),
     "k8_start_date": (k8_start_date, K8_START_SQL),
     "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),

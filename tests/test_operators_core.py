@@ -1927,3 +1927,37 @@ def test_remove_repeated_spans_rebuild(spark):
     assert got[3] == ("totally unrelated content with no shared grams at all", 0)
     assert got[4] == ("", 12)
     assert got[5] == ("", 0)
+
+
+def test_hampel_despike_flags_planted_spike(spark):
+    """A 999.9 spike inside a smooth series is flagged and replaced by
+    the rolling median; smooth neighbors are untouched; NULLs pass
+    through unflagged; a constant neighborhood (MAD 0) flags any
+    deviation."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.despike import hampel_despike
+
+    rows = (
+        [("a", t, float(10 + (t % 3))) for t in range(10)]  # smooth 10..12
+        + [("a", 10, 999.9)]                                # spike
+        + [("a", t, float(10 + (t % 3))) for t in range(11, 20)]
+        + [("a", 20, None)]                                 # NULL survives
+        + [("b", t, 5.0) for t in range(5)]                 # constant
+        + [("b", 5, 5.1)]                                   # MAD 0 deviation
+    )
+    df = spark.createDataFrame(rows, "id string, t int, value double")
+    got = {(r["id"], r["t"]): r for r in
+           hampel_despike(df, ["id"], ["t"], "value", half_window=2).collect()}
+    spike = got[("a", 10)]
+    assert spike["is_spike"] and spike["value_clean"] == spike["rolling_median"]
+    assert spike["value_clean"] < 100
+    assert not got[("a", 5)]["is_spike"] and got[("a", 5)]["value_clean"] == 12.0
+    assert got[("a", 20)]["is_spike"] is None
+    assert got[("a", 20)]["value_clean"] is None
+    assert got[("b", 5)]["is_spike"]  # MAD 0: any nonzero deviation flags
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hampel_despike(df, ["id"], ["t"], "value", half_window=0)
