@@ -149,6 +149,7 @@ def main() -> None:
         "dedup_repeated_spans",
         "dedup_span_rebuild",
         "w_hampel_despike",
+        "dedup_contam_spans",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

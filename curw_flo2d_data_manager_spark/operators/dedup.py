@@ -852,6 +852,85 @@ def repeated_spans(
     )
 
 
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination SPANS: the surgical form of
+    :func:`ngram_contamination` — instead of flagging whole documents,
+    locate the maximal token runs whose k-grams appear in the
+    benchmark corpus, so the contaminated text can be CUT while the
+    rest of the document survives (the span-level decontamination
+    policy of recent open-data pipelines).
+
+    Returns ``(id_col, span_start, span_end, span_tokens)`` like
+    :func:`repeated_spans`; feed the spans to the same interval-cut
+    rebuild. Boundaries are k-1 tokens coarse.
+
+    Plan shape: the benchmark side reduces to its DISTINCT gram-hash
+    set (tiny relative to the corpus — hashes, never text) and joins
+    the corpus's per-position gram hashes hash-to-hash; the island
+    merge windows per document. Corpus-side text never shuffles.
+    """
+    if k < 1:
+        raise ValueError(f"k {k} < 1")
+    btext = bench_text_col or text_col
+
+    def gram_hashes(df: DataFrame, col: str, ident) -> DataFrame:
+        w = words(col)
+        return (
+            ensure_min_partitions(df)
+            .select(ident.alias("_id"), w.alias("_w"))
+            .filter(F.size(F.col("_w")) >= k)
+            .select(
+                "_id",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(F.col("_w")) - k),
+                        lambda i: F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        " ", F.slice(F.col("_w"), i + 1, k)
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long"),
+                    )
+                ).alias("_pos", "_gh"),
+            )
+        )
+
+    bench_grams = gram_hashes(benchmark, btext, F.lit(0)).select("_gh").distinct()
+    corpus_grams = gram_hashes(corpus, text_col, F.col(id_col))
+    marked = corpus_grams.join(bench_grams, "_gh").select("_id", "_pos").distinct()
+    win = Window.partitionBy("_id").orderBy("_pos")
+    islands = marked.withColumn(
+        "_grp", F.col("_pos") - F.row_number().over(win)
+    )
+    return (
+        islands.groupBy("_id", "_grp")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + k - 1).alias("span_end"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
 def remove_repeated_spans(
     df: DataFrame,
     id_col: str,

@@ -5507,6 +5507,58 @@ ORDER BY d.doc_id
 """
 
 
+def dedup_contam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination: the src0 shard plays the
+    benchmark; every maximal run of training-doc positions whose
+    8-gram appears in it surfaces as a cut-ready span — the surgical
+    alternative to dropping whole contaminated documents. The oracle
+    re-derives benchmark gram membership and the island merge."""
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        contamination_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    benchmark = docs.filter(F.col("source") == "src0").select("text")
+    return contamination_spans(corpus, benchmark, "doc_id", k=8).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+DEDUP_CONTAM_SPANS_SQL = r"""
+WITH w AS (
+    SELECT doc_id, source,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\x80-\x{ffff}-]+', ' ', 'g')), '\s+') AS words
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\x80-\x{ffff}-]+', ' ', 'g')) != ''
+),
+bg AS (
+    SELECT DISTINCT
+           CAST(('0x' || substring(md5(array_to_string(words[i:i+7], ' ')), 1, 8)) AS BIGINT) AS gh
+    FROM (SELECT words, unnest(range(1, len(words) - 6)) AS i
+          FROM w WHERE source = 'src0' AND len(words) >= 8)
+),
+cg AS (
+    SELECT doc_id, i - 1 AS pos,
+           CAST(('0x' || substring(md5(array_to_string(words[i:i+7], ' ')), 1, 8)) AS BIGINT) AS gh
+    FROM (SELECT doc_id, words, unnest(range(1, len(words) - 6)) AS i
+          FROM w WHERE source <> 'src0' AND len(words) >= 8)
+),
+marked AS (SELECT DISTINCT doc_id, pos FROM cg JOIN bg USING (gh)),
+islands AS (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM marked
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + 7 AS span_end,
+       MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens
+FROM islands GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""
+
+
 def w_hampel_despike(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hampel-filter despiking over the events series (per event_type,
     ordered by ts): rolling median + MAD over a 5-row frame, spikes
@@ -5644,6 +5696,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_repeated_spans": (dedup_repeated_spans, DEDUP_SPANS_SQL),
     "dedup_span_rebuild": (dedup_span_rebuild, DEDUP_SPAN_REBUILD_SQL),
     "w_hampel_despike": (w_hampel_despike, W_HAMPEL_SQL),
+    "dedup_contam_spans": (dedup_contam_spans, DEDUP_CONTAM_SPANS_SQL),
     "k8_start_date": (k8_start_date, K8_START_SQL),
     "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),

@@ -1961,3 +1961,36 @@ def test_hampel_despike_flags_planted_spike(spark):
 
     with _pytest.raises(ValueError):
         hampel_despike(df, ["id"], ["t"], "value", half_window=0)
+
+
+def test_contamination_spans_locates_benchmark_text(spark):
+    """A benchmark sentence embedded mid-document surfaces as one
+    span at the right token offsets; clean documents emit nothing;
+    the benchmark side carries its own text column name."""
+    from curw_flo2d_data_manager_spark.operators.caching import release_caches
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        contamination_spans,
+        remove_repeated_spans,
+    )
+
+    bench_sent = "what is the capital of france paris is the capital"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"some training text here {bench_sent} and more text after"),
+            (2, "entirely clean document with no benchmark overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, f"quiz item {bench_sent}")], "qid long, prompt string"
+    )
+    try:
+        got = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+               for r in contamination_spans(
+                   corpus, bench, "doc_id", bench_text_col="prompt", k=4
+               ).collect()}
+    finally:
+        release_caches()
+    # bench_sent = 10 tokens at positions 4..13 of doc 1
+    assert got[1] == (4, 13, 10)
+    assert 2 not in got
