@@ -393,6 +393,79 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: "DataFrame",
+    id_col: str,
+    query_terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> "DataFrame":
+    """Okapi BM25 retrieval: the ``k`` highest-scoring documents for a
+    bag of query terms (Robertson & Zaragoza 2009, the classic
+    ``idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`` with
+    ``idf = ln(1 + (N−df+0.5)/(df+0.5))``).
+
+    The plan is corpus-linear: one tokenize scan feeds BOTH the
+    per-document length aggregation (every term) and the per-(doc,
+    query-term) tf aggregation (the ``isin`` filter runs BEFORE the
+    shuffle, so only query-term occurrences ride it). Document
+    frequencies and the (N, avgdl) scalars are tiny aggregates
+    broadcast onto the scored rows; the final global top-k is one
+    ordered limit. Scores are rounded to 6 decimals BEFORE ranking so
+    the ordering never depends on the last bits of ``ln`` — ties break
+    by smallest id.
+
+    Returns (id, score, n_terms_hit, rank), rank 1..k; documents
+    matching no query term never appear.
+    """
+    if not query_terms:
+        raise ValueError("query_terms is empty")
+    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin([str(t) for t in query_terms]))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.lit(1.0) - F.lit(float(b)) + F.lit(float(b)) * F.col("dl") / F.col(
+        "avgdl"
+    )
+    term_score = idf * (
+        F.col("tf") * F.lit(float(k1) + 1.0)
+        / (F.col("tf") + F.lit(float(k1)) * norm)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(term_score), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # orderBy().limit() compiles to TakeOrdered (per-partition top-k,
+    # k-row driver merge) — the single-partition window below then
+    # ranks only those k rows, never the full scored corpus.
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(int(k))
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "score", "n_terms_hit", "rank"
+    )
+
+
 # -------------------------------------------------- mixture planning
 def domain_mixture(
     df: "DataFrame",

@@ -1994,3 +1994,161 @@ def test_contamination_spans_locates_benchmark_text(spark):
     # bench_sent = 10 tokens at positions 4..13 of doc 1
     assert got[1] == (4, 13, 10)
     assert 2 not in got
+
+
+def test_linear_interpolate_time_weighted_brackets(spark):
+    """An interior gap fills proportionally by TIME fraction (not row
+    position); leading/trailing gaps stay NULL; non-NULL rows pass
+    through; was_gap marks every originally-NULL row."""
+    from curw_flo2d_data_manager_spark.operators.interpolate import (
+        linear_interpolate,
+    )
+
+    rows = [
+        ("a", 0.0, None),    # leading gap: no left bracket -> NULL
+        ("a", 10.0, 1.0),
+        ("a", 12.0, None),   # 2/10 of the way 1.0 -> 11.0 => 3.0
+        ("a", 20.0, 11.0),
+        ("a", 30.0, None),   # trailing gap: no right bracket -> NULL
+        ("b", 0.0, 7.0),     # other key untouched
+    ]
+    df = spark.createDataFrame(rows, "id string, t double, value double")
+    got = {
+        (r["id"], r["t"]): r
+        for r in linear_interpolate(df, ["id"], "t", "value").collect()
+    }
+    assert got[("a", 0.0)]["value_interp"] is None
+    assert got[("a", 0.0)]["was_gap"]
+    assert got[("a", 12.0)]["value_interp"] == 3.0
+    assert got[("a", 12.0)]["was_gap"]
+    assert got[("a", 30.0)]["value_interp"] is None
+    assert got[("a", 10.0)]["value_interp"] == 1.0
+    assert not got[("a", 10.0)]["was_gap"]
+    assert got[("b", 0.0)]["value_interp"] == 7.0
+
+
+def test_linear_interpolate_multirow_gap_and_tiebreak(spark):
+    """Every NULL of a multi-row gap interpolates against the SAME
+    bracket pair; duplicate timestamps resolve deterministically via
+    tiebreak_cols."""
+    from curw_flo2d_data_manager_spark.operators.interpolate import (
+        linear_interpolate,
+    )
+
+    rows = [
+        ("a", 0.0, 1, 0.0),
+        ("a", 1.0, 2, None),
+        ("a", 2.0, 3, None),
+        ("a", 4.0, 4, 8.0),
+        # duplicate timestamp: id 6 (NULL) sits AFTER id 5 in tiebreak
+        # order, so its left bracket is id 5's value
+        ("b", 0.0, 5, 2.0),
+        ("b", 0.0, 6, None),
+        ("b", 1.0, 7, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "id string, t double, seq int, value double")
+    got = {
+        r["seq"]: r["value_interp"]
+        for r in linear_interpolate(
+            df, ["id"], "t", "value", tiebreak_cols=["seq"]
+        ).collect()
+    }
+    assert got[2] == 2.0  # 1/4 of 0->8
+    assert got[3] == 4.0  # 2/4 of 0->8
+    # t == t_prev: fraction 0/1 of 2.0 -> 4.0 = 2.0
+    assert got[6] == 2.0
+
+
+def test_seasonal_baseline_min_obs_and_anomaly(spark):
+    """Cell means and anomalies are exact; a cell under min_obs yields
+    NULL climatology and NULL anomaly but keeps its count."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.seasonal import (
+        seasonal_baseline,
+    )
+
+    rows = [
+        ("g1", 0, 1.0), ("g1", 0, 3.0), ("g1", 0, 5.0),  # mean 3.0
+        ("g1", 1, 10.0), ("g1", 1, 20.0),                # thin cell
+    ]
+    df = spark.createDataFrame(rows, "station string, hod int, value double")
+    out = seasonal_baseline(
+        df, ["station"], F.col("hod"), "value", min_obs=3
+    ).collect()
+    full = [r for r in out if r["_period"] == 0]
+    thin = [r for r in out if r["_period"] == 1]
+    assert all(r["clim_mean"] == 3.0 and r["clim_n"] == 3 for r in full)
+    assert {r["anomaly"] for r in full} == {-2.0, 0.0, 2.0}
+    assert all(r["clim_mean"] is None and r["anomaly"] is None for r in thin)
+    assert all(r["clim_n"] == 2 for r in thin)
+
+
+def test_pagerank_matches_power_iteration_with_dangling(spark):
+    """A 5-node graph with a dangling node: the DataFrame ranks match
+    a pure-Python power iteration (same dangling redistribution) to
+    1e-12 and sum to exactly 1 per iteration semantics."""
+    from curw_flo2d_data_manager_spark.operators.pagerank import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (2, 5)]
+    # node 5 is dangling (no out-edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=7).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    d, n = 0.85, len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(7):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += rank[s] / outdeg[s]
+        dang = sum(rank[v] for v in nodes if v not in outdeg)
+        rank = {
+            v: (1.0 - d) / n + d * (contrib[v] + dang / n) for v in nodes
+        }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    # the cycle hub (node 1, fed by the full 3->4->1 chain) outranks
+    # the dangling leaf
+    assert got[1] > got[5]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(df, iters=0)
+
+
+def test_bm25_ranks_tf_and_idf_sensibly(spark):
+    """More query-term occurrences rank higher at equal length; a doc
+    without any query term never appears; a rare term outweighs a
+    common one through idf; empty query raises."""
+    from curw_flo2d_data_manager_spark.operators.textstats import bm25_topk
+
+    docs = [
+        (1, "spark spark spark pad pad pad pad pad"),
+        (2, "spark pad pad pad pad pad pad pad"),
+        (3, "pad pad pad pad pad pad pad pad"),
+        (4, "vector pad pad pad pad pad pad pad"),  # 'vector' df=1
+        (5, "spark pad pad pad pad pad pad pad"),   # 'spark' df=3
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = bm25_topk(df, "doc_id", ["spark", "vector"], k=10).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    assert 3 not in by_id
+    assert by_id[1]["score"] > by_id[2]["score"]          # tf monotone
+    assert by_id[4]["score"] > by_id[2]["score"]          # idf: rare > common
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == list(
+        range(1, len(got) + 1)
+    )
+    assert by_id[2]["score"] == by_id[5]["score"]         # identical docs tie
+    assert by_id[2]["rank"] < by_id[5]["rank"]            # id tiebreak
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_topk(df, "doc_id", [])
