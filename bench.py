@@ -150,6 +150,10 @@ def main() -> None:
         "dedup_span_rebuild",
         "w_hampel_despike",
         "dedup_contam_spans",
+        "w_linear_interp",
+        "w_seasonal_baseline",
+        "sim_pagerank",
+        "text_bm25_topk",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -412,3 +412,65 @@ def test_hash_classifier_broadcasts_weights_and_partial_aggregates(spark, sf_dir
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "BatchEvalPython" not in plan
+
+
+def test_bm25_filters_before_tf_shuffle_and_takes_ordered(spark, sf_dir):
+    """bm25_topk's query-term filter must run in the scan stage (only
+    query-term occurrences ride the tf shuffle), the tiny df/stats
+    relations must broadcast, and the global top-k must compile to
+    TakeOrdered — never a full-corpus single-partition sort."""
+    from curw_flo2d_data_manager_spark.operators.textstats import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = plan_of(
+        bm25_topk(docs, "doc_id", ["spark", "join"]), mode="simple"
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    # the term filter sits below the first Exchange: the segment above
+    # (executed first) containing the tokenize Generate also contains
+    # the isin filter
+    first_exchange = plan.index("Exchange")
+    assert "spark" in plan[first_exchange:], plan
+
+
+def test_seasonal_baseline_broadcasts_climatology_no_fact_shuffle(
+    spark, sf_dir
+):
+    """seasonal_baseline must partial-aggregate the climatology (only
+    (key, period) cells shuffle) and broadcast it back onto the fact
+    scan — the fact table itself is never exchanged for the join."""
+    from curw_flo2d_data_manager_spark.operators.seasonal import (
+        seasonal_baseline,
+    )
+
+    ev = q._events(spark, sf_dir)
+    plan = plan_of(
+        seasonal_baseline(ev, ["event_type"], F.hour("ts"), "value"),
+        mode="simple",
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    # exactly the climatology aggregation shuffles; no shuffle feeds
+    # the probe side of the broadcast join
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_linear_interpolate_single_exchange_and_sort(spark, sf_dir):
+    """Both window passes (running-last, reversed-first) must reuse
+    ONE exchange + ONE sort on the key columns — a second sort means
+    the frames stopped sharing the partitioning."""
+    from curw_flo2d_data_manager_spark.operators.interpolate import (
+        linear_interpolate,
+    )
+
+    ev = q._events(spark, sf_dir)
+    plan = plan_of(
+        linear_interpolate(ev, ["event_type"], "ts", "value"), mode="simple"
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") <= 1, plan
+    assert "BatchEvalPython" not in plan
