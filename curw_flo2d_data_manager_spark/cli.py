@@ -954,6 +954,53 @@ def cmd_score_corpus(args) -> None:
     )
 
 
+def cmd_search_corpus(args) -> None:
+    """BM25 top-k retrieval over a corpus parquet: the query string is
+    tokenized with the SAME normalization as the corpus (so phrasing
+    matches scoring), scored via ``textstats.bm25_topk``, and the hit
+    list printed (and optionally written as parquet). Duplicate query
+    terms count once — BM25's query-side tf is binary here, the common
+    short-query convention."""
+    from curw_flo2d_data_manager_spark.operators.textstats import bm25_topk
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="search-corpus")
+    df = spark.read.parquet(args.input)
+    for col in (args.id_col, args.text_col):
+        if col not in df.columns:
+            raise SystemExit(f"column {col!r} not in input ({df.columns})")
+    # normalize the query exactly like words(): lower, strip to
+    # [a-z0-9 + non-ASCII + dash], whitespace-split
+    import re as _re
+
+    terms = sorted(
+        set(
+            _re.sub("[^a-z0-9\\x80-\\uffff-]+", " ", args.query.lower()).split()
+        )
+    )
+    if not terms:
+        raise SystemExit(f"--query {args.query!r} has no searchable terms")
+    hits = bm25_topk(
+        df.select(args.id_col, args.text_col),
+        args.id_col,
+        terms,
+        args.text_col,
+        k1=args.k1,
+        b=args.b,
+        k=args.k,
+    )
+    if args.output:
+        hits.write.mode("overwrite").parquet(args.output)
+        hits = spark.read.parquet(args.output)
+    rows = sorted(hits.collect(), key=lambda r: r["rank"])
+    print(f"search-corpus: {len(rows)} hits for {' '.join(terms)!r}")
+    for r in rows:
+        print(
+            f"  #{r['rank']:<3} {args.id_col}={r[args.id_col]} "
+            f"score={r['score']:.6f} terms_hit={r['n_terms_hit']}"
+        )
+
+
 def cmd_prepare_corpus(args) -> None:
     """One-shot training-data pipeline runner: execute a JSON spec of
     corpus stages (import-corpus, dedup-corpus, decontam-corpus,
@@ -1350,6 +1397,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--target-lang", default="en",
                     help="dsir target domain: rows with lang-col == this")
     sp.set_defaults(fn=cmd_score_corpus)
+
+    sp = sub.add_parser(
+        "search-corpus",
+        help="Okapi BM25 retrieval: top-k documents for a query term bag",
+    )
+    sp.add_argument("--input", required=True, help="corpus parquet path")
+    sp.add_argument("--query", required=True,
+                    help="query text (tokenized like the corpus)")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--k1", type=float, default=1.2)
+    sp.add_argument("--b", type=float, default=0.75)
+    sp.add_argument("--output", default=None,
+                    help="optional parquet path for the hit list; "
+                         "hits always print to stdout")
+    sp.set_defaults(fn=cmd_search_corpus)
     return p
 
 

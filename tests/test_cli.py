@@ -850,3 +850,34 @@ def test_prepare_corpus_pipeline_runs_and_resumes(spark, tmp_path, capsys):
     bad.write_text(_json.dumps({"stages": []}))
     with pytest.raises(SystemExit):
         main(["prepare-corpus", "--spec", str(bad)])
+
+
+def test_search_corpus_cli_bm25_hits(spark, tmp_path, capsys):
+    """search-corpus tokenizes the query like the corpus (case/punct
+    folded, duplicates collapsed), prints ranked hits, and writes the
+    optional parquet hit list; an unsearchable query exits."""
+    src = str(tmp_path / "docs.parquet")
+    rows = [
+        (1, "flood level rising at the river gauge"),
+        (2, "flood flood flood warning for the river basin"),
+        (3, "completely unrelated text about parquet files"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "hits.parquet")
+    main([
+        "search-corpus", "--input", src,
+        "--query", "FLOOD, River! flood",  # folds to {flood, river}
+        "--k", "5", "--output", out,
+    ])
+    printed = capsys.readouterr().out
+    assert "2 hits for 'flood river'" in printed
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2}
+    # doc 2 has 3x the flood tf at comparable length -> rank 1
+    assert got[2]["rank"] == 1 and got[1]["rank"] == 2
+    assert got[2]["n_terms_hit"] == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["search-corpus", "--input", src, "--query", "!!!"])
