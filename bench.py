@@ -154,6 +154,8 @@ def main() -> None:
         "w_seasonal_baseline",
         "sim_pagerank",
         "text_bm25_topk",
+        "j_interval_overlap",
+        "w_winsorize",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

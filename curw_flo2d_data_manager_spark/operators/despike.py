@@ -77,3 +77,47 @@ def hampel_despike(
         "value_clean",
         F.when(is_spike, F.col("rolling_median")).otherwise(v),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Per-key percentile winsorization: clamp ``value_col`` into its
+    key's [``lower``, ``upper``] continuous-percentile band — the
+    standard outlier-robust normalization when spikes should be CAPPED
+    rather than replaced (contrast :func:`hampel_despike`).
+
+    Percentiles are exact with linear interpolation (SQL
+    ``quantile_cont`` semantics). NULL values are ignored by the
+    percentile and pass through unclamped (NULL out, NULL flag).
+
+    Scale shape: ONE aggregation over the fact table — Spark's exact
+    ``percentile`` is a typed-aggregate whose partial state is the
+    per-partition value buffer, merged per key — and the tiny per-key
+    band table broadcasts back onto the unshuffled fact scan. For
+    corpora where exact per-key buffers are too hot (billions of rows
+    per key), swap in ``percentile_approx`` at the call site; the join
+    shape is unchanged.
+
+    Returns the input plus (``p_lo``, ``p_hi``, ``value_wins``,
+    ``is_clipped``).
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    v = F.col(value_col).cast("double")
+    bands = df.groupBy(*key_cols).agg(
+        F.percentile(v, F.lit(float(lower))).alias("p_lo"),
+        F.percentile(v, F.lit(float(upper))).alias("p_hi"),
+    )
+    out = df.join(F.broadcast(bands), key_cols, "left")
+    clipped = (v < F.col("p_lo")) | (v > F.col("p_hi"))
+    # greatest/least IGNORE nulls (return the extreme non-null), so a
+    # NULL value must be passed through explicitly, not clamped to p_lo.
+    wins = F.when(
+        v.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi")))
+    return out.withColumn("value_wins", wins).withColumn("is_clipped", clipped)

@@ -55,3 +55,68 @@ def point_in_interval_join(
         F.col(point_time).between(F.col(start_col), F.col(end_col))
     )
     return joined.drop("_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+    by: list[str] | None = None,
+    bucket_seconds: int = 3600,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> DataFrame:
+    """Interval × interval overlap join (inclusive ends): every (L, R)
+    pair with ``L.start <= R.end AND R.start <= L.end``, matched
+    within optional ``by`` keys — the generalization of
+    :func:`point_in_interval_join` to two interval relations (outage
+    windows × forecast runs, rain events × sensor maintenance, ...).
+
+    Same bucketing argument: both sides explode to the time buckets
+    they cover, a plain equi-join on (keys, bucket) produces
+    candidates, the exact predicate refines. A pair overlapping many
+    buckets would surface once per shared bucket, so the join keeps
+    ONLY the first overlapping bucket
+    (``bucket == floor(max(starts)/width)``) — exact dedup with no
+    ``distinct`` shuffle. Work scales with Σ interval-length / width;
+    pick ``bucket_seconds`` near the median interval length.
+
+    Non-``by`` columns of each side are suffixed; the output adds
+    (``overlap_start``, ``overlap_end``, ``overlap_seconds``) in the
+    numeric units of ``start_col``/``end_col``.
+    """
+    keys = by or []
+    b = int(bucket_seconds)
+    sa, sb = suffixes
+
+    def prep(df: DataFrame, suf: str) -> DataFrame:
+        renamed = df.select(
+            *[F.col(k) for k in keys],
+            *[
+                F.col(c).alias(c + suf)
+                for c in df.columns
+                if c not in keys
+            ],
+        )
+        return renamed.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start_col + suf).cast("double") / b).cast("long"),
+                    F.floor(F.col(end_col + suf).cast("double") / b).cast("long"),
+                )
+            ),
+        )
+
+    la, rb = prep(left, sa), prep(right, sb)
+    s1, e1 = F.col(start_col + sa).cast("double"), F.col(end_col + sa).cast("double")
+    s2, e2 = F.col(start_col + sb).cast("double"), F.col(end_col + sb).cast("double")
+    first_bucket = F.floor(F.greatest(s1, s2) / b).cast("long")
+    return (
+        la.join(rb, keys + ["_bucket"])
+        .filter((s1 <= e2) & (s2 <= e1) & (F.col("_bucket") == first_bucket))
+        .drop("_bucket")
+        .withColumn("overlap_start", F.greatest(s1, s2))
+        .withColumn("overlap_end", F.least(e1, e2))
+        .withColumn("overlap_seconds", F.least(e1, e2) - F.greatest(s1, s2))
+    )

@@ -2152,3 +2152,66 @@ def test_bm25_ranks_tf_and_idf_sensibly(spark):
 
     with _pytest.raises(ValueError):
         bm25_topk(df, "doc_id", [])
+
+
+def test_interval_overlap_join_dedups_multibucket_pairs(spark):
+    """A pair overlapping many buckets surfaces exactly once; ends are
+    inclusive; by-keys separate; non-overlapping intervals never pair;
+    overlap bounds are exact."""
+    from curw_flo2d_data_manager_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [
+            ("k1", 1, 0.0, 5000.0),    # spans many 600s buckets
+            ("k1", 2, 9000.0, 9100.0),
+            ("k2", 3, 0.0, 100.0),     # other key
+        ],
+        "event_type string, id int, start double, end double",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", 10, 1000.0, 6000.0),  # overlaps id 1 across buckets
+            ("k1", 11, 5000.0, 5500.0),  # touches id 1 exactly at end
+            ("k1", 12, 9200.0, 9300.0),  # gap after id 2
+            ("k2", 13, 50.0, 60.0),      # overlaps id 3 in k2 only
+        ],
+        "event_type string, id int, start double, end double",
+    )
+    got = interval_overlap_join(
+        left, right, "start", "end", by=["event_type"], bucket_seconds=600
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in got}
+    assert set(pairs) == {(1, 10), (1, 11), (3, 13)}  # each exactly once
+    assert len(got) == 3
+    r = pairs[(1, 10)]
+    assert (r["overlap_start"], r["overlap_end"], r["overlap_seconds"]) == (
+        1000.0, 5000.0, 4000.0,
+    )
+    # inclusive ends: the point-touch pair appears, overlap length 0
+    assert pairs[(1, 11)]["overlap_seconds"] == 0.0
+
+
+def test_winsorize_exact_percentiles_and_null_passthrough(spark):
+    """Band edges match continuous-percentile interpolation; values
+    clamp both ways; NULLs pass through unclamped and unflagged; bad
+    bounds raise."""
+    from curw_flo2d_data_manager_spark.operators.despike import winsorize
+
+    rows = [("a", i, float(i)) for i in range(1, 11)] + [("a", 99, None)]
+    df = spark.createDataFrame(rows, "k string, id int, value double")
+    got = {r["id"]: r for r in
+           winsorize(df, ["k"], "value", 0.1, 0.9).collect()}
+    # quantile_cont over 1..10: p10 = 1.9, p90 = 9.1
+    assert abs(got[1]["p_lo"] - 1.9) < 1e-12
+    assert abs(got[1]["p_hi"] - 9.1) < 1e-12
+    assert abs(got[1]["value_wins"] - 1.9) < 1e-12 and got[1]["is_clipped"]
+    assert abs(got[10]["value_wins"] - 9.1) < 1e-12 and got[10]["is_clipped"]
+    assert got[5]["value_wins"] == 5.0 and not got[5]["is_clipped"]
+    assert got[99]["value_wins"] is None and got[99]["is_clipped"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winsorize(df, ["k"], "value", 0.9, 0.1)

@@ -19,14 +19,14 @@ REQUIRED_IN_WINDOW = {
     "stream_corpus_quality", "a_approx_percentiles", "text_chunk_documents",
     "text_frequent_terms", "text_epoch_plan", "stream_corpus_neardup",
     "f_materialize_mixture",
-    # the eighteen round-7 additions
+    # the twenty round-7 additions
     "sim_knn_graph", "text_dsir_weights", "f_length_buckets",
     "dedup_bloom_filter", "sim_pq_adc", "sim_pq_rerank",
     "stream_corpus_decontam", "text_ccnet_buckets",
     "text_hash_classifier", "sim_ivfpq", "dedup_repeated_spans",
     "dedup_span_rebuild", "w_hampel_despike", "dedup_contam_spans",
     "w_linear_interp", "w_seasonal_baseline", "sim_pagerank",
-    "text_bm25_topk",
+    "text_bm25_topk", "j_interval_overlap", "w_winsorize",
     # gates over code touched in round 7 (update_run_dates fgt_mode,
     # try_divide in the cosine pair path, centroid_assign zero-norm
     # sentinel, frequent_terms exact threshold — the latter is already
@@ -35,19 +35,19 @@ REQUIRED_IN_WINDOW = {
     # oldest certifications (round 4)
     "s1_series_range_scan", "p1_hychan_roundtrip", "p2_timdep_roundtrip",
     "mm_binary_meta", "k2_outflow_render", "stream_resample_events",
-    # round-5 certifications — the oldest 13 of the remaining 48
+    # round-5 certifications — the oldest 11 of the remaining 48
     # (the others rotate in round 8 together with the round-6 set)
     "dedup_winnowing", "dedup_winnow_pairs", "f_weighted_sample",
     "f_pack_sequences", "q8_market_share", "q9_product_profit",
     "q11_important_share", "q20_heavy_suppliers", "q21_exclusive_failures",
-    "s2_grid_scan_correction", "s6_max_end_time", "k3_raincell_render",
-    "k5_chan_render",
+    "s2_grid_scan_correction", "s6_max_end_time",
     # (x4_json_extract, q12_priority_case, w_sessionize_events,
     # a4_cumulative_fraction, w3_fill_down, a2_resample_right_closed,
     # j_range_join, j_asof_join, j8_gap_fill, j6_nearest_rank1,
-    # k8_run_metadata, f9_get_or_create, j1_calendar_spine, and
-    # j2_dim_enrichment — all certified r5 — yielded their slots to
-    # the eighteen round-7 gates; rotate back in round 8)
+    # k8_run_metadata, f9_get_or_create, j1_calendar_spine,
+    # j2_dim_enrichment, k3_raincell_render, and k5_chan_render — all
+    # certified r5 — yielded their slots to the twenty round-7 gates;
+    # rotate back in round 8)
 }
 
 
