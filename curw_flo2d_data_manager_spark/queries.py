@@ -5862,6 +5862,102 @@ WHERE rank <= 20 ORDER BY rank
 """
 
 
+def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type EWMA (alpha=0.3) of the value series along
+    (ts, event_id) — the inherently-serial-per-series recurrence run
+    through the Arrow applyInPandas carve-out, replayed exactly by a
+    DuckDB recursive CTE (the fold is `a*x + (1.0-a)*e` in doubles on
+    both engines; CAST(0.3 AS DOUBLE) is bit-identical to the Python
+    literal)."""
+    from curw_flo2d_data_manager_spark.operators.smoothing import ewma
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "ts", "value")
+    out = ewma(ev, ["event_type"], ["ts", "event_id"], "value", alpha=0.3)
+    return out.select(
+        "event_id", F.round("value_ewma", 6).alias("value_ewma")
+    ).orderBy("event_id")
+
+
+W_EWMA_SQL = """
+WITH RECURSIVE seq AS (
+    SELECT event_type, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+    FROM events WHERE value IS NOT NULL
+),
+rec AS (
+    SELECT event_type, event_id, rn, value AS e FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.event_type, s.event_id, s.rn,
+           CAST(0.3 AS DOUBLE) * s.value
+           + (1.0::DOUBLE - CAST(0.3 AS DOUBLE)) * r.e
+    FROM seq s JOIN rec r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT e.event_id, ROUND(r.e, 6) AS value_ewma
+FROM events e LEFT JOIN rec r USING (event_id)
+ORDER BY e.event_id
+"""
+
+
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 5 iterations, deterministic
+    hash init) over the embeddings corpus — per-vector final cluster
+    and rounded squared distance. The oracle replays the ENTIRE fit as
+    unrolled CTEs: the same (md5, id) init draw, five rounds of
+    rounded-distance argmin assignment + rounded per-dimension means,
+    with empty clusters keeping their previous centroid."""
+    from curw_flo2d_data_manager_spark.operators.kmeans import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out, _ = kmeans_fit(emb, k=8, iters=5)
+    return out.orderBy("vec_id")
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
+    parts = [
+        f"""
+WITH pts AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (
+  SELECT rn - 1 AS cluster, list_transform(v, x -> ROUND(x, 4)) AS c
+  FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM pts)
+  WHERE rn <= {k}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT p.vec_id, c.cluster,
+         ROUND(list_sum(list_transform(range(1, {dim} + 1),
+               t -> (p.v[t] - c.c[t]) * (p.v[t] - c.c[t]))), 2) AS d2
+  FROM pts p CROSS JOIN c{p} c
+),
+a{i} AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+    FROM d{i}
+  ) WHERE rk = 1
+),
+c{i} AS (
+  SELECT pc.cluster, COALESCE(nc.c, pc.c) AS c
+  FROM c{p} pc LEFT JOIN (
+    SELECT cluster, list(m ORDER BY pos) AS c FROM (
+      SELECT a.cluster, t.i AS pos, ROUND(AVG(p.v[t.i]), 4) AS m
+      FROM a{i} a JOIN pts p USING (vec_id), UNNEST(range(1, {dim} + 1)) AS t(i)
+      GROUP BY 1, 2
+    ) GROUP BY 1
+  ) nc USING (cluster)
+)"""
+        )
+    parts.append(f"\nSELECT vec_id, cluster, d2 FROM a{iters} ORDER BY vec_id")
+    return "".join(parts)
+
+
+SIM_KMEANS_SQL = _kmeans_oracle_sql()
+
+
 def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval × interval overlap join: maintenance-style windows
     derived from even-user events against forecast-style windows from
@@ -5994,6 +6090,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_bm25_topk": (text_bm25_topk, TEXT_BM25_SQL),
     "j_interval_overlap": (j_interval_overlap, J_OVERLAP_SQL),
     "w_winsorize": (w_winsorize, W_WINSOR_SQL),
+    "sim_kmeans": (sim_kmeans, SIM_KMEANS_SQL),
+    "w_ewma": (w_ewma, W_EWMA_SQL),
     "k8_start_date": (k8_start_date, K8_START_SQL),
     "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),
