@@ -390,6 +390,23 @@ def cmd_extract_water_level(args) -> None:
     parsed = parse_hychan(spark, args.hychan, base_time=args.base_time, variable=col)
     stations = spark.read.parquet(os.path.join(args.store, "stations"))
 
+    # Reference utcOffset semantics (extract_water_level.py:80-106
+    # getUTCOffset + :176-191): pattern-or-default parse, then BOTH
+    # the series timestamps and the extract cut shift by the offset.
+    from curw_flo2d_data_manager_spark.functions.timeutil import (
+        parse_utc_offset,
+    )
+
+    utc_offset_minutes = parse_utc_offset(args.utc_offset, default=True)
+    extract_cut = args.extract_cut
+    if utc_offset_minutes and extract_cut is not None:
+        from datetime import timedelta
+
+        extract_cut = (
+            datetime.strptime(extract_cut, DATE_FMT)
+            + timedelta(minutes=utc_offset_minutes)
+        ).strftime(DATE_FMT)
+
     def _forecast(rows, sta):
         return extract_hychan_forecast(
             rows,
@@ -399,7 +416,8 @@ def cmd_extract_water_level(args) -> None:
             variable=args.variable,
             unit="m" if args.variable == "WaterLevel" else "m3/s",
             fgt=fgt,
-            extract_cut=args.extract_cut,
+            extract_cut=extract_cut,
+            utc_offset_minutes=utc_offset_minutes,
         )
 
     forecast = _forecast(parsed, stations)
@@ -1193,6 +1211,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--sim_tag", default="daily_run")
     sp.add_argument("--fgt", default=None)
     sp.add_argument("--extract_cut", default=None)
+    sp.add_argument(
+        "--utc_offset",
+        default="+00:00",
+        help="shift series timestamps and the extract cut by [+/-]HH:MM "
+        "(reference getUTCOffset pattern-or-default semantics)",
+    )
     sp.add_argument("--variable", default="WaterLevel", choices=["WaterLevel", "Discharge"])
     sp.add_argument("--timdep", default=None,
                     help="TIMDEP.OUT path — also extract flood-plain water levels")

@@ -82,3 +82,25 @@ def shift_tz(time_col: Column | str, offset_minutes: int) -> Column:
     gen_rain.py:34-35 +5:30)."""
     c = F.col(time_col) if isinstance(time_col, str) else time_col
     return c + F.expr(f"INTERVAL {int(offset_minutes)} MINUTES")
+
+
+def parse_utc_offset(offset: str, default: bool = True) -> int | None:
+    """UTC-offset string → signed minutes, with the reference's
+    pattern-or-default semantics (extract_water_level.py:80-106
+    ``getUTCOffset``): the string must START with ``[+-]HH:MM``
+    (``re.match`` — a trailing suffix is ignored, exactly like the
+    reference's ``match.group()``); an invalid string returns 0 with a
+    warning when ``default`` is true, else ``None``.
+    """
+    import re
+
+    m = re.match(r"[+-]\d\d:\d\d", offset or "")
+    if not m:
+        if default:
+            print(f"UTC_OFFSET : {offset}  not in correct format. Using +00:00")
+            return 0
+        return None
+    s = m.group()
+    sign = 1 if s[0] == "+" else -1
+    hh, mm = s[1:].split(":")
+    return sign * (int(hh) * 60 + int(mm))

@@ -800,10 +800,22 @@ def pq_adc_topk(
     ascending ADC distance, ties to the smallest corpus id. Exactness
     is bounded by quantization error — rerank the top-k with true
     distances when recall matters (the standard IVF-PQ recipe).
+
+    Ranking shape: although this LOOKS like one per-query window over
+    the whole corpus, Spark's ``InferWindowGroupLimit`` rule rewrites
+    the ``row_number() ≤ k`` pattern into a TWO-STAGE group limit — a
+    ``WindowGroupLimit … Partial`` BELOW the exchange cuts each map
+    partition to its own top-k per query, so at most k·P candidate
+    rows per query ever ride the shuffle, and the reducer-side Final
+    pass ranks only those survivors. No reducer ever sorts a full
+    query's candidate stream. ``test_plan_quality.py`` pins the
+    Partial operator's presence so a config or version change can't
+    silently regress this back to a single-task sort per query. (A
+    hand-rolled two-stage window keyed by (query_id,
+    spark_partition_id) was benchmarked as the alternative — it
+    shuffles the ENTIRE pair stream to rank stage 1, strictly worse
+    than the native map-side cut.)
     """
-    m = len(codebooks)
-    ksub = len(codebooks[0])
-    dsub = len(codebooks[0][0])
     codes = pq_assign(corpus, codebooks, id_col, vec_col).select(
         F.col(id_col).alias("corpus_id"), "pq_code"
     )
@@ -983,6 +995,10 @@ def ivfpq_query(
     cand = codes.join(F.broadcast(q_sel), "cluster").withColumn(
         "_adc", _adc_dist(F.col("_qv"), F.col("pq_code"), codebooks)
     )
+    # row_number ≤ limit triggers InferWindowGroupLimit: a Partial
+    # WindowGroupLimit below the exchange cuts each map partition to
+    # its own top-limit per query, so an unboundedly large probed
+    # cell never funnels whole into one reducer task (plan-gated).
     w_adc = Window.partitionBy("query_id").orderBy(
         F.asc("_adc"), F.asc("corpus_id")
     )

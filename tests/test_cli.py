@@ -223,6 +223,61 @@ def test_extract_discharge_variable(spark, tmp_path):
     assert [r.value for r in got] == [55.5, 66.6]  # column 4, not elevation
 
 
+def test_extract_utc_offset_shifts_series_and_cut(spark, tmp_path):
+    """--utc_offset "+05:30" shifts BOTH the series timestamps and the
+    extract cut by the offset (reference extract_water_level.py:80-106
+    getUTCOffset + :176-191: run_date/run_time and every timeseries
+    row move together, so the horizon filter keeps the same rows)."""
+    store = str(tmp_path / "store")
+    hychan = tmp_path / "HYCHAN.OUT"
+    hychan.write_text(
+        "     CHANNEL HYDROGRAPH FOR ELEMENT NO:   330\n"
+        "   TIME   ELEV   DEPTH   VEL   Q\n"
+        "   0.00   10.0   1.0   0.1   55.5\n"
+        "   1.00   10.1   1.1   0.2   66.6\n"
+    )
+    spark.createDataFrame(
+        [("330", 7, 6.9, 79.8)],
+        "element_no string, station_id long, latitude double, longitude double",
+    ).write.parquet(os.path.join(store, "stations"))
+    main([
+        "extract-water-level", "-m", "flo2d_150_v2",
+        "--hychan", str(hychan), "--base_time", "2024-01-01 00:00:00",
+        "--store", store, "--utc_offset", "+05:30",
+        # cut in PRE-shift clock: +05:30 moves it to 06:30, which keeps
+        # exactly the second row (06:30)
+        "--extract_cut", "2024-01-01 01:00:00",
+    ])
+    got = spark.read.parquet(os.path.join(store, "fcst_data")).orderBy("time").collect()
+    assert [(r.time, r.value) for r in got] == [
+        (datetime(2024, 1, 1, 6, 30), 10.1)
+    ]
+
+
+def test_extract_utc_offset_invalid_defaults_to_zero(spark, tmp_path, capsys):
+    """An invalid offset string warns and falls back to +00:00 — the
+    reference's getUTCOffset(default=True) branch."""
+    store = str(tmp_path / "store")
+    hychan = tmp_path / "HYCHAN.OUT"
+    hychan.write_text(
+        "     CHANNEL HYDROGRAPH FOR ELEMENT NO:   330\n"
+        "   TIME   ELEV   DEPTH   VEL   Q\n"
+        "   0.00   10.0   1.0   0.1   55.5\n"
+    )
+    spark.createDataFrame(
+        [("330", 7, 6.9, 79.8)],
+        "element_no string, station_id long, latitude double, longitude double",
+    ).write.parquet(os.path.join(store, "stations"))
+    main([
+        "extract-water-level", "-m", "flo2d_150_v2",
+        "--hychan", str(hychan), "--base_time", "2024-01-01 00:00:00",
+        "--store", store, "--utc_offset", "bogus",
+    ])
+    assert "not in correct format" in capsys.readouterr().out
+    got = spark.read.parquet(os.path.join(store, "fcst_data")).collect()
+    assert [r.time for r in got] == [datetime(2024, 1, 1, 0, 0)]
+
+
 def test_archive_templates_k10(tmp_path):
     from curw_flo2d_data_manager_spark.cli import TEMPLATE_FILES, archive_templates
     import tarfile

@@ -367,6 +367,20 @@ def test_pq_assign_is_narrow_and_adc_ships_codes_not_vectors(spark, sf_dir):
     assert "SortMergeJoin" not in adc_plan
     assert "CartesianProduct" not in adc_plan
     assert "BatchEvalPython" not in adc_plan
+    # Two-stage ranking (round-7 verdict item 3): the row_number ≤ k
+    # pattern must hit Spark's InferWindowGroupLimit rewrite — a
+    # WindowGroupLimit Partial BELOW the exchange cuts each map
+    # partition to its own top-k per query, so at most k·P rows per
+    # query ride the shuffle and no reducer ever sorts a full query's
+    # candidate stream. Plan prints top-down: Final → Exchange →
+    # Partial. A hand-rolled (query_id, spark_partition_id) stage-1
+    # window was measured as the alternative and rejected — it
+    # shuffles the ENTIRE pair stream.
+    assert "WindowGroupLimit" in adc_plan, adc_plan
+    i_partial = adc_plan.index(", Partial")
+    i_final = adc_plan.index(", Final")
+    i_exchange = adc_plan.index("Exchange hashpartitioning")
+    assert i_final < i_exchange < i_partial, adc_plan
 
 
 def test_ccnet_buckets_broadcast_cuts_no_global_sort(spark, sf_dir):
@@ -459,10 +473,14 @@ def test_seasonal_baseline_broadcasts_climatology_no_fact_shuffle(
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
-def test_linear_interpolate_single_exchange_and_sort(spark, sf_dir):
-    """Both window passes (running-last, reversed-first) must reuse
-    ONE exchange + ONE sort on the key columns — a second sort means
-    the frames stopped sharing the partitioning."""
+def test_linear_interpolate_no_quadratic_frame(spark, sf_dir):
+    """Both bracket passes must be incremental running frames
+    (unboundedPreceding → currentRow) over ONE exchange. An
+    UnboundedFollowing frame is O(n²) per key — Spark re-scans to the
+    partition end for every row (measured 38 s vs 0.75 s on 100k
+    rows / 5 keys) — so its appearance anywhere in the plan is a
+    regression. The second Sort (descending pass over the same
+    exchange) is the price of staying linear and is expected."""
     from curw_flo2d_data_manager_spark.operators.interpolate import (
         linear_interpolate,
     )
@@ -472,5 +490,6 @@ def test_linear_interpolate_single_exchange_and_sort(spark, sf_dir):
         linear_interpolate(ev, ["event_type"], "ts", "value"), mode="simple"
     )
     assert plan.count("Exchange") == 1, plan
-    assert plan.count("Sort ") <= 1, plan
+    assert plan.count("Sort ") <= 2, plan
+    assert "unboundedfollowing" not in plan.lower(), plan
     assert "BatchEvalPython" not in plan
