@@ -622,6 +622,13 @@ def cmd_dedup_embeddings(args) -> None:
     for col in (args.id_col, args.vec_col):
         if col not in df.columns:
             raise SystemExit(f"column {col!r} not in input ({df.columns})")
+    stale = [c for c in ("semdedup_cluster", "semdedup_keep") if c in df.columns]
+    if stale:
+        # re-running over annotated (non --keep_only) output: drop the
+        # previous run's verdict columns so the join-back can't turn
+        # ambiguous — this run's annotations replace them
+        print(f"dedup-embeddings: dropping stale {'/'.join(stale)} from input")
+        df = df.drop(*stale)
     n = df.count()
     n_clusters = args.clusters or max(4, n // 500)
     assigned, _ = build_ivf_index(
@@ -1019,6 +1026,39 @@ def cmd_search_corpus(args) -> None:
         )
 
 
+def _bounded_k(value: str) -> int:
+    """argparse type for search-corpus --k: the hit list is collected
+    to the driver (printing is the point of the command), so the
+    bounded-collect contract is enforced at parse time, not assumed."""
+    import argparse
+
+    k = int(value)
+    if not 1 <= k <= 10000:
+        raise argparse.ArgumentTypeError(
+            f"--k must be in 1..10000 (hit list is driver-collected), got {k}"
+        )
+    return k
+
+
+def _spark_write_complete(out: str) -> bool:
+    """True when a Spark output directory finished writing: the
+    ``_SUCCESS`` marker is at the top level, or — for stages that fan
+    out into per-split subdirectories (split-corpus writes
+    ``out/train``, ``out/val``…) — every immediate subdirectory
+    carries its own marker. A directory with no marker anywhere is a
+    partial/crashed write."""
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return True
+    subs = [
+        os.path.join(out, d)
+        for d in os.listdir(out)
+        if os.path.isdir(os.path.join(out, d))
+    ]
+    return bool(subs) and all(
+        os.path.exists(os.path.join(s, "_SUCCESS")) for s in subs
+    )
+
+
 def cmd_prepare_corpus(args) -> None:
     """One-shot training-data pipeline runner: execute a JSON spec of
     corpus stages (import-corpus, dedup-corpus, decontam-corpus,
@@ -1055,10 +1095,22 @@ def cmd_prepare_corpus(args) -> None:
         if not name or not isinstance(stage_args, dict):
             raise SystemExit(f"stage {i}: needs 'run' and dict 'args'")
         out = stage_args.get("output")
+        # A stage counts as complete only when Spark's _SUCCESS marker
+        # landed: a crash mid-write leaves a partial parquet directory
+        # behind, and skipping on bare existence would feed the
+        # corrupt output to every downstream stage. Without the marker
+        # the stage re-runs — its own overwrite mode makes that safe.
+        # (Non-directory outputs — single rendered files — keep the
+        # plain existence check.)
         if out and os.path.exists(out) and not args.force:
+            done = not os.path.isdir(out) or _spark_write_complete(out)
+            if done:
+                print(f"[prepare-corpus {i + 1}/{len(stages)}] {name}: "
+                      f"output {out} exists, skipping (F9)")
+                continue
             print(f"[prepare-corpus {i + 1}/{len(stages)}] {name}: "
-                  f"output {out} exists, skipping (F9)")
-            continue
+                  f"output {out} has no _SUCCESS marker (partial write) "
+                  f"— re-running")
         argv = [name]
         for k, v in stage_args.items():
             flag = f"--{k}"
@@ -1431,7 +1483,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="query text (tokenized like the corpus)")
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--text-col", default="text")
-    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--k", type=_bounded_k, default=10,
+                    help="top-k hits (1..10000 — the hit list is "
+                         "collected to the driver for printing)")
     sp.add_argument("--k1", type=float, default=1.2)
     sp.add_argument("--b", type=float, default=0.75)
     sp.add_argument("--output", default=None,

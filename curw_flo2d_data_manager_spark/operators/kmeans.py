@@ -55,7 +55,11 @@ def kmeans_fit(
     """Run ``iters`` Lloyd iterations; return ``(assignments,
     centroids)`` where assignments has (``id_col``, ``cluster``,
     ``d2`` — the rounded squared distance to the winning centroid)
-    and centroids is the final k x dim Python list.
+    and centroids is the final k x dim Python list. The pair is
+    CONSISTENT: after the last mean update a final assignment pass
+    runs against the returned centroid matrix, so every row's
+    (cluster, d2) is its distance to the centroids this function
+    returns (the oracle unrolls the same iters+1-th assignment).
     """
     if k < 1 or iters < 1:
         raise ValueError(f"need k >= 1 and iters >= 1, got k={k}, iters={iters}")
@@ -75,7 +79,13 @@ def kmeans_fit(
     init = pts.orderBy(hash_key, "_id").limit(k).select("_v").collect()
     if len(init) < k:
         raise ValueError(f"kmeans_fit: k={k} exceeds corpus size {len(init)}")
-    centroids = [[round(float(x), centroid_round) for x in r["_v"]] for r in init]
+    # HALF_UP like F.round and the oracle's ROUND — Python's builtin
+    # round() is half-EVEN, which diverges on exact half-quantum
+    # components and would break the cross-engine determinism contract
+    centroids = [
+        [_round_half_up(float(x), centroid_round) for x in r["_v"]]
+        for r in init
+    ]
 
     def assign(cents: list[list[float]]) -> DataFrame:
         mat = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
@@ -101,7 +111,6 @@ def kmeans_fit(
             "_id", "_v", F.col("_best.j").alias("cluster"), F.col("_best.d2").alias("d2")
         )
 
-    assigned = None
     for _ in range(iters):
         assigned = assign(centroids)
         # k rows after partial aggregation; k x dim doubles to the driver
@@ -120,5 +129,17 @@ def kmeans_fit(
             nxt[r["cluster"]] = [float(r[f"m{i}"]) for i in range(dim)]
         centroids = nxt
 
-    out = assigned.select(F.col("_id").alias(id_col), "cluster", "d2")
+    # final assignment against the RETURNED centroids, so the
+    # (assignments, centroids) pair is internally consistent
+    out = assign(centroids).select(F.col("_id").alias(id_col), "cluster", "d2")
     return out, centroids
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """round() with HALF_UP on the shortest decimal repr — the same
+    rule as Spark's ``F.round`` (BigDecimal of Double.toString) and
+    DuckDB's ``ROUND``, unlike builtin round()'s half-even."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))

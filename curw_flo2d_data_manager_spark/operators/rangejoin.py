@@ -39,12 +39,19 @@ def point_in_interval_join(
     keys = by or []
     b = int(bucket_seconds)
 
+    # An inverted interval (end < start) matches nothing under the
+    # exact BETWEEN predicate, but F.sequence(start, stop) with
+    # start > stop silently generates a DESCENDING bucket range —
+    # spurious candidates that only waste join work. Emit an empty
+    # array instead so explode drops the malformed row outright,
+    # matching plain-predicate semantics exactly.
+    lo = F.floor(F.col(start_col).cast("double") / b).cast("long")
+    hi = F.floor(F.col(end_col).cast("double") / b).cast("long")
     ivals = intervals.withColumn(
         "_bucket",
         F.explode(
-            F.sequence(
-                F.floor(F.col(start_col).cast("double") / b).cast("long"),
-                F.floor(F.col(end_col).cast("double") / b).cast("long"),
+            F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
+                F.array().cast("array<long>")
             )
         ),
     )
@@ -98,14 +105,19 @@ def interval_overlap_join(
                 if c not in keys
             ],
         )
+        # Clamp the bucket range with least/greatest: an inverted
+        # interval (end < start) CAN still match pairs under the plain
+        # predicate ``L.start <= R.end AND R.start <= L.end`` (its
+        # partner must span [end, start]), but an unclamped
+        # F.sequence would emit a DESCENDING range whose coverage
+        # doesn't contain ``first_bucket`` — silently dropping such
+        # pairs. Spanning min..max keeps candidate generation a
+        # superset of the exact predicate for any input.
+        lo = F.floor(F.col(start_col + suf).cast("double") / b).cast("long")
+        hi = F.floor(F.col(end_col + suf).cast("double") / b).cast("long")
         return renamed.withColumn(
             "_bucket",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(start_col + suf).cast("double") / b).cast("long"),
-                    F.floor(F.col(end_col + suf).cast("double") / b).cast("long"),
-                )
-            ),
+            F.explode(F.sequence(F.least(lo, hi), F.greatest(lo, hi))),
         )
 
     la, rb = prep(left, sa), prep(right, sb)

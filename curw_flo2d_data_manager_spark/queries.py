@@ -5903,8 +5903,11 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash init) over the embeddings corpus — per-vector final cluster
     and rounded squared distance. The oracle replays the ENTIRE fit as
     unrolled CTEs: the same (md5, id) init draw, five rounds of
-    rounded-distance argmin assignment + rounded per-dimension means,
-    with empty clusters keeping their previous centroid."""
+    rounded-distance argmin assignment + rounded per-dimension means
+    (empty clusters keeping their previous centroid), then the final
+    consistency assignment against the post-update centroids — so
+    (cluster, d2) always refers to the centroid matrix kmeans_fit
+    returns."""
     from curw_flo2d_data_manager_spark.operators.kmeans import kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -5924,7 +5927,9 @@ c0 AS (
   WHERE rn <= {k}
 )"""
     ]
-    for i in range(1, iters + 1):
+    # iters mean-update rounds, then one extra assignment-only round
+    # (i == iters+1) mirroring kmeans_fit's final consistency pass
+    for i in range(1, iters + 2):
         p = i - 1
         parts.append(
             f""",
@@ -5939,7 +5944,11 @@ a{i} AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
     FROM d{i}
   ) WHERE rk = 1
-),
+)"""
+        )
+        if i <= iters:
+            parts.append(
+                f""",
 c{i} AS (
   SELECT pc.cluster, COALESCE(nc.c, pc.c) AS c
   FROM c{p} pc LEFT JOIN (
@@ -5950,8 +5959,10 @@ c{i} AS (
     ) GROUP BY 1
   ) nc USING (cluster)
 )"""
-        )
-    parts.append(f"\nSELECT vec_id, cluster, d2 FROM a{iters} ORDER BY vec_id")
+            )
+    parts.append(
+        f"\nSELECT vec_id, cluster, d2 FROM a{iters + 1} ORDER BY vec_id"
+    )
     return "".join(parts)
 
 

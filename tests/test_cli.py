@@ -678,6 +678,23 @@ def test_dedup_embeddings_cli_drops_scaled_copies(spark, tmp_path, capsys):
     assert len(ann) == 122
     assert not ann[1000]["semdedup_keep"] and ann[0]["semdedup_keep"]
 
+    # re-running over the ANNOTATED output (which already carries
+    # semdedup_cluster/semdedup_keep) must not fail on an ambiguous
+    # join-back: the stale verdict columns are dropped and replaced
+    # by this run's (r7 advice)
+    out3 = str(tmp_path / "emb_rerun.parquet")
+    main([
+        "dedup-embeddings", "--input", out2, "--output", out3,
+        "--threshold", "0.999", "--clusters", "4",
+    ])
+    assert "dropping stale semdedup_cluster/semdedup_keep" in capsys.readouterr().out
+    rerun = {r["vec_id"]: r for r in spark.read.parquet(out3).collect()}
+    assert len(rerun) == 122
+    assert not rerun[1000]["semdedup_keep"] and rerun[0]["semdedup_keep"]
+    # exactly one verdict pair in the schema — not two generations
+    cols = spark.read.parquet(out3).columns
+    assert cols.count("semdedup_keep") == 1 and cols.count("semdedup_cluster") == 1
+
 
 def test_dedup_corpus_cli_winnow_passage_overlap(spark, tmp_path, capsys):
     """--method winnow clusters docs sharing a long PASSAGE even when
@@ -899,6 +916,17 @@ def test_prepare_corpus_pipeline_runs_and_resumes(spark, tmp_path, capsys):
     main(["prepare-corpus", "--spec", str(spec_path)])
     out = capsys.readouterr().out
     assert out.count("skipping (F9)") == 3
+
+    # a crashed mid-write stage leaves a parquet directory WITHOUT the
+    # _SUCCESS marker: resume must re-run it, not skip and feed the
+    # partial output downstream
+    os.remove(f"{work}/dedup/_SUCCESS")
+    main(["prepare-corpus", "--spec", str(spec_path)])
+    out = capsys.readouterr().out
+    assert "no _SUCCESS marker" in out and "dedup-corpus" in out
+    assert out.count("skipping (F9)") == 2
+    assert os.path.exists(f"{work}/dedup/_SUCCESS")  # re-written whole
+    assert spark.read.parquet(f"{work}/dedup").count() == 40
 
     # bad spec fails loudly
     bad = tmp_path / "bad.json"

@@ -2215,3 +2215,76 @@ def test_winsorize_exact_percentiles_and_null_passthrough(spark):
 
     with _pytest.raises(ValueError):
         winsorize(df, ["k"], "value", 0.9, 0.1)
+
+
+def test_kmeans_pair_consistency_and_half_up_init(spark):
+    """(assignments, centroids) are internally consistent — every
+    row's d2 is its rounded squared distance to the RETURNED centroid
+    matrix, not the penultimate one — and init components round
+    HALF_UP like F.round / the DuckDB oracle (builtin round()'s
+    half-even would turn 0.00005 into 0.0, diverging engines)."""
+    from curw_flo2d_data_manager_spark.operators.kmeans import (
+        _round_half_up,
+        kmeans_fit,
+    )
+
+    # half-up on exact half-quantum values (banker's would give 0.0 / 0.1_2)
+    assert _round_half_up(0.00005, 4) == 0.0001
+    assert _round_half_up(0.12345, 4) == 0.1235
+    assert _round_half_up(-0.00005, 4) == -0.0001
+
+    rows = [(i, [float(i % 7), float((3 * i) % 5)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out, cents = kmeans_fit(df, k=3, iters=2, id_col="vec_id")
+    got = {r["vec_id"]: r for r in out.collect()}
+    for i, vec in rows:
+        d2s = [
+            round(sum((a - b) * (a - b) for a, b in zip(vec, c)), 2)
+            for c in cents
+        ]
+        best = min(range(3), key=lambda j: (d2s[j], j))
+        assert got[i]["cluster"] == best, (i, got[i], d2s)
+        assert abs(got[i]["d2"] - d2s[best]) < 1e-9
+
+
+def test_rangejoin_inverted_intervals_match_plain_semantics(spark):
+    """Malformed (end < start) intervals follow the documented plain
+    range-predicate semantics instead of silently corrupting bucket
+    coverage: point_in_interval_join drops them (BETWEEN can never
+    hold), and interval_overlap_join still finds the pairs the exact
+    predicate ``L.start <= R.end AND R.start <= L.end`` admits — a
+    partner spanning [end, start]."""
+    from curw_flo2d_data_manager_spark.operators.rangejoin import (
+        interval_overlap_join,
+        point_in_interval_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 7000.0)], "pid int, time double"
+    )
+    inv = spark.createDataFrame(
+        [(10, 9000.0, 5000.0)], "iid int, start double, end double"
+    )
+    assert point_in_interval_join(pts, inv, bucket_seconds=3600).count() == 0
+
+    left = spark.createDataFrame(
+        [(1, 9000.0, 5000.0),      # inverted: partner must span [5000, 9000]
+         (2, 1000.0, 2000.0)],     # normal
+        "lid int, start double, end double",
+    )
+    right = spark.createDataFrame(
+        [(10, 4000.0, 10000.0),    # spans the inverted one -> matches
+         (11, 6000.0, 6500.0),     # inside [5000,9000] but doesn't span -> no
+         (12, 1500.0, 1600.0)],    # overlaps the normal one
+        "rid int, start double, end double",
+    )
+    got = {
+        (r["lid_a"], r["rid_b"])
+        for r in interval_overlap_join(
+            left, right, bucket_seconds=1000
+        ).collect()
+    }
+    # plain-predicate truth set computed by hand:
+    # (1,10): 9000<=10000 & 4000<=5000 ✓   (1,11): 6000<=5000 ✗
+    # (1,12): 1500<=5000 but 9000<=1600 ✗  (2,12): ✓  (2,10): 1000<=10000 & 4000<=2000 ✗
+    assert got == {(1, 10), (2, 12)}
