@@ -156,6 +156,11 @@ def main() -> None:
         "text_bm25_topk",
         "j_interval_overlap",
         "w_winsorize",
+        # round-8 additions: high-cardinality-key window variants
+        # (1500 user_id keys at sf0.1 vs event_type's 5) so per-key
+        # window costs are measured at realistic series cardinality
+        "w_interp_user",
+        "w_hampel_user",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

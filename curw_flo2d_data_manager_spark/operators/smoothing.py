@@ -21,6 +21,21 @@ the gap and the NULL row reports a NULL EWMA; the fold computes
 literally ``alpha * x + (1.0 - alpha) * e`` in IEEE doubles, so the
 value stream is bit-identical to any engine evaluating the same
 expression.
+
+MEMORY LIMIT (single-series length): ``applyInPandas`` materializes
+one whole group per Arrow batch, so a SINGLE series must fit in one
+executor's memory — roughly 10⁸ rows (a few GB as float64 plus the
+pass-through columns). Corpus size is unbounded (series stream
+through independently); only per-key length is capped. For series
+past that, split the fold into bounded segments: within a segment
+the EWMA is an affine function of the carry-in
+(``e_out = (1-a)^n · e_in + B`` with ``B`` a local fold), so segment
+summaries compose left-to-right in a tiny per-key scan and each
+segment re-folds with its known carry-in — two bounded passes.
+That path is deliberately NOT the default because the regrouped
+arithmetic is no longer bit-identical to the sequential fold, which
+would break the cross-engine determinism contract above. See
+SCALING.md §EWMA.
 """
 
 from __future__ import annotations

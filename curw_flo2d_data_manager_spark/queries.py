@@ -5613,6 +5613,58 @@ ORDER BY e.event_id
 """
 
 
+def w_hampel_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel despiking keyed by user_id — the HIGH-CARDINALITY
+    window-op variant (1500 keys at sf0.1 vs event_type's 5): the
+    sf-scaled events table has only 5 event types, so the event_type-
+    keyed query measures 5-partition parallelism; this one pins the
+    per-key window cost at realistic series cardinality (round-7
+    verdict item 5)."""
+    from curw_flo2d_data_manager_spark.operators.despike import hampel_despike
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = hampel_despike(
+        ev, ["user_id"], ["ts", "event_id"], "value",
+        half_window=2, n_mad=5.0,
+    )
+    return out.select(
+        "event_id",
+        F.round("rolling_median", 6).alias("rolling_median"),
+        "is_spike",
+        F.round("value_clean", 6).alias("value_clean"),
+    ).orderBy("event_id")
+
+
+W_HAMPEL_USER_SQL = """
+WITH e AS (
+    SELECT event_id, user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+),
+n AS (
+    SELECT a.user_id, a.rn, b.value AS nv
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 2 AND a.rn + 2
+),
+m AS (
+    SELECT user_id, rn, quantile_cont(nv, 0.5) AS med
+    FROM n GROUP BY user_id, rn
+),
+d AS (
+    SELECT n.user_id, n.rn, quantile_cont(abs(n.nv - m.med), 0.5) AS mad
+    FROM n JOIN m USING (user_id, rn)
+    GROUP BY n.user_id, n.rn
+)
+SELECT e.event_id,
+       ROUND(m.med, 6) AS rolling_median,
+       abs(e.value - m.med) > 5.0 * d.mad AS is_spike,
+       ROUND(CASE WHEN abs(e.value - m.med) > 5.0 * d.mad
+                  THEN m.med ELSE e.value END, 6) AS value_clean
+FROM e JOIN m USING (user_id, rn) JOIN d USING (user_id, rn)
+ORDER BY e.event_id
+"""
+
+
 def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level maximal repeated spans (Lee et al. 2021 exact-
     substring dedup at 8-gram granularity): every maximal run of
@@ -5703,6 +5755,64 @@ b AS (
         pw AS (PARTITION BY event_type ORDER BY t, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         fw AS (PARTITION BY event_type ORDER BY t, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id,
+       v IS NULL AS was_gap,
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+                  ELSE pv + (nv - pv) * ((t - pt) / NULLIF(nt - pt, 0))
+             END, 6) AS value_interp
+FROM b ORDER BY event_id
+"""
+
+
+def w_interp_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation keyed by user_id — the HIGH-CARDINALITY
+    variant of ``w_linear_interp`` (1500 keys at sf0.1 vs
+    event_type's 5), pinning the per-key window cost at realistic
+    series cardinality (round-7 verdict item 5). Every 7th event
+    blanked, same bracket semantics."""
+    from curw_flo2d_data_manager_spark.operators.interpolate import (
+        linear_interpolate,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    out = linear_interpolate(
+        ev, ["user_id"], "ts", "value", tiebreak_cols=["event_id"]
+    )
+    return out.select(
+        "event_id",
+        "was_gap",
+        F.round("value_interp", 6).alias("value_interp"),
+    ).orderBy("event_id")
+
+
+W_INTERP_USER_SQL = """
+WITH e AS (
+    SELECT event_id, user_id, epoch(ts) AS t,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+    FROM events
+),
+b AS (
+    SELECT event_id, t, v,
+           LAST_VALUE(v IGNORE NULLS) OVER pw AS pv,
+           LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER pw AS pt,
+           FIRST_VALUE(v IGNORE NULLS) OVER fw AS nv,
+           FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER fw AS nt
+    FROM e
+    WINDOW
+        pw AS (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        fw AS (PARTITION BY user_id ORDER BY t, event_id
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT event_id,
@@ -6103,6 +6213,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "w_winsorize": (w_winsorize, W_WINSOR_SQL),
     "sim_kmeans": (sim_kmeans, SIM_KMEANS_SQL),
     "w_ewma": (w_ewma, W_EWMA_SQL),
+    "w_interp_user": (w_interp_user, W_INTERP_USER_SQL),
+    "w_hampel_user": (w_hampel_user, W_HAMPEL_USER_SQL),
     "k8_start_date": (k8_start_date, K8_START_SQL),
     "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),
