@@ -161,6 +161,7 @@ def main() -> None:
         # window costs are measured at realistic series cardinality
         "w_interp_user",
         "w_hampel_user",
+        "f_domain_cap",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

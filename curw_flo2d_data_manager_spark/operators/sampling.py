@@ -18,7 +18,7 @@ filter, no shuffle, pushes through any plan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SEP = "\x1f"
@@ -271,3 +271,37 @@ def materialize_mixture(
         )
         .select(*df.columns, epoch_col)
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column | str],
+    cap: int,
+    keep_only: bool = True,
+    rank_col: str = "domain_rank",
+) -> DataFrame:
+    """Per-domain document cap — the crawl-pipeline step that stops a
+    handful of giant hosts from dominating a training mix: keep at
+    most ``cap`` rows per ``group_cols`` group, best-first by
+    ``order_cols`` (e.g. a quality score descending, id ascending for
+    determinism).
+
+    Scale shape: the ``row_number() <= cap`` pattern triggers Spark's
+    InferWindowGroupLimit — a Partial WindowGroupLimit BELOW the
+    exchange cuts each map partition to its own top-``cap`` per
+    domain, so a skewed domain with 10⁹ pages ships at most
+    cap·num_partitions rows into its reducer instead of all of them.
+    With ``keep_only=False`` every row survives, annotated with
+    ``rank_col`` (NULL-free; rows past the cap keep their true rank)
+    — note the annotate path ranks ALL rows, so the group-limit
+    pruning applies only when ``keep_only=True``.
+    """
+    if cap < 1:
+        raise ValueError(f"need cap >= 1, got {cap}")
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    ranked = df.withColumn(rank_col, F.row_number().over(w))
+    if keep_only:
+        return ranked.filter(F.col(rank_col) <= cap).drop(rank_col)
+    return ranked.withColumn("over_cap", F.col(rank_col) > cap)

@@ -822,12 +822,12 @@ def pq_adc_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
-    )
+    ).withColumn("_lut", _pq_lut(F.col("_qv"), codebooks))
     pairs = codes.crossJoin(F.broadcast(q))
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("corpus_id"))
     return (
         pairs.withColumn(
-            "adc", _adc_dist(F.col("_qv"), F.col("pq_code"), codebooks)
+            "adc", _adc_from_lut(F.col("_lut"), F.col("pq_code"), codebooks)
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -897,28 +897,51 @@ def pq_adc_rerank_topk(
     )
 
 
-def _adc_dist(
-    qv: Column, code: Column, codebooks: list[list[list[float]]]
+def _pq_lut(qv: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Per-query ADC lookup table: ``lut[i][c] = ||q_sub_i −
+    centroid(i, c)||²`` as an m × ksub nested array. Computed ONCE per
+    query row (m·ksub·dsub multiplies per QUERY, evaluated while
+    building the broadcast relation) so the per-candidate ADC reduces
+    to m table lookups — the standard PQ fast-scan trick. Each cell
+    uses the identical zip_with/aggregate expression the direct form
+    would, and the final sum adds subspaces in the same order, so the
+    LUT path is bit-for-bit the naive Σ_i ||q_sub_i − cent(code_i)||²."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(qv, i * dsub + 1, dsub),
+                            F.array(*[F.lit(float(x)) for x in cent]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for cent in codebooks[i]
+                ]
+            )
+            for i in range(m)
+        ]
+    )
+
+
+def _adc_from_lut(
+    lut: Column, code: Column, codebooks: list[list[list[float]]]
 ) -> Column:
-    """Asymmetric distance from a query vector to a packed PQ code:
-    Σ_i ||q_sub_i − centroid(i, code_i)||². Pure Column expression;
-    the codebook folds into the plan as nested array literals."""
+    """Asymmetric distance from a packed PQ code via the per-query
+    LUT: unpack each sub-code and sum the m table cells — O(m) per
+    candidate instead of O(m·dsub) arithmetic, so the work on the
+    corpus-sized pair stream drops ~dsub×."""
     m = len(codebooks)
     ksub = len(codebooks[0])
-    dsub = len(codebooks[0][0])
     total = None
     for i in range(m):
         code_i = F.pmod(F.floor(code / F.lit(ksub**i)), F.lit(ksub)).cast("int")
-        qsub = F.slice(qv, i * dsub + 1, dsub)
-        cb = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cent]) for cent in codebooks[i]]
-        )
-        cent = F.element_at(cb, code_i + 1)
-        d = F.aggregate(
-            F.zip_with(qsub, cent, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        d = F.element_at(F.element_at(lut, i + 1), code_i + 1)
         total = d if total is None else total + d
     return total
 
@@ -990,10 +1013,14 @@ def ivfpq_query(
         q_probes.withColumn("_prk", F.row_number().over(w_probe))
         .filter(F.col("_prk") <= nprobe)
         .select("query_id", "_qv", "cluster")
+        # ADC LUT computed once per (query, probe) row while building
+        # the broadcast relation — the candidate stream then pays m
+        # lookups per code, not m·dsub multiplies
+        .withColumn("_lut", _pq_lut(F.col("_qv"), codebooks))
     )
 
     cand = codes.join(F.broadcast(q_sel), "cluster").withColumn(
-        "_adc", _adc_dist(F.col("_qv"), F.col("pq_code"), codebooks)
+        "_adc", _adc_from_lut(F.col("_lut"), F.col("pq_code"), codebooks)
     )
     # row_number ≤ limit triggers InferWindowGroupLimit: a Partial
     # WindowGroupLimit below the exchange cuts each map partition to

@@ -5026,6 +5026,36 @@ FROM seq ORDER BY doc_id
 """
 
 
+def f_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (anti-host-domination): keep at most 10
+    docs per source, best-first by (n_chars DESC, doc_id) — the
+    row_number <= cap pattern rides Spark's InferWindowGroupLimit so
+    a skewed domain never ships more than cap rows per map partition
+    into its reducer. Run annotated (keep_only=False) so the oracle
+    certifies every rank, not just the survivor set."""
+    from curw_flo2d_data_manager_spark.operators.sampling import domain_cap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = domain_cap(
+        docs, ["source"], [F.col("n_chars").desc(), F.col("doc_id")],
+        cap=10, keep_only=False,
+    )
+    return out.select("doc_id", "source", "domain_rank", "over_cap").orderBy(
+        "doc_id"
+    )
+
+
+F_DOMAIN_CAP_SQL = """
+SELECT doc_id, source,
+       ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+           AS domain_rank,
+       ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+           > 10 AS over_cap
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def dedup_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered blocklist anti-join: drop every document
     whose exact text fingerprint appears in the src0 'already-trained'
@@ -6215,6 +6245,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "w_ewma": (w_ewma, W_EWMA_SQL),
     "w_interp_user": (w_interp_user, W_INTERP_USER_SQL),
     "w_hampel_user": (w_hampel_user, W_HAMPEL_USER_SQL),
+    "f_domain_cap": (f_domain_cap, F_DOMAIN_CAP_SQL),
     "k8_start_date": (k8_start_date, K8_START_SQL),
     "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),

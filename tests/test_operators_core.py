@@ -2288,3 +2288,34 @@ def test_rangejoin_inverted_intervals_match_plain_semantics(spark):
     # (1,10): 9000<=10000 & 4000<=5000 ✓   (1,11): 6000<=5000 ✗
     # (1,12): 1500<=5000 but 9000<=1600 ✗  (2,12): ✓  (2,10): 1000<=10000 & 4000<=2000 ✗
     assert got == {(1, 10), (2, 12)}
+
+
+def test_domain_cap_keep_and_annotate_modes(spark):
+    """keep_only retains exactly cap best rows per domain (determined
+    by order + tiebreak); annotate mode keeps every row with its true
+    rank and an over_cap flag; cap < 1 raises."""
+    from curw_flo2d_data_manager_spark.operators.sampling import domain_cap
+
+    rows = [(d, i, float(100 - i)) for d in ("a", "b") for i in range(5)]
+    df = spark.createDataFrame(rows, "source string, doc_id int, q double")
+    kept = domain_cap(
+        df, ["source"], [F.col("q").desc(), "doc_id"], cap=2
+    ).collect()
+    assert sorted((r["source"], r["doc_id"]) for r in kept) == [
+        ("a", 0), ("a", 1), ("b", 0), ("b", 1),
+    ]
+    ann = {
+        (r["source"], r["doc_id"]): r
+        for r in domain_cap(
+            df, ["source"], [F.col("q").desc(), "doc_id"],
+            cap=2, keep_only=False,
+        ).collect()
+    }
+    assert len(ann) == 10
+    assert ann[("a", 0)]["domain_rank"] == 1 and not ann[("a", 0)]["over_cap"]
+    assert ann[("a", 4)]["domain_rank"] == 5 and ann[("a", 4)]["over_cap"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        domain_cap(df, ["source"], ["doc_id"], cap=0)

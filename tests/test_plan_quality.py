@@ -493,3 +493,24 @@ def test_linear_interpolate_no_quadratic_frame(spark, sf_dir):
     assert plan.count("Sort ") <= 2, plan
     assert "unboundedfollowing" not in plan.lower(), plan
     assert "BatchEvalPython" not in plan
+
+
+def test_domain_cap_uses_partial_window_group_limit(spark, sf_dir):
+    """domain_cap(keep_only=True) must hit InferWindowGroupLimit: the
+    Partial operator below the exchange caps a skewed domain at
+    cap rows per map partition — without it, one giant host funnels
+    every page into a single reducer sort."""
+    from curw_flo2d_data_manager_spark.operators.sampling import domain_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    plan = plan_of(
+        domain_cap(docs, ["source"], [F.col("n_chars").desc(), "doc_id"], cap=5),
+        mode="simple",
+    )
+    assert "WindowGroupLimit" in plan, plan
+    i_partial = plan.index(", Partial")
+    i_exchange = plan.index("Exchange hashpartitioning")
+    assert i_exchange < i_partial, plan
+    assert "BatchEvalPython" not in plan
