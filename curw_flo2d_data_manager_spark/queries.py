@@ -6207,10 +6207,66 @@ ORDER BY e.event_id
 DRIVER_WINDOW = 50
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # ---- round-7 driver window (positions 1-50; see
-    # tests/test_registry_window.py): the ten never-certified
-    # round-6 additions, the four round-7 additions, gates over
-    # code touched this round, then the oldest certifications.
+    # ---- round-8 driver window (positions 1-50; see
+    # tests/test_registry_window.py). Rotation policy: the three
+    # never-certified round-8 additions, then every query whose
+    # operator code changed this round (interp frame fix, kmeans
+    # consistency, PQ LUT, rangejoin inverted-interval semantics),
+    # then the entries with the OLDEST certification (last green
+    # in the r5 window or earlier), then two r6-certified fills.
+    "w_interp_user": (w_interp_user, W_INTERP_USER_SQL),
+    "w_hampel_user": (w_hampel_user, W_HAMPEL_USER_SQL),
+    "f_domain_cap": (f_domain_cap, F_DOMAIN_CAP_SQL),
+    "w_linear_interp": (w_linear_interp, W_INTERP_SQL),
+    "sim_kmeans": (sim_kmeans, SIM_KMEANS_SQL),
+    "sim_pq_adc": (sim_pq_adc, SIM_PQ_SQL),
+    "sim_pq_rerank": (sim_pq_rerank, SIM_PQ_RERANK_SQL),
+    "sim_ivfpq": (sim_ivfpq, SIM_IVFPQ_SQL),
+    "j_interval_overlap": (j_interval_overlap, J_OVERLAP_SQL),
+    "j_range_join": (j_range_join, J_RANGE_SQL),
+    "s2_grid_scan_correction": (s2_grid_scan_correction, S2_SQL),
+    "s6_max_end_time": (s6_max_end_time, S6_SQL),
+    "j6_nearest_rank1": (j6_nearest_rank1, J6_SQL),
+    "j8_gap_fill": (j8_gap_fill, J8_SQL),
+    "j_asof_join": (j_asof_join, J_ASOF_SQL),
+    "a2_resample_right_closed": (a2_resample_right_closed, A2_SQL),
+    "a4_cumulative_fraction": (a4_cumulative_fraction, A4_SQL),
+    "w3_fill_down": (w3_fill_down, W3_SQL),
+    "w_sessionize_events": (w_sessionize_events, W_SESSION_SQL),
+    "q12_priority_case": (q12_priority_case, Q12_SQL),
+    "x4_json_extract": (x4_json_extract, X4_SQL),
+    "k3_raincell_render": (k3_raincell_render, K3_SQL),
+    "k5_chan_render": (k5_chan_render, K5_SQL),
+    "k8_run_metadata": (k8_run_metadata, K8_SQL),
+    "f9_get_or_create": (f9_get_or_create, F9_SQL),
+    "j1_calendar_spine": (j1_calendar_spine, J1_SQL),
+    "j2_dim_enrichment": (j2_dim_enrichment, J2_SQL),
+    "stream_cumsum_events": (stream_cumsum_events, STREAM_CUMSUM_SQL),
+    "stream_session_events": (stream_session_events, STREAM_SESSION_SQL),
+    "dedup_exact": (dedup_exact_docs, DEDUP_EXACT_SQL),
+    "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
+    "sim_lsh_pairs": (sim_lsh_pairs, SIM_LSH_SQL),
+    "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "w_moving_avg": (w_moving_avg, W_MOVAVG_SQL),
+    "x_unpivot_lineitem": (x_unpivot_lineitem, X_UNPIVOT_SQL),
+    "a_cube_counts": (a_cube_counts, A_CUBE_SQL),
+    "a_percentiles": (a_percentiles, A_PCT_SQL),
+    "q2_min_supplier": (q2_min_supplier, Q2_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
+    "q17_small_quantity": (q17_small_quantity, Q17_SQL),
+    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
+    "sim_ivf_topk": (sim_ivf_topk_docs, SIM_IVF_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh_docs, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
+    "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
+    "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
+    "dedup_passages": (dedup_passages, DEDUP_PASSAGES_SQL),
+    # ---- past the window: certified r6/r7 (newest first to
+    # rotate out), re-verified locally each round via
+    # tools/check_correctness.py full sweeps.
     "text_bigram_logprob": (text_bigram_logprob, TEXT_BIGRAM_SQL),
     "f_split_assign": (f_split_assign, F_SPLIT_SQL),
     "sim_semantic_dedup": (sim_semantic_dedup, SIM_SEMDEDUP_SQL),
@@ -6225,27 +6281,18 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_dsir_weights": (text_dsir_weights, TEXT_DSIR_SQL),
     "f_length_buckets": (f_length_buckets, F_LENBUCKET_SQL),
     "dedup_bloom_filter": (dedup_bloom_filter, DEDUP_BLOOM_SQL),
-    "sim_pq_adc": (sim_pq_adc, SIM_PQ_SQL),
-    "sim_pq_rerank": (sim_pq_rerank, SIM_PQ_RERANK_SQL),
     "stream_corpus_decontam": (stream_corpus_decontam, STREAM_DECONTAM_SQL),
     "text_ccnet_buckets": (text_ccnet_buckets, TEXT_CCNET_SQL),
     "text_hash_classifier": (text_hash_classifier, TEXT_CLASSIFIER_SQL),
-    "sim_ivfpq": (sim_ivfpq, SIM_IVFPQ_SQL),
     "dedup_repeated_spans": (dedup_repeated_spans, DEDUP_SPANS_SQL),
     "dedup_span_rebuild": (dedup_span_rebuild, DEDUP_SPAN_REBUILD_SQL),
     "w_hampel_despike": (w_hampel_despike, W_HAMPEL_SQL),
     "dedup_contam_spans": (dedup_contam_spans, DEDUP_CONTAM_SPANS_SQL),
-    "w_linear_interp": (w_linear_interp, W_INTERP_SQL),
     "w_seasonal_baseline": (w_seasonal_baseline, W_SEASONAL_SQL),
     "sim_pagerank": (sim_pagerank, SIM_PAGERANK_SQL),
     "text_bm25_topk": (text_bm25_topk, TEXT_BM25_SQL),
-    "j_interval_overlap": (j_interval_overlap, J_OVERLAP_SQL),
     "w_winsorize": (w_winsorize, W_WINSOR_SQL),
-    "sim_kmeans": (sim_kmeans, SIM_KMEANS_SQL),
     "w_ewma": (w_ewma, W_EWMA_SQL),
-    "w_interp_user": (w_interp_user, W_INTERP_USER_SQL),
-    "w_hampel_user": (w_hampel_user, W_HAMPEL_USER_SQL),
-    "f_domain_cap": (f_domain_cap, F_DOMAIN_CAP_SQL),
     "k8_start_date": (k8_start_date, K8_START_SQL),
     "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),
@@ -6264,34 +6311,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q11_important_share": (q11_important_share, Q11_SQL),
     "q20_heavy_suppliers": (q20_heavy_suppliers, Q20_SQL),
     "q21_exclusive_failures": (q21_exclusive_failures, Q21_SQL),
-    "s2_grid_scan_correction": (s2_grid_scan_correction, S2_SQL),
-    "s6_max_end_time": (s6_max_end_time, S6_SQL),
-    "j6_nearest_rank1": (j6_nearest_rank1, J6_SQL),
-    "j8_gap_fill": (j8_gap_fill, J8_SQL),
-    "j_asof_join": (j_asof_join, J_ASOF_SQL),
-    "j_range_join": (j_range_join, J_RANGE_SQL),
-    "a2_resample_right_closed": (a2_resample_right_closed, A2_SQL),
-    "a4_cumulative_fraction": (a4_cumulative_fraction, A4_SQL),
-    "w3_fill_down": (w3_fill_down, W3_SQL),
-    "w_sessionize_events": (w_sessionize_events, W_SESSION_SQL),
-    "q12_priority_case": (q12_priority_case, Q12_SQL),
-    # x4_json_extract certified r5; yielded its round-7 window slot to
-    # sim_pq_adc, rotates back in round 8
-    "x4_json_extract": (x4_json_extract, X4_SQL),
-    # ---- past the window: certified round 5/6, rotating back in
-    # future rounds; re-verified locally via tools/check_correctness.py
-    # (k8_run_metadata, f9_get_or_create, j1_calendar_spine,
-    # j2_dim_enrichment, k3_raincell_render, and k5_chan_render —
-    # certified r5 — yielded their slots to the six late-round-7
-    # additions above)
-    "k3_raincell_render": (k3_raincell_render, K3_SQL),
-    "k5_chan_render": (k5_chan_render, K5_SQL),
-    "k8_run_metadata": (k8_run_metadata, K8_SQL),
-    "f9_get_or_create": (f9_get_or_create, F9_SQL),
-    "j1_calendar_spine": (j1_calendar_spine, J1_SQL),
-    "j2_dim_enrichment": (j2_dim_enrichment, J2_SQL),
-    "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
-    "dedup_passages": (dedup_passages, DEDUP_PASSAGES_SQL),
     "text_tfidf_terms": (text_tfidf_terms, TEXT_TFIDF_SQL),
     "text_domain_mixture": (text_domain_mixture, TEXT_MIXTURE_SQL),
     "dedup_cluster_filter": (dedup_cluster_filter, DEDUP_CLUSTER_SQL),
@@ -6338,27 +6357,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "s4_nearest_gauge_rain": (s4_nearest_gauge_rain, S4_SQL),
     "k4_rain_render": (k4_rain_render, K4_SQL),
     "a_approx_distinct": (a_approx_distinct, A_APPROX_SQL),
-    "stream_cumsum_events": (stream_cumsum_events, STREAM_CUMSUM_SQL),
-    "stream_session_events": (stream_session_events, STREAM_SESSION_SQL),
-    "dedup_exact": (dedup_exact_docs, DEDUP_EXACT_SQL),
-    "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
-    "sim_lsh_pairs": (sim_lsh_pairs, SIM_LSH_SQL),
-    "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
-    "text_quality": (text_quality, TEXT_QUALITY_SQL),
-    "w_moving_avg": (w_moving_avg, W_MOVAVG_SQL),
-    "x_unpivot_lineitem": (x_unpivot_lineitem, X_UNPIVOT_SQL),
-    "a_cube_counts": (a_cube_counts, A_CUBE_SQL),
-    "a_percentiles": (a_percentiles, A_PCT_SQL),
-    "q2_min_supplier": (q2_min_supplier, Q2_SQL),
-    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
-    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
-    "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
-    "q17_small_quantity": (q17_small_quantity, Q17_SQL),
-    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
-    "sim_ivf_topk": (sim_ivf_topk_docs, SIM_IVF_SQL),
-    "dedup_minhash_lsh": (dedup_minhash_lsh_docs, DEDUP_MINHASH_SQL),
-    "dedup_simhash": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
-    "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
 }
 
 
