@@ -7,6 +7,11 @@ inter-arrival gaps, then runs the window family end-to-end:
 * native batch ``session_window`` aggregation
 * 4-row sliding moving average
 * event-type pivot (explicit value list)
+* linear gap interpolation (every 7th value blanked) — the
+  two-sorted-running-frame shape; an UnboundedFollowing frame here
+  would be O(n²) per key (round-7 verdict), so this smoke is the
+  scale regression for that fix
+* Hampel despiking (5-row rolling median + MAD)
 
 Each op is forced with a noop write. Prints one JSON line with
 per-op seconds and rows/s. These are the operators whose shuffle is a
@@ -114,6 +119,45 @@ def main() -> None:
     t0 = time.monotonic()
     _force(events.groupBy("user_id").pivot("event_type", TYPES).agg(F.sum("value")))
     results["pivot"] = round(time.monotonic() - t0, 3)
+
+    from curw_flo2d_data_manager_spark.operators.despike import hampel_despike
+    from curw_flo2d_data_manager_spark.operators.interpolate import (
+        linear_interpolate,
+    )
+
+    gapped = events.withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")),
+    )
+    t0 = time.monotonic()
+    interp = linear_interpolate(
+        gapped, ["user_id"], "ts", "value", tiebreak_cols=["event_id"]
+    )
+    # row preservation + filled-gap census in one aggregate
+    stats = interp.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("was_gap").cast("long")).alias("gaps"),
+        F.sum(
+            (F.col("was_gap") & F.col("value_interp").isNotNull()).cast("long")
+        ).alias("filled"),
+    ).first()
+    results["linear_interp"] = round(time.monotonic() - t0, 3)
+    assert stats["rows"] == n_rows, stats
+    # every 7th event is a gap; all but per-user leading/trailing NULL
+    # runs must fill (each user's series is long, so edge losses are
+    # a vanishing fraction)
+    assert stats["gaps"] == (n_rows + 6) // 7, stats
+    assert stats["filled"] >= stats["gaps"] * 0.99, stats
+
+    t0 = time.monotonic()
+    _force(
+        hampel_despike(
+            events, ["user_id"], ["ts", "event_id"], "value",
+            half_window=2, n_mad=5.0,
+        ).select("event_id", "is_spike", "value_clean")
+    )
+    results["hampel"] = round(time.monotonic() - t0, 3)
 
     total = sum(results.values())
     print(
