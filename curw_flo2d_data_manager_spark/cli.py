@@ -659,6 +659,158 @@ def cmd_dedup_embeddings(args) -> None:
     )
 
 
+def cmd_build_ann_index(args) -> None:
+    """Build (or append to) a persisted ANN index — the 100-TB
+    retrieval layout as one command. ``--output`` gets:
+
+    * ``assignments/`` — (corpus_id, embedding, cluster) parquet,
+      ``partitionBy(cluster)`` so a query's probe reads ONLY
+      nprobe/n_clusters of the index (partition pruning);
+    * ``index_meta.json`` — quantizer centers + column/config
+      metadata (+ PQ codebooks with ``--pq``);
+    * ``codes/`` (``--pq``) — (corpus_id, cluster, pq_code) parquet,
+      same partitioning: the 8-byte-code relation ADC ranks against
+      without touching vectors.
+
+    ``--append`` assigns a NEW batch against the STORED quantizer
+    (no retrain — ``ivf_assign``) and appends to both relations;
+    re-train only when drift unbalances the cells.
+    """
+    import json as _json
+
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_assign,
+        pq_assign,
+        train_pq_codebooks,
+    )
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="build-ann-index")
+    df = spark.read.parquet(args.input)
+    for col in (args.id_col, args.vec_col):
+        if col not in df.columns:
+            raise SystemExit(f"column {col!r} not in input ({df.columns})")
+    meta_path = os.path.join(args.output, "index_meta.json")
+    asg_path = os.path.join(args.output, "assignments")
+    codes_path = os.path.join(args.output, "codes")
+
+    if args.append:
+        try:
+            with open(meta_path) as f:
+                meta = _json.load(f)
+        except FileNotFoundError:
+            raise SystemExit(f"--append needs an existing index at {args.output}")
+        assigned = ivf_assign(
+            df, meta["centers"], id_col=args.id_col, vec_col=args.vec_col
+        )
+        assigned.write.mode("append").partitionBy("cluster").parquet(asg_path)
+        if meta.get("pq"):
+            codes = pq_assign(
+                assigned, meta["pq"]["codebooks"],
+                id_col="corpus_id", vec_col="embedding",
+            ).join(assigned.select("corpus_id", "cluster"), "corpus_id")
+            codes.write.mode("append").partitionBy("cluster").parquet(codes_path)
+        n = df.count()
+        print(f"build-ann-index: appended {n} vectors -> {args.output}")
+        return
+
+    n = df.count()
+    n_clusters = args.clusters or max(4, n // 500)
+    assignments, centers = build_ivf_index(
+        df, n_clusters=n_clusters, id_col=args.id_col, vec_col=args.vec_col
+    )
+    assignments = assignments.persist()
+    assignments.write.mode("overwrite").partitionBy("cluster").parquet(asg_path)
+    meta = {
+        "n_clusters": n_clusters,
+        "n_vectors": n,
+        "id_col": args.id_col,
+        "vec_col": args.vec_col,
+        "centers": centers,
+        "pq": None,
+    }
+    if args.pq:
+        codebooks = train_pq_codebooks(
+            df, m=args.pq_m, ksub=args.pq_ksub,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        meta["pq"] = {"m": args.pq_m, "ksub": args.pq_ksub, "codebooks": codebooks}
+        codes = pq_assign(
+            assignments, codebooks, id_col="corpus_id", vec_col="embedding"
+        ).join(assignments.select("corpus_id", "cluster"), "corpus_id")
+        codes.write.mode("overwrite").partitionBy("cluster").parquet(codes_path)
+    assignments.unpersist()
+    os.makedirs(args.output, exist_ok=True)
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    print(
+        f"build-ann-index: {n} vectors, {n_clusters} clusters"
+        + (f", PQ {args.pq_m}x{args.pq_ksub}" if args.pq else "")
+        + f" -> {args.output}"
+    )
+
+
+def cmd_query_ann_index(args) -> None:
+    """Query a persisted ANN index: IVF partition-pruned probe +
+    exact-cosine rerank, or — when the index carries PQ codes and
+    ``--exact`` is not given — the full IVF-PQ stack (probe → ADC
+    over 8-byte codes → exact rerank of the short candidate list).
+    Writes (query_id, corpus_id, cosine, rank) parquet and prints the
+    per-query top hit."""
+    import json as _json
+
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        ivf_query,
+        ivfpq_query,
+    )
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="query-ann-index")
+    try:
+        with open(os.path.join(args.index, "index_meta.json")) as f:
+            meta = _json.load(f)
+    except FileNotFoundError:
+        raise SystemExit(f"no index_meta.json under {args.index}")
+    assignments = spark.read.parquet(os.path.join(args.index, "assignments"))
+    queries = spark.read.parquet(args.queries)
+    qid, qvec = args.query_id_col, args.query_vec_col or meta["vec_col"]
+    for col in (qid, qvec):
+        if col not in queries.columns:
+            raise SystemExit(f"column {col!r} not in queries ({queries.columns})")
+
+    if meta.get("pq") and not args.exact:
+        codes = spark.read.parquet(os.path.join(args.index, "codes"))
+        hits = ivfpq_query(
+            assignments, meta["centers"], queries, meta["pq"]["codebooks"],
+            k=args.k, nprobe=args.nprobe, candidate_mult=args.candidate_mult,
+            query_id_col=qid, vec_col=qvec, codes=codes,
+        )
+        mode = f"ivfpq(m={meta['pq']['m']})"
+    else:
+        hits = ivf_query(
+            assignments, meta["centers"], queries,
+            k=args.k, nprobe=args.nprobe, query_id_col=qid, vec_col=qvec,
+        )
+        mode = "ivf"
+    if args.output:
+        hits.write.mode("overwrite").parquet(args.output)
+        hits = spark.read.parquet(args.output)
+    top = hits.filter(F.col("rank") == 1).orderBy("query_id").collect()
+    for r in top:
+        print(
+            f"  {r['query_id']} -> {r['corpus_id']} "
+            f"(cosine {r['cosine']:.6f})"
+        )
+    print(
+        f"query-ann-index[{mode}]: {len(top)} queries, top-{args.k}, "
+        f"nprobe={args.nprobe}"
+        + (f" -> {args.output}" if args.output else "")
+    )
+
+
 def cmd_chunk_corpus(args) -> None:
     """Chunk long documents into fixed word windows (the pre-packing
     step) and, with --pack, assign each chunk a packing bin against a
@@ -1473,6 +1625,46 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--target-lang", default="en",
                     help="dsir target domain: rows with lang-col == this")
     sp.set_defaults(fn=cmd_score_corpus)
+
+    sp = sub.add_parser(
+        "build-ann-index",
+        help="build/append a persisted IVF(-PQ) ANN index: "
+             "partitionBy(cluster) assignments + centers JSON (+ PQ codes)",
+    )
+    sp.add_argument("--input", required=True, help="embeddings parquet path")
+    sp.add_argument("--output", required=True, help="index directory")
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("--clusters", type=int, default=None,
+                    help="IVF cells (default rows/500, min 4)")
+    sp.add_argument("--pq", action="store_true",
+                    help="also train PQ codebooks and persist packed codes")
+    sp.add_argument("--pq-m", type=int, default=8, help="PQ subspaces")
+    sp.add_argument("--pq-ksub", type=int, default=16,
+                    help="centroids per subspace")
+    sp.add_argument("--append", action="store_true",
+                    help="assign a new batch against the stored quantizer "
+                         "(no retrain) and append")
+    sp.set_defaults(fn=cmd_build_ann_index)
+
+    sp = sub.add_parser(
+        "query-ann-index",
+        help="top-k ANN search against a persisted index "
+             "(IVF probe + rerank; IVF-PQ when codes exist)",
+    )
+    sp.add_argument("--index", required=True, help="index directory")
+    sp.add_argument("--queries", required=True, help="query vectors parquet")
+    sp.add_argument("--output", default=None, help="hit-list parquet path")
+    sp.add_argument("--query-id-col", default="vec_id")
+    sp.add_argument("--query-vec-col", default=None,
+                    help="defaults to the index's vector column")
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--nprobe", type=int, default=4)
+    sp.add_argument("--candidate-mult", type=int, default=4,
+                    help="ADC candidates per final hit (PQ mode)")
+    sp.add_argument("--exact", action="store_true",
+                    help="skip the PQ ADC stage even when codes exist")
+    sp.set_defaults(fn=cmd_query_ann_index)
 
     sp = sub.add_parser(
         "search-corpus",

@@ -897,6 +897,65 @@ def pq_adc_rerank_topk(
     )
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 20_000,
+    iters: int = 12,
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """Train PQ sub-codebooks with driver-side Lloyd's k-means over a
+    bounded deterministic hash-sample — the same bounded-sample
+    argument as :func:`build_ivf_index` (quantizer quality saturates
+    far below corpus size; each distributed iteration would otherwise
+    be a full-corpus pass). The sample is at most ``sample_size``
+    vectors (a few MB on the driver); centroid components round to 6
+    decimals so the returned codebook is a stable, JSON-serializable
+    plan constant. Requires numpy; the vector dimension must divide
+    evenly into ``m`` subspaces.
+    """
+    import numpy as np
+
+    c = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    n = c.count()
+    if n == 0:
+        raise ValueError("train_pq_codebooks: empty corpus")
+    if n > sample_size:
+        ppm = max(1, int(sample_size / n * 1_000_000))
+        c = c.filter(
+            F.pmod(F.xxhash64("_id", F.lit(seed)), F.lit(1_000_000)) < ppm
+        )
+    sample = np.array([r["_v"] for r in c.select("_v").collect()])
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
+    if len(sample) < ksub:
+        raise ValueError(
+            f"sample of {len(sample)} vectors cannot seed ksub={ksub} centroids"
+        )
+    rng = np.random.default_rng(seed)
+    dsub = dim // m
+    books = []
+    for i in range(m):
+        x = sample[:, i * dsub : (i + 1) * dsub]
+        cent = x[rng.choice(len(x), ksub, replace=False)].copy()
+        for _ in range(iters):
+            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for cidx in range(ksub):
+                hit = x[a == cidx]
+                if len(hit):
+                    cent[cidx] = hit.mean(axis=0)
+        books.append([[round(float(v), 6) for v in row] for row in cent])
+    return books
+
+
 def _pq_lut(qv: Column, codebooks: list[list[list[float]]]) -> Column:
     """Per-query ADC lookup table: ``lut[i][c] = ||q_sub_i −
     centroid(i, c)||²`` as an m × ksub nested array. Computed ONCE per

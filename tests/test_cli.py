@@ -964,3 +964,97 @@ def test_search_corpus_cli_bm25_hits(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit):
         main(["search-corpus", "--input", src, "--query", "!!!"])
+
+
+def test_ann_index_cli_build_query_append(spark, tmp_path, capsys):
+    """The persisted-ANN surface end-to-end: build writes the
+    partitionBy(cluster) assignments + meta (+ PQ codes), query finds
+    a planted scaled copy at rank 1 through BOTH the IVF-PQ stack and
+    --exact, and --append folds a new batch in with the stored
+    quantizer (no retrain) so a re-query sees it."""
+    import json as _json
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        base = [
+            math.cos(0.21 * (i % 9) * (d + 1)) + 1.5 * rng.random()
+            for d in range(8)
+        ]
+        rows.append((i, [float(x) for x in base]))
+    src = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(src)
+
+    idx = str(tmp_path / "ann_index")
+    main([
+        "build-ann-index", "--input", src, "--output", idx,
+        "--clusters", "6", "--pq", "--pq-m", "4", "--pq-ksub", "8",
+    ])
+    out = capsys.readouterr().out
+    assert "300 vectors, 6 clusters, PQ 4x8" in out
+    meta = _json.load(open(os.path.join(idx, "index_meta.json")))
+    assert len(meta["centers"]) == 6 and meta["pq"]["m"] == 4
+    # physical layout is cluster-partitioned on BOTH relations
+    assert any(
+        d.startswith("cluster=") for d in os.listdir(os.path.join(idx, "assignments"))
+    )
+    assert any(
+        d.startswith("cluster=") for d in os.listdir(os.path.join(idx, "codes"))
+    )
+
+    # queries = EXACT copies of corpus vectors 3 and 17 under new ids:
+    # rank 1 through both paths. (Deliberately unscaled — PQ's ADC
+    # stage ranks by unnormalized L2, so a scaled copy is a DIFFERENT
+    # point euclidean-wise even at cosine 1; the cosine rerank only
+    # sees candidates that survive the ADC cut.)
+    qsrc = str(tmp_path / "queries.parquet")
+    spark.createDataFrame(
+        [(9003, rows[3][1]), (9017, rows[17][1])],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(qsrc)
+
+    hits_path = str(tmp_path / "hits.parquet")
+    main([
+        "query-ann-index", "--index", idx, "--queries", qsrc,
+        "--output", hits_path, "--k", "3", "--nprobe", "3",
+    ])
+    out = capsys.readouterr().out
+    assert "query-ann-index[ivfpq(m=4)]" in out
+    top = {
+        r["query_id"]: r["corpus_id"]
+        for r in spark.read.parquet(hits_path).filter("rank = 1").collect()
+    }
+    assert top == {9003: 3, 9017: 17}
+
+    # --exact bypasses ADC and must agree on the planted copies
+    main([
+        "query-ann-index", "--index", idx, "--queries", qsrc,
+        "--k", "3", "--nprobe", "3", "--exact",
+    ])
+    out = capsys.readouterr().out
+    assert "query-ann-index[ivf]" in out
+    assert "9003 -> 3" in out and "9017 -> 17" in out
+
+    # append a batch holding an exact copy of a NEW planted base under
+    # id 1000; a scaled-query for it must then hit the appended row
+    extra = str(tmp_path / "extra.parquet")
+    nb = [5.0, 1.0, -2.0, 0.5, 3.0, -1.0, 2.0, 0.25]
+    spark.createDataFrame(
+        [(1000, nb)], "vec_id long, embedding array<float>"
+    ).write.parquet(extra)
+    main(["build-ann-index", "--input", extra, "--output", idx, "--append"])
+    assert "appended 1" in capsys.readouterr().out
+
+    q2 = str(tmp_path / "q2.parquet")
+    spark.createDataFrame(
+        [(9100, nb)], "vec_id long, embedding array<float>"
+    ).write.parquet(q2)
+    main([
+        "query-ann-index", "--index", idx, "--queries", q2,
+        "--k", "2", "--nprobe", "3",
+    ])
+    assert "9100 -> 1000" in capsys.readouterr().out
