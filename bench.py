@@ -162,6 +162,7 @@ def main() -> None:
         "w_interp_user",
         "w_hampel_user",
         "f_domain_cap",
+        "f_quantile_norm",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

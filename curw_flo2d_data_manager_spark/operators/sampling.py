@@ -305,3 +305,47 @@ def domain_cap(
     if keep_only:
         return ranked.filter(F.col(rank_col) <= cap).drop(rank_col)
     return ranked.withColumn("over_cap", F.col(rank_col) > cap)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    out_col: str = "score_norm",
+) -> DataFrame:
+    """Per-domain quantile normalization of a quality score — the
+    cross-source calibration step of a filtering pipeline: a raw
+    score's scale differs by domain (a fastText classifier runs hot
+    on web text, cold on code), so thresholding the RAW score skews
+    the mix. ``out_col`` is the score's percent rank WITHIN its
+    domain (0 = worst, 1 = best, ``percent_rank`` semantics: ties
+    share the rank of their first row), so one global threshold keeps
+    the same quantile of every domain.
+
+    Scale shape: one shuffle on the domain key and a streaming rank —
+    no per-group materialization. NULL scores get a NULL rank AND are
+    excluded from the denominator/offsets, so the normalized values
+    of the real scores are identical whether or not unscored rows are
+    present (a naive ``percent_rank`` would let NULLs — which sort
+    first — shift every rank).
+
+    The rank orders by the score ALONE — deliberately no tiebreak
+    column: tied scores share a rank only when the ORDER BY treats
+    them as equal, which is both what calibration wants (equal
+    quality ⇒ equal normalized score) and what makes the output
+    deterministic under any partitioning. A single-scored-row domain
+    normalizes to 0.0 (``percent_rank`` convention).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(F.col(score_col))
+    wp = Window.partitionBy(*group_cols)
+    n_nulls = F.count(F.when(F.col(score_col).isNull(), 1)).over(wp)
+    n_valid = F.count(score_col).over(wp)
+    # NULLs sort first (Spark ASC default), occupying ranks 1..n_nulls:
+    # subtract them so ranks run 1..n_valid over the scored rows only
+    pr = F.coalesce(
+        F.try_divide(F.rank().over(w) - n_nulls - 1, n_valid - 1),
+        F.lit(0.0),
+    )
+    return df.withColumn(
+        out_col, F.when(F.col(score_col).isNotNull(), pr)
+    )

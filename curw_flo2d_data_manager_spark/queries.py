@@ -5056,6 +5056,32 @@ ORDER BY doc_id
 """
 
 
+def f_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quantile normalization of a quality score (n_chars
+    as the stand-in signal): the cross-source calibration that makes
+    one global keep-threshold select the same quantile of every
+    domain regardless of raw score scale — percent_rank within
+    source, ties sharing a rank."""
+    from curw_flo2d_data_manager_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = quantile_normalize(docs, ["source"], "n_chars")
+    return out.select(
+        "doc_id", "source", F.round("score_norm", 9).alias("score_norm")
+    ).orderBy("doc_id")
+
+
+F_QUANTILE_NORM_SQL = """
+SELECT doc_id, source,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars), 9)
+           AS score_norm
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def dedup_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered blocklist anti-join: drop every document
     whose exact text fingerprint appears in the src0 'already-trained'
@@ -6217,6 +6243,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "w_interp_user": (w_interp_user, W_INTERP_USER_SQL),
     "w_hampel_user": (w_hampel_user, W_HAMPEL_USER_SQL),
     "f_domain_cap": (f_domain_cap, F_DOMAIN_CAP_SQL),
+    "f_quantile_norm": (f_quantile_norm, F_QUANTILE_NORM_SQL),
     "w_linear_interp": (w_linear_interp, W_INTERP_SQL),
     "sim_kmeans": (sim_kmeans, SIM_KMEANS_SQL),
     "sim_pq_adc": (sim_pq_adc, SIM_PQ_SQL),

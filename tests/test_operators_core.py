@@ -2319,3 +2319,31 @@ def test_domain_cap_keep_and_annotate_modes(spark):
 
     with _pytest.raises(ValueError):
         domain_cap(df, ["source"], ["doc_id"], cap=0)
+
+
+def test_quantile_normalize_ties_nulls_and_domain_independence(spark):
+    """percent_rank within each domain: 0 for the minimum, 1 for the
+    maximum, tied scores share a rank, NULL scores get NULL, and the
+    normalization of one domain is unaffected by another's scale."""
+    from curw_flo2d_data_manager_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 20.0), ("a", 4, 40.0),
+        ("a", 5, None),
+        # domain b on a 1000x scale: same shape, same normalized ranks
+        ("b", 6, 10000.0), ("b", 7, 20000.0), ("b", 8, 20000.0),
+        ("b", 9, 40000.0),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id int, s double")
+    got = {
+        r["doc_id"]: r["score_norm"]
+        for r in quantile_normalize(df, ["source"], "s").collect()
+    }
+    third = 1.0 / 3.0
+    assert got[1] == 0.0 and got[4] == 1.0
+    assert abs(got[2] - third) < 1e-12 and got[2] == got[3]  # tie shares
+    assert got[5] is None
+    for a_id, b_id in [(1, 6), (2, 7), (3, 8), (4, 9)]:
+        assert got[a_id] == got[b_id], (a_id, b_id)
