@@ -687,3 +687,48 @@ def test_repeated_spans_match_python_oracle(spark, texts, k):
             want.add((i, run[0], run[-1] + k - 1,
                       run[-1] + k - 1 - run[0] + 1))
     assert got == want
+
+
+interval_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),   # start bucket-ish
+        st.integers(min_value=-5, max_value=20),  # length (negative → inverted)
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SETTINGS
+@given(left=interval_strategy, right=interval_strategy)
+def test_interval_overlap_join_matches_brute_force(spark, left, right):
+    """Bucketed interval×interval join == the plain range predicate
+    ``L.start <= R.end AND R.start <= L.end`` on ANY input — including
+    inverted (end < start) intervals, zero-length points, and
+    multi-bucket spans — with every surviving pair appearing exactly
+    once (the first-overlapping-bucket dedup)."""
+    from curw_flo2d_data_manager_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    def rows(iv):
+        return [
+            (i, float(s * 700), float(s * 700 + ln * 700))
+            for i, (s, ln) in enumerate(iv)
+        ]
+
+    lrows, rrows = rows(left), rows(right)
+    ldf = spark.createDataFrame(lrows, "lid int, start double, end double")
+    rdf = spark.createDataFrame(rrows, "rid int, start double, end double")
+    got = [
+        (r["lid_a"], r["rid_b"])
+        for r in interval_overlap_join(ldf, rdf, bucket_seconds=1000).collect()
+    ]
+    want = {
+        (li, ri)
+        for li, ls, le in lrows
+        for ri, rs, re_ in rrows
+        if ls <= re_ and rs <= le
+    }
+    assert len(got) == len(set(got)), f"duplicate pairs: {sorted(got)}"
+    assert set(got) == want
