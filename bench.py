@@ -163,6 +163,7 @@ def main() -> None:
         "w_hampel_user",
         "f_domain_cap",
         "f_quantile_norm",
+        "text_char_entropy",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -976,3 +976,41 @@ def hash_classifier_score(
             ).alias("score"),
         )
     )
+
+
+# Fixed alphabet for char_entropy: counting by length-difference keeps
+# the whole computation a zero-shuffle projection (no explode of the
+# corpus into per-character rows). Chars outside the classes fold into
+# one OTHER bucket, so the distribution always sums to the text length.
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (bits/char) of the lowercased character
+    distribution over a FIXED alphabet (a-z, 0-9, space) plus one
+    OTHER bucket — the gibberish/encoded-blob detector: natural text
+    sits ~3.5-4.3 bits, base64/hex blobs and single-char padding runs
+    fall far outside.
+
+    Scale shape: each class count is ``length(t) − length(replace(t,
+    ch))`` — ~40 codegen expressions, ZERO shuffle, no explode of the
+    corpus into per-char rows (the naive explode→groupBy shape ships
+    one row per CHARACTER of the corpus through a shuffle). Empty or
+    NULL text yields NULL.
+    """
+    t = F.lower(_c(col))
+    n = F.length(t).cast("double")
+    counts = [
+        (F.length(t) - F.length(F.replace(t, F.lit(ch)))).cast("double")
+        for ch in ENTROPY_ALPHABET
+    ]
+    known = None
+    for c in counts:
+        known = c if known is None else known + c
+    counts.append(F.length(t).cast("double") - known)  # OTHER bucket
+    ent = None
+    for c in counts:
+        p = c / n
+        term = F.when(c > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+        ent = term if ent is None else ent + term
+    return F.when(F.length(t) > 0, ent)

@@ -5082,6 +5082,50 @@ ORDER BY doc_id
 """
 
 
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (fixed
+    a-z/0-9/space alphabet + OTHER bucket) — the gibberish/encoded-
+    blob quality signal, computed as a ZERO-shuffle projection
+    (length-difference counts, no per-character explode). The oracle
+    re-derives it by the OPPOSITE method — character unnest +
+    group-count — so agreement certifies the length-diff algebra."""
+    from curw_flo2d_data_manager_spark.operators.textstats import char_entropy
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id", F.round(char_entropy("text"), 6).alias("char_entropy")
+    ).orderBy("doc_id")
+
+
+TEXT_ENTROPY_SQL = """
+WITH e AS (
+    SELECT doc_id, lower(text) AS t FROM documents
+),
+ch AS (
+    SELECT doc_id,
+           CASE WHEN strpos('abcdefghijklmnopqrstuvwxyz0123456789 ', c) > 0
+                THEN c ELSE chr(1) END AS cls
+    FROM (SELECT doc_id, unnest(string_split(t, '')) AS c
+          FROM e WHERE length(t) > 0)
+),
+cnt AS (
+    SELECT doc_id, cls, COUNT(*)::DOUBLE AS n
+    FROM ch GROUP BY doc_id, cls
+),
+tot AS (SELECT doc_id, SUM(n) AS total FROM cnt GROUP BY doc_id),
+ent AS (
+    SELECT cnt.doc_id,
+           -SUM((n / total) * log2(n / total)) AS h
+    FROM cnt JOIN tot USING (doc_id)
+    GROUP BY cnt.doc_id
+)
+SELECT e.doc_id,
+       ROUND(CASE WHEN length(e.t) > 0 THEN ent.h END, 6) AS char_entropy
+FROM e LEFT JOIN ent USING (doc_id)
+ORDER BY e.doc_id
+"""
+
+
 def dedup_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered blocklist anti-join: drop every document
     whose exact text fingerprint appears in the src0 'already-trained'
@@ -6244,6 +6288,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "w_hampel_user": (w_hampel_user, W_HAMPEL_USER_SQL),
     "f_domain_cap": (f_domain_cap, F_DOMAIN_CAP_SQL),
     "f_quantile_norm": (f_quantile_norm, F_QUANTILE_NORM_SQL),
+    "text_char_entropy": (text_char_entropy, TEXT_ENTROPY_SQL),
     "w_linear_interp": (w_linear_interp, W_INTERP_SQL),
     "sim_kmeans": (sim_kmeans, SIM_KMEANS_SQL),
     "sim_pq_adc": (sim_pq_adc, SIM_PQ_SQL),

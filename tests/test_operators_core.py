@@ -2347,3 +2347,34 @@ def test_quantile_normalize_ties_nulls_and_domain_independence(spark):
     assert got[5] is None
     for a_id, b_id in [(1, 6), (2, 7), (3, 8), (4, 9)]:
         assert got[a_id] == got[b_id], (a_id, b_id)
+
+
+def test_char_entropy_known_distributions(spark):
+    """Hand-computable entropies: single-char runs -> 0 bits, a 50/50
+    two-char mix -> 1 bit, four equiprobable chars -> 2 bits;
+    out-of-alphabet chars fold into ONE bucket (so '!@#$' is a single
+    class -> 0 bits); case folds; empty/NULL -> NULL."""
+    import math
+
+    from curw_flo2d_data_manager_spark.operators.textstats import char_entropy
+
+    rows = [
+        (1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "!@#$"),
+        (5, "AaAa"), (6, ""), (7, None), (8, "aab!"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id", F.round(char_entropy("text"), 9).alias("h")
+        ).collect()
+    }
+    assert got[1] == 0.0
+    assert got[2] == 1.0
+    assert got[3] == 2.0
+    assert got[4] == 0.0          # all four chars share the OTHER bucket
+    assert got[5] == 0.0          # lowercased first
+    assert got[6] is None and got[7] is None
+    # 'aab!' -> a:1/2, b:1/4, other:1/4
+    want = -(0.5 * math.log2(0.5) + 0.25 * math.log2(0.25) * 2)
+    assert abs(got[8] - want) < 1e-9

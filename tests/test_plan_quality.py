@@ -514,3 +514,19 @@ def test_domain_cap_uses_partial_window_group_limit(spark, sf_dir):
     i_exchange = plan.index("Exchange hashpartitioning")
     assert i_exchange < i_partial, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_char_entropy_is_zero_shuffle_projection(spark, sf_dir):
+    """char_entropy must stay a pure projection: NO exchange, NO
+    explode (Generate), no Python — the naive explode→groupBy shape
+    ships one row per corpus CHARACTER through a shuffle."""
+    from curw_flo2d_data_manager_spark.operators.textstats import char_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = plan_of(docs.select("doc_id", char_entropy("text").alias("h")),
+                   mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "BatchEvalPython" not in plan

@@ -13,8 +13,9 @@ from curw_flo2d_data_manager_spark.queries import DRIVER_WINDOW, REGISTRY
 
 # Round-8 window: keys must sit at registry position < DRIVER_WINDOW.
 REQUIRED_IN_WINDOW = {
-    # the four round-8 additions, never driver-certified
+    # the five round-8 additions, never driver-certified
     "w_interp_user", "w_hampel_user", "f_domain_cap", "f_quantile_norm",
+    "text_char_entropy",
     # queries over code touched in round 8: the interpolation frame
     # fix, kmeans final-assignment consistency + HALF_UP init, the
     # PQ ADC lookup-table rewrite, and the rangejoin inverted-interval
@@ -36,12 +37,12 @@ REQUIRED_IN_WINDOW = {
     "q16_supplier_cnt", "q17_small_quantity", "q22_idle_customers",
     "sim_ivf_topk", "dedup_minhash_lsh", "dedup_simhash",
     "k7_merge_upsert",
-    # one r6-certified fill (oldest of the remaining pool;
-    # dedup_passages sits first past the window for round 9)
-    "dedup_components",
-    # (the full round-7 window — 30 r7 additions plus its rotation set
-    # — certified r7 and rotates out; everything re-verified locally
-    # via tools/check_correctness.py full sweeps each round)
+    # (the five round-8 additions displaced the two r6-certified
+    # fills — dedup_components/dedup_passages sit first past the
+    # window for round 9; the full round-7 window — 30 r7 additions
+    # plus its rotation set — certified r7 and rotates out;
+    # everything re-verified locally via tools/check_correctness.py
+    # full sweeps each round)
 }
 
 
