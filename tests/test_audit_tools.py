@@ -32,3 +32,31 @@ def test_bnlj_detector_ignores_equi_and_range_joins(spark):
         b, (F.col("v") >= F.col("id2")) & (F.col("v") <= F.col("id2") + 5)
     )
     assert bnlj_risks(banded, threshold=0) == []
+
+
+def test_quadratic_frame_detector_flags_moving_lower_bound(spark):
+    """The O(n²) window-frame detector (round-8): a frame whose upper
+    bound is unboundedFollowing with a MOVING lower bound flags; the
+    whole-partition frame and running frames do not."""
+    from pyspark.sql import Window
+
+    from audit_plans import quadratic_frames
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("t"),
+        (F.col("id") * 2).alias("v"),
+    )
+
+    def plan(frame):
+        w = Window.partitionBy("k").orderBy("t").rowsBetween(*frame)
+        d = df.select(F.last("v").over(w).alias("x"))
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    bad = plan((Window.currentRow, Window.unboundedFollowing))
+    assert len(quadratic_frames(bad)) == 1, bad
+    assert quadratic_frames(
+        plan((Window.unboundedPreceding, Window.unboundedFollowing))
+    ) == []
+    assert quadratic_frames(
+        plan((Window.unboundedPreceding, Window.currentRow))
+    ) == []

@@ -1,11 +1,13 @@
 """Plan audit: render every registry query's physical plan at a given
 sf and flag scale red-flags — cartesian products, non-broadcast nested
-loop joins, row-at-a-time Python eval, and unusually deep exchange
-counts. Usage: python tools/audit_plans.py [sf_dir] [name_filter...]
+loop joins, row-at-a-time Python eval, quadratic window frames, and
+unusually deep exchange counts.
+Usage: python tools/audit_plans.py [sf_dir] [name_filter...]
 """
 
 from __future__ import annotations
 
+import re
 import sys
 
 sys.path.insert(0, ".")
@@ -17,6 +19,26 @@ RED_FLAGS = {
     "CartesianProduct": "cartesian product (unbounded n^2)",
     "BatchEvalPython": "row-at-a-time Python UDF",
 }
+
+# A window frame whose UPPER bound is unboundedfollowing with a MOVING
+# lower bound (currentrow / offset) is NOT incremental: Spark re-scans
+# from the current row to the partition end for EVERY row — O(n²) per
+# key (w_linear_interp measured 80 s → 1.5 s after rewriting to a
+# descending running frame, round-8). A whole-partition frame
+# (unboundedpreceding → unboundedfollowing) is computed once and is
+# fine — only the moving-lower-bound case flags.
+_UF_FRAME = re.compile(
+    r"specifiedwindowframe\((?:Row|Range)Frame, ([a-z$()\-0-9]+), "
+    r"unboundedfollowing"
+)
+
+
+def quadratic_frames(plan: str) -> list[str]:
+    return [
+        f"quadratic window frame ({lower} -> unboundedfollowing)"
+        for lower in _UF_FRAME.findall(plan)
+        if lower != "unboundedpreceding$()"
+    ]
 
 # BroadcastNestedLoopJoin is fine iff the broadcast side is provably
 # tiny (spine/gapfill grids, query batches); flag only for review.
@@ -85,6 +107,7 @@ def main() -> None:
             bad.append(name)
             continue
         flags = [msg for marker, msg in RED_FLAGS.items() if marker in plan]
+        flags.extend(quadratic_frames(plan))
         if "BroadcastNestedLoopJoin" in plan:
             flags.extend(bnlj_risks(df))
         watch = [m for m in WATCH if m in plan]
