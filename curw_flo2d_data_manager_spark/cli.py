@@ -751,6 +751,50 @@ def cmd_build_ann_index(args) -> None:
     )
 
 
+def cmd_ann_index_stats(args) -> None:
+    """Operating report for a persisted ANN index: per-cell row
+    counts, balance factor (max cell / ideal even split — the number
+    that says when to re-train the quantizer), empty-cell count, and
+    codes-relation consistency when PQ codes exist. One aggregation
+    over the cluster partition column — the vectors themselves are
+    never read (column pruning)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="ann-index-stats")
+    try:
+        with open(os.path.join(args.index, "index_meta.json")) as f:
+            meta = _json.load(f)
+    except FileNotFoundError:
+        raise SystemExit(f"no index_meta.json under {args.index}")
+    asg = spark.read.parquet(os.path.join(args.index, "assignments"))
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(sizes.values())
+    n_cells = meta["n_clusters"]
+    ideal = n_total / n_cells if n_cells else 0
+    biggest = max(sizes.values(), default=0)
+    empty = n_cells - len(sizes)
+    print(f"ann-index-stats: {n_total} vectors in {len(sizes)}/{n_cells} cells")
+    print(f"  largest cell {biggest} rows "
+          f"(balance {biggest / ideal:.2f}x ideal)" if ideal else "  empty index")
+    print(f"  empty cells {empty}")
+    if meta.get("pq"):
+        codes = spark.read.parquet(os.path.join(args.index, "codes"))
+        n_codes = codes.count()
+        status = "OK" if n_codes == n_total else "MISMATCH"
+        print(f"  pq codes {n_codes} ({status} vs {n_total} vectors)")
+        if n_codes != n_total:
+            raise SystemExit(
+                "codes/assignments row counts differ — rebuild or re-append"
+            )
+
+
 def cmd_query_ann_index(args) -> None:
     """Query a persisted ANN index: IVF partition-pruned probe +
     exact-cosine rerank, or — when the index carries PQ codes and
@@ -1646,6 +1690,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="assign a new batch against the stored quantizer "
                          "(no retrain) and append")
     sp.set_defaults(fn=cmd_build_ann_index)
+
+    sp = sub.add_parser(
+        "ann-index-stats",
+        help="cell-balance / consistency report for a persisted ANN index",
+    )
+    sp.add_argument("--index", required=True, help="index directory")
+    sp.set_defaults(fn=cmd_ann_index_stats)
 
     sp = sub.add_parser(
         "query-ann-index",

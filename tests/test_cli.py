@@ -1058,3 +1058,9 @@ def test_ann_index_cli_build_query_append(spark, tmp_path, capsys):
         "--k", "2", "--nprobe", "3",
     ])
     assert "9100 -> 1000" in capsys.readouterr().out
+
+    # stats report: all 301 vectors accounted for, codes consistent
+    main(["ann-index-stats", "--index", idx])
+    out = capsys.readouterr().out
+    assert "301 vectors" in out
+    assert "pq codes 301 (OK vs 301 vectors)" in out

@@ -732,3 +732,43 @@ def test_interval_overlap_join_matches_brute_force(spark, left, right):
     }
     assert len(got) == len(set(got)), f"duplicate pairs: {sorted(got)}"
     assert set(got) == want
+
+
+score_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SETTINGS
+@given(rows=score_strategy)
+def test_quantile_normalize_matches_pandas_rank(spark, rows):
+    """quantile_normalize == pandas groupby rank(method='min'),
+    normalized to [0, 1] over the NON-NULL scores only — for any mix
+    of ties, NULLs, and single-row domains."""
+    from curw_flo2d_data_manager_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    data = [(dom, i, float(s) if s is not None else None)
+            for i, (dom, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "source string, rid int, s double")
+    got = {
+        r["rid"]: r["score_norm"]
+        for r in quantile_normalize(df, ["source"], "s").collect()
+    }
+    pdf = pd.DataFrame(data, columns=["source", "rid", "s"])
+    ranks = pdf.groupby("source")["s"].rank(method="min")
+    n_valid = pdf.groupby("source")["s"].transform("count")
+    for _, row in pdf.iterrows():
+        rid = row["rid"]
+        if pd.isna(row["s"]):
+            assert got[rid] is None, rid
+            continue
+        n = n_valid[row.name]
+        want = 0.0 if n == 1 else (ranks[row.name] - 1) / (n - 1)
+        assert got[rid] == pytest.approx(want), (rid, got[rid], want)
