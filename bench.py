@@ -164,6 +164,10 @@ def main() -> None:
         "f_domain_cap",
         "f_quantile_norm",
         "text_char_entropy",
+        "w_peaks_over_threshold",
+        "w_cusum_drift",
+        "dedup_normalized",
+        "dedup_url_canonical",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -299,6 +299,54 @@ def extract_urls(col: Column | str) -> Column:
     return F.regexp_extract_all(_c(col), F.lit(URL_PATTERN), F.lit(0))
 
 
+def normalize_text(col: Column | str) -> Column:
+    """Canonical normalization for dedup keys: lowercase, every
+    non-alphanumeric run → one space, trim. Case / punctuation /
+    whitespace variants of the same prose collapse to one key — the
+    standard pre-hash step for web-corpus exact dedup (a raw md5 of
+    the bytes misses trivially-reformatted copies).
+
+    Pure Column expressions (codegen, no UDF); idempotent
+    (normalize(normalize(x)) == normalize(x))."""
+    return F.trim(
+        F.regexp_replace(F.lower(_c(col)), r"[^a-z0-9]+", " ")
+    )
+
+
+#: query parameters stripped by canonicalize_url — click-tracking
+#: params that vary per crawl fetch but never change the resource
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9]+|fbclid|gclid|ref)="
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical form of a URL for crawl-level dedup: lowercase, strip
+    scheme + leading ``www.`` + fragment, drop click-tracking query
+    params (``utm_*``, ``fbclid``, ``gclid``, ``ref``), sort the
+    surviving params, strip trailing slashes. The same resource
+    fetched via http/https, with/without www, with different tracking
+    decorations and param orders maps to ONE key.
+
+    Entirely array/regexp Column expressions — no UDF, no shuffle;
+    at 100 TB this rides the scan inside whole-stage codegen."""
+    u = F.lower(F.trim(_c(col)))
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    base = F.regexp_replace(F.substring_index(u, "?", 1), r"/+$", "")
+    has_q = F.instr(u, "?") > 0
+    q = F.when(has_q, F.substr(u, F.instr(u, "?") + 1)).otherwise(F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    return F.when(
+        F.size(params) > 0,
+        F.concat(base, F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(base)
+
+
 def url_domain(url: Column | str) -> Column:
     """Registrable host of a URL (lowercased, port stripped)."""
     return F.lower(F.regexp_extract(_c(url), r"https?://([^/:\s]+)", 1))

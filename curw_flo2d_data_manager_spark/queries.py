@@ -6268,6 +6268,261 @@ ORDER BY e.event_id
 # Registry
 # =====================================================================
 
+def w_peaks_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POT extreme extraction per user series: exceedances of 150
+    declustered with a 1-hour runs rule, one peak row per cluster —
+    the partial-duration-series shape a flood office derives from the
+    reference's extracted gauge series (SURVEY §2.7 extension)."""
+    from curw_flo2d_data_manager_spark.operators.extremes import (
+        peaks_over_threshold,
+    )
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    out = peaks_over_threshold(
+        ev,
+        value_col="value",
+        ts_col="ts",
+        key_cols=["user_id"],
+        threshold=150.0,
+        min_gap_seconds=3600.0,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "cluster_seq",
+        "peak_ts",
+        "peak_event_id",
+        F.round("peak_value", 4).alias("peak_value"),
+        "cluster_size",
+        F.round("excess", 4).alias("excess"),
+    ).orderBy("user_id", "cluster_seq")
+
+
+W_POT_SQL = """
+WITH exceed AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events WHERE value > 150.0
+),
+lagged AS (
+    SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS prev_ts
+    FROM exceed
+),
+clustered AS (
+    SELECT user_id, event_id, ts, value,
+           CAST(SUM(CASE WHEN prev_ts IS NULL
+                           OR epoch(ts) - epoch(prev_ts) > 3600.0
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cluster_seq
+    FROM lagged
+),
+ranked AS (
+    SELECT user_id, cluster_seq, ts, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, cluster_seq
+                              ORDER BY value DESC, ts, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id, cluster_seq)
+             AS cluster_size
+    FROM clustered
+)
+SELECT user_id, cluster_seq, ts AS peak_ts, event_id AS peak_event_id,
+       ROUND(value, 4) AS peak_value, cluster_size,
+       ROUND(value - 150.0, 4) AS excess
+FROM ranked WHERE rn = 1
+ORDER BY user_id, cluster_seq
+"""
+
+
+def w_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift statistic per user series via the exact
+    prefix-scan identity (operators/extremes.py) — running-frame
+    windows only, no serial recurrence, no UDF."""
+    from curw_flo2d_data_manager_spark.operators.extremes import cusum_drift
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    out = cusum_drift(
+        ev,
+        value_col="value",
+        ts_col="ts",
+        key_cols=["user_id"],
+        target=50.0,
+        slack=10.0,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("cusum_pos", 4).alias("cusum_pos"),
+        F.round("cusum_neg", 4).alias("cusum_neg"),
+    ).orderBy("event_id")
+
+
+W_CUSUM_SQL = """
+WITH pref AS (
+    SELECT user_id, event_id, ts,
+           SUM(value - 50.0 - 10.0) OVER w AS p,
+           SUM(value - 50.0 + 10.0) OVER w AS n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id,
+       ROUND(p - LEAST(0.0, MIN(p) OVER w2), 4) AS cusum_pos,
+       ROUND(GREATEST(0.0, MAX(n) OVER w2) - n, 4) AS cusum_neg
+FROM pref
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING)
+ORDER BY event_id
+"""
+
+
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-keyed exact dedup: case / punctuation /
+    whitespace variants of the same prose collapse to one group
+    (deterministic per-doc reformatting noise is planted so the
+    normalizer has real work — raw-byte md5 dedup would miss every
+    planted variant pair)."""
+    from curw_flo2d_data_manager_spark.operators.dedup import exact_dedup
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        normalize_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    variant = (
+        F.when(m == 1, F.upper(F.col("text")))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("  "),
+                F.regexp_replace(F.col("text"), " ", ",  "),
+                F.lit("!!"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    corpus = docs.select("doc_id", F.col("text")).unionAll(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            variant.alias("text"),
+        )
+    )
+    normd = corpus.select(
+        "doc_id", normalize_text(F.col("text")).alias("norm")
+    )
+    out = exact_dedup(normd, ["norm"], "doc_id")
+    return out.select("key_hash", "kept_id", "n_dups").orderBy("kept_id")
+
+
+DEDUP_NORM_SQL = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           CASE WHEN doc_id % 3 = 1 THEN upper(text)
+                WHEN doc_id % 3 = 2
+                  THEN '  ' || regexp_replace(text, ' ', ',  ', 'g') || '!!'
+                ELSE text END AS text
+    FROM documents
+),
+n AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+    FROM corpus
+)
+SELECT sha256(norm) AS key_hash, MIN(doc_id) AS kept_id,
+       COUNT(*) AS n_dups
+FROM n GROUP BY norm ORDER BY kept_id
+"""
+
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-level URL dedup: synthetic per-doc URLs carrying the
+    full zoo of crawl noise (http/https, www, trailing slash,
+    tracking params, param order) are canonicalized
+    (operators/textstats.canonicalize_url) and grouped — the
+    dedup-by-resource step that runs before any content hash at
+    crawl scale."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        canonicalize_url,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(d % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"), (d % 3).cast("string"),
+        F.lit(".org/p/"), (d % 10).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), (d % 2).cast("string")),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(F.lit("?id="), (d % 2).cast("string"),
+                     F.lit("&utm_campaign=x")),
+        )
+        .when(d % 4 == 2, F.concat(F.lit("?id="), (d % 2).cast("string")))
+        .otherwise(F.concat(F.lit("?fbclid=abc"), d.cast("string"))),
+    )
+    return (
+        docs.select("doc_id", canonicalize_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+DEDUP_URL_SQL = """
+WITH u AS (
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+           (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END) ||
+           'site' || (doc_id % 3) || '.org/p/' || (doc_id % 10) ||
+           (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+           (CASE WHEN doc_id % 4 = 0
+                   THEN '?utm_source=feed&id=' || (doc_id % 2)
+                 WHEN doc_id % 4 = 1
+                   THEN '?id=' || (doc_id % 2) || '&utm_campaign=x'
+                 WHEN doc_id % 4 = 2 THEN '?id=' || (doc_id % 2)
+                 ELSE '?fbclid=abc' || doc_id END) AS url
+    FROM documents
+),
+s1 AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+               lower(trim(url)), '^https?://', ''), '^www\\.', ''),
+               '#.*$', '') AS u
+    FROM u
+),
+parts AS (
+    SELECT doc_id,
+           regexp_replace(split_part(u, '?', 1), '/+$', '') AS base,
+           CASE WHEN position('?' IN u) > 0
+                THEN substr(u, position('?' IN u) + 1) ELSE '' END AS q
+    FROM s1
+),
+canon AS (
+    SELECT doc_id, base,
+           list_sort(list_filter(string_split(q, '&'),
+               p -> p <> '' AND NOT regexp_matches(
+                   p, '^(utm_[a-z0-9]+|fbclid|gclid|ref)='))) AS ps
+    FROM parts
+)
+SELECT CASE WHEN len(ps) > 0
+            THEN base || '?' || array_to_string(ps, '&')
+            ELSE base END AS canonical_url,
+       MIN(doc_id) AS first_doc, COUNT(*) AS n_docs
+FROM canon GROUP BY 1 ORDER BY canonical_url
+"""
+
+
 # Registry order is CONTRACTUAL: the external correctness driver
 # verifies only the FIRST 50 entries, so positions 1-50 must cover one
 # gating query for every SURVEY §2 operator family (S/P/K/F/J/A/W/O/
@@ -6284,6 +6539,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # consistency, PQ LUT, rangejoin inverted-interval semantics),
     # then the entries with the OLDEST certification (last green
     # in the r5 window or earlier), then two r6-certified fills.
+    "w_peaks_over_threshold": (w_peaks_over_threshold, W_POT_SQL),
+    "w_cusum_drift": (w_cusum_drift, W_CUSUM_SQL),
+    "dedup_normalized": (dedup_normalized, DEDUP_NORM_SQL),
+    "dedup_url_canonical": (dedup_url_canonical, DEDUP_URL_SQL),
     "w_interp_user": (w_interp_user, W_INTERP_USER_SQL),
     "w_hampel_user": (w_hampel_user, W_HAMPEL_USER_SQL),
     "f_domain_cap": (f_domain_cap, F_DOMAIN_CAP_SQL),

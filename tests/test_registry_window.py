@@ -13,9 +13,10 @@ from curw_flo2d_data_manager_spark.queries import DRIVER_WINDOW, REGISTRY
 
 # Round-8 window: keys must sit at registry position < DRIVER_WINDOW.
 REQUIRED_IN_WINDOW = {
-    # the five round-8 additions, never driver-certified
+    # the nine round-8 additions, never driver-certified
     "w_interp_user", "w_hampel_user", "f_domain_cap", "f_quantile_norm",
-    "text_char_entropy",
+    "text_char_entropy", "w_peaks_over_threshold", "w_cusum_drift",
+    "dedup_normalized", "dedup_url_canonical",
     # queries over code touched in round 8: the interpolation frame
     # fix, kmeans final-assignment consistency + HALF_UP init, the
     # PQ ADC lookup-table rewrite, and the rangejoin inverted-interval
@@ -35,14 +36,14 @@ REQUIRED_IN_WINDOW = {
     "x_unpivot_lineitem", "a_cube_counts", "a_percentiles",
     "q2_min_supplier", "q7_nation_volume", "q13_order_distribution",
     "q16_supplier_cnt", "q17_small_quantity", "q22_idle_customers",
-    "sim_ivf_topk", "dedup_minhash_lsh", "dedup_simhash",
-    "k7_merge_upsert",
-    # (the five round-8 additions displaced the two r6-certified
-    # fills — dedup_components/dedup_passages sit first past the
-    # window for round 9; the full round-7 window — 30 r7 additions
-    # plus its rotation set — certified r7 and rotates out;
-    # everything re-verified locally via tools/check_correctness.py
-    # full sweeps each round)
+    # (the nine round-8 additions displaced sim_ivf_topk /
+    # dedup_minhash_lsh / dedup_simhash / k7_merge_upsert — all
+    # r5-or-earlier-certified, re-verified locally — plus the two
+    # r6-certified fills dedup_components / dedup_passages, which
+    # sit first past the window for round 9; the full round-7
+    # window — 30 r7 additions plus its rotation set — certified r7
+    # and rotates out; everything re-verified locally via
+    # tools/check_correctness.py full sweeps each round)
 }
 
 
