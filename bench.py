@@ -168,6 +168,8 @@ def main() -> None:
         "w_cusum_drift",
         "dedup_normalized",
         "dedup_url_canonical",
+        "a_histogram",
+        "j_radius_grid",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -6523,6 +6523,87 @@ FROM canon GROUP BY 1 ORDER BY canonical_url
 """
 
 
+def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per event_type over the
+    GLOBAL [min, max] (bins comparable across groups) — two
+    partial-agg passes, final shuffle cardinality = |groups| × bins
+    regardless of row count."""
+    from curw_flo2d_data_manager_spark.operators.histogram import (
+        equi_width_histogram,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = equi_width_histogram(ev, "value", ["event_type"], bins=10)
+    return out.select(
+        "event_type",
+        "bin",
+        F.round("bin_lo", 6).alias("bin_lo"),
+        "n",
+    ).orderBy("event_type", "bin")
+
+
+A_HISTOGRAM_SQL = """
+WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+binned AS (
+    SELECT event_type,
+           CASE WHEN hi = lo THEN 0
+                ELSE LEAST(9, CAST(FLOOR((value - lo) / ((hi - lo) / 10.0))
+                                   AS BIGINT)) END AS bin,
+           lo, hi
+    FROM events, b WHERE value IS NOT NULL
+)
+SELECT event_type, bin,
+       ROUND(lo + bin * ((hi - lo) / 10.0), 6) AS bin_lo,
+       COUNT(*) AS n
+FROM binned GROUP BY event_type, bin, lo, hi
+ORDER BY event_type, bin
+"""
+
+
+def j_radius_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big×big spatial radius join via fixed-grid bucketing
+    (operators/spatial.py): customers vs suppliers on deterministic
+    derived coordinates, all pairs within radius 1.5 — the scale
+    generalization of the reference's nearest-station broadcast
+    (grids.py cell→gauge mappings) when neither side broadcasts.
+    The oracle is DuckDB's PLAIN cross-join distance predicate, so
+    the grid decomposition itself is value-certified."""
+    from curw_flo2d_data_manager_spark.operators.spatial import (
+        radius_grid_join,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 97) / 7.0).alias("x"),
+        ((F.col("c_custkey") % 89) / 7.0).alias("y"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 97) / 7.0 + 0.3).alias("x"),
+        ((F.col("s_suppkey") % 89) / 7.0 + 0.3).alias("y"),
+    )
+    out = radius_grid_join(cust, supp, radius=1.5)
+    return out.select(
+        "c_custkey",
+        "s_suppkey",
+        F.round("dist", 6).alias("dist"),
+    ).orderBy("c_custkey", "s_suppkey")
+
+
+J_RADIUS_SQL = """
+WITH c AS (SELECT c_custkey, (c_custkey % 97) / 7.0 AS xc,
+                  (c_custkey % 89) / 7.0 AS yc FROM customer),
+s AS (SELECT s_suppkey, (s_suppkey % 97) / 7.0 + 0.3 AS xs,
+             (s_suppkey % 89) / 7.0 + 0.3 AS ys FROM supplier)
+SELECT c_custkey, s_suppkey,
+       ROUND(sqrt((xc - xs) * (xc - xs) + (yc - ys) * (yc - ys)), 6)
+         AS dist
+FROM c, s
+WHERE (xc - xs) * (xc - xs) + (yc - ys) * (yc - ys) <= 1.5 * 1.5
+ORDER BY c_custkey, s_suppkey
+"""
+
+
 # Registry order is CONTRACTUAL: the external correctness driver
 # verifies only the FIRST 50 entries, so positions 1-50 must cover one
 # gating query for every SURVEY §2 operator family (S/P/K/F/J/A/W/O/
@@ -6543,6 +6624,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "w_cusum_drift": (w_cusum_drift, W_CUSUM_SQL),
     "dedup_normalized": (dedup_normalized, DEDUP_NORM_SQL),
     "dedup_url_canonical": (dedup_url_canonical, DEDUP_URL_SQL),
+    "a_histogram": (a_histogram, A_HISTOGRAM_SQL),
+    "j_radius_grid": (j_radius_grid, J_RADIUS_SQL),
     "w_interp_user": (w_interp_user, W_INTERP_USER_SQL),
     "w_hampel_user": (w_hampel_user, W_HAMPEL_USER_SQL),
     "f_domain_cap": (f_domain_cap, F_DOMAIN_CAP_SQL),

@@ -1,0 +1,88 @@
+"""radius_grid_join vs brute force (pair-exactness + uniqueness +
+no-cartesian plan gate) and equi_width_histogram vs a Python binner."""
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from curw_flo2d_data_manager_spark.operators.histogram import (
+    equi_width_histogram,
+)
+from curw_flo2d_data_manager_spark.operators.spatial import radius_grid_join
+
+
+def test_radius_join_matches_brute_force(spark):
+    rng = random.Random(42)
+    left = [(i, rng.uniform(0, 20), rng.uniform(0, 20)) for i in range(300)]
+    right = [(j, rng.uniform(0, 20), rng.uniform(0, 20)) for j in range(200)]
+    r = 1.7
+    ldf = spark.createDataFrame(left, "lid long, x double, y double")
+    rdf = spark.createDataFrame(right, "rid long, x double, y double")
+    got = radius_grid_join(ldf, rdf, radius=r).select("lid", "rid").collect()
+    got_pairs = [(g["lid"], g["rid"]) for g in got]
+    want = {
+        (i, j)
+        for i, xl, yl in left
+        for j, xr, yr in right
+        if (xl - xr) ** 2 + (yl - yr) ** 2 <= r * r
+    }
+    assert len(got_pairs) == len(set(got_pairs)), "duplicate pairs emitted"
+    assert set(got_pairs) == want
+    assert len(want) > 50  # the test actually exercises matches
+
+
+def test_radius_join_boundary_inclusive_and_cross_cell(spark):
+    # points exactly radius apart, straddling a cell boundary
+    ldf = spark.createDataFrame([(1, 0.75, 0.0)], "lid long, x double, y double")
+    rdf = spark.createDataFrame(
+        [(1, 1.75, 0.0), (2, 2.8, 0.0)], "rid long, x double, y double"
+    )
+    got = radius_grid_join(ldf, rdf, radius=1.0).select("rid", "dist").collect()
+    assert [(g["rid"], g["dist"]) for g in got] == [(1, 1.0)]
+
+
+def test_radius_join_plan_has_no_cartesian(spark):
+    ldf = spark.createDataFrame([(1, 0.0, 0.0)], "lid long, x double, y double")
+    rdf = spark.createDataFrame([(2, 1.0, 1.0)], "rid long, x double, y double")
+    plan = (
+        radius_grid_join(ldf, rdf, radius=2.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_histogram_matches_python_binner(spark):
+    rng = random.Random(7)
+    rows = [(("a", "b", "c")[i % 3], rng.uniform(-5, 5)) for i in range(2000)]
+    rows += [("a", None)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    bins = 8
+    got = {
+        (r["g"], r["bin"]): (r["n"], r["bin_lo"])
+        for r in equi_width_histogram(df, "value", ["g"], bins=bins).collect()
+    }
+    vals = [v for _, v in rows if v is not None]
+    lo, hi = min(vals), max(vals)
+    w = (hi - lo) / bins
+    want = {}
+    for g, v in rows:
+        if v is None:
+            continue
+        b = min(bins - 1, math.floor((v - lo) / w))
+        want[(g, b)] = want.get((g, b), 0) + 1
+    assert {k: n for k, (n, _) in got.items()} == want
+    for (g, b), (_, bin_lo) in got.items():
+        assert bin_lo == lo + b * w
+
+
+def test_histogram_degenerate_single_value(spark):
+    df = spark.createDataFrame([("a", 3.0), ("a", 3.0), ("b", 3.0)],
+                               "g string, value double")
+    got = equi_width_histogram(df, "value", ["g"], bins=10).collect()
+    assert {(r["g"], r["bin"], r["bin_lo"], r["n"]) for r in got} == {
+        ("a", 0, 3.0, 2), ("b", 0, 3.0, 1)
+    }
