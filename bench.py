@@ -170,6 +170,7 @@ def main() -> None:
         "dedup_url_canonical",
         "a_histogram",
         "j_radius_grid",
+        "sim_sq_adc",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

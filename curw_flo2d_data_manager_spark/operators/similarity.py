@@ -1112,3 +1112,117 @@ def ivfpq_query(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+# ------------------------------------------------------- scalar quantization
+def sq_bounds(
+    corpus: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Per-dimension [min, max] of the corpus as ONE scalar-aggregate
+    row (columns ``lo`` / ``step`` as arrays). 2·dim partial
+    aggregates in a single pass — no posexplode, so training the
+    quantizer never shuffles dim× the corpus row count."""
+    v = F.col(vec_col).cast("array<double>")
+    aggs = []
+    for j in range(dim):
+        aggs.append(F.min(F.element_at(v, j + 1)).alias(f"_lo{j}"))
+        aggs.append(F.max(F.element_at(v, j + 1)).alias(f"_hi{j}"))
+    row = corpus.agg(*aggs)
+    lo = F.array(*[F.col(f"_lo{j}") for j in range(dim)])
+    step = F.array(
+        *[
+            (F.col(f"_hi{j}") - F.col(f"_lo{j}")) / F.lit(256.0)
+            for j in range(dim)
+        ]
+    )
+    return row.select(lo.alias("lo"), step.alias("step"))
+
+
+def sq_assign(
+    corpus: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """int8 scalar quantization: ``code_j = clamp(floor((v_j - lo_j)
+    / step_j), 0, 255)`` per dimension (degenerate constant dims →
+    code 0). Output ``(corpus_id, sq_code array<int>)`` — 64 ints vs
+    64 doubles, and the raw embeddings never need to ride a ranking
+    join again. Codegen-only; the bounds row arrives by broadcast."""
+    v = F.col(vec_col).cast("array<double>")
+    code = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: F.when(
+            F.element_at("step", j) == 0.0, F.lit(0)
+        )
+        .otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.element_at(v, j) - F.element_at("lo", j))
+                        / F.element_at("step", j)
+                    ).cast("int"),
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    return corpus.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col).alias("corpus_id"), code.alias("sq_code")
+    )
+
+
+def sq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Scalar-quantized ADC top-k: rank the corpus for each query by
+    ``Σ_j (q_j − recon_j)²`` where ``recon_j = lo_j + (code_j + 0.5)
+    · step_j`` (bin midpoint). The ranking join carries (id, int8
+    codes) only — the 100-TB story is the same as PQ's (codes are 4×
+    smaller in flight than doubles, 8× after int8 storage packing)
+    with per-DIMENSION resolution instead of per-subspace, i.e.
+    higher fidelity at larger code size — the classic SQ8 point on
+    the recall/size curve (Faiss's ScalarQuantizer baseline, public
+    docs). Ranking rides InferWindowGroupLimit exactly like
+    ``pq_adc_topk`` (map-side partial top-k per query below the
+    exchange; plan-gated in tests).
+
+    Returns ``(query_id, corpus_id, adc, rank)``, rank 1..k per
+    query, ties to the smallest corpus id."""
+    bounds = sq_bounds(corpus, vec_col, dim)
+    codes = sq_assign(corpus, bounds, id_col, vec_col, dim)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).crossJoin(F.broadcast(bounds))
+    pairs = codes.crossJoin(F.broadcast(q))
+    recon = lambda j: F.element_at("lo", j) + (
+        (F.element_at("sq_code", j).cast("double") + F.lit(0.5))
+        * F.element_at("step", j)
+    )
+    term = lambda j: (F.element_at("_qv", j) - recon(j)) * (
+        F.element_at("_qv", j) - recon(j)
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),
+        F.lit(0.0),
+        lambda acc, j: acc + term(j),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("corpus_id")
+    )
+    return (
+        pairs.withColumn("adc", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "adc", "rank")
+    )

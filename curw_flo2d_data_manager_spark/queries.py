@@ -6604,6 +6604,75 @@ ORDER BY c_custkey, s_suppkey
 """
 
 
+def sim_sq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN (SQ8): per-dimension [min,max]
+    trained in one scalar-aggregate pass, codes = clamped bin index,
+    ADC by bin-midpoint reconstruction, two-stage top-k ranking
+    (InferWindowGroupLimit). The oracle re-derives the bounds, every
+    code, and every ADC sum with the same left-associated arithmetic
+    — both halves of the quantizer are value-gated."""
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        sq_adc_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sq_adc_topk(emb, qs, k=5)
+    return out.select(
+        "query_id", "corpus_id", F.round("adc", 6).alias("adc"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def _sq_sql(dim: int = 64, k: int = 5) -> str:
+    """Generate the DuckDB oracle for ``sim_sq_adc``: bounds via the
+    same MIN/MAX aggregates, codes via the same clamp, ADC as an
+    explicit left-associated term chain mirroring Spark's sequential
+    aggregate fold — bit-identical doubles, so ranks match exactly."""
+    los = ", ".join(f"MIN(v[{j}])" for j in range(1, dim + 1))
+    steps = ", ".join(
+        f"(MAX(v[{j}]) - MIN(v[{j}])) / 256.0" for j in range(1, dim + 1)
+    )
+    code_items = ", ".join(
+        f"CASE WHEN step[{j}] = 0 THEN 0 ELSE "
+        f"LEAST(255, GREATEST(0, CAST(FLOOR((v[{j}] - lo[{j}]) / step[{j}])"
+        f" AS INTEGER))) END"
+        for j in range(1, dim + 1)
+    )
+    adc = "0.0" + "".join(
+        f" + ((qv[{j}] - (lo[{j}] + (code[{j}] + 0.5) * step[{j}])) * "
+        f"(qv[{j}] - (lo[{j}] + (code[{j}] + 0.5) * step[{j}])))"
+        for j in range(1, dim + 1)
+    )
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT [{los}] AS lo, [{steps}] AS step FROM c),
+codes AS (
+    SELECT vec_id, [{code_items}] AS code
+    FROM c CROSS JOIN b
+),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3),
+pairs AS (
+    SELECT q.query_id, codes.vec_id AS corpus_id, {adc} AS adc
+    FROM codes CROSS JOIN b CROSS JOIN q
+),
+ranked AS (
+    SELECT query_id, corpus_id, adc,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc, corpus_id) AS rank
+    FROM pairs
+)
+SELECT query_id, corpus_id, ROUND(adc, 6) AS adc, rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+SIM_SQ_SQL = _sq_sql()
+
+
 # Registry order is CONTRACTUAL: the external correctness driver
 # verifies only the FIRST 50 entries, so positions 1-50 must cover one
 # gating query for every SURVEY §2 operator family (S/P/K/F/J/A/W/O/
@@ -6626,6 +6695,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_url_canonical": (dedup_url_canonical, DEDUP_URL_SQL),
     "a_histogram": (a_histogram, A_HISTOGRAM_SQL),
     "j_radius_grid": (j_radius_grid, J_RADIUS_SQL),
+    "sim_sq_adc": (sim_sq_adc, SIM_SQ_SQL),
     "w_interp_user": (w_interp_user, W_INTERP_USER_SQL),
     "w_hampel_user": (w_hampel_user, W_HAMPEL_USER_SQL),
     "f_domain_cap": (f_domain_cap, F_DOMAIN_CAP_SQL),
