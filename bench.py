@@ -171,6 +171,8 @@ def main() -> None:
         "a_histogram",
         "j_radius_grid",
         "sim_sq_adc",
+        "w_rate_of_change",
+        "x_funnel_steps",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -6673,6 +6673,219 @@ ORDER BY query_id, rank
 SIM_SQ_SQL = _sq_sql()
 
 
+def stream_pot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming peaks-over-threshold: two days of per-user events
+    replayed through a file stream; exceedances of 150 cluster in
+    1-hour session windows (the runs-declustering gap), each
+    watermark-closed cluster emitting its peak. Must match the batch
+    POT oracle (gap of exactly 1 h starts a new cluster on both
+    paths — session_window's [start, end) convention)."""
+    import tempfile
+
+    ev = _events(spark, sf_dir, end="2024-01-03 00:00:00").filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    src = tempfile.mkdtemp(prefix="stream_pot_src_")
+    rows = ev.select(
+        F.col("user_id").cast("string").alias("id"),
+        F.col("ts").alias("time"),
+        "value",
+    )
+    # sentinel exceedance per key, a day past the slice: advances the
+    # watermark beyond every real cluster so append mode emits them;
+    # the sentinels' own clusters stay open and unemitted
+    sentinels = rows.select("id").distinct().select(
+        "id",
+        F.lit("2024-01-04 00:00:00").cast("timestamp").alias("time"),
+        F.lit(9999.0).alias("value"),
+    )
+    rows.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(src)
+
+    from curw_flo2d_data_manager_spark.streaming import streaming_pot
+
+    name = _run_replay_stream(
+        spark, src,
+        lambda s: streaming_pot(
+            s, threshold=150.0, gap="1 hour", group_cols=["id"]
+        ),
+        "stream_pot_", "append",
+    )
+    return (
+        spark.table(name)
+        .filter(
+            F.col("cluster_start")
+            < F.lit("2024-01-03 00:00:00").cast("timestamp")
+        )
+        .select(
+            F.col("id").cast("long").alias("user_id"),
+            "cluster_start",
+            "n_exceed",
+            F.round("peak_value", 4).alias("peak_value"),
+        )
+        .orderBy("user_id", "cluster_start")
+    )
+
+
+STREAM_POT_SQL = """
+WITH exceed AS (
+  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00'
+    AND value > 150.0),
+lagged AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM exceed),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) >= 3600 THEN 1
+              ELSE 0 END AS is_new
+  FROM lagged),
+clustered AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS cluster_seq
+  FROM flagged)
+SELECT user_id, MIN(ts) AS cluster_start, COUNT(*) AS n_exceed,
+       ROUND(MAX(value), 4) AS peak_value
+FROM clustered
+GROUP BY user_id, cluster_seq
+ORDER BY user_id, cluster_start
+"""
+
+
+def w_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series rate of rise (the flash-flood alert primitive the
+    reference's water-level series feed downstream): value delta over
+    time delta per hour via lag, surge flag above a threshold.
+    Simultaneous-timestamp pairs yield NULL rate (no division by
+    zero), matching SQL NULLIF semantics."""
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    dv = F.col("value") - F.lag("value").over(w)
+    rate = F.when(dt > 0, dv / dt * 3600.0)
+    return (
+        ev.withColumn("rate_per_hour", rate)
+        .select(
+            "event_id",
+            "user_id",
+            F.round("rate_per_hour", 4).alias("rate_per_hour"),
+            (F.col("rate_per_hour") > 200.0).alias("is_surge"),
+        )
+        .orderBy("event_id")
+    )
+
+
+W_RATE_SQL = """
+WITH lagged AS (
+  SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts,
+         LAG(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts,
+         LAG(value) OVER w AS prev_v
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT event_id, user_id,
+         CASE WHEN epoch(ts) - epoch(prev_ts) > 0
+              THEN (value - prev_v) / (epoch(ts) - epoch(prev_ts)) * 3600.0
+              END AS rate_per_hour
+  FROM lagged
+)
+SELECT event_id, user_id, ROUND(rate_per_hour, 4) AS rate_per_hour,
+       rate_per_hour > 200.0 AS is_surge
+FROM r ORDER BY event_id
+"""
+
+
+def x_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): per user,
+    the earliest time of each step AFTER the previous step completed
+    and within a 6-hour conversion window of it, then conversion
+    counts per reached depth. Three conditional-min
+    aggregates with broadcast joins back — no per-user event
+    materialization, so the shape holds when one user has 10⁹
+    events."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(t1), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (
+                F.col("ts").cast("double")
+                <= F.col("t1").cast("double") + 21600.0
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (
+                F.col("ts").cast("double")
+                <= F.col("t2").cast("double") + 21600.0
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    depth = (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).alias("depth"),
+        )
+    )
+    return (
+        depth.groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("depth")
+    )
+
+
+X_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1.t1
+    AND epoch(CAST(e.ts AS TIMESTAMP)) <= epoch(t1.t1) + 21600.0
+  GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t2.t2
+    AND epoch(CAST(e.ts AS TIMESTAMP)) <= epoch(t2.t2) + 21600.0
+  GROUP BY e.user_id),
+depth AS (
+  SELECT t1.user_id,
+         1 + CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END AS depth
+  FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+          LEFT JOIN t3 ON t1.user_id = t3.user_id)
+SELECT depth, COUNT(*) AS n_users FROM depth
+GROUP BY depth ORDER BY depth
+"""
+
+
 # Registry order is CONTRACTUAL: the external correctness driver
 # verifies only the FIRST 50 entries, so positions 1-50 must cover one
 # gating query for every SURVEY §2 operator family (S/P/K/F/J/A/W/O/
@@ -6696,6 +6909,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "a_histogram": (a_histogram, A_HISTOGRAM_SQL),
     "j_radius_grid": (j_radius_grid, J_RADIUS_SQL),
     "sim_sq_adc": (sim_sq_adc, SIM_SQ_SQL),
+    "stream_pot_events": (stream_pot_events, STREAM_POT_SQL),
+    "w_rate_of_change": (w_rate_of_change, W_RATE_SQL),
+    "x_funnel_steps": (x_funnel_steps, X_FUNNEL_SQL),
     "w_interp_user": (w_interp_user, W_INTERP_USER_SQL),
     "w_hampel_user": (w_hampel_user, W_HAMPEL_USER_SQL),
     "f_domain_cap": (f_domain_cap, F_DOMAIN_CAP_SQL),

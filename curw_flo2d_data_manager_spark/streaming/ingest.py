@@ -740,3 +740,43 @@ def corpus_decontam_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_pot(
+    stream: DataFrame,
+    threshold: float,
+    gap: str = "1 hour",
+    watermark: str = "1 hour",
+    time_col: str = "time",
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming peaks-over-threshold (twin of
+    ``operators.extremes.peaks_over_threshold``): exceedances of
+    ``threshold`` are clustered with a native ``session_window``
+    whose gap IS the runs-declustering separation — a storm cluster
+    is exactly a session of exceedances — and each closed session
+    emits one row with the cluster's peak.
+
+    The watermark must be set BEFORE the exceedance filter so quiet
+    readings still advance event time (otherwise a dry spell would
+    hold every open cluster hostage). State is one open cluster per
+    key currently in storm — bounded by key cardinality, the right
+    shape for a 100 TB/day gauge feed.
+    """
+    keys = list(group_cols or [])
+    return (
+        stream.withWatermark(time_col, watermark)
+        .filter(F.col(value_col) > F.lit(threshold))
+        .groupBy(*keys, F.session_window(time_col, gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exceed"),
+            F.max(value_col).alias("peak_value"),
+        )
+        .select(
+            *keys,
+            F.col("w.start").alias("cluster_start"),
+            "n_exceed",
+            "peak_value",
+        )
+    )
