@@ -349,3 +349,36 @@ def quantile_normalize(
     return df.withColumn(
         out_col, F.when(F.col(score_col).isNotNull(), pr)
     )
+
+
+def zscore_normalize(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    out_col: str = "score_z",
+) -> DataFrame:
+    """Per-domain z-score calibration — the parametric sibling of
+    :func:`quantile_normalize`: ``z = (x − μ_g) / σ_g`` with the
+    group's population mean/stddev. Useful when the downstream
+    threshold is expressed in standard deviations ("keep everything
+    above −1σ of its own domain") rather than quantiles.
+
+    Scale shape: one partial aggregate to |groups| rows, broadcast
+    back onto the UNSHUFFLED fact — the corpus never moves (the
+    seasonal_baseline pattern), vs. a window formulation that would
+    shuffle every row on the domain key. Degenerate groups (σ = 0 or
+    a single row) and NULL scores yield NULL.
+    """
+    stats = df.groupBy(*group_cols).agg(
+        F.avg(score_col).alias("_mu"),
+        F.stddev_pop(score_col).alias("_sigma"),
+    )
+    z = F.when(
+        F.col("_sigma") > 0.0,
+        (F.col(score_col) - F.col("_mu")) / F.col("_sigma"),
+    )
+    return (
+        df.join(F.broadcast(stats), group_cols, "left")
+        .withColumn(out_col, z)
+        .drop("_mu", "_sigma")
+    )

@@ -299,12 +299,14 @@ def extract_urls(col: Column | str) -> Column:
     return F.regexp_extract_all(_c(col), F.lit(URL_PATTERN), F.lit(0))
 
 
-def normalize_text(col: Column | str) -> Column:
-    """Canonical normalization for dedup keys: lowercase, every
-    non-alphanumeric run → one space, trim. Case / punctuation /
-    whitespace variants of the same prose collapse to one key — the
-    standard pre-hash step for web-corpus exact dedup (a raw md5 of
-    the bytes misses trivially-reformatted copies).
+def normalize_for_dedup(col: Column | str) -> Column:
+    """AGGRESSIVE normalization for dedup KEYS (distinct from
+    :func:`normalize_text`, the tokenizer's gentler pass that keeps
+    unicode and hyphens): lowercase, every non-ASCII-alphanumeric run
+    → one space, trim. Case / punctuation / whitespace / separator
+    variants of the same prose collapse to one key — the standard
+    pre-hash step for web-corpus exact dedup (a raw md5 of the bytes
+    misses trivially-reformatted copies).
 
     Pure Column expressions (codegen, no UDF); idempotent
     (normalize(normalize(x)) == normalize(x))."""

@@ -6385,7 +6385,7 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted variant pair)."""
     from curw_flo2d_data_manager_spark.operators.dedup import exact_dedup
     from curw_flo2d_data_manager_spark.operators.textstats import (
-        normalize_text,
+        normalize_for_dedup,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -6409,7 +6409,7 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     normd = corpus.select(
-        "doc_id", normalize_text(F.col("text")).alias("norm")
+        "doc_id", normalize_for_dedup(F.col("text")).alias("norm")
     )
     out = exact_dedup(normd, ["norm"], "doc_id")
     return out.select("key_hash", "kept_id", "n_dups").orderBy("kept_id")

@@ -1,4 +1,4 @@
-"""normalize_text / canonicalize_url unit behavior: known inputs →
+"""normalize_for_dedup / canonicalize_url unit behavior: known inputs →
 known canonical forms, idempotence, and codegen-only plans (no UDF,
 no shuffle — both helpers must ride the scan)."""
 
@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from curw_flo2d_data_manager_spark.operators.textstats import (
     canonicalize_url,
-    normalize_text,
+    normalize_for_dedup,
 )
 
 
@@ -24,14 +24,14 @@ def test_normalize_collapses_case_punct_whitespace(spark):
         "  the QUICK  brown--fox ",
         "the\tquick\nbrown fox?!",
     ]
-    outs = {_one(spark, normalize_text, v) for v in variants}
+    outs = {_one(spark, normalize_for_dedup, v) for v in variants}
     assert outs == {"the quick brown fox"}
 
 
 def test_normalize_is_idempotent(spark):
     v = "A+B = c;  d_e"
-    once = _one(spark, normalize_text, v)
-    assert _one(spark, normalize_text, once) == once
+    once = _one(spark, normalize_for_dedup, v)
+    assert _one(spark, normalize_for_dedup, once) == once
 
 
 def test_canonicalize_url_known_forms(spark):
@@ -52,9 +52,24 @@ def test_canonicalize_url_known_forms(spark):
 
 def test_helpers_stay_in_codegen(spark):
     df = spark.createDataFrame([("x",)], "s string").select(
-        normalize_text(F.col("s")).alias("n"),
+        normalize_for_dedup(F.col("s")).alias("n"),
         canonicalize_url(F.col("s")).alias("c"),
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_normalizer_is_distinct_from_tokenizer_normalizer(spark):
+    # regression: normalize_for_dedup must NOT shadow the tokenizer's
+    # normalize_text — the tokenizer keeps unicode + hyphens (CJK text
+    # survives words()), the dedup key normalizer strips them
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        normalize_text,
+    )
+
+    v = "Grüße—你好 re-try"
+    tok = _one(spark, normalize_text, v)
+    key = _one(spark, normalize_for_dedup, v)
+    assert "你好" in tok and "grüße" in tok and "re-try" in tok
+    assert key == "gr e re try"
