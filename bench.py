@@ -173,6 +173,8 @@ def main() -> None:
         "sim_sq_adc",
         "w_rate_of_change",
         "x_funnel_steps",
+        "f_zscore_norm",
+        "dedup_suffix_prefix",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -989,3 +989,39 @@ def remove_repeated_spans(
         ).alias(text_col),
         F.coalesce("n_tokens_cut", F.lit(0)).alias("n_tokens_cut"),
     )
+
+
+def suffix_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Continuation-page pairs: (prev, next) where prev's trailing
+    ``k``-gram equals next's leading ``k``-gram — the crawl artifact
+    where a paginated article repeats the previous page's tail as a
+    header. Docs shorter than ``k`` words are ineligible.
+
+    One equi-join on the literal gram string: exact by construction
+    (no hash, no verify pass), and the join stream carries (id, gram)
+    only — the documents never ride the shuffle. Boilerplate grams
+    (shared footers) are the skew case; at corpus scale pair this
+    with AQE skew-join or a bucket cap as in ``minhash_lsh_pairs``.
+    """
+    from curw_flo2d_data_manager_spark.operators.textstats import words
+
+    w = words(F.col(text_col))
+    eligible = df.filter(F.size(w) >= k)
+    tails = eligible.select(
+        F.col(id_col).alias("prev_id"),
+        F.concat_ws(" ", F.slice(w, -k, k)).alias("gram"),
+    )
+    heads = eligible.select(
+        F.col(id_col).alias("next_id"),
+        F.concat_ws(" ", F.slice(w, 1, k)).alias("gram"),
+    )
+    return (
+        tails.join(heads, "gram")
+        .filter(F.col("prev_id") != F.col("next_id"))
+        .select("prev_id", "next_id", "gram")
+    )

@@ -6886,6 +6886,101 @@ GROUP BY depth ORDER BY depth
 """
 
 
+def f_zscore_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source z-score calibration of a document-length signal —
+    the parametric sibling of f_quantile_norm: one partial aggregate
+    to |sources| rows broadcast back; the corpus never shuffles."""
+    from curw_flo2d_data_manager_spark.operators.sampling import (
+        zscore_normalize,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("score")
+    )
+    out = zscore_normalize(docs, ["source"], "score")
+    return out.select(
+        "doc_id", "source", F.round("score_z", 6).alias("score_z")
+    ).orderBy("doc_id")
+
+
+F_ZSCORE_SQL = """
+WITH stats AS (
+    SELECT source, AVG(CAST(n_chars AS DOUBLE)) AS mu,
+           STDDEV_POP(CAST(n_chars AS DOUBLE)) AS sigma
+    FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source,
+       ROUND(CASE WHEN s.sigma > 0
+                  THEN (CAST(d.n_chars AS DOUBLE) - s.mu) / s.sigma
+                  END, 6) AS score_z
+FROM documents d JOIN stats s ON d.source = s.source
+ORDER BY d.doc_id
+"""
+
+
+def dedup_suffix_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuation-page detection: doc A's trailing 8-gram equals
+    doc B's leading 8-gram (the crawl artifact where one page's tail
+    repeats as the next page's header). Planted continuations — each
+    long doc gets a partner whose text starts with the doc's last 8
+    words — must all pair up. Equi-join on the literal gram string
+    (exact, no verify pass); boilerplate hot grams are the skew case
+    (AQE skew-join / bucket caps, as with MinHash bands)."""
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        suffix_prefix_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from curw_flo2d_data_manager_spark.operators.textstats import words
+
+    w = words(F.col("text"))
+    cont = docs.filter(F.size(w) >= 16).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", F.slice(w, -8, 8)),
+            F.lit(" continued part "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(cont)
+    out = suffix_prefix_pairs(corpus, id_col="doc_id", text_col="text", k=8)
+    return out.select("prev_id", "next_id").orderBy("prev_id", "next_id")
+
+
+DEDUP_SUFFIX_SQL = """
+WITH base AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+') AS w
+    FROM documents
+),
+cont AS (
+    SELECT doc_id + 2000000 AS doc_id,
+           list_concat(w[len(w)-7:len(w)],
+               list_concat(['continued', 'part'],
+                           [CAST(doc_id AS VARCHAR)])) AS w
+    FROM base WHERE len(w) >= 16
+),
+corpus AS (
+    SELECT doc_id, w FROM base UNION ALL SELECT doc_id, w FROM cont
+),
+eligible AS (SELECT doc_id, w FROM corpus WHERE len(w) >= 8),
+tails AS (
+    SELECT doc_id AS prev_id,
+           array_to_string(w[len(w)-7:len(w)], ' ') AS gram
+    FROM eligible
+),
+heads AS (
+    SELECT doc_id AS next_id, array_to_string(w[1:8], ' ') AS gram
+    FROM eligible
+)
+SELECT prev_id, next_id
+FROM tails JOIN heads USING (gram)
+WHERE prev_id <> next_id
+ORDER BY prev_id, next_id
+"""
+
+
 # Registry order is CONTRACTUAL: the external correctness driver
 # verifies only the FIRST 50 entries, so positions 1-50 must cover one
 # gating query for every SURVEY §2 operator family (S/P/K/F/J/A/W/O/
@@ -6912,6 +7007,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stream_pot_events": (stream_pot_events, STREAM_POT_SQL),
     "w_rate_of_change": (w_rate_of_change, W_RATE_SQL),
     "x_funnel_steps": (x_funnel_steps, X_FUNNEL_SQL),
+    "f_zscore_norm": (f_zscore_norm, F_ZSCORE_SQL),
+    "dedup_suffix_prefix": (dedup_suffix_prefix, DEDUP_SUFFIX_SQL),
     "w_interp_user": (w_interp_user, W_INTERP_USER_SQL),
     "w_hampel_user": (w_hampel_user, W_HAMPEL_USER_SQL),
     "f_domain_cap": (f_domain_cap, F_DOMAIN_CAP_SQL),
