@@ -1375,6 +1375,67 @@ def cmd_corpus_stats(args) -> None:
     )
 
 
+def cmd_detect_extremes(args) -> None:
+    """Extreme-event report over a series parquet: POT cluster peaks
+    (runs-method declustering) and optional CUSUM drift flags — the
+    post-extraction analysis a flood office runs on the gauge series
+    the reference's extract scripts produce. Writes the peak table
+    (and drift table with --cusum) and prints a summary."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.extremes import (
+        cusum_drift,
+        peaks_over_threshold,
+    )
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="detect-extremes")
+    df = spark.read.parquet(args.input)
+    keys = [c for c in args.key_cols.split(",") if c]
+    for col in keys + [args.ts_col, args.value_col]:
+        if col not in df.columns:
+            raise SystemExit(f"column {col!r} not in input ({df.columns})")
+
+    peaks = peaks_over_threshold(
+        df,
+        value_col=args.value_col,
+        ts_col=args.ts_col,
+        key_cols=keys,
+        threshold=args.threshold,
+        min_gap_seconds=args.min_gap_seconds,
+    )
+    peaks.write.mode("overwrite").parquet(
+        os.path.join(args.output, "peaks")
+    )
+    summary = peaks.agg(
+        F.count(F.lit(1)).alias("clusters"),
+        F.max("peak_value").alias("max_peak"),
+        F.avg("excess").alias("mean_excess"),
+    ).first()
+    msg = (
+        f"detect-extremes: {summary['clusters']} clusters above "
+        f"{args.threshold} (max peak {summary['max_peak']}, mean excess "
+        f"{round(summary['mean_excess'], 4) if summary['mean_excess'] is not None else None})"
+    )
+    if args.cusum:
+        drift = cusum_drift(
+            df,
+            value_col=args.value_col,
+            ts_col=args.ts_col,
+            key_cols=keys,
+            target=args.cusum_target,
+            slack=args.cusum_slack,
+        ).filter(
+            (F.col("cusum_pos") > args.cusum_alarm)
+            | (F.col("cusum_neg") > args.cusum_alarm)
+        )
+        drift.write.mode("overwrite").parquet(
+            os.path.join(args.output, "drift_alarms")
+        )
+        msg += f"; {drift.count()} drift-alarm rows"
+    print(msg + f" -> {args.output}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="curw_flo2d_data_manager_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -1735,6 +1796,28 @@ def build_parser() -> argparse.ArgumentParser:
                     help="optional parquet path for the hit list; "
                          "hits always print to stdout")
     sp.set_defaults(fn=cmd_search_corpus)
+
+    sp = sub.add_parser(
+        "detect-extremes",
+        help="POT cluster peaks + optional CUSUM drift alarms over a "
+             "series parquet (runs-method declustering)",
+    )
+    sp.add_argument("--input", required=True, help="series parquet")
+    sp.add_argument("--output", required=True,
+                    help="output root (peaks/, drift_alarms/)")
+    sp.add_argument("--key_cols", default="",
+                    help="comma-separated series key columns")
+    sp.add_argument("--ts_col", default="ts")
+    sp.add_argument("--value_col", default="value")
+    sp.add_argument("--threshold", type=float, required=True)
+    sp.add_argument("--min_gap_seconds", type=float, default=3600.0,
+                    help="runs-declustering separation")
+    sp.add_argument("--cusum", action="store_true",
+                    help="also write CUSUM drift alarms")
+    sp.add_argument("--cusum_target", type=float, default=0.0)
+    sp.add_argument("--cusum_slack", type=float, default=0.5)
+    sp.add_argument("--cusum_alarm", type=float, default=5.0)
+    sp.set_defaults(fn=cmd_detect_extremes)
     return p
 
 

@@ -1064,3 +1064,53 @@ def test_ann_index_cli_build_query_append(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "301 vectors" in out
     assert "pq codes 301 (OK vs 301 vectors)" in out
+
+
+def test_detect_extremes_cli_peaks_and_drift(spark, tmp_path, capsys):
+    """detect-extremes end-to-end: planted storm runs decluster into
+    the expected peak rows; --cusum writes drift alarms only for the
+    series that actually drifts."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1)
+    rows = []
+    for k in ("g1", "g2"):
+        for i in range(300):
+            v = 1.0
+            # two 3-row storm runs per series at i in [50,53) and [200,203)
+            if i in (50, 51, 52, 200, 201, 202):
+                v = 10.0 + (2.0 if i % 100 == 1 else 0.0)
+            # g2 drifts upward for the last 80 rows
+            if k == "g2" and i >= 220:
+                v += 6.0
+            rows.append((k, base + dt.timedelta(minutes=10 * i), float(v)))
+    src = str(tmp_path / "series.parquet")
+    spark.createDataFrame(rows, "gauge string, ts timestamp, value double").write.parquet(src)
+
+    out_root = str(tmp_path / "extremes")
+    main([
+        "detect-extremes", "--input", src, "--output", out_root,
+        "--key_cols", "gauge", "--threshold", "5.0",
+        "--min_gap_seconds", "1800", "--cusum",
+        "--cusum_target", "1.0", "--cusum_slack", "1.0",
+        "--cusum_alarm", "50.0",
+    ])
+    printed = capsys.readouterr().out
+    # 2 storm runs per series + the g2 drift segment itself exceeds
+    assert "5 clusters above 5.0" in printed
+
+    peaks = spark.read.parquet(os.path.join(out_root, "peaks"))
+    got = {
+        (r["gauge"], r["cluster_seq"], r["peak_value"], r["cluster_size"])
+        for r in peaks.collect()
+    }
+    assert got == {
+        # run 1 peaks flat at 10.0; run 2's middle row (i=201) gets
+        # the +2 bump (i % 100 == 1)
+        ("g1", 1, 10.0, 3), ("g1", 2, 12.0, 3),
+        ("g2", 1, 10.0, 3), ("g2", 2, 12.0, 3),
+        ("g2", 3, 7.0, 80),  # the drift segment is itself a cluster
+    }
+    drift = spark.read.parquet(os.path.join(out_root, "drift_alarms"))
+    gauges = {r["gauge"] for r in drift.collect()}
+    assert gauges == {"g2"}
