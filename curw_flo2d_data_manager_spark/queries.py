@@ -6981,6 +6981,69 @@ ORDER BY prev_id, next_id
 """
 
 
+def stream_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM: the four-scalar-state applyInPandasWithState
+    drift statistic replayed over a file stream must equal the batch
+    prefix-scan identity (w_cusum_drift's SQL) row for row. Keyed by
+    the unique synthetic event-time trick of stream_cumsum_events so
+    the in-state sort is deterministic."""
+    import tempfile
+
+    ev = (
+        _events(spark, sf_dir, end="2024-01-10 00:00:00")
+        .filter(
+            (F.col("user_id") < 20)
+            & (F.col("ts") < F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        )
+        .select(
+            F.col("user_id").cast("string").alias("id"),
+            F.timestamp_micros(F.col("event_id")).alias("time"),
+            F.round("value", 4).alias("value"),
+        )
+    )
+    src = tempfile.mkdtemp(prefix="stream_cusum_src_")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+
+    from curw_flo2d_data_manager_spark.streaming import streaming_cusum
+
+    name = _run_replay_stream(
+        spark, src,
+        lambda s: streaming_cusum(s, target=50.0, slack=10.0),
+        "stream_cusum2_", "append",
+    )
+    return (
+        spark.table(name)
+        .select(
+            "id",
+            F.unix_micros("time").alias("event_id"),
+            F.round("cusum_pos", 4).alias("cusum_pos"),
+            F.round("cusum_neg", 4).alias("cusum_neg"),
+        )
+        .orderBy("id", "event_id")
+    )
+
+
+STREAM_CUSUM2_SQL = """
+WITH pref AS (
+    SELECT CAST(user_id AS VARCHAR) AS id, event_id,
+           SUM(ROUND(value, 4) - 50.0 - 10.0) OVER w AS p,
+           SUM(ROUND(value, 4) - 50.0 + 10.0) OVER w AS n
+    FROM events
+    WHERE user_id < 20
+      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 00:00:00'
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT id, event_id,
+       ROUND(p - LEAST(0.0, MIN(p) OVER w2), 4) AS cusum_pos,
+       ROUND(GREATEST(0.0, MAX(n) OVER w2) - n, 4) AS cusum_neg
+FROM pref
+WINDOW w2 AS (PARTITION BY id ORDER BY event_id
+              ROWS UNBOUNDED PRECEDING)
+ORDER BY id, event_id
+"""
+
+
 # Registry order is CONTRACTUAL: the external correctness driver
 # verifies only the FIRST 50 entries, so positions 1-50 must cover one
 # gating query for every SURVEY §2 operator family (S/P/K/F/J/A/W/O/
@@ -7009,6 +7072,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "x_funnel_steps": (x_funnel_steps, X_FUNNEL_SQL),
     "f_zscore_norm": (f_zscore_norm, F_ZSCORE_SQL),
     "dedup_suffix_prefix": (dedup_suffix_prefix, DEDUP_SUFFIX_SQL),
+    "stream_cusum_drift": (stream_cusum_events, STREAM_CUSUM2_SQL),
     "w_interp_user": (w_interp_user, W_INTERP_USER_SQL),
     "w_hampel_user": (w_hampel_user, W_HAMPEL_USER_SQL),
     "f_domain_cap": (f_domain_cap, F_DOMAIN_CAP_SQL),

@@ -12,6 +12,7 @@ from curw_flo2d_data_manager_spark.streaming.ingest import (
     read_series_stream,
     streaming_cumulative_sum,
     streaming_dedup,
+    streaming_cusum,
     streaming_pot,
     streaming_session_sum,
     streaming_resample_sum,
@@ -24,6 +25,7 @@ __all__ = [
     "read_series_stream",
     "streaming_cumulative_sum",
     "streaming_dedup",
+    "streaming_cusum",
     "streaming_pot",
     "streaming_session_sum",
     "streaming_resample_sum",

@@ -780,3 +780,78 @@ def streaming_pot(
             "peak_value",
         )
     )
+
+
+_CUSUM_STATE = StructType(
+    [
+        StructField("p", DoubleType(), True),
+        StructField("min_p", DoubleType(), True),
+        StructField("n", DoubleType(), True),
+        StructField("max_n", DoubleType(), True),
+    ]
+)
+_CUSUM_OUT = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("time", TimestampType(), False),
+        StructField("value", DoubleType(), True),
+        StructField("cusum_pos", DoubleType(), True),
+        StructField("cusum_neg", DoubleType(), True),
+    ]
+)
+
+
+def streaming_cusum(
+    stream: DataFrame, target: float, slack: float
+) -> DataFrame:
+    """Two-sided CUSUM across micro-batches (streaming twin of
+    ``operators.extremes.cusum_drift``, streaming W-family).
+
+    State per series is FOUR scalars — the prefix sums and their
+    running extrema (the same prefix-scan identity the batch operator
+    uses: ``s+ = P − min(0, min P)``), so a year-long series costs
+    the same state as a day. Within a batch rows are ordered by
+    event time (cross-batch order is arrival order, the streaming
+    contract, matching ``streaming_cumulative_sum``).
+    """
+    import numpy as np
+
+    def _fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            p, min_p, n, max_n = state.get
+        else:
+            p, min_p, n, max_n = 0.0, 0.0, 0.0, 0.0
+        for pdf in batches:
+            pdf = pdf.sort_values("time")
+            x = pdf["value"].astype(float)
+            pref_p = p + (x - target - slack).cumsum()
+            pref_n = n + (x - target + slack).cumsum()
+            runmin = np.minimum(np.minimum.accumulate(pref_p), min_p)
+            runmax = np.maximum(np.maximum.accumulate(pref_n), max_n)
+            pos = pref_p - runmin
+            neg = runmax - pref_n
+            if len(x):
+                p = float(pref_p.iloc[-1])
+                min_p = float(runmin.iloc[-1])
+                n = float(pref_n.iloc[-1])
+                max_n = float(runmax.iloc[-1])
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "time": pdf["time"],
+                    "value": pdf["value"],
+                    "cusum_pos": pos,
+                    "cusum_neg": neg,
+                }
+            )
+        state.update((p, min_p, n, max_n))
+
+    return stream.groupBy("id").applyInPandasWithState(
+        _fn,
+        outputStructType=_CUSUM_OUT,
+        stateStructType=_CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

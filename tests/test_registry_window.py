@@ -13,13 +13,13 @@ from curw_flo2d_data_manager_spark.queries import DRIVER_WINDOW, REGISTRY
 
 # Round-8 window: keys must sit at registry position < DRIVER_WINDOW.
 REQUIRED_IN_WINDOW = {
-    # the seventeen round-8 additions, never driver-certified
+    # the eighteen round-8 additions, never driver-certified
     "w_interp_user", "w_hampel_user", "f_domain_cap", "f_quantile_norm",
     "text_char_entropy", "w_peaks_over_threshold", "w_cusum_drift",
     "dedup_normalized", "dedup_url_canonical", "a_histogram",
     "j_radius_grid", "sim_sq_adc", "stream_pot_events",
     "w_rate_of_change", "x_funnel_steps", "f_zscore_norm",
-    "dedup_suffix_prefix",
+    "dedup_suffix_prefix", "stream_cusum_drift",
     # queries over code touched in round 8: the interpolation frame
     # fix, kmeans final-assignment consistency + HALF_UP init, the
     # PQ ADC lookup-table rewrite, and the rangejoin inverted-interval
@@ -36,8 +36,8 @@ REQUIRED_IN_WINDOW = {
     "j1_calendar_spine", "j2_dim_enrichment", "stream_cumsum_events",
     "stream_session_events", "dedup_exact", "sim_cosine_topk",
     "sim_lsh_pairs", "text_token_counts", "text_quality", "w_moving_avg",
-    "x_unpivot_lineitem",
-    # (the seventeen round-8 additions displaced a_cube_counts /
+    # (the eighteen round-8 additions displaced x_unpivot_lineitem /
+    # a_cube_counts /
     # a_percentiles / q2_min_supplier /
     # q7_nation_volume / q13_order_distribution / q16_supplier_cnt /
     # q17_small_quantity /
