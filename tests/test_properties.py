@@ -772,3 +772,91 @@ def test_quantile_normalize_matches_pandas_rank(spark, rows):
         n = n_valid[row.name]
         want = 0.0 if n == 1 else (ranks[row.name] - 1) / (n - 1)
         assert got[rid] == pytest.approx(want), (rid, got[rid], want)
+
+
+cusum_series_strategy = st.lists(
+    st.floats(min_value=-20, max_value=20, allow_nan=False, width=16),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SETTINGS
+@given(
+    values=cusum_series_strategy,
+    target=st.sampled_from([0.0, 1.5, -2.0]),
+    slack=st.sampled_from([0.0, 0.5, 2.0]),
+)
+def test_cusum_prefix_scan_identity_equals_serial_recurrence(
+    spark, values, target, slack
+):
+    """The windowed prefix-scan form must equal the textbook serial
+    recurrence for ANY series / target / slack (the identity carries
+    the implicit empty-prefix state via the min(0, ·) bound)."""
+    from curw_flo2d_data_manager_spark.operators.extremes import cusum_drift
+
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("k", i, base + timedelta(minutes=i), float(v))
+            for i, v in enumerate(values)
+        ],
+        "key string, event_id long, ts timestamp, value double",
+    )
+    got = (
+        cusum_drift(
+            df, key_cols=["key"], target=target, slack=slack,
+            tiebreak_cols=["event_id"],
+        )
+        .orderBy("event_id")
+        .collect()
+    )
+    sp = sn = 0.0
+    for r, x in zip(got, values):
+        sp = max(0.0, sp + (x - target - slack))
+        sn = max(0.0, sn - (x - target + slack))
+        assert r["cusum_pos"] == pytest.approx(sp, abs=1e-9)
+        assert r["cusum_neg"] == pytest.approx(sn, abs=1e-9)
+
+
+url_strategy = st.builds(
+    lambda scheme, www, host, path, slash, params: (
+        f"{scheme}://{www}{host}/{path}{'/' if slash else ''}"
+        + ("?" + "&".join(params) if params else "")
+    ),
+    st.sampled_from(["http", "https", "HTTP"]),
+    st.sampled_from(["", "www."]),
+    st.sampled_from(["site.org", "Mirror.example.net"]),
+    st.sampled_from(["a", "p/1", "x/y/z"]),
+    st.booleans(),
+    st.lists(
+        st.sampled_from(
+            ["id=2", "a=1", "b=", "utm_source=x", "fbclid=zz", "ref=home"]
+        ),
+        max_size=4,
+        unique=True,
+    ),
+)
+
+
+@SETTINGS
+@given(url=url_strategy)
+def test_canonicalize_url_idempotent_and_tracking_free(spark, url):
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        canonicalize_url,
+    )
+
+    def run(u):
+        return (
+            spark.createDataFrame([(u,)], "s string")
+            .select(canonicalize_url(F.col("s")).alias("c"))
+            .collect()[0]["c"]
+        )
+
+    c = run(url)
+    # canonical form is scheme-free, tracking-free, and a fixed point
+    # (idempotence needs the scheme prefix back on — the canonicalizer
+    # accepts scheme-less input unchanged apart from param re-sorting)
+    assert "utm_" not in c and "fbclid" not in c and "ref=" not in c
+    assert not c.startswith("http")
+    assert run("https://" + c) == c
