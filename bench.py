@@ -175,6 +175,10 @@ def main() -> None:
         "x_funnel_steps",
         "f_zscore_norm",
         "dedup_suffix_prefix",
+        "a_salted_sum",
+        "j_salted_join",
+        "x_zorder_index",
+        "f_robust_scale",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

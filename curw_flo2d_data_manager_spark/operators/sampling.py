@@ -382,3 +382,42 @@ def zscore_normalize(
         .withColumn(out_col, z)
         .drop("_mu", "_sigma")
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    out_col: str = "score_robust",
+) -> DataFrame:
+    """Per-domain median/MAD calibration — the outlier-resistant
+    sibling of :func:`zscore_normalize`: ``r = (x − median_g) /
+    MAD_g`` with the group's exact median and median absolute
+    deviation. A handful of pathological documents (one 10 MB page in
+    a small domain) drag μ and σ arbitrarily far; the median/MAD pair
+    has a 50% breakdown point, so the calibration a filter threshold
+    sees is the one the TYPICAL document defines.
+
+    Scale shape: two partial aggregates (the median, then the median
+    of absolute deviations around it), each reduced to |groups| rows
+    and broadcast back onto the UNSHUFFLED fact — the corpus never
+    moves. Exact medians use Spark's ``percentile`` buffer (a
+    value→count map merged across partitions), so the aggregate's
+    shuffle cost scales with DISTINCT score values per group, not
+    rows — bounded for integer-ish signals (lengths, token counts);
+    for continuous scores at extreme cardinality, quantize first or
+    fall back to :func:`quantile_normalize`'s rank formulation.
+    Degenerate groups (MAD = 0) and NULL scores yield NULL.
+    """
+    v = F.col(score_col).cast("double")
+    med = df.groupBy(*group_cols).agg(F.median(v).alias("_med"))
+    with_med = df.join(F.broadcast(med), group_cols, "left")
+    mad = with_med.groupBy(*group_cols).agg(
+        F.median(F.abs(v - F.col("_med"))).alias("_mad")
+    )
+    r = F.when(F.col("_mad") > 0.0, (v - F.col("_med")) / F.col("_mad"))
+    return (
+        with_med.join(F.broadcast(mad), group_cols, "left")
+        .withColumn(out_col, r)
+        .drop("_med", "_mad")
+    )

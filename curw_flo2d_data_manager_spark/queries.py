@@ -2042,7 +2042,9 @@ FROM rendered
 """
 
 
-def _run_replay_stream(spark, src: str, build, name_prefix: str, mode: str) -> str:
+def _run_replay_stream(
+    spark, src: str, build, name_prefix: str, mode: str, schema=None
+) -> str:
     """Run ``build(read_series_stream(src))`` into a memory sink and
     tear the replay dir down afterwards.
 
@@ -2059,9 +2061,10 @@ def _run_replay_stream(spark, src: str, build, name_prefix: str, mode: str) -> s
     from curw_flo2d_data_manager_spark.streaming import read_series_stream
 
     name = name_prefix + uuid.uuid4().hex[:8]
+    kwargs = {"schema": schema} if schema is not None else {}
     try:
         q = (
-            build(read_series_stream(spark, src))
+            build(read_series_stream(spark, src, **kwargs))
             .writeStream.format("memory")
             .queryName(name)
             .option("checkpointLocation", os.path.join(src, "_chk"))
@@ -6918,6 +6921,275 @@ ORDER BY d.doc_id
 """
 
 
+def f_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source median/MAD calibration of the document-length
+    signal — the outlier-resistant sibling of f_zscore_norm (one
+    10 MB page in a small domain drags μ/σ arbitrarily; median/MAD
+    has a 50% breakdown point). Two partial aggregates broadcast
+    back; the corpus never shuffles."""
+    from curw_flo2d_data_manager_spark.operators.sampling import (
+        robust_scale,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("score")
+    )
+    out = robust_scale(docs, ["source"], "score")
+    return out.select(
+        "doc_id",
+        "source",
+        F.round("score_robust", 6).alias("score_robust"),
+    ).orderBy("doc_id")
+
+
+F_ROBUST_SQL = """
+WITH med AS (
+    SELECT source, MEDIAN(CAST(n_chars AS DOUBLE)) AS med
+    FROM documents GROUP BY source
+),
+mad AS (
+    SELECT d.source,
+           MEDIAN(ABS(CAST(d.n_chars AS DOUBLE) - m.med)) AS mad
+    FROM documents d JOIN med m USING (source)
+    GROUP BY d.source
+)
+SELECT d.doc_id, d.source,
+       ROUND(CASE WHEN a.mad > 0
+                  THEN (CAST(d.n_chars AS DOUBLE) - m.med) / a.mad
+                  END, 6) AS score_robust
+FROM documents d
+JOIN med m USING (source)
+JOIN mad a USING (source)
+ORDER BY d.doc_id
+"""
+
+
+def a_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: events grouped by the 5-value
+    ``event_type`` key — exactly the hot-key shape where one reducer
+    per key straggles at 100 TB. ``salted_sum`` fans each key over 16
+    deterministic salts (partial agg on (key, salt), final agg on
+    key); the result must equal a direct GROUP BY, which IS the
+    oracle. Sums rounded to 2 (double summation order differs between
+    the two-phase tree and DuckDB's serial fold)."""
+    from curw_flo2d_data_manager_spark.operators.skew import salted_sum
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id", "user_id"
+    )
+    out = salted_sum(
+        ev,
+        ["event_type"],
+        {"value": "sum", "event_id": "count", "user_id": "max"},
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.round("value", 2).alias("sum_value"),
+        F.col("event_id").alias("n_events"),
+        F.col("user_id").alias("max_user"),
+    ).orderBy("event_type")
+
+
+A_SALTED_SQL = """
+SELECT event_type,
+       ROUND(SUM(value), 2) AS sum_value,
+       COUNT(event_id)      AS n_events,
+       MAX(user_id)         AS max_user
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def j_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe hot-key join: every event joins its type's average
+    (a 5-row dimension — the degenerate-cardinality case where ALL
+    probe rows share 5 join keys). ``salted_join`` replicates the dim
+    8× and joins on (key, salt) so each hot key spreads over 8
+    reducers; results must equal the plain equi-join, which IS the
+    oracle."""
+    from curw_flo2d_data_manager_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    joined = salted_join(ev, dim, ["event_type"], n_salts=8)
+    return joined.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") - F.col("type_avg"), 6).alias("delta"),
+    ).orderBy("event_id")
+
+
+J_SALTED_SQL = """
+WITH dim AS (
+    SELECT event_type, AVG(value) AS type_avg
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND(e.value - d.type_avg, 6) AS delta
+FROM events e JOIN dim d USING (event_type)
+ORDER BY e.event_id
+"""
+
+
+def x_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) index over (value, user_id): the write-time
+    layout key that makes parquet row-group min/max stats prune range
+    scans on EITHER column. One stats pass normalizes each column
+    onto [0, 2^16), then the quantized bits interleave into one long
+    — a pure codegen expression, no shuffle until the layout sort.
+    The oracle replays the identical affine quantization (TRUNC
+    matches Spark's toward-zero long cast) and bit interleave in
+    DuckDB arithmetic."""
+    from curw_flo2d_data_manager_spark.operators.zorder import zorder_index
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value", "user_id")
+    row = ev.agg(
+        F.min(F.col("value").cast("double")).alias("lo_v"),
+        F.max(F.col("value").cast("double")).alias("hi_v"),
+        F.min(F.col("user_id").cast("double")).alias("lo_u"),
+        F.max(F.col("user_id").cast("double")).alias("hi_u"),
+    ).collect()[0]
+    z = zorder_index(
+        ["value", "user_id"],
+        [row["lo_v"], row["lo_u"]],
+        [row["hi_v"], row["hi_u"]],
+        bits=16,
+    )
+    return (
+        ev.select("event_id", z.alias("zval"))
+        .orderBy("zval", "event_id")
+    )
+
+
+def _zorder_oracle_sql(bits: int = 16) -> str:
+    """DuckDB replica of operators/zorder.py::zorder_index over
+    (value, user_id): affine-quantize each column onto [0, 2^bits)
+    with the same left-associated double arithmetic and toward-zero
+    truncation, clamp, NULL→0, then interleave bit b of column i to
+    position b*2+i."""
+    top = (1 << bits) - 1
+    quant = (
+        "COALESCE(LEAST({top}, GREATEST(0, CAST(TRUNC("
+        "(CAST(e.{col} AS DOUBLE) - s.lo_{s}) / (s.hi_{s} - s.lo_{s})"
+        " * {top}.0) AS BIGINT))), 0)"
+    )
+    terms = []
+    for b in range(bits):
+        for i, q in enumerate(("qv", "qu")):
+            # full-term parens: DuckDB gives << LOWER precedence than
+            # +, so unparenthesized terms joined with + would chain
+            # the shifts
+            terms.append(f"((({q} >> {b}) & 1) << {b * 2 + i})")
+    interleave = "\n         + ".join(terms)
+    return f"""
+WITH stats AS (
+    SELECT MIN(CAST(value AS DOUBLE))   AS lo_v,
+           MAX(CAST(value AS DOUBLE))   AS hi_v,
+           MIN(CAST(user_id AS DOUBLE)) AS lo_u,
+           MAX(CAST(user_id AS DOUBLE)) AS hi_u
+    FROM events
+),
+q AS (
+    SELECT e.event_id,
+           {quant.format(top=top, col="value", s="v")} AS qv,
+           {quant.format(top=top, col="user_id", s="u")} AS qu
+    FROM events e CROSS JOIN stats s
+)
+SELECT event_id,
+       ({interleave}) AS zval
+FROM q
+ORDER BY zval, event_id
+"""
+
+
+X_ZORDER_SQL = _zorder_oracle_sql()
+
+
+def stream_hot_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hot-term detection: documents replayed through a
+    file stream with synthetic hourly event times (doc_id mod 48 →
+    48 one-hour windows over two days); tokens counted per
+    (window, term) and a window's heavy hitters (n ≥ 5) emit when the
+    watermark closes it. A far-future sentinel doc advances the
+    watermark past every real window so append mode emits them all;
+    results must equal the batch GROUP BY, which IS the oracle."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    rows = docs.select(
+        (
+            base
+            + F.make_interval(
+                hours=(F.col("doc_id") % 48).cast("int")
+            )
+        ).alias("time"),
+        "text",
+    )
+    sentinel = spark.range(1).select(
+        F.lit("2024-01-10 00:00:00").cast("timestamp").alias("time"),
+        F.lit("sentinel").alias("text"),
+    )
+    src = tempfile.mkdtemp(prefix="stream_hot_src_")
+    rows.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(src)
+
+    from curw_flo2d_data_manager_spark.streaming import streaming_hot_terms
+
+    schema = StructType(
+        [
+            StructField("time", TimestampType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    name = _run_replay_stream(
+        spark,
+        src,
+        lambda s: streaming_hot_terms(s, min_count=5, window="1 hour"),
+        "stream_hot_",
+        "append",
+        schema=schema,
+    )
+    return (
+        spark.table(name)
+        .filter(
+            F.col("window_start")
+            < F.lit("2024-01-03 00:00:00").cast("timestamp")
+        )
+        .select("window_start", "term", "n")
+        .orderBy("window_start", "term")
+    )
+
+
+STREAM_HOT_SQL = """
+WITH toks AS (
+    SELECT TIMESTAMP '2024-01-01 00:00:00'
+               + (doc_id % 48) * INTERVAL 1 HOUR AS window_start,
+           UNNEST(string_split_regex(
+               trim(regexp_replace(lower(text),
+                    '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')),
+               '\\s+')) AS term
+    FROM documents
+)
+SELECT window_start, term, COUNT(*) AS n
+FROM toks
+WHERE term <> ''
+GROUP BY window_start, term
+HAVING COUNT(*) >= 5
+ORDER BY window_start, term
+"""
+
+
 def dedup_suffix_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuation-page detection: doc A's trailing 8-gram equals
     doc B's leading 8-gram (the crawl artifact where one page's tail
@@ -7060,6 +7332,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # consistency, PQ LUT, rangejoin inverted-interval semantics),
     # then the entries with the OLDEST certification (last green
     # in the r5 window or earlier), then two r6-certified fills.
+    "a_salted_sum": (a_salted_sum, A_SALTED_SQL),
+    "stream_hot_terms": (stream_hot_terms, STREAM_HOT_SQL),
+    "j_salted_join": (j_salted_join, J_SALTED_SQL),
+    "x_zorder_index": (x_zorder_index, X_ZORDER_SQL),
+    "f_robust_scale": (f_robust_scale, F_ROBUST_SQL),
     "w_peaks_over_threshold": (w_peaks_over_threshold, W_POT_SQL),
     "w_cusum_drift": (w_cusum_drift, W_CUSUM_SQL),
     "dedup_normalized": (dedup_normalized, DEDUP_NORM_SQL),

@@ -13,6 +13,7 @@ from curw_flo2d_data_manager_spark.streaming.ingest import (
     streaming_cumulative_sum,
     streaming_dedup,
     streaming_cusum,
+    streaming_hot_terms,
     streaming_pot,
     streaming_session_sum,
     streaming_resample_sum,
@@ -26,6 +27,7 @@ __all__ = [
     "streaming_cumulative_sum",
     "streaming_dedup",
     "streaming_cusum",
+    "streaming_hot_terms",
     "streaming_pot",
     "streaming_session_sum",
     "streaming_resample_sum",

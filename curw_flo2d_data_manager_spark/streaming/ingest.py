@@ -855,3 +855,42 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_hot_terms(
+    stream: DataFrame,
+    min_count: int = 5,
+    window: str = "1 hour",
+    watermark: str = "1 minute",
+    time_col: str = "time",
+    text_col: str = "text",
+) -> DataFrame:
+    """Watermarked hot-term detection: the trending-terms / poisoned-
+    phrase monitor for a streaming corpus ingest. Documents explode
+    into whitespace tokens (the SAME JVM-side tokenizer as every batch
+    text operator, so batch and streaming counts agree term-for-term),
+    counts aggregate per (event-time tumbling window, term), and a
+    window's heavy hitters — terms with ``n >= min_count`` — emit once
+    the watermark closes the window (``outputMode("append")``).
+
+    Scale shape: the explode multiplies rows INSIDE the micro-batch,
+    where the windowed aggregation's partial (map-side) combine
+    collapses them to distinct (window, term) partials before the
+    shuffle; streaming state holds one counter per open-window term —
+    bounded by the watermark horizon — never raw tokens or documents.
+    The ``min_count`` gate is a stateless filter above the stateful
+    aggregate, so it costs nothing extra and emitted rows are final.
+    """
+    from curw_flo2d_data_manager_spark.operators.textstats import words
+
+    toks = (
+        stream.withWatermark(time_col, watermark)
+        .select(time_col, F.explode(words(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    return (
+        toks.groupBy(F.window(time_col, window).alias("w"), "term")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select(F.col("w.start").alias("window_start"), "term", "n")
+    )

@@ -469,3 +469,72 @@ def test_corpus_decontam_stream_blocks_and_replays(spark, tmp_path):
     run()  # replay: nothing new, same outputs
     assert sorted(r["doc_id"] for r in
                   spark.read.parquet(f"{out}/accepted").collect()) == [1, 3, 5]
+
+
+def test_streaming_hot_terms_window_close_and_threshold(spark, tmp_path):
+    """Hot-term emission across micro-batches in append mode: batch 1
+    fills the 00:00 window (one term over threshold, one under),
+    batch 2's far-future doc advances the watermark and closes it —
+    only the over-threshold term emits, counted across documents, and
+    the open far-future window stays unemitted."""
+    import time
+    import uuid
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from curw_flo2d_data_manager_spark.streaming import (
+        read_series_stream,
+        streaming_hot_terms,
+    )
+
+    schema = StructType(
+        [
+            StructField("time", TimestampType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    src = str(tmp_path / "src")
+    T = lambda h, m=0: datetime(2024, 1, 1, h, m)  # noqa: E731
+    batches = [
+        # "spam" x3 across two docs (>= 3); "rare" x2 (< 3); the
+        # tokenizer lowercases + strips punctuation, so "Spam!"
+        # counts toward spam
+        [(T(0, 5), "Spam! spam rare"), (T(0, 40), "spam rare")],
+        [(T(6, 0), "later doc")],  # watermark -> past the 00:00 window
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.2)
+
+    name = "hot_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_hot_terms(
+            read_series_stream(
+                spark, src, schema=schema,
+                options={"maxFilesPerTrigger": "1"},
+            ),
+            min_count=3,
+            window="1 hour",
+            watermark="1 minute",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    got = {
+        (r.window_start, r.term): r.n for r in spark.table(name).collect()
+    }
+    assert got == {(T(0), "spam"): 3}

@@ -69,3 +69,61 @@ def test_suffix_prefix_join_carries_grams_not_text(spark):
     # symmetric identical docs: tail == head, both directions pair
     got = {(r["prev_id"], r["next_id"]) for r in out.collect()}
     assert got == {(1, 2), (2, 1)}
+
+
+def test_robust_scale_matches_python_and_handles_degenerates(spark):
+    from curw_flo2d_data_manager_spark.operators.sampling import robust_scale
+
+    rng = random.Random(9)
+    rows = [("a", float(rng.randint(0, 100))) for _ in range(51)]
+    rows += [("b", 7.0), ("b", 7.0), ("b", 7.0)]  # MAD == 0
+    rows += [("a", None)]
+    df = spark.createDataFrame(rows, "g string, score double")
+    got = robust_scale(df, ["g"], "score").collect()
+
+    def median(vals):
+        s = sorted(vals)
+        n = len(s)
+        mid = n // 2
+        return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+    a_vals = [v for g, v in rows if g == "a" and v is not None]
+    med = median(a_vals)
+    mad = median([abs(v - med) for v in a_vals])
+    for r in got:
+        if r["g"] == "a" and r["score"] is not None:
+            assert abs(r["score_robust"] - (r["score"] - med) / mad) < 1e-9
+        else:
+            assert r["score_robust"] is None  # MAD==0 group and NULL score
+
+
+def test_robust_scale_outlier_resistance_vs_zscore(spark):
+    # one enormous outlier: the z-score of a typical row collapses
+    # toward 0 (sigma explodes) while the robust score is unmoved
+    rows = [("a", float(v)) for v in range(1, 100)] + [("a", 1e9)]
+    df = spark.createDataFrame(rows, "g string, score double")
+    z = {
+        r["score"]: r["score_z"]
+        for r in zscore_normalize(df, ["g"], "score").collect()
+    }
+    from curw_flo2d_data_manager_spark.operators.sampling import robust_scale
+
+    rb = {
+        r["score"]: r["score_robust"]
+        for r in robust_scale(df, ["g"], "score").collect()
+    }
+    # typical row 75.0: true robust score = (75 - 50.5) / 25 = 0.98
+    assert abs(rb[75.0] - (75.0 - 50.5) / 25.0) < 1e-9
+    assert abs(z[75.0]) < 0.2  # flattened by the outlier (≈ −0.1)
+
+
+def test_robust_scale_fact_side_never_shuffles(spark):
+    from curw_flo2d_data_manager_spark.operators.sampling import robust_scale
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, score double")
+    plan = (
+        robust_scale(df, ["g"], "score")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
