@@ -179,6 +179,8 @@ def main() -> None:
         "j_salted_join",
         "x_zorder_index",
         "f_robust_scale",
+        "dedup_fuzzy_names",
+        "a_profile_columns",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -1025,3 +1025,66 @@ def suffix_prefix_pairs(
         .filter(F.col("prev_id") != F.col("next_id"))
         .select("prev_id", "next_id", "gram")
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 2,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Blocked edit-distance matching over the DISTINCT-value relation
+    — the record-linkage / entity-resolution primitive ("Acme Corp" vs
+    "Acme Corp.") the exact and MinHash families can't express: those
+    need shared tokens or shingles, while edit distance catches
+    single-character typos in short strings.
+
+    Scale shape — two decisions make this survive 100 TB:
+
+    * **distinct-first**: the quadratic refine runs on the DISTINCT
+      name relation, never the row relation. A catalog with 10^9 rows
+      but 10^6 distinct names does 10^12 → 10^6-scale work; the
+      group sizes ride along so callers can weight matches back to
+      row counts without a second scan.
+    * **blocking**: candidate pairs come from an equi-join on a cheap
+      block key (default: the name's first whitespace token), never a
+      cartesian product; ``levenshtein`` (JVM codegen) refines inside
+      the block. Hot blocks are the skew case — AQE skew-join or a
+      per-block cap, exactly as with MinHash bands. A same-first-token
+      block key misses typos IN the first token; widen with a second
+      pass on e.g. a reversed-name or length-band key if recall there
+      matters.
+
+    Emits one row per unordered distinct-name pair with
+    ``0 < levenshtein <= max_dist``: (name_a, name_b, dist, n_a, n_b)
+    with name_a < name_b; dist 0 (exact duplicates) is exact_dedup's
+    job, not a fuzzy match. ``block_col``, if given, is an expression
+    over the distinct relation's ``name`` column.
+    """
+    names = (
+        df.groupBy(F.col(name_col).alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn(
+            "blk",
+            block_col
+            if block_col is not None
+            else F.split_part(F.col("name"), F.lit(" "), F.lit(1)),
+        )
+    )
+    a = names.select(
+        F.col("blk"),
+        F.col("name").alias("name_a"),
+        F.col("n_rows").alias("n_a"),
+    )
+    b = names.select(
+        F.col("blk"),
+        F.col("name").alias("name_b"),
+        F.col("n_rows").alias("n_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter((F.col("dist") > 0) & (F.col("dist") <= max_dist))
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )

@@ -7190,6 +7190,96 @@ ORDER BY window_start, term
 """
 
 
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance entity resolution over part names: the
+    record-linkage primitive ("Acme Corp" vs "Acme Corp.") exact and
+    shingle dedup can't express. The quadratic refine runs on the
+    DISTINCT-name relation (2000 parts → 64 names at sf0.01) behind a
+    first-token block — the two decisions that keep fuzzy matching
+    alive at catalog scale. Group sizes ride along so matches weight
+    back to row counts without a second scan."""
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        fuzzy_name_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part").select("p_name")
+    return fuzzy_name_pairs(part, "p_name", max_dist=3).orderBy(
+        "name_a", "name_b"
+    )
+
+
+DEDUP_FUZZY_SQL = """
+WITH names AS (
+    SELECT p_name AS name, COUNT(*) AS n_rows,
+           split_part(p_name, ' ', 1) AS blk
+    FROM part GROUP BY p_name
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name) AS dist,
+       a.n_rows AS n_a, b.n_rows AS n_b
+FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
+ORDER BY name_a, name_b
+"""
+
+
+def a_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile of lineitem's four numeric measures:
+    null counts, exact distinct cardinalities, ranges, means — one
+    aggregate job over one scan, unpivoted to a row per column (the
+    ingest-health relation drift checks diff). Exact multi-column
+    COUNT(DISTINCT) plans an Expand (|cols|x map-side rows before the
+    partial agg); profile_columns(exact_distinct=False) is the
+    HLL-based 100-TB path."""
+    from curw_flo2d_data_manager_spark.operators.profile import (
+        profile_columns,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li, ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    ).orderBy("col_name")
+
+
+A_PROFILE_SQL = """
+SELECT col_name, n_rows, n_null, n_distinct, min_v, max_v, avg_v
+FROM (
+    SELECT 'l_discount' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_discount) AS n_null,
+           COUNT(DISTINCT l_discount) AS n_distinct,
+           ROUND(MIN(CAST(l_discount AS DOUBLE)), 4) AS min_v,
+           ROUND(MAX(CAST(l_discount AS DOUBLE)), 4) AS max_v,
+           ROUND(AVG(CAST(l_discount AS DOUBLE)), 4) AS avg_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*),
+           COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice),
+           ROUND(MIN(CAST(l_extendedprice AS DOUBLE)), 4),
+           ROUND(MAX(CAST(l_extendedprice AS DOUBLE)), 4),
+           ROUND(AVG(CAST(l_extendedprice AS DOUBLE)), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', COUNT(*),
+           COUNT(*) - COUNT(l_quantity),
+           COUNT(DISTINCT l_quantity),
+           ROUND(MIN(CAST(l_quantity AS DOUBLE)), 4),
+           ROUND(MAX(CAST(l_quantity AS DOUBLE)), 4),
+           ROUND(AVG(CAST(l_quantity AS DOUBLE)), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*),
+           COUNT(*) - COUNT(l_tax),
+           COUNT(DISTINCT l_tax),
+           ROUND(MIN(CAST(l_tax AS DOUBLE)), 4),
+           ROUND(MAX(CAST(l_tax AS DOUBLE)), 4),
+           ROUND(AVG(CAST(l_tax AS DOUBLE)), 4)
+    FROM lineitem
+)
+ORDER BY col_name
+"""
+
+
 def dedup_suffix_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuation-page detection: doc A's trailing 8-gram equals
     doc B's leading 8-gram (the crawl artifact where one page's tail
@@ -7334,6 +7424,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # in the r5 window or earlier), then two r6-certified fills.
     "a_salted_sum": (a_salted_sum, A_SALTED_SQL),
     "stream_hot_terms": (stream_hot_terms, STREAM_HOT_SQL),
+    "dedup_fuzzy_names": (dedup_fuzzy_names, DEDUP_FUZZY_SQL),
+    "a_profile_columns": (a_profile_columns, A_PROFILE_SQL),
     "j_salted_join": (j_salted_join, J_SALTED_SQL),
     "x_zorder_index": (x_zorder_index, X_ZORDER_SQL),
     "f_robust_scale": (f_robust_scale, F_ROBUST_SQL),

@@ -2378,3 +2378,78 @@ def test_char_entropy_known_distributions(spark):
     # 'aab!' -> a:1/2, b:1/4, other:1/4
     want = -(0.5 * math.log2(0.5) + 0.25 * math.log2(0.25) * 2)
     assert abs(got[8] - want) < 1e-9
+
+
+# fuzzy name matching (operators/dedup.fuzzy_name_pairs)
+
+def test_fuzzy_name_pairs_distinct_first_and_thresholds(spark):
+    from curw_flo2d_data_manager_spark.operators.dedup import fuzzy_name_pairs
+
+    rows = (
+        [("acme corp",)] * 3
+        + [("acme corpx",)] * 2   # dist 1 from "acme corp"
+        + [("acme corporation",)]  # dist 7 — past max_dist
+        + [("zenith ltd",)]        # different block
+        + [("acme corp",)]         # more exact dupes (fold into n_rows)
+    )
+    df = spark.createDataFrame(rows, "name string")
+    got = fuzzy_name_pairs(df, "name", max_dist=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    # ordered pair, group sizes carried from the row relation
+    assert (r.name_a, r.name_b, r.dist) == ("acme corp", "acme corpx", 1)
+    assert (r.n_a, r.n_b) == (4, 2)
+
+
+def test_fuzzy_name_pairs_is_blocked_equi_join_no_cartesian(spark):
+    from curw_flo2d_data_manager_spark.operators.dedup import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [("alpha one",), ("alpha two",), ("beta one",)], "name string"
+    )
+    out = fuzzy_name_pairs(df, "name", max_dist=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # cross-block pairs never form, even at a permissive distance
+    got = {(r.name_a, r.name_b) for r in out.collect()}
+    assert got == {("alpha one", "alpha two")}
+
+
+# table profiling (operators/profile.py)
+
+def test_profile_columns_stats_and_single_scan(spark):
+    from curw_flo2d_data_manager_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (2.0, 30.0), (None, 30.0)],
+        "a double, b double",
+    )
+    out = profile_columns(df, ["a", "b"])
+    rows = {r.col_name: r for r in out.collect()}
+    a, b = rows["a"], rows["b"]
+    assert a.n_rows == 4 and a.n_null == 1 and a.n_distinct == 2
+    assert (a.min_v, a.max_v) == (1.0, 2.0)
+    assert abs(a.avg_v - 5.0 / 3) < 1e-3  # rounded to 4
+    assert b.n_null == 1 and b.n_distinct == 2 and b.max_v == 30.0
+    # one scan: a single leaf in the (AQE final) physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") == 1
+
+
+def test_profile_columns_approx_mode_has_no_expand(spark):
+    from curw_flo2d_data_manager_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame([(float(i), float(i % 3)) for i in range(100)],
+                               "a double, b double")
+    exact_plan = (
+        profile_columns(df, ["a", "b"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    approx = profile_columns(df, ["a", "b"], exact_distinct=False)
+    approx_plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan       # the documented exact-distinct cost
+    assert "Expand" not in approx_plan  # HLL path: one pass, no replication
+    rows = {r.col_name: r for r in approx.collect()}
+    assert rows["b"].n_distinct == 3    # HLL exact at tiny cardinality
