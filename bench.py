@@ -181,6 +181,7 @@ def main() -> None:
         "f_robust_scale",
         "dedup_fuzzy_names",
         "a_profile_columns",
+        "text_zipf_slope",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -1375,6 +1375,38 @@ def cmd_corpus_stats(args) -> None:
     )
 
 
+def cmd_profile_table(args) -> None:
+    """One-pass data-quality profile of a parquet table: per-column
+    null counts, distinct cardinalities, ranges, means — the
+    ingest-health relation drift checks diff between loads. One
+    aggregate over one scan regardless of column count; exact
+    distincts by default, --approx for the HLL no-Expand path at
+    extreme scale."""
+    from curw_flo2d_data_manager_spark.operators.profile import (
+        profile_columns,
+    )
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="profile-table")
+    df = spark.read.parquet(args.input)
+    cols = [c for c in args.columns.split(",") if c] or list(df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise SystemExit(f"columns not in input: {missing} ({df.columns})")
+    prof = profile_columns(
+        df, cols, exact_distinct=not args.approx
+    ).orderBy("col_name")
+    if args.output:
+        prof.coalesce(1).write.mode("overwrite").parquet(args.output)
+    rows = prof.collect()  # bounded: one row per profiled column
+    for r in rows:
+        print(
+            f"{r.col_name}: n={r.n_rows} null={r.n_null} "
+            f"distinct={r.n_distinct} min={r.min_v} max={r.max_v} "
+            f"avg={r.avg_v}"
+        )
+
+
 def cmd_detect_extremes(args) -> None:
     """Extreme-event report over a series parquet: POT cluster peaks
     (runs-method declustering) and optional CUSUM drift flags — the
@@ -1818,6 +1850,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--cusum_slack", type=float, default=0.5)
     sp.add_argument("--cusum_alarm", type=float, default=5.0)
     sp.set_defaults(fn=cmd_detect_extremes)
+
+    sp = sub.add_parser(
+        "profile-table",
+        help="one-pass per-column null/distinct/range/mean profile "
+             "of a parquet table",
+    )
+    sp.add_argument("--input", required=True, help="input parquet path")
+    sp.add_argument("--output", default=None,
+                    help="optional profile parquet path")
+    sp.add_argument("--columns", default="",
+                    help="comma-separated columns (default: all)")
+    sp.add_argument("--approx", action="store_true",
+                    help="HLL distinct counts (no Expand; the "
+                         "extreme-scale path)")
+    sp.set_defaults(fn=cmd_profile_table)
     return p
 
 

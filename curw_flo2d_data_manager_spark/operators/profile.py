@@ -38,7 +38,9 @@ def profile_columns(
     nd = F.count_distinct if exact_distinct else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
-        v = F.col(c).cast("double")
+        # try_cast: non-numeric columns profile null/distinct and get
+        # NULL range/mean (ANSI mode would throw on a plain cast)
+        v = F.col(c).try_cast("double")
         aggs += [
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"_null_{c}"),
             nd(F.col(c)).alias(f"_nd_{c}"),

@@ -1064,3 +1064,45 @@ def char_entropy(col: Column | str) -> Column:
         term = F.when(c > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
         ent = term if ent is None else ent + term
     return F.when(F.length(t) > 0, ent)
+
+
+def zipf_slope(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-domain Zipf (rank-frequency power-law) slope — the
+    vocabulary-health signal: natural text sits near −1; templated or
+    machine-generated domains flatten (boilerplate dominating) or
+    steepen (tiny synthetic vocabularies), so the slope is a cheap
+    per-domain drift alarm alongside entropy and quality gates.
+
+    Shape: one tokenize, term counts collapse the corpus to its
+    per-domain vocabulary (partial agg before the shuffle), a rank
+    window runs over VOCAB rows (never the corpus), and
+    ``regr_slope(ln n, ln rank)`` is a partial-aggregable least-
+    squares fold. ``min_count`` trims the hapax tail, which both
+    stabilizes the fit and bounds the ranked relation. Ranks tie-break
+    by term so the fit is deterministic across engines.
+
+    Returns one row per group: (group_cols…, zipf_slope, vocab).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        *group_cols, F.explode(words(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    counts = (
+        toks.groupBy(*group_cols, "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("n"), "term")
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    return ranked.groupBy(*group_cols).agg(
+        F.round(
+            F.regr_slope(F.ln("n"), F.ln("rank")), 6
+        ).alias("zipf_slope"),
+        F.count(F.lit(1)).alias("vocab"),
+    )

@@ -7190,6 +7190,51 @@ ORDER BY window_start, term
 """
 
 
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf rank-frequency slope — natural text ≈ −1,
+    templated/synthetic domains drift off it. Term counts collapse
+    the corpus to per-source vocabulary before any shuffle; the rank
+    window runs over vocab rows only; regr_slope is a partial-
+    aggregable least-squares fold. Ranks tie-break by term so both
+    engines fit identical points."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        zipf_slope,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return zipf_slope(docs, ["source"], min_count=2).orderBy("source")
+
+
+TEXT_ZIPF_SQL = """
+WITH toks AS (
+    SELECT source,
+           UNNEST(string_split_regex(
+               trim(regexp_replace(lower(text),
+                    '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')),
+               '\\s+')) AS term
+    FROM documents
+),
+counts AS (
+    SELECT source, term, COUNT(*) AS n
+    FROM toks WHERE term <> ''
+    GROUP BY source, term
+    HAVING COUNT(*) >= 2
+),
+ranked AS (
+    SELECT source, n,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n DESC, term) AS rank
+    FROM counts
+)
+SELECT source,
+       ROUND(REGR_SLOPE(LN(n), LN(rank)), 6) AS zipf_slope,
+       COUNT(*) AS vocab
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
 def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance entity resolution over part names: the
     record-linkage primitive ("Acme Corp" vs "Acme Corp.") exact and
@@ -7426,6 +7471,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stream_hot_terms": (stream_hot_terms, STREAM_HOT_SQL),
     "dedup_fuzzy_names": (dedup_fuzzy_names, DEDUP_FUZZY_SQL),
     "a_profile_columns": (a_profile_columns, A_PROFILE_SQL),
+    "text_zipf_slope": (text_zipf_slope, TEXT_ZIPF_SQL),
     "j_salted_join": (j_salted_join, J_SALTED_SQL),
     "x_zorder_index": (x_zorder_index, X_ZORDER_SQL),
     "f_robust_scale": (f_robust_scale, F_ROBUST_SQL),

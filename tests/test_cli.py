@@ -1114,3 +1114,31 @@ def test_detect_extremes_cli_peaks_and_drift(spark, tmp_path, capsys):
     drift = spark.read.parquet(os.path.join(out_root, "drift_alarms"))
     gauges = {r["gauge"] for r in drift.collect()}
     assert gauges == {"g2"}
+
+
+def test_profile_table_cli(spark, tmp_path, capsys):
+    """profile-table end-to-end: exact stats for a mixed table, parquet
+    report written, --approx path runs, bad column errors cleanly."""
+    src = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1.0, "x"), (2.0, "y"), (2.0, None), (None, "y")],
+        "a double, s string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "profile.parquet")
+    main(["profile-table", "--input", src, "--output", out,
+          "--columns", "a,s"])
+    printed = capsys.readouterr().out
+    assert "a: n=4 null=1 distinct=2 min=1.0 max=2.0" in printed
+    # string column: null/distinct meaningful, numeric stats NULL
+    assert "s: n=4 null=1 distinct=2 min=None max=None avg=None" in printed
+    rows = {r.col_name: r for r in spark.read.parquet(out).collect()}
+    assert rows["a"].n_distinct == 2 and rows["s"].n_null == 1
+
+    main(["profile-table", "--input", src, "--approx"])
+    printed = capsys.readouterr().out
+    assert "a: n=4" in printed and "s: n=4" in printed  # all-columns default
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="not in input"):
+        main(["profile-table", "--input", src, "--columns", "nope"])

@@ -127,3 +127,26 @@ def test_robust_scale_fact_side_never_shuffles(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_zipf_slope_recovers_planted_power_law(spark):
+    """A synthetic corpus whose term frequencies follow n(r) = C·r^s
+    exactly must fit slope s; a flat (uniform-frequency) domain fits
+    slope 0. Counts are planted via word repetition inside documents,
+    so the tokenize → count → rank → regr path is exercised end to
+    end."""
+    from curw_flo2d_data_manager_spark.operators.textstats import zipf_slope
+
+    docs = []
+    # domain A: term_r appears round(64 / r) times (slope ≈ -1)
+    for r in range(1, 17):
+        docs.append(("A", " ".join([f"term{r:02d}"] * round(64 / r))))
+    # domain B: every term appears exactly 5 times (slope 0)
+    for r in range(1, 9):
+        docs.append(("B", " ".join([f"tok{r}"] * 5)))
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {r["source"]: r for r in zipf_slope(df, ["source"]).collect()}
+    assert got["B"].zipf_slope == 0.0 and got["B"].vocab == 8
+    assert got["A"].vocab == 16
+    # round(64/r) quantization bends the tail; the fit stays near -1
+    assert -1.1 < got["A"].zipf_slope < -0.85
