@@ -182,6 +182,7 @@ def main() -> None:
         "dedup_fuzzy_names",
         "a_profile_columns",
         "text_zipf_slope",
+        "sim_label_prop",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

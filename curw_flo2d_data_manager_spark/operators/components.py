@@ -276,3 +276,68 @@ def cluster_assign(
         "cluster_size",
         (F.col(id_col) == F.col("component")).alias("keep"),
     )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_iters: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts labeled with itself; each iteration relabels every node
+    with the label MOST FREQUENT among its neighbors, ties broken by
+    the smallest label. Where connected_components answers "reachable
+    at all?" and PageRank answers "how central?", LPA answers "which
+    densely-linked cluster?" — near-dup families inside one giant
+    component, topic communities in a citation graph.
+
+    Fixed ``n_iters`` synchronous rounds with a total tiebreak make
+    the result fully deterministic (the classic async/random-order LPA
+    is not) — the property that lets a SQL oracle replay it exactly.
+    The standard synchronous caveat applies: bipartite-like structures
+    can oscillate between rounds (a 2-node graph swaps labels every
+    round — pinned in tests); communities denser than their cut edges
+    converge, and even the oscillation is deterministic. Async LPA
+    avoids oscillation by sacrificing exactly the determinism this
+    operator exists to provide.
+
+    Scale shape per iteration: one shuffle of the edge relation keyed
+    (node, neighbor_label) with map-side partial counts, then the
+    argmax collapses on (node) via a ``max(struct(cnt, -label))``
+    aggregate — partial-aggregable, NO rank window, so a hub node's
+    count rows spread across partials instead of sorting in one task.
+    Labels are ``localCheckpoint``-ed each round (the PageRank lineage
+    lesson). Edges are symmetrized internally; isolated nodes never
+    appear (every node in ``pairs`` has degree ≥ 1).
+
+    Returns ``(id, label)``, one row per distinct node.
+    """
+    src, dst = F.col(id_a).cast("long"), F.col(id_b).cast("long")
+    fwd = pairs.select(src.alias("u"), dst.alias("v"))
+    rev = pairs.select(dst.alias("u"), src.alias("v"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iters):
+        nb = edges.join(
+            labels.withColumnRenamed("id", "v"), "v"
+        ).select(F.col("u").alias("id"), "label")
+        cnt = nb.groupBy("id", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            cnt.groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"), (-F.col("label")).alias("neg")
+                    )
+                ).alias("m")
+            )
+            .select("id", (-F.col("m.neg")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

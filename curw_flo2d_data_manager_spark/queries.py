@@ -7235,6 +7235,58 @@ ORDER BY source
 """
 
 
+def sim_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (3 rounds, smallest-label
+    tiebreak) over the order↔supplier bipartite graph from lineitem
+    (node ids disjoint by parity: 2·orderkey vs 2·suppkey+1).
+    Deterministic by construction — the DuckDB oracle unrolls the
+    same three rounds as CTEs. Per round: one edge shuffle with
+    map-side partial counts, then a partial-aggregable
+    max(struct(cnt, −label)) argmax — no rank window, so hub
+    suppliers' count rows never sort in one task."""
+    from curw_flo2d_data_manager_spark.operators.components import (
+        label_propagation,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 2).alias("id_a"),
+        (F.col("l_suppkey") * 2 + 1).alias("id_b"),
+    )
+    return label_propagation(li, n_iters=3).orderBy("id")
+
+
+def _label_prop_oracle_sql(n_iters: int = 3) -> str:
+    """DuckDB replica of operators/components.py::label_propagation
+    over the lineitem bipartite graph: symmetrized distinct edges,
+    self-labels, then ``n_iters`` unrolled rounds of neighbor-label
+    counts with (count DESC, label ASC) argmax."""
+    sql = """
+WITH pairs AS (
+    SELECT DISTINCT 2 * l_orderkey AS u, 2 * l_suppkey + 1 AS v
+    FROM lineitem
+),
+edges AS (
+    SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+),
+l0 AS (SELECT DISTINCT u AS id, u AS label FROM edges)"""
+    for i in range(1, n_iters + 1):
+        sql += f""",
+c{i} AS (
+    SELECT e.u AS id, l.label, COUNT(*) AS cnt
+    FROM edges e JOIN l{i - 1} l ON e.v = l.id
+    GROUP BY e.u, l.label
+),
+l{i} AS (
+    SELECT id, label FROM c{i}
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY cnt DESC, label ASC) = 1
+)"""
+    return sql + f"\nSELECT id, label FROM l{n_iters} ORDER BY id\n"
+
+
+SIM_LABEL_PROP_SQL = _label_prop_oracle_sql()
+
+
 def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance entity resolution over part names: the
     record-linkage primitive ("Acme Corp" vs "Acme Corp.") exact and
@@ -7472,6 +7524,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_fuzzy_names": (dedup_fuzzy_names, DEDUP_FUZZY_SQL),
     "a_profile_columns": (a_profile_columns, A_PROFILE_SQL),
     "text_zipf_slope": (text_zipf_slope, TEXT_ZIPF_SQL),
+    "sim_label_prop": (sim_label_prop, SIM_LABEL_PROP_SQL),
     "j_salted_join": (j_salted_join, J_SALTED_SQL),
     "x_zorder_index": (x_zorder_index, X_ZORDER_SQL),
     "f_robust_scale": (f_robust_scale, F_ROBUST_SQL),

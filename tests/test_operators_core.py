@@ -2453,3 +2453,56 @@ def test_profile_columns_approx_mode_has_no_expand(spark):
     assert "Expand" not in approx_plan  # HLL path: one pass, no replication
     rows = {r.col_name: r for r in approx.collect()}
     assert rows["b"].n_distinct == 3    # HLL exact at tiny cardinality
+
+
+# label propagation (operators/components.label_propagation)
+
+def test_label_propagation_separates_bridged_communities(spark):
+    """Two 5-cliques joined by ONE bridge edge: connected_components
+    merges everything into one component, but LPA keeps two
+    communities — each clique's majority vote overwhelms the single
+    bridge neighbor. Labels converge to each clique's minimum id."""
+    from curw_flo2d_data_manager_spark.operators.components import (
+        connected_components,
+        label_propagation,
+    )
+
+    clique_a = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    clique_b = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+    bridge = [(4, 10)]
+    df = spark.createDataFrame(
+        clique_a + clique_b + bridge, "id_a long, id_b long"
+    )
+    cc = {r.component for r in connected_components(df).collect()}
+    assert cc == {0}  # one giant component
+    labels = {
+        r.id: r.label for r in label_propagation(df, n_iters=4).collect()
+    }
+    assert set(labels) == set(range(5)) | set(range(10, 15))
+    assert all(labels[i] == 0 for i in range(5))
+    assert all(labels[i] == 10 for i in range(10, 15))
+
+
+def test_label_propagation_sync_oscillation_is_deterministic(spark):
+    """The documented synchronous-LPA caveat, pinned: a 2-node graph
+    OSCILLATES (each round both nodes adopt the other's label — swap
+    after odd rounds, back to self after even rounds). The point of
+    fixed synchronous rounds is that even this pathology is fully
+    deterministic and oracle-replayable, not hidden by randomness."""
+    from curw_flo2d_data_manager_spark.operators.components import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    odd = sorted(
+        (r.id, r.label) for r in label_propagation(df, n_iters=1).collect()
+    )
+    assert odd == [(1, 2), (2, 1)]  # swapped
+    even = sorted(
+        (r.id, r.label) for r in label_propagation(df, n_iters=2).collect()
+    )
+    assert even == [(1, 1), (2, 2)]  # swapped back
+    again = sorted(
+        (r.id, r.label) for r in label_propagation(df, n_iters=2).collect()
+    )
+    assert even == again  # no randomness anywhere
