@@ -183,6 +183,7 @@ def main() -> None:
         "a_profile_columns",
         "text_zipf_slope",
         "sim_label_prop",
+        "w_autocorr",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

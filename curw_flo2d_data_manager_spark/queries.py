@@ -7235,6 +7235,43 @@ ORDER BY source
 """
 
 
+def w_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of event values — the
+    persistence/whiteness signal (≈0 for independent readings, →1 for
+    sticky sensors, <0 for alternating artifacts; the cheap test for
+    'is this series worth a seasonal model'). One key shuffle: the lag
+    window and the corr aggregate share the same (user_id) exchange;
+    corr is a partial-aggregable moments fold, so no per-key
+    materialization anywhere."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev", F.lag("value").over(w))
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            F.round(F.corr("value", "prev"), 6).alias("lag1_corr"),
+            F.count("prev").alias("n_pairs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+W_AUTOCORR_SQL = """
+WITH lagged AS (
+    SELECT user_id, value,
+           LAG(value) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prev
+    FROM events
+)
+SELECT user_id,
+       ROUND(CORR(value, prev), 6) AS lag1_corr,
+       COUNT(prev) AS n_pairs
+FROM lagged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def sim_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label propagation (3 rounds, smallest-label
     tiebreak) over the order↔supplier bipartite graph from lineitem
@@ -7525,6 +7562,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "a_profile_columns": (a_profile_columns, A_PROFILE_SQL),
     "text_zipf_slope": (text_zipf_slope, TEXT_ZIPF_SQL),
     "sim_label_prop": (sim_label_prop, SIM_LABEL_PROP_SQL),
+    "w_autocorr": (w_autocorr, W_AUTOCORR_SQL),
     "j_salted_join": (j_salted_join, J_SALTED_SQL),
     "x_zorder_index": (x_zorder_index, X_ZORDER_SQL),
     "f_robust_scale": (f_robust_scale, F_ROBUST_SQL),
