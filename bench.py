@@ -184,6 +184,7 @@ def main() -> None:
         "text_zipf_slope",
         "sim_label_prop",
         "w_autocorr",
+        "sim_mmr_rerank",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

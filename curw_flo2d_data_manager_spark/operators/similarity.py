@@ -1238,3 +1238,122 @@ def sq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "adc", "rank")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "corpus_id",
+    rel_col: str = "rel",
+    vec_col: str = "vec",
+    round_to: int = 9,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` results per query maximizing
+    ``lam·relevance − (1−lam)·max_similarity_to_already_selected`` —
+    the standard diversification pass that stops a retrieval top-k
+    from being five copies of the same page.
+
+    Operates on the RETRIEVAL RESULT relation (per-query candidate
+    sets, e.g. cosine_topk's output joined back to vectors), never the
+    corpus: with N candidates per query the pairwise-similarity
+    relation is N² per query, computed ONCE, and each of the k−1
+    greedy rounds is two bounded shuffles on query_id (a max-sim
+    aggregate and a ``max(struct(score, −id))`` argmax — every query
+    advances in parallel per round; no per-query Python, no window
+    sort). Selected sets are localCheckpoint-ed per round.
+
+    Relevance, pairwise similarities, and combined scores are rounded
+    to ``round_to`` BEFORE every argmax (the float-robust ranking
+    pattern), with the id as total tiebreak — the greedy trace is
+    deterministic and replayable by a SQL oracle. Queries with fewer
+    than ``k`` candidates emit what they have.
+
+    Returns (query_id, corpus_id, mmr_rank, mmr_score); rank 1's score
+    is the (rounded) relevance itself, later ranks carry the combined
+    objective at selection time.
+    """
+    cand = candidates.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("corpus_id"),
+        F.round(F.col(rel_col), round_to).alias("rel"),
+        F.col(vec_col).alias("_v"),
+    ).localCheckpoint(eager=True)
+    a = cand.select(
+        "query_id",
+        F.col("corpus_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+    )
+    b = cand.select(
+        "query_id",
+        F.col("corpus_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), round_to).alias(
+                "sim"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def argmax(df, score_col, rank):
+        return (
+            df.groupBy("query_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col(score_col).alias("s"),
+                        (-F.col("corpus_id")).alias("negid"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                "query_id",
+                (-F.col("m.negid")).alias("corpus_id"),
+                F.col("m.s").alias("mmr_score"),
+                F.lit(rank).alias("mmr_rank"),
+            )
+        )
+
+    selected = argmax(cand, "rel", 1).localCheckpoint(eager=True)
+    for step in range(2, k + 1):
+        maxsim = (
+            sims.join(
+                selected.select(
+                    "query_id", F.col("corpus_id").alias("id_b")
+                ),
+                ["query_id", "id_b"],
+            )
+            .groupBy("query_id", "id_a")
+            .agg(F.max("sim").alias("_maxsim"))
+            .withColumnRenamed("id_a", "corpus_id")
+        )
+        scored = (
+            cand.join(
+                selected.select("query_id", "corpus_id"),
+                ["query_id", "corpus_id"],
+                "left_anti",
+            )
+            .join(maxsim, ["query_id", "corpus_id"])
+            .withColumn(
+                "_score",
+                F.round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("_maxsim"),
+                    round_to,
+                ),
+            )
+        )
+        selected = selected.unionByName(
+            argmax(scored, "_score", step)
+        ).localCheckpoint(eager=True)
+    return selected

@@ -7235,6 +7235,112 @@ ORDER BY source
 """
 
 
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval: cosine top-20 candidates per query
+    re-ranked greedily to 5 by λ·rel − (1−λ)·max-sim-to-selected.
+    Operates on the result relation (5 queries × 20 candidates), the
+    corpus never re-enters; every greedy round advances ALL queries in
+    parallel via a max(struct) argmax, no per-query Python. Scores
+    round to 9 decimals before every argmax so the greedy trace is
+    float-robust and the DuckDB oracle replays it exactly (the 1−λ
+    constant is emitted as repr(1.0 − λ) so both engines multiply by
+    the same IEEE double)."""
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = cosine_topk(emb, queries, k=20)
+    cands = topk.join(
+        emb.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("vec"),
+        ),
+        "corpus_id",
+    )
+    out = mmr_rerank(cands, k=5, lam=0.7, rel_col="cosine")
+    return out.select(
+        "query_id",
+        "corpus_id",
+        "mmr_rank",
+        F.round("mmr_score", 6).alias("mmr_score"),
+    ).orderBy("query_id", "mmr_rank")
+
+
+def _mmr_oracle_sql(
+    k: int = 5, lam: float = 0.7, n_cand: int = 20, round_to: int = 9
+) -> str:
+    """DuckDB replica of operators/similarity.py::mmr_rerank over the
+    cosine top-20 candidate relation: identical rounding points,
+    identical tiebreaks, greedy rounds unrolled as CTEs."""
+    l1, l2 = repr(lam), repr(1.0 - lam)
+    sql = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+    SELECT q.query_id, e.vec_id AS corpus_id, e.embedding AS cv,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.qv AS DOUBLE[])) AS cos_raw
+    FROM embeddings e CROSS JOIN q
+),
+cand AS (
+    SELECT query_id, corpus_id, cv, ROUND(cos_raw, {round_to}) AS rel
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, corpus_id)
+            <= {n_cand}
+),
+sims AS (
+    SELECT a.query_id, a.corpus_id AS id_a, b.corpus_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.cv AS DOUBLE[]),
+                                        CAST(b.cv AS DOUBLE[])),
+                 {round_to}) AS sim
+    FROM cand a JOIN cand b
+      ON a.query_id = b.query_id AND a.corpus_id <> b.corpus_id
+),
+sel1 AS (
+    SELECT query_id, corpus_id, rel AS mmr_score, 1 AS mmr_rank
+    FROM cand
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rel DESC, corpus_id) = 1
+)"""
+    for i in range(2, k + 1):
+        prev = f"sel{i - 1}"
+        sql += f""",
+s{i} AS (
+    SELECT query_id, corpus_id, score AS mmr_score, {i} AS mmr_rank
+    FROM (
+        SELECT c.query_id, c.corpus_id,
+               ROUND({l1} * c.rel - {l2} * MAX(m.sim),
+                     {round_to}) AS score
+        FROM cand c
+        JOIN sims m ON m.query_id = c.query_id AND m.id_a = c.corpus_id
+        JOIN {prev} s ON s.query_id = m.query_id
+                     AND s.corpus_id = m.id_b
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                          WHERE x.query_id = c.query_id
+                            AND x.corpus_id = c.corpus_id)
+        GROUP BY c.query_id, c.corpus_id, c.rel
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, corpus_id) = 1
+),
+sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{i})"""
+    return sql + f"""
+SELECT query_id, corpus_id, mmr_rank, ROUND(mmr_score, 6) AS mmr_score
+FROM sel{k}
+ORDER BY query_id, mmr_rank
+"""
+
+
+SIM_MMR_SQL = _mmr_oracle_sql()
+
+
 def w_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user lag-1 autocorrelation of event values — the
     persistence/whiteness signal (≈0 for independent readings, →1 for
@@ -7563,6 +7669,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_zipf_slope": (text_zipf_slope, TEXT_ZIPF_SQL),
     "sim_label_prop": (sim_label_prop, SIM_LABEL_PROP_SQL),
     "w_autocorr": (w_autocorr, W_AUTOCORR_SQL),
+    "sim_mmr_rerank": (sim_mmr_rerank, SIM_MMR_SQL),
     "j_salted_join": (j_salted_join, J_SALTED_SQL),
     "x_zorder_index": (x_zorder_index, X_ZORDER_SQL),
     "f_robust_scale": (f_robust_scale, F_ROBUST_SQL),

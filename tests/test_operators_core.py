@@ -2506,3 +2506,58 @@ def test_label_propagation_sync_oscillation_is_deterministic(spark):
         (r.id, r.label) for r in label_propagation(df, n_iters=2).collect()
     )
     assert even == again  # no randomness anywhere
+
+
+# MMR diversified re-ranking (operators/similarity.mmr_rerank)
+
+def test_mmr_rerank_skips_near_duplicates(spark):
+    """Planted diversification: the three top candidates by relevance
+    are near-identical vectors; plain top-3 would return all three,
+    MMR must interleave the orthogonal docs at ranks 2-3 because the
+    copies' similarity-to-selected wipes out their relevance edge."""
+    from curw_flo2d_data_manager_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        # (query, id, relevance, vector): ids 1-3 are clones along e1
+        (0, 1, 0.99, [1.0, 0.0, 0.0]),
+        (0, 2, 0.98, [1.0, 0.001, 0.0]),
+        (0, 3, 0.97, [1.0, 0.0, 0.001]),
+        (0, 4, 0.60, [0.0, 1.0, 0.0]),
+        (0, 5, 0.50, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, corpus_id long, rel double, vec array<double>"
+    )
+    got = {
+        r.mmr_rank: r.corpus_id
+        for r in mmr_rerank(df, k=3, lam=0.5).collect()
+    }
+    assert got == {1: 1, 2: 4, 3: 5}
+    # λ high enough and relevance wins the third slot back — the knob
+    # behaves as documented (clone 2: 0.7·0.98 − 0.3·1 ≈ 0.386 beats
+    # doc 5's 0.7·0.5 − 0 = 0.35)
+    high = {
+        r.mmr_rank: r.corpus_id
+        for r in mmr_rerank(df, k=3, lam=0.7).collect()
+    }
+    assert high == {1: 1, 2: 4, 3: 2}
+
+
+def test_mmr_rerank_short_candidate_sets_and_parallel_queries(spark):
+    """A query with fewer candidates than k emits what it has; two
+    queries advance independently in the same greedy rounds."""
+    from curw_flo2d_data_manager_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, 1, 0.9, [1.0, 0.0]),
+        (0, 2, 0.8, [0.0, 1.0]),
+        (1, 7, 0.5, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, corpus_id long, rel double, vec array<double>"
+    )
+    got = sorted(
+        (r.query_id, r.mmr_rank, r.corpus_id)
+        for r in mmr_rerank(df, k=3, lam=0.5).collect()
+    )
+    assert got == [(0, 1, 1), (0, 2, 2), (1, 1, 7)]
