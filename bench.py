@@ -185,6 +185,7 @@ def main() -> None:
         "sim_label_prop",
         "w_autocorr",
         "sim_mmr_rerank",
+        "a_histogram_equidepth",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -55,3 +55,52 @@ def equi_width_histogram(
         binned.groupBy(*groups, "bin", "bin_lo")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    bins: int = 10,
+) -> DataFrame:
+    """Equi-DEPTH histogram: bin edges at the exact i/bins quantiles,
+    so every bin holds ~the same row count — the selectivity-stats
+    layout optimizers and drift monitors want (an equi-width histogram
+    of a long-tailed column puts 99% of rows in bin 0; equi-depth
+    resolves the head at full granularity).
+
+    Pass 1 is ONE ``percentile`` aggregate producing the bins−1 edge
+    array (exact interpolated quantiles — the buffer is a value→count
+    map, so cost scales with distinct values; at extreme continuous
+    cardinality swap in ``approx_percentile`` the same way). Pass 2
+    broadcasts the edge array and assigns
+    ``bin = Σ 1[v > edge_i]`` as a codegen fold — O(bins) per row, no
+    shuffle until the final bins-cardinality count.
+
+    Returns one row per non-empty bin: (bin, n, lo, hi) with lo/hi the
+    observed value range inside the bin. NULLs are excluded.
+    """
+    v = F.col(value_col).cast("double")
+    fracs = F.array(
+        *[F.lit(i / bins) for i in range(1, bins)]
+    )
+    edges = df.filter(v.isNotNull()).agg(
+        F.percentile(v, fracs).alias("_edges")
+    )
+    binned = (
+        df.filter(v.isNotNull())
+        .crossJoin(F.broadcast(edges))
+        .select(
+            v.alias("_v"),
+            F.aggregate(
+                F.col("_edges"),
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(v > e, F.lit(1)).otherwise(F.lit(0)),
+            ).alias("bin"),
+        )
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_v").alias("lo"),
+        F.max("_v").alias("hi"),
+    )

@@ -7235,6 +7235,48 @@ ORDER BY source
 """
 
 
+def a_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-binned) histogram of l_extendedprice in 8
+    bins — the selectivity-stats layout: one exact percentile
+    aggregate for the 7 edges, broadcast back, bin assignment as a
+    codegen fold (Σ 1[v > edge]), final shuffle cardinality = bins."""
+    from curw_flo2d_data_manager_spark.operators.histogram import (
+        equi_depth_histogram,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = equi_depth_histogram(li, "l_extendedprice", bins=8)
+    return out.select(
+        "bin",
+        "n",
+        F.round("lo", 4).alias("lo"),
+        F.round("hi", 4).alias("hi"),
+    ).orderBy("bin")
+
+
+A_EQUIDEPTH_SQL = """
+WITH e AS (
+    SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                         [0.125, 0.25, 0.375, 0.5,
+                          0.625, 0.75, 0.875]) AS edges
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+binned AS (
+    SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+           len(list_filter(e.edges,
+                           x -> CAST(l_extendedprice AS DOUBLE) > x))
+               AS bin
+    FROM lineitem CROSS JOIN e
+    WHERE l_extendedprice IS NOT NULL
+)
+SELECT bin, COUNT(*) AS n,
+       ROUND(MIN(v), 4) AS lo, ROUND(MAX(v), 4) AS hi
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified retrieval: cosine top-20 candidates per query
     re-ranked greedily to 5 by λ·rel − (1−λ)·max-sim-to-selected.
@@ -7670,6 +7712,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_label_prop": (sim_label_prop, SIM_LABEL_PROP_SQL),
     "w_autocorr": (w_autocorr, W_AUTOCORR_SQL),
     "sim_mmr_rerank": (sim_mmr_rerank, SIM_MMR_SQL),
+    "a_histogram_equidepth": (a_histogram_equidepth, A_EQUIDEPTH_SQL),
     "j_salted_join": (j_salted_join, J_SALTED_SQL),
     "x_zorder_index": (x_zorder_index, X_ZORDER_SQL),
     "f_robust_scale": (f_robust_scale, F_ROBUST_SQL),

@@ -86,3 +86,23 @@ def test_histogram_degenerate_single_value(spark):
     assert {(r["g"], r["bin"], r["bin_lo"], r["n"]) for r in got} == {
         ("a", 0, 3.0, 2), ("b", 0, 3.0, 1)
     }
+
+
+def test_equi_depth_histogram_balanced_bins_and_nulls(spark):
+    from curw_flo2d_data_manager_spark.operators.histogram import (
+        equi_depth_histogram,
+    )
+
+    # 0..79 uniform → 4 bins of exactly 20; NULLs excluded
+    rows = [(float(i),) for i in range(80)] + [(None,)] * 5
+    df = spark.createDataFrame(rows, "value double")
+    got = {r.bin: r for r in equi_depth_histogram(df, bins=4).collect()}
+    assert sorted(got) == [0, 1, 2, 3]
+    assert all(got[b].n == 20 for b in got)
+    assert got[0].lo == 0.0 and got[3].hi == 79.0
+    # long tail: equi-depth still balances where equi-width collapses
+    tail = spark.createDataFrame(
+        [(float(i),) for i in range(99)] + [(1e9,)], "value double"
+    )
+    depth = {r.bin: r.n for r in equi_depth_histogram(tail, bins=4).collect()}
+    assert max(depth.values()) <= 26  # ~25 per bin despite the outlier
