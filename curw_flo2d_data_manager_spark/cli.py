@@ -839,6 +839,30 @@ def cmd_query_ann_index(args) -> None:
             k=args.k, nprobe=args.nprobe, query_id_col=qid, vec_col=qvec,
         )
         mode = "ivf"
+    if args.diversify:
+        # MMR pass over the RESULT relation: re-rank the top-k down to
+        # --diversify diverse hits (corpus vectors come back from the
+        # index's own assignments — the corpus itself never re-enters)
+        from curw_flo2d_data_manager_spark.operators.similarity import (
+            mmr_rerank,
+        )
+
+        if args.diversify > args.k:
+            raise SystemExit(
+                f"--diversify {args.diversify} exceeds --k {args.k}"
+            )
+        cands = hits.join(
+            assignments.select("corpus_id", F.col("embedding").alias("_mv")),
+            "corpus_id",
+        )
+        hits = mmr_rerank(
+            cands, k=args.diversify, lam=args.mmr_lam,
+            rel_col="cosine", vec_col="_mv",
+        ).withColumnsRenamed({"mmr_rank": "rank", "mmr_score": "score"})
+        mode += f"+mmr(λ={args.mmr_lam})"
+        score_col = "score"
+    else:
+        score_col = "cosine"
     if args.output:
         hits.write.mode("overwrite").parquet(args.output)
         hits = spark.read.parquet(args.output)
@@ -846,7 +870,7 @@ def cmd_query_ann_index(args) -> None:
     for r in top:
         print(
             f"  {r['query_id']} -> {r['corpus_id']} "
-            f"(cosine {r['cosine']:.6f})"
+            f"({score_col} {r[score_col]:.6f})"
         )
     print(
         f"query-ann-index[{mode}]: {len(top)} queries, top-{args.k}, "
@@ -1808,6 +1832,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="ADC candidates per final hit (PQ mode)")
     sp.add_argument("--exact", action="store_true",
                     help="skip the PQ ADC stage even when codes exist")
+    sp.add_argument("--diversify", type=int, default=0,
+                    help="MMR re-rank the top-k down to this many "
+                         "diverse hits (0 = off)")
+    sp.add_argument("--mmr-lam", type=float, default=0.7,
+                    help="MMR relevance weight λ (1.0 = pure "
+                         "relevance, 0.0 = pure diversity)")
     sp.set_defaults(fn=cmd_query_ann_index)
 
     sp = sub.add_parser(

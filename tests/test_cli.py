@@ -1142,3 +1142,55 @@ def test_profile_table_cli(spark, tmp_path, capsys):
     import pytest as _pytest
     with _pytest.raises(SystemExit, match="not in input"):
         main(["profile-table", "--input", src, "--columns", "nope"])
+
+
+def test_query_ann_index_diversify_mmr(spark, tmp_path, capsys):
+    """--diversify runs the MMR pass over the hit relation: with a
+    corpus of near-identical clones of the query plus orthogonal docs,
+    plain top-3 returns clones while --diversify 3 --mmr-lam 0.5
+    returns one clone then the two orthogonal hits."""
+    # the query must NOT coincide with its nearest neighbor: when it
+    # does, every candidate's relevance equals its similarity to the
+    # first pick and no score can displace the clones. Clones of each
+    # other (mutual sim ≈ 1) sit near the query (rel ≈ 0.985); docs
+    # 4/5 are weaker (rel ≈ 0.38) but their sim to any pick (≈ 0.29)
+    # leaves a positive margin the clones' rel − 1 can't match.
+    base = [1.0, 0.1, 0.1, 0.0]
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.001, 0.0]),
+        (4, [0.3, 1.0, 0.0, 0.0]),
+        (5, [0.3, 0.0, 1.0, 0.0]),
+    ] + [(10 + i, [0.0, 0.0, 0.0, 1.0 + 0.01 * i]) for i in range(10)]
+    src = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(src)
+    idx = str(tmp_path / "ann_index")
+    main(["build-ann-index", "--input", src, "--output", idx,
+          "--clusters", "2"])
+    capsys.readouterr()
+
+    qsrc = str(tmp_path / "q.parquet")
+    spark.createDataFrame(
+        [(900, base)], "vec_id long, embedding array<float>"
+    ).write.parquet(qsrc)
+
+    out_path = str(tmp_path / "hits.parquet")
+    main(["query-ann-index", "--index", idx, "--queries", qsrc,
+          "--k", "5", "--nprobe", "2",
+          "--diversify", "3", "--mmr-lam", "0.5", "--output", out_path])
+    printed = capsys.readouterr().out
+    assert "+mmr" in printed
+    got = {
+        r["rank"]: r["corpus_id"]
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert got[1] == 2            # most relevant clone (shares q's y)
+    assert set(got.values()) == {2, 4, 5}  # clones 1,3 displaced
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="exceeds"):
+        main(["query-ann-index", "--index", idx, "--queries", qsrc,
+              "--k", "3", "--diversify", "5"])
