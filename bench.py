@@ -186,6 +186,7 @@ def main() -> None:
         "w_autocorr",
         "sim_mmr_rerank",
         "a_histogram_equidepth",
+        "w_trend_slope",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

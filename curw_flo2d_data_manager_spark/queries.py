@@ -7420,6 +7420,49 @@ ORDER BY user_id
 """
 
 
+def w_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of event values over time (least-squares
+    slope per hour + intercept) — the direction-and-rate drift signal
+    next to w_autocorr's persistence and w_cusum_drift's changepoint.
+    Pure partial-aggregable moments folds (regr_slope/regr_intercept),
+    one key shuffle, no window at all."""
+    x = (
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).cast(
+            "double"
+        )
+        / 3600.0
+    )
+    return (
+        _events(spark, sf_dir)
+        .select("user_id", x.alias("x"), "value")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.regr_slope(F.col("value"), F.col("x")), 6).alias(
+                "slope_per_hour"
+            ),
+            F.round(
+                F.regr_intercept(F.col("value"), F.col("x")), 4
+            ).alias("intercept"),
+            F.count("value").alias("n_obs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+W_TREND_SQL = """
+SELECT user_id,
+       ROUND(REGR_SLOPE(value, epoch(date_trunc('second', ts)) / 3600.0),
+             6) AS slope_per_hour,
+       ROUND(REGR_INTERCEPT(value,
+                            epoch(date_trunc('second', ts)) / 3600.0),
+             4) AS intercept,
+       COUNT(value) AS n_obs
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def sim_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label propagation (3 rounds, smallest-label
     tiebreak) over the order↔supplier bipartite graph from lineitem
@@ -7713,6 +7756,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "w_autocorr": (w_autocorr, W_AUTOCORR_SQL),
     "sim_mmr_rerank": (sim_mmr_rerank, SIM_MMR_SQL),
     "a_histogram_equidepth": (a_histogram_equidepth, A_EQUIDEPTH_SQL),
+    "w_trend_slope": (w_trend_slope, W_TREND_SQL),
     "j_salted_join": (j_salted_join, J_SALTED_SQL),
     "x_zorder_index": (x_zorder_index, X_ZORDER_SQL),
     "f_robust_scale": (f_robust_scale, F_ROBUST_SQL),
