@@ -187,6 +187,7 @@ def main() -> None:
         "sim_mmr_rerank",
         "a_histogram_equidepth",
         "w_trend_slope",
+        "x_global_rownum",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

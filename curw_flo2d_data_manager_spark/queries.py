@@ -7463,6 +7463,30 @@ ORDER BY user_id
 """
 
 
+def x_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row numbering of events by (ts, event_id) WITHOUT the
+    single-partition window — range exchange + bounded per-partition
+    offsets + local numbering (operators/rownum.py). The naive
+    ROW_NUMBER() OVER (ORDER BY ...) moves every row into ONE task;
+    this plan has no SinglePartition exchange (plan-gated) yet matches
+    it row-for-row because (ts, event_id) is a total order."""
+    from curw_flo2d_data_manager_spark.operators.rownum import (
+        global_row_number,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "value")
+    out = global_row_number(ev, ["ts", "event_id"])
+    return out.select("row_num", "event_id").orderBy("row_num")
+
+
+X_ROWNUM_SQL = """
+SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) AS row_num,
+       event_id
+FROM events
+ORDER BY row_num
+"""
+
+
 def sim_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label propagation (3 rounds, smallest-label
     tiebreak) over the order↔supplier bipartite graph from lineitem
@@ -7757,6 +7781,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_mmr_rerank": (sim_mmr_rerank, SIM_MMR_SQL),
     "a_histogram_equidepth": (a_histogram_equidepth, A_EQUIDEPTH_SQL),
     "w_trend_slope": (w_trend_slope, W_TREND_SQL),
+    "x_global_rownum": (x_global_rownum, X_ROWNUM_SQL),
     "j_salted_join": (j_salted_join, J_SALTED_SQL),
     "x_zorder_index": (x_zorder_index, X_ZORDER_SQL),
     "f_robust_scale": (f_robust_scale, F_ROBUST_SQL),

@@ -2561,3 +2561,35 @@ def test_mmr_rerank_short_candidate_sets_and_parallel_queries(spark):
         for r in mmr_rerank(df, k=3, lam=0.5).collect()
     )
     assert got == [(0, 1, 1), (0, 2, 2), (1, 1, 7)]
+
+
+# global row numbering (operators/rownum.py)
+
+def test_global_row_number_matches_naive_without_single_partition(spark):
+    """Distributed global numbering equals the single-partition-window
+    answer row-for-row, while its physical plan carries NO
+    SinglePartition exchange (the naive form's scale-killer — asserted
+    present there as the contrast)."""
+    from pyspark.sql import Window
+
+    from curw_flo2d_data_manager_spark.operators.rownum import (
+        global_row_number,
+    )
+
+    rows = [((i * 37) % 1000, i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, uid long").repartition(8)
+    out = global_row_number(df, ["k", "uid"], num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+    naive = df.withColumn(
+        "row_num",
+        F.row_number().over(Window.orderBy("k", "uid")).cast("long"),
+    )
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in naive_plan  # the shape being avoided
+
+    got = {(r.k, r.uid): r.row_num for r in out.collect()}
+    want = {(r.k, r.uid): r.row_num for r in naive.collect()}
+    assert got == want
+    assert sorted(got.values()) == list(range(1, 1001))  # contiguous
