@@ -188,6 +188,7 @@ def main() -> None:
         "a_histogram_equidepth",
         "w_trend_slope",
         "x_global_rownum",
+        "x_retention_cohorts",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -7463,6 +7463,47 @@ ORDER BY user_id
 """
 
 
+def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort triangle: users cohorted by first-activity
+    day, each cell counting distinct users still active ``age_days``
+    later — the classic product-analytics shape the funnel/session
+    queries don't cover. Two partial-aggregable reductions (first day
+    per user, distinct activity days) meet in ONE user-keyed equi-join
+    — no window, no broadcast assumption on the user dimension (at
+    10⁹ users both sides shuffle on the same key)."""
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    active = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .withColumn("age_days", F.datediff("day", "cohort_day"))
+        .groupBy("cohort_day", "age_days")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "age_days")
+    )
+
+
+X_RETENTION_SQL = """
+WITH firsts AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+    FROM events GROUP BY user_id
+),
+active AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT f.cohort_day,
+       a.day - f.cohort_day AS age_days,
+       COUNT(DISTINCT a.user_id) AS active_users
+FROM active a JOIN firsts f USING (user_id)
+GROUP BY f.cohort_day, age_days
+ORDER BY cohort_day, age_days
+"""
+
+
 def x_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global row numbering of events by (ts, event_id) WITHOUT the
     single-partition window — range exchange + bounded per-partition
@@ -7782,6 +7823,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "a_histogram_equidepth": (a_histogram_equidepth, A_EQUIDEPTH_SQL),
     "w_trend_slope": (w_trend_slope, W_TREND_SQL),
     "x_global_rownum": (x_global_rownum, X_ROWNUM_SQL),
+    "x_retention_cohorts": (x_retention_cohorts, X_RETENTION_SQL),
     "j_salted_join": (j_salted_join, J_SALTED_SQL),
     "x_zorder_index": (x_zorder_index, X_ZORDER_SQL),
     "f_robust_scale": (f_robust_scale, F_ROBUST_SQL),
