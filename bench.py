@@ -189,6 +189,7 @@ def main() -> None:
         "w_trend_slope",
         "x_global_rownum",
         "x_retention_cohorts",
+        "j_cooccurrence_pairs",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

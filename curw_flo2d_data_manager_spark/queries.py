@@ -7463,6 +7463,48 @@ ORDER BY user_id
 """
 
 
+def j_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted co-occurrence graph construction: suppliers appearing
+    in the same order become an edge weighted by shared-order count —
+    the bipartite→unipartite projection that FEEDS the graph family
+    (connected components, LPA, PageRank all consume edges built this
+    way). Declarative self-equi-join on the container key; the
+    per-container quadratic blowup is bounded by container size
+    (suppliers per order ≲ 7 here) and hot containers are the AQE
+    skew-join case. Keeps pairs sharing ≥ 2 orders to bound the edge
+    relation — the same support-threshold lever as frequent-itemset
+    mining."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s_b")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_orders"))
+        .filter(F.col("n_shared_orders") >= 2)
+        .orderBy("s_a", "s_b")
+    )
+
+
+J_COOCCUR_SQL = """
+WITH li AS (
+    SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+)
+SELECT a.s AS s_a, b.s AS s_b, COUNT(*) AS n_shared_orders
+FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s
+GROUP BY a.s, b.s
+HAVING COUNT(*) >= 2
+ORDER BY s_a, s_b
+"""
+
+
 def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention cohort triangle: users cohorted by first-activity
     day, each cell counting distinct users still active ``age_days``
@@ -7824,6 +7866,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "w_trend_slope": (w_trend_slope, W_TREND_SQL),
     "x_global_rownum": (x_global_rownum, X_ROWNUM_SQL),
     "x_retention_cohorts": (x_retention_cohorts, X_RETENTION_SQL),
+    "j_cooccurrence_pairs": (j_cooccurrence_pairs, J_COOCCUR_SQL),
     "j_salted_join": (j_salted_join, J_SALTED_SQL),
     "x_zorder_index": (x_zorder_index, X_ZORDER_SQL),
     "f_robust_scale": (f_robust_scale, F_ROBUST_SQL),
