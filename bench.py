@@ -190,6 +190,7 @@ def main() -> None:
         "x_global_rownum",
         "x_retention_cohorts",
         "j_cooccurrence_pairs",
+        "a_rolling_actives",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -7463,6 +7463,62 @@ ORDER BY user_id
 """
 
 
+def a_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness: per-day distinct actives and the 7-day
+    ROLLING distinct — the rolling-distinct shape no window frame can
+    express (distinct doesn't decompose over frames). Each user-day
+    contributes itself to the 7 window-end days it belongs to (a
+    bounded ×7 explode of the DISTINCT user-day relation, never raw
+    events), then one count_distinct per window-end day; day cost is
+    7× the user-day relation regardless of event volume."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = ud.groupBy("day").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    wau = (
+        ud.withColumn(
+            "win_day",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ),
+        )
+        .groupBy("win_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["win_day"])
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+A_ROLLING_SQL = """
+WITH ud AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+dau AS (
+    SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day
+),
+wau AS (
+    SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+    FROM (SELECT DISTINCT day FROM ud) d
+    JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+)
+SELECT day, dau, wau, ROUND(dau * 1.0 / wau, 6) AS stickiness
+FROM dau JOIN wau USING (day)
+ORDER BY day
+"""
+
+
 def j_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted co-occurrence graph construction: suppliers appearing
     in the same order become an edge weighted by shared-order count —
@@ -7867,6 +7923,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "x_global_rownum": (x_global_rownum, X_ROWNUM_SQL),
     "x_retention_cohorts": (x_retention_cohorts, X_RETENTION_SQL),
     "j_cooccurrence_pairs": (j_cooccurrence_pairs, J_COOCCUR_SQL),
+    "a_rolling_actives": (a_rolling_actives, A_ROLLING_SQL),
     "j_salted_join": (j_salted_join, J_SALTED_SQL),
     "x_zorder_index": (x_zorder_index, X_ZORDER_SQL),
     "f_robust_scale": (f_robust_scale, F_ROBUST_SQL),
