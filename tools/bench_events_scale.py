@@ -159,6 +159,35 @@ def main() -> None:
     )
     results["hampel"] = round(time.monotonic() - t0, 3)
 
+    # retention cohorts + rolling distinct actives: the analytics
+    # shapes over the same stream — both reduce to the (user, day)
+    # relation first, so cost is user-day-bounded, not event-bounded
+    t0 = time.monotonic()
+    ud = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    _force(
+        ud.join(firsts, "user_id")
+        .withColumn("age_days", F.datediff("day", "cohort_day"))
+        .groupBy("cohort_day", "age_days")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+    results["retention_cohorts"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    wau = (
+        ud.withColumn(
+            "win_day",
+            F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))),
+        )
+        .groupBy("win_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    _force(dau.join(wau, dau["day"] == wau["win_day"]))
+    results["rolling_actives"] = round(time.monotonic() - t0, 3)
+
     total = sum(results.values())
     print(
         json.dumps(
