@@ -191,6 +191,8 @@ def main() -> None:
         "x_retention_cohorts",
         "j_cooccurrence_pairs",
         "a_rolling_actives",
+        "a_grouping_sets",
+        "sim_rank_fusion",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

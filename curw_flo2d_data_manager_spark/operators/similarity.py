@@ -1357,3 +1357,52 @@ def mmr_rerank(
             argmax(scored, "_score", step)
         ).localCheckpoint(eager=True)
     return selected
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_const: int = 60,
+    topk: int = 10,
+    round_to: int = 9,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009): combine several
+    per-query rankings into one by ``score = Σ_r 1/(k + rank_r)`` —
+    the standard hybrid-retrieval merge (BM25 ⊕ dense, cosine ⊕ L2)
+    that needs NO score calibration because only ranks enter.
+
+    Each input must carry (query_id, corpus_id, rank). Candidates
+    missing from a ranking contribute 0 (full-outer joins on the
+    bounded result relations — queries × topk rows each, the corpus
+    never appears). Scores round to ``round_to`` before the final
+    per-query top-k (float-robust ranking, id tiebreak); the window
+    rides InferWindowGroupLimit so partial top-k happens map-side.
+    """
+    scored = None
+    cols = []
+    for i, r in enumerate(rankings):
+        ri = r.select(
+            "query_id",
+            "corpus_id",
+            (F.lit(1.0) / (F.lit(float(k_const)) + F.col("rank"))).alias(
+                f"_s{i}"
+            ),
+        )
+        scored = (
+            ri
+            if scored is None
+            else scored.join(ri, ["query_id", "corpus_id"], "full_outer")
+        )
+        cols.append(f"_s{i}")
+    total = None
+    for c in cols:
+        term = F.coalesce(F.col(c), F.lit(0.0))
+        total = term if total is None else total + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rrf_score", F.round(total, round_to))
+        .withColumn("rrf_rank", F.row_number().over(w))
+        .filter(F.col("rrf_rank") <= topk)
+        .select("query_id", "corpus_id", "rrf_rank", "rrf_score")
+    )

@@ -7463,6 +7463,137 @@ ORDER BY user_id
 """
 
 
+def sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion of two geometrically different rankers
+    over the same queries — cosine top-20 and (unnormalized) L2
+    top-20 — into one calibration-free hybrid top-10:
+    ``Σ 1/(60 + rank)`` with absent-candidate terms 0. Fusion joins
+    run on the bounded RESULT relations (5 queries × 20 rows each);
+    the corpus appears only inside the two rankers."""
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        dot,
+        rrf_fuse,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cos = cosine_topk(emb, queries, k=20).select(
+        "query_id", "corpus_id", "rank"
+    )
+    c = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("_cv"),
+    )
+    q = queries.select("query_id", F.col("embedding").alias("_qv"))
+    l2sq = F.aggregate(
+        F.zip_with(
+            F.col("_cv"),
+            F.col("_qv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wl2 = Window.partitionBy("query_id").orderBy(
+        F.asc("l2sq"), F.asc("corpus_id")
+    )
+    l2 = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("l2sq", l2sq)
+        .withColumn("rank", F.row_number().over(wl2))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "corpus_id", "rank")
+    )
+    return rrf_fuse([cos, l2], k_const=60, topk=10).orderBy(
+        "query_id", "rrf_rank"
+    )
+
+
+SIM_RRF_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+cos AS (
+    SELECT query_id, corpus_id, rnk AS rank FROM (
+        SELECT q.query_id, e.vec_id AS corpus_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qv AS DOUBLE[])) DESC,
+                   e.vec_id) AS rnk
+        FROM embeddings e CROSS JOIN q
+    ) WHERE rnk <= 20
+),
+l2 AS (
+    SELECT query_id, corpus_id, rnk AS rank FROM (
+        SELECT q.query_id, e.vec_id AS corpus_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_distance(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.qv AS DOUBLE[])) ASC,
+                   e.vec_id) AS rnk
+        FROM embeddings e CROSS JOIN q
+    ) WHERE rnk <= 20
+),
+fused AS (
+    SELECT COALESCE(c.query_id, l.query_id) AS query_id,
+           COALESCE(c.corpus_id, l.corpus_id) AS corpus_id,
+           ROUND(COALESCE(1.0 / (60.0 + c.rank), 0)
+                 + COALESCE(1.0 / (60.0 + l.rank), 0), 9) AS rrf_score
+    FROM cos c FULL OUTER JOIN l2 l
+      ON c.query_id = l.query_id AND c.corpus_id = l.corpus_id
+)
+SELECT query_id, corpus_id, rrf_rank, rrf_score FROM (
+    SELECT query_id, corpus_id, rrf_score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rrf_score DESC, corpus_id)
+               AS rrf_rank
+    FROM fused
+) WHERE rrf_rank <= 10
+ORDER BY query_id, rrf_rank
+"""
+
+
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form CUBE/ROLLUP
+    specialize: exactly the three asked-for levels ((returnflag),
+    (linestatus), ()) in ONE pass (map-side Expand emits one row per
+    requested set — 3 here, vs CUBE's 4 — then a single shuffle).
+    GROUPING() flags disambiguate real NULLs from subtotal rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag) AS g_rf,
+               GROUPING(l_linestatus) AS g_ls,
+               COUNT(*) AS n,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+        """
+    )
+
+
+A_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_rf,
+       GROUPING(l_linestatus) AS g_ls,
+       COUNT(*) AS n,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+"""
+
+
 def a_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU stickiness: per-day distinct actives and the 7-day
     ROLLING distinct — the rolling-distinct shape no window frame can
@@ -7924,6 +8055,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "x_retention_cohorts": (x_retention_cohorts, X_RETENTION_SQL),
     "j_cooccurrence_pairs": (j_cooccurrence_pairs, J_COOCCUR_SQL),
     "a_rolling_actives": (a_rolling_actives, A_ROLLING_SQL),
+    "a_grouping_sets": (a_grouping_sets, A_GROUPING_SETS_SQL),
+    "sim_rank_fusion": (sim_rank_fusion, SIM_RRF_SQL),
     "j_salted_join": (j_salted_join, J_SALTED_SQL),
     "x_zorder_index": (x_zorder_index, X_ZORDER_SQL),
     "f_robust_scale": (f_robust_scale, F_ROBUST_SQL),

@@ -2593,3 +2593,29 @@ def test_global_row_number_matches_naive_without_single_partition(spark):
     want = {(r.k, r.uid): r.row_num for r in naive.collect()}
     assert got == want
     assert sorted(got.values()) == list(range(1, 1001))  # contiguous
+
+
+# reciprocal rank fusion (operators/similarity.rrf_fuse)
+
+def test_rrf_fuse_missing_candidates_and_consensus(spark):
+    """A candidate ranked by BOTH rankers outscores one ranked first
+    by only a single ranker (1/61 + 1/62 > 1/61); absent-candidate
+    terms contribute exactly 0 via the full-outer join."""
+    from curw_flo2d_data_manager_spark.operators.similarity import rrf_fuse
+
+    ra = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, corpus_id long, rank int",
+    )
+    rb = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (0, 10, 3)],
+        "query_id long, corpus_id long, rank int",
+    )
+    got = {
+        r.corpus_id: (r.rrf_rank, r.rrf_score)
+        for r in rrf_fuse([ra, rb], k_const=60, topk=4).collect()
+    }
+    # 11: 1/62 + 1/61 ; 10: 1/61 + 1/63 ; 13: 1/62 ; 12: 1/63
+    assert [got[c][0] for c in (11, 10, 13, 12)] == [1, 2, 3, 4]
+    assert abs(got[13][1] - round(1 / 62, 9)) < 1e-12  # single-ranker term
+    assert abs(got[11][1] - round(1 / 62 + 1 / 61, 9)) < 1e-12
