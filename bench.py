@@ -193,6 +193,7 @@ def main() -> None:
         "a_rolling_actives",
         "a_grouping_sets",
         "sim_rank_fusion",
+        "dedup_containment",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -1088,3 +1088,92 @@ def fuzzy_name_pairs(
         .filter((F.col("dist") > 0) & (F.col("dist") <= max_dist))
         .select("name_a", "name_b", "dist", "n_a", "n_b")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    min_tokens: int = 5,
+    n_rare: int = 3,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT detection — |A∩B| / |A| over distinct
+    token sets — the quote/subset duplicates resemblance metrics
+    miss: a paragraph quoted inside a long page has high containment
+    but low Jaccard, so MinHash never pairs them.
+
+    Scale shape (prefix/rare-token blocking): candidates for "A
+    contained in B" come from an equi-join of A's ``n_rare`` GLOBALLY
+    RAREST tokens (by document frequency, token tiebreak) against the
+    full inverted index — candidate volume is Σ df(rare token), small
+    by construction, never |docs|². The exact intersection count then
+    runs only on candidate pairs. Fully-contained docs are GUARANTEED
+    candidates (every token of A, rare ones included, is in B);
+    partial containment below 1.0 is heuristic-recall — a miss needs
+    ALL of A's rare tokens to fall in the dropped fraction. Hot rare
+    tokens don't exist by definition; the df join is the usual
+    broadcast-dim case.
+
+    Emits (id_small, id_big, containment) per DIRECTED pair with
+    containment ≥ threshold; docs under ``min_tokens`` distinct
+    tokens are ignored (tiny sets make the ratio meaningless).
+    """
+    from curw_flo2d_data_manager_spark.operators.textstats import words
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(words(F.col(text_col))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
+    eligible = sizes.filter(F.col("n_tok") >= min_tokens)
+    toks_e = toks.join(F.broadcast(eligible.select("doc")), "doc")
+    dfreq = toks_e.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("token"))
+    rare = (
+        toks_e.join(dfreq, "token")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_rare)
+        .select(F.col("doc").alias("id_small"), "token")
+    )
+    cand = (
+        rare.join(
+            toks_e.select(F.col("doc").alias("id_big"), "token"), "token"
+        )
+        .filter(F.col("id_small") != F.col("id_big"))
+        .select("id_small", "id_big")
+        .distinct()
+    )
+    inter = (
+        cand.join(
+            toks_e.select(F.col("doc").alias("id_small"), "token"),
+            "id_small",
+        )
+        .join(
+            toks_e.select(F.col("doc").alias("id_big"), "token"),
+            ["id_big", "token"],
+        )
+        .groupBy("id_small", "id_big")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                eligible.select(
+                    F.col("doc").alias("id_small"),
+                    F.col("n_tok").alias("n_small"),
+                )
+            ),
+            "id_small",
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("n_inter") / F.col("n_small"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_small", "id_big", "containment")
+    )

@@ -7463,6 +7463,89 @@ ORDER BY user_id
 """
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (|A∩B|/|A| ≥ 0.8 on distinct
+    token sets) via rare-token blocking — the quote/subset duplicates
+    Jaccard-based dedup misses. Candidates = each doc's 3 globally
+    rarest tokens against the inverted index (volume Σ df(rare),
+    never n²); exact intersection counts only on candidates. Full
+    containment is guaranteed-recall; partial is heuristic (a miss
+    needs every rare token in the dropped fraction)."""
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = containment_pairs(
+        docs, "doc_id", threshold=0.8, min_tokens=5, n_rare=3
+    )
+    # templated corpora make the raw pair relation huge (144k pairs at
+    # sf0.01); the gate certifies the per-doc containment SUMMARY —
+    # every pair still flows through the aggregate
+    return (
+        pairs.groupBy("id_small")
+        .agg(
+            F.count(F.lit(1)).alias("n_containers"),
+            F.max("containment").alias("max_containment"),
+            F.min("id_big").alias("first_container"),
+        )
+        .orderBy("id_small")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = """
+WITH toks AS (
+    SELECT DISTINCT doc_id AS doc, t.token
+    FROM documents,
+         LATERAL (
+             SELECT UNNEST(string_split_regex(
+                 trim(regexp_replace(lower(text),
+                      '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')),
+                 '\\s+')) AS token
+         ) t
+    WHERE t.token <> ''
+),
+sizes AS (
+    SELECT doc, COUNT(*) AS n_tok FROM toks GROUP BY doc
+),
+eligible AS (SELECT doc, n_tok FROM sizes WHERE n_tok >= 5),
+toks_e AS (SELECT t.* FROM toks t JOIN eligible e USING (doc)),
+dfreq AS (SELECT token, COUNT(*) AS df FROM toks_e GROUP BY token),
+rare AS (
+    SELECT doc AS id_small, token FROM (
+        SELECT t.doc, t.token,
+               ROW_NUMBER() OVER (PARTITION BY t.doc
+                                  ORDER BY d.df ASC, t.token ASC) AS r
+        FROM toks_e t JOIN dfreq d USING (token)
+    ) WHERE r <= 3
+),
+cand AS (
+    SELECT DISTINCT r.id_small, t.doc AS id_big
+    FROM rare r JOIN toks_e t USING (token)
+    WHERE r.id_small <> t.doc
+),
+inter AS (
+    SELECT c.id_small, c.id_big, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN toks_e a ON a.doc = c.id_small
+    JOIN toks_e b ON b.doc = c.id_big AND b.token = a.token
+    GROUP BY c.id_small, c.id_big
+)
+, pairs AS (
+    SELECT i.id_small, i.id_big,
+           ROUND(i.n_inter * 1.0 / e.n_tok, 6) AS containment
+    FROM inter i JOIN eligible e ON e.doc = i.id_small
+    WHERE i.n_inter * 1.0 / e.n_tok >= 0.8
+)
+SELECT id_small, COUNT(*) AS n_containers,
+       MAX(containment) AS max_containment,
+       MIN(id_big) AS first_container
+FROM pairs
+GROUP BY id_small
+ORDER BY id_small
+"""
+
+
 def sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal Rank Fusion of two geometrically different rankers
     over the same queries — cosine top-20 and (unnormalized) L2
@@ -8057,6 +8140,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "a_rolling_actives": (a_rolling_actives, A_ROLLING_SQL),
     "a_grouping_sets": (a_grouping_sets, A_GROUPING_SETS_SQL),
     "sim_rank_fusion": (sim_rank_fusion, SIM_RRF_SQL),
+    "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_SQL),
     "j_salted_join": (j_salted_join, J_SALTED_SQL),
     "x_zorder_index": (x_zorder_index, X_ZORDER_SQL),
     "f_robust_scale": (f_robust_scale, F_ROBUST_SQL),

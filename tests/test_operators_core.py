@@ -2619,3 +2619,52 @@ def test_rrf_fuse_missing_candidates_and_consensus(spark):
     assert [got[c][0] for c in (11, 10, 13, 12)] == [1, 2, 3, 4]
     assert abs(got[13][1] - round(1 / 62, 9)) < 1e-12  # single-ranker term
     assert abs(got[11][1] - round(1 / 62 + 1 / 61, 9)) < 1e-12
+
+
+# asymmetric containment dedup (operators/dedup.containment_pairs)
+
+def test_containment_catches_quote_that_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a much longer page:
+    containment 1.0 (caught) while token Jaccard is tiny (a
+    resemblance dedup at any sane threshold misses it). The reverse
+    direction (big in small) must NOT appear, nor unrelated docs."""
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    quote = "ancient mariner stoppeth one of three galleon"
+    filler = " ".join(f"word{i:03d}" for i in range(200))
+    rows = [
+        (1, quote),                          # 7 distinct tokens
+        (2, filler + " " + quote),           # contains the quote
+        (3, "completely different content about seven other things"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_small, r.id_big): r.containment
+        for r in containment_pairs(df, "doc_id", threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    # the Jaccard the resemblance family would see: 7 / 207
+    assert 7 / 207 < 0.05
+
+
+def test_containment_min_tokens_and_threshold(spark):
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    rows = [
+        (1, "tiny doc"),                       # < 5 tokens: ignored
+        (2, "alpha beta gamma delta epsilon zeta"),
+        # 5 of doc 2's 6 tokens (containment of 2 in 3 = 5/6 ≈ 0.83)
+        (3, "alpha beta gamma delta epsilon eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_small, r.id_big): r.containment
+        for r in containment_pairs(df, "doc_id", threshold=0.8).collect()
+    }
+    assert got == {(2, 3): round(5 / 6, 6)}
+    none = containment_pairs(df, "doc_id", threshold=0.9).collect()
+    assert none == []
