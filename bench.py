@@ -194,6 +194,7 @@ def main() -> None:
         "a_grouping_sets",
         "sim_rank_fusion",
         "dedup_containment",
+        "text_strip_boilerplate",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -1106,3 +1106,71 @@ def zipf_slope(
         ).alias("zipf_slope"),
         F.count(F.lit(1)).alias("vocab"),
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_doc_freq: int = 50,
+) -> DataFrame:
+    """Cross-document boilerplate LINE removal — the CCNet/RefinedWeb
+    cleaning step: a line (trimmed) appearing in ≥ ``min_doc_freq``
+    DISTINCT documents is site furniture (nav, footer, cookie banner)
+    and is stripped from every document; in-document repetition alone
+    never marks a line (that's dedup_repeated_spans' job).
+
+    Scale shape: one explode of the corpus into (doc, pos, line); the
+    boilerplate relation reduces to DISTINCT (line-hash) rows above
+    the threshold — tiny by construction (a line must recur across
+    ≥ min_doc_freq docs) and broadcast into a LEFT ANTI join; the one
+    corpus-lines shuffle is the per-doc reassembly
+    (array_sort(collect_list(pos, line)) — order restored exactly).
+    Line identity is the xxhash64 of the trimmed line, so the anti
+    join ships 8-byte hashes, never line text. Blank lines are
+    position holders: never counted, never stripped.
+
+    Returns (id, text_clean, n_lines, n_removed).
+    """
+    lines = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn("_t", F.trim("_line"))
+    hashed = lines.withColumn("_h", F.xxhash64("_t"))
+    boiler = (
+        hashed.filter(F.col("_t") != "")
+        .select("_doc", "_h")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_doc_freq)
+        .select("_h")
+    )
+    kept = hashed.join(F.broadcast(boiler), "_h", "left_anti")
+    n_lines = lines.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    return (
+        kept.groupBy("_doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_pos", "_line"))
+            ).alias("_k")
+        )
+        .select(
+            "_doc",
+            F.concat_ws(
+                "\n", F.transform(F.col("_k"), lambda s: s["_line"])
+            ).alias("text_clean"),
+            F.size("_k").alias("n_kept"),
+        )
+        .join(n_lines, "_doc")
+        .select(
+            F.col("_doc").alias(id_col),
+            "text_clean",
+            "n_lines",
+            (F.col("n_lines") - F.col("n_kept")).alias("n_removed"),
+        )
+    )

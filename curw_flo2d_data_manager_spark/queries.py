@@ -7463,6 +7463,83 @@ ORDER BY user_id
 """
 
 
+def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate-line stripping (lines in ≥ 25
+    distinct docs = site furniture): per-doc cleaned-text md5 +
+    removal census. The synthetic docs are single-line, so the gate
+    plants the crawl artifact deterministically — every page gains a
+    universal footer and a per-source banner (both recur across ≥ 25
+    docs → stripped; the body line survives unless its text itself
+    recurs that widely). The anti join ships 8-byte line hashes; the
+    one corpus shuffle is the ordered reassembly."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        strip_boilerplate_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("copyright footer all rights reserved"),
+            F.concat(F.lit("section "), F.col("source")),
+        ).alias("text"),
+    )
+    out = strip_boilerplate_lines(
+        docs, "doc_id", min_doc_freq=25
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_md5"),
+        "n_lines",
+        "n_removed",
+    ).orderBy("doc_id")
+
+
+TEXT_BOILERPLATE_SQL = """
+WITH arrs AS (
+    SELECT doc_id,
+           string_split(
+               text || chr(10) ||
+               'copyright footer all rights reserved' || chr(10) ||
+               'section ' || source,
+               chr(10)) AS arr
+    FROM documents
+),
+lines AS (
+    SELECT doc_id,
+           UNNEST(generate_series(1, len(arr))) AS pos,
+           UNNEST(arr) AS line,
+           trim(UNNEST(arr)) AS t
+    FROM arrs
+),
+boiler AS (
+    SELECT t FROM (
+        SELECT DISTINCT doc_id, t FROM lines WHERE t <> ''
+    ) GROUP BY t HAVING COUNT(*) >= 25
+),
+kept AS (
+    SELECT l.doc_id, l.pos, l.line
+    FROM lines l
+    WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.t = l.t)
+),
+rebuilt AS (
+    SELECT doc_id,
+           COALESCE(string_agg(line, chr(10) ORDER BY pos), '')
+               AS text_clean,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id
+),
+totals AS (
+    SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id
+)
+SELECT t.doc_id, md5(COALESCE(r.text_clean, '')) AS clean_md5,
+       t.n_lines, t.n_lines - COALESCE(r.n_kept, 0) AS n_removed
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs (|A∩B|/|A| ≥ 0.8 on distinct
     token sets) via rare-token blocking — the quote/subset duplicates
@@ -8141,6 +8218,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "a_grouping_sets": (a_grouping_sets, A_GROUPING_SETS_SQL),
     "sim_rank_fusion": (sim_rank_fusion, SIM_RRF_SQL),
     "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_SQL),
+    "text_strip_boilerplate": (text_strip_boilerplate, TEXT_BOILERPLATE_SQL),
     "j_salted_join": (j_salted_join, J_SALTED_SQL),
     "x_zorder_index": (x_zorder_index, X_ZORDER_SQL),
     "f_robust_scale": (f_robust_scale, F_ROBUST_SQL),

@@ -2668,3 +2668,37 @@ def test_containment_min_tokens_and_threshold(spark):
     assert got == {(2, 3): round(5 / 6, 6)}
     none = containment_pairs(df, "doc_id", threshold=0.9).collect()
     assert none == []
+
+
+# cross-document boilerplate stripping (textstats.strip_boilerplate_lines)
+
+def test_strip_boilerplate_cross_doc_only_and_order_preserved(spark):
+    """A footer shared by every doc is stripped; a line repeated many
+    times INSIDE one doc survives (in-doc repetition is not
+    boilerplate); blank lines are never counted or stripped; line
+    order is restored exactly after the reassembly."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        strip_boilerplate_lines,
+    )
+
+    footer = "all rights reserved"
+    rows = [
+        (1, f"alpha\n\nbeta\n{footer}"),
+        (2, f"gamma\n{footer}"),
+        (3, f"{footer}\ndelta"),
+        # doc 4: 'echo' repeated 3x in-doc — must survive
+        (4, f"echo\necho\necho\n{footer}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in strip_boilerplate_lines(
+            df, "doc_id", min_doc_freq=3
+        ).collect()
+    }
+    assert got[1].text_clean == "alpha\n\nbeta"  # blank line kept
+    assert got[1].n_removed == 1 and got[1].n_lines == 4
+    assert got[2].text_clean == "gamma"
+    assert got[3].text_clean == "delta"  # leading footer stripped
+    assert got[4].text_clean == "echo\necho\necho"
+    assert got[4].n_removed == 1

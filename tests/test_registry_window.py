@@ -13,7 +13,7 @@ from curw_flo2d_data_manager_spark.queries import DRIVER_WINDOW, REGISTRY
 
 # Round-8 window: keys must sit at registry position < DRIVER_WINDOW.
 REQUIRED_IN_WINDOW = {
-    # the thirty-eight round-8 additions, never driver-certified
+    # the thirty-nine round-8 additions, never driver-certified
     "w_interp_user", "w_hampel_user", "f_domain_cap", "f_quantile_norm",
     "text_char_entropy", "w_peaks_over_threshold", "w_cusum_drift",
     "dedup_normalized", "dedup_url_canonical", "a_histogram",
@@ -25,7 +25,7 @@ REQUIRED_IN_WINDOW = {
     "text_zipf_slope", "sim_label_prop", "w_autocorr", "sim_mmr_rerank",
     "a_histogram_equidepth", "w_trend_slope", "x_global_rownum", "x_retention_cohorts",
     "j_cooccurrence_pairs", "a_rolling_actives", "a_grouping_sets",
-    "sim_rank_fusion", "dedup_containment",
+    "sim_rank_fusion", "dedup_containment", "text_strip_boilerplate",
     # queries over code touched in round 8: the interpolation frame
     # fix, kmeans final-assignment consistency + HALF_UP init, the
     # PQ ADC lookup-table rewrite, and the rangejoin inverted-interval
@@ -35,7 +35,7 @@ REQUIRED_IN_WINDOW = {
     # oldest certifications (last green in the r5 window or earlier);
     # all re-verified locally in the round-7 and round-8 full sweeps
     "s2_grid_scan_correction", "s6_max_end_time", "j6_nearest_rank1",
-    "j8_gap_fill", "j_asof_join",
+    "j8_gap_fill",
     
     # (the late-round-8 additions a_salted_sum / j_salted_join /
     # x_zorder_index / f_robust_scale / stream_hot_terms /
@@ -43,7 +43,8 @@ REQUIRED_IN_WINDOW = {
     # sim_label_prop / w_autocorr / sim_mmr_rerank /
     # a_histogram_equidepth / w_trend_slope / x_global_rownum /
     # x_retention_cohorts / j_cooccurrence_pairs / a_rolling_actives /
-    # a_grouping_sets / sim_rank_fusion / dedup_containment displaced
+    # a_grouping_sets / sim_rank_fusion / dedup_containment /
+    # text_strip_boilerplate displaced j_asof_join /
     # a2_resample_right_closed / a4_cumulative_fraction / w3_fill_down /
     # w_sessionize_events / q12_priority_case /
     # x4_json_extract /
