@@ -860,3 +860,106 @@ def test_canonicalize_url_idempotent_and_tracking_free(spark, url):
     assert "utm_" not in c and "fbclid" not in c and "ref=" not in c
     assert not c.startswith("http")
     assert run("https://" + c) == c
+
+
+# --- late-round-8 operator laws ---------------------------------------
+
+scores_strategy = st.lists(
+    st.integers(min_value=-500, max_value=500), min_size=5, max_size=40
+)
+
+
+@SETTINGS
+@given(
+    vals=scores_strategy,
+    a=st.sampled_from([0.5, 2.0, 4.0]),
+    b=st.integers(min_value=-100, max_value=100),
+)
+def test_robust_scale_affine_equivariance(spark, vals, a, b):
+    """robust_scale(a·x + b) == robust_scale(x) for a > 0: median and
+    MAD are affine-equivariant, so the calibrated score must be
+    invariant under positive affine transforms of the raw signal."""
+    from curw_flo2d_data_manager_spark.operators.sampling import robust_scale
+
+    rows = [("g", float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "g string, score double")
+    df2 = df.withColumn("score", F.col("score") * a + b)
+    base = [
+        r.score_robust
+        for r in robust_scale(df, ["g"], "score").orderBy("score").collect()
+    ]
+    moved = [
+        r.score_robust
+        for r in robust_scale(df2, ["g"], "score").orderBy("score").collect()
+    ]
+    assert len(base) == len(moved)
+    for x, y in zip(base, moved):
+        if x is None:
+            assert y is None  # MAD == 0 in both or neither
+        else:
+            assert abs(x - y) < 1e-9
+
+
+@SETTINGS
+@given(mult=st.sampled_from([2, 5, 10]))
+def test_zipf_slope_invariant_under_count_scaling(spark, mult):
+    """Multiplying every term count by a constant shifts the fitted
+    intercept, never the slope: zipf_slope(c·n) == zipf_slope(n)
+    (ln(c·n) = ln c + ln n and regr_slope ignores the shift)."""
+    from curw_flo2d_data_manager_spark.operators.textstats import zipf_slope
+
+    base_counts = [13, 8, 5, 3, 2]
+    docs = [
+        ("A", " ".join([f"t{i}"] * c))
+        for i, c in enumerate(base_counts)
+    ]
+    scaled = [
+        ("A", " ".join([f"t{i}"] * (c * mult)))
+        for i, c in enumerate(base_counts)
+    ]
+    one = zipf_slope(
+        spark.createDataFrame(docs, "source string, text string"), ["source"]
+    ).collect()[0]
+    two = zipf_slope(
+        spark.createDataFrame(scaled, "source string, text string"),
+        ["source"],
+    ).collect()[0]
+    assert one.vocab == two.vocab == 5
+    assert abs(one.zipf_slope - two.zipf_slope) < 1e-6
+
+
+@SETTINGS
+@given(
+    perm_seed=st.integers(min_value=0, max_value=100),
+    n=st.sampled_from([50, 200]),
+)
+def test_global_row_number_input_order_invariant(spark, perm_seed, n):
+    """The numbering is a pure function of the ORDER KEY: shuffling
+    input rows (and changing the partition count) must not move any
+    row's number."""
+    import random as _random
+
+    from curw_flo2d_data_manager_spark.operators.rownum import (
+        global_row_number,
+    )
+
+    rows = [((i * 31) % 97, i) for i in range(n)]
+    shuffled = rows[:]
+    _random.Random(perm_seed).shuffle(shuffled)
+    a = {
+        (r.k, r.uid): r.row_num
+        for r in global_row_number(
+            spark.createDataFrame(rows, "k long, uid long").repartition(4),
+            ["k", "uid"],
+            num_partitions=4,
+        ).collect()
+    }
+    b = {
+        (r.k, r.uid): r.row_num
+        for r in global_row_number(
+            spark.createDataFrame(shuffled, "k long, uid long").repartition(7),
+            ["k", "uid"],
+            num_partitions=3,
+        ).collect()
+    }
+    assert a == b
