@@ -530,3 +530,51 @@ def test_char_entropy_is_zero_shuffle_projection(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_boilerplate_anti_join_is_broadcast_and_ships_hashes(spark, sf_dir):
+    """strip_boilerplate_lines: the boilerplate filter must be a
+    BROADCAST left-anti join (the boilerplate relation is tiny by
+    construction), and its join keys are the 8-byte line hashes —
+    no line text in the join condition."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        strip_boilerplate_lines,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = plan_of(strip_boilerplate_lines(docs, "doc_id", min_doc_freq=25))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # no sort-merge anti join anywhere (would mean the corpus lines
+    # were exchanged on the boilerplate key)
+    assert "SortMergeJoin LeftAnti" not in plan
+
+
+def test_containment_candidates_are_equi_join_no_cartesian(spark, sf_dir):
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = plan_of(containment_pairs(docs, "doc_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_propagation_round_has_no_window_operator(spark):
+    """The per-round argmax must be the partial-aggregable
+    max(struct) form — a rank window over (node) would sort every
+    hub's count rows in one task."""
+    from curw_flo2d_data_manager_spark.operators.components import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    plan = plan_of(label_propagation(edges, n_iters=1))
+    assert "Window" not in plan
+    assert "row_number" not in plan.lower()
