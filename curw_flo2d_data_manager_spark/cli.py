@@ -560,6 +560,36 @@ def cmd_dedup_corpus(args) -> None:
         )
         return
 
+    if args.method == "containment":
+        # DIRECTED semantics, unlike the cluster methods: the contained
+        # (smaller) doc is the duplicate, its container survives — no
+        # components pass, just "was this doc ever the id_small side"
+        from curw_flo2d_data_manager_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        cpairs = containment_pairs(
+            df, args.id_col, args.text_col, threshold=args.threshold
+        )
+        contained = (
+            cpairs.select(F.col("id_small").alias(args.id_col))
+            .distinct()
+            .withColumn("contained", F.lit(True))
+        )
+        out = df.join(contained, args.id_col, "left").withColumn(
+            "contained", F.coalesce(F.col("contained"), F.lit(False))
+        )
+        if args.keep_only:
+            out = out.filter(~F.col("contained")).select(*df.columns)
+        out.write.mode("overwrite").parquet(args.output)
+        release_caches()
+        kept = spark.read.parquet(args.output).count()
+        print(
+            f"dedup-corpus[containment]: {df.count()} rows in, "
+            f"{kept} rows out -> {args.output}"
+        )
+        return
+
     if args.method == "exact":
         # identical normalized text → same digest; pairs = (group min,
         # member), so components are exactly the digest groups
@@ -1620,13 +1650,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text_col", default="text")
     sp.add_argument(
         "--method",
-        choices=["exact", "minhash", "simhash", "winnow", "passage"],
+        choices=["exact", "minhash", "simhash", "winnow", "passage",
+                 "containment"],
         default="minhash",
     )
     sp.add_argument("--passage_words", type=int, default=8,
                     help="passage: words per dedup window")
     sp.add_argument("--threshold", type=float, default=0.8,
-                    help="minhash: jaccard verify threshold")
+                    help="minhash: jaccard verify threshold; "
+                         "containment: |A∩B|/|A| threshold")
     sp.add_argument("--max_hamming", type=int, default=3,
                     help="simhash: max signature hamming distance")
     sp.add_argument("--min_shared", type=int, default=2,

@@ -1194,3 +1194,39 @@ def test_query_ann_index_diversify_mmr(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit, match="exceeds"):
         main(["query-ann-index", "--index", idx, "--queries", qsrc,
               "--k", "3", "--diversify", "5"])
+
+
+def test_dedup_corpus_containment_method(spark, tmp_path, capsys):
+    """--method containment: the quoted (contained) doc is the
+    duplicate and its container survives — directed semantics, no
+    components pass."""
+    quote = "ancient mariner stoppeth one of three galleon"
+    filler = " ".join(f"word{i:03d}" for i in range(60))
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote),
+            (3, "entirely different words about other topics here"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "out.parquet")
+    main(["dedup-corpus", "--input", src, "--output", out,
+          "--method", "containment", "--threshold", "0.9",
+          "--keep_only"])
+    printed = capsys.readouterr().out
+    assert "dedup-corpus[containment]: 3 rows in, 2 rows out" in printed
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [2, 3]  # the quote (1) dropped, its host kept
+
+    # annotated mode flags instead of dropping
+    out2 = str(tmp_path / "out2.parquet")
+    main(["dedup-corpus", "--input", src, "--output", out2,
+          "--method", "containment", "--threshold", "0.9"])
+    flags = {
+        r.doc_id: r.contained
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert flags == {1: True, 2: False, 3: False}
