@@ -1097,6 +1097,7 @@ def containment_pairs(
     threshold: float = 0.8,
     min_tokens: int = 5,
     n_rare: int = 3,
+    max_block_df: int = 1000,
 ) -> DataFrame:
     """Asymmetric CONTAINMENT detection — |A∩B| / |A| over distinct
     token sets — the quote/subset duplicates resemblance metrics
@@ -1111,9 +1112,19 @@ def containment_pairs(
     runs only on candidate pairs. Fully-contained docs are GUARANTEED
     candidates (every token of A, rare ones included, is in B);
     partial containment below 1.0 is heuristic-recall — a miss needs
-    ALL of A's rare tokens to fall in the dropped fraction. Hot rare
-    tokens don't exist by definition; the df join is the usual
-    broadcast-dim case.
+    ALL of A's rare tokens to fall in the dropped fraction.
+
+    ``max_block_df`` is the degeneracy guard: on a low-vocabulary /
+    templated corpus a doc's "rarest" token can still sit in
+    thousands of documents, and blocking on it regenerates the n²
+    cartesian this operator exists to avoid (measured: the synthetic
+    sf0.1 corpus has min df 250 — uncapped candidates were 23.9M of
+    25M possible; capped at 1000 they drop to 62k). Rare tokens above
+    the cap are unusable as block keys; a doc with NO usable key is
+    excluded from the CONTAINED (id_small) side — such a doc consists
+    entirely of ultra-common tokens, for which token-containment is
+    textually meaningless anyway (it can still be a container). The
+    same recall-for-survival trade as the MinHash hot-bucket cap.
 
     Emits (id_small, id_big, containment) per DIRECTED pair with
     containment ≥ threshold; docs under ``min_tokens`` distinct
@@ -1137,7 +1148,9 @@ def containment_pairs(
     rare = (
         toks_e.join(dfreq, "token")
         .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_rare)
+        .filter(
+            (F.col("_r") <= n_rare) & (F.col("df") <= max_block_df)
+        )
         .select(F.col("doc").alias("id_small"), "token")
     )
     cand = (

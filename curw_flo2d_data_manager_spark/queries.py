@@ -7590,11 +7590,11 @@ toks_e AS (SELECT t.* FROM toks t JOIN eligible e USING (doc)),
 dfreq AS (SELECT token, COUNT(*) AS df FROM toks_e GROUP BY token),
 rare AS (
     SELECT doc AS id_small, token FROM (
-        SELECT t.doc, t.token,
+        SELECT t.doc, t.token, d.df,
                ROW_NUMBER() OVER (PARTITION BY t.doc
                                   ORDER BY d.df ASC, t.token ASC) AS r
         FROM toks_e t JOIN dfreq d USING (token)
-    ) WHERE r <= 3
+    ) WHERE r <= 3 AND df <= 1000
 ),
 cand AS (
     SELECT DISTINCT r.id_small, t.doc AS id_big
