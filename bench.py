@@ -238,10 +238,17 @@ def main() -> None:
     if len(runs) > 1:
         out["value_pass_a"] = total  # the rounds-1-3-comparable total
         out["value_pass_b"] = round(sum(runs[1].values()), 3)
+    # Round-9 fix (round-8 verdict item 1): the driver captures only the
+    # LAST 2,000 bytes of stdout, and the ~145-entry extra_queries dict
+    # pushed the printed line to ~8.6 KB, so BENCH_r08.json recorded
+    # parsed:null. The printed line now carries the 31 headline queries
+    # (~1 KB, spec-required) plus extra_total only; the full per-extra
+    # timings live in BENCH_local.json.
     if extra:
-        out["extra_queries"] = extra
         out["extra_total"] = round(sum(extra.values()), 3)
     full = dict(out)
+    if extra:
+        full["extra_queries"] = extra
     full["passes"] = [
         {"pass": chr(ord("A") + i), "total": round(sum(r.values()), 3), "queries": r}
         for i, r in enumerate(runs)

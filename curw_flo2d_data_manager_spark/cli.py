@@ -571,8 +571,26 @@ def cmd_dedup_corpus(args) -> None:
         cpairs = containment_pairs(
             df, args.id_col, args.text_col, threshold=args.threshold
         )
+        # Break mutual-containment symmetry (round-8 advice): exact
+        # duplicates (identical token sets) emit directed pairs BOTH
+        # ways, so flagging every id_small deleted every copy of a
+        # duplicate group. When the reverse pair exists, keep only the
+        # direction whose id_small is the LARGER id — the min-id copy
+        # of any mutual group (incl. chains) is never flagged and
+        # survives --keep_only.
+        rev = cpairs.select(
+            F.col("id_big").alias("id_small"),
+            F.col("id_small").alias("id_big"),
+            F.lit(True).alias("_mutual"),
+        )
+        directed = cpairs.join(
+            rev, ["id_small", "id_big"], "left"
+        ).filter(
+            F.col("_mutual").isNull()
+            | (F.col("id_small") > F.col("id_big"))
+        )
         contained = (
-            cpairs.select(F.col("id_small").alias(args.id_col))
+            directed.select(F.col("id_small").alias(args.id_col))
             .distinct()
             .withColumn("contained", F.lit(True))
         )
@@ -1443,7 +1461,9 @@ def cmd_profile_table(args) -> None:
 
     spark = get_spark(app_name="profile-table")
     df = spark.read.parquet(args.input)
-    cols = [c for c in args.columns.split(",") if c] or list(df.columns)
+    cols = [
+        c.strip() for c in args.columns.split(",") if c.strip()
+    ] or list(df.columns)
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise SystemExit(f"columns not in input: {missing} ({df.columns})")

@@ -1141,8 +1141,12 @@ def containment_pairs(
         .distinct()
     )
     sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
+    # No broadcast hint on the per-doc eligible relation (round-8
+    # advice): it is one row per document — unbounded in corpus size —
+    # so a forced broadcast OOMs at scale. AQE picks broadcast when
+    # the relation is actually small.
     eligible = sizes.filter(F.col("n_tok") >= min_tokens)
-    toks_e = toks.join(F.broadcast(eligible.select("doc")), "doc")
+    toks_e = toks.join(eligible.select("doc"), "doc")
     dfreq = toks_e.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("token"))
     rare = (
@@ -1175,11 +1179,9 @@ def containment_pairs(
     )
     return (
         inter.join(
-            F.broadcast(
-                eligible.select(
-                    F.col("doc").alias("id_small"),
-                    F.col("n_tok").alias("n_small"),
-                )
+            eligible.select(
+                F.col("doc").alias("id_small"),
+                F.col("n_tok").alias("n_small"),
             ),
             "id_small",
         )

@@ -36,23 +36,29 @@ def profile_columns(
     default when profiles feed drift alerts rather than contracts.
     """
     nd = F.count_distinct if exact_distinct else F.approx_count_distinct
+    # Positional intermediate aliases + escaped name literals (round-8
+    # advice): interpolating raw column names into the stack() SQL
+    # broke on names with spaces/hyphens/quotes. The agg aliases are
+    # now index-based (always parseable bare identifiers) and the
+    # col_name literal escapes embedded single quotes.
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         # try_cast: non-numeric columns profile null/distinct and get
         # NULL range/mean (ANSI mode would throw on a plain cast)
         v = F.col(c).try_cast("double")
         aggs += [
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_null_{c}"),
-            nd(F.col(c)).alias(f"_nd_{c}"),
-            F.round(F.min(v), round_to).alias(f"_min_{c}"),
-            F.round(F.max(v), round_to).alias(f"_max_{c}"),
-            F.round(F.avg(v), round_to).alias(f"_avg_{c}"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_null_{i}"),
+            nd(F.col(c)).alias(f"_nd_{i}"),
+            F.round(F.min(v), round_to).alias(f"_min_{i}"),
+            F.round(F.max(v), round_to).alias(f"_max_{i}"),
+            F.round(F.avg(v), round_to).alias(f"_avg_{i}"),
         ]
     wide = df.agg(*aggs)
     stack_args = []
-    for c in cols:
-        stack_args.append(f"'{c}'")
-        stack_args += [f"_null_{c}", f"_nd_{c}", f"_min_{c}", f"_max_{c}", f"_avg_{c}"]
+    for i, c in enumerate(cols):
+        lit = c.replace("\\", "\\\\").replace("'", "\\'")
+        stack_args.append(f"'{lit}'")
+        stack_args += [f"_null_{i}", f"_nd_{i}", f"_min_{i}", f"_max_{i}", f"_avg_{i}"]
     stacked = wide.select(
         F.col("_n").alias("n_rows"),
         F.expr(

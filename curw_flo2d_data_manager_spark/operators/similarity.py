@@ -1306,20 +1306,30 @@ def mmr_rerank(
     )
 
     def argmax(df, score_col, rank):
+        # Type-agnostic argmax (round-8 advice): the old
+        # max(struct(score, -id)) tiebreak negated the id, which
+        # silently assumed numeric ids — string ids (reachable via
+        # query-ann-index --diversify with a user --id_col) cast to
+        # null and corrupted corpus_id. Now: per-query max score,
+        # filter to rows at the max (scores are pre-rounded, so the
+        # equality is exact), min(corpus_id) as the total tiebreak.
+        # Two bounded query_id shuffles instead of one; same
+        # deterministic trace for numeric ids, so oracles unchanged.
+        best = df.groupBy("query_id").agg(
+            F.max(F.col(score_col)).alias("_best")
+        )
         return (
-            df.groupBy("query_id")
+            df.join(best, "query_id")
+            .filter(F.col(score_col) == F.col("_best"))
+            .groupBy("query_id")
             .agg(
-                F.max(
-                    F.struct(
-                        F.col(score_col).alias("s"),
-                        (-F.col("corpus_id")).alias("negid"),
-                    )
-                ).alias("m")
+                F.min("corpus_id").alias("corpus_id"),
+                F.min(F.col(score_col)).alias("mmr_score"),
             )
             .select(
                 "query_id",
-                (-F.col("m.negid")).alias("corpus_id"),
-                F.col("m.s").alias("mmr_score"),
+                "corpus_id",
+                "mmr_score",
                 F.lit(rank).alias("mmr_rank"),
             )
         )

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def ewma(
@@ -51,13 +52,33 @@ def ewma(
     value_col: str = "value",
     alpha: float = 0.3,
     out_col: str = "value_ewma",
+    segment_rows: int | None = None,
 ) -> DataFrame:
     """Append ``out_col``: the per-key EWMA of ``value_col`` along
-    ``order_cols``. Input columns pass through unchanged."""
+    ``order_cols``. Input columns pass through unchanged.
+
+    ``segment_rows`` (opt-in, SCALING.md §EWMA) switches to the
+    segmented fold for series longer than one executor's memory:
+    per-key rows split into bounded segments, each segment summarized
+    as the affine map ``e_out = (1-a)^m · e_in + B``, summaries
+    composed left-to-right in a tiny per-key scan, then each segment
+    re-folds with its known carry-in — two bounded Arrow passes, no
+    whole-series materialization. The regrouped arithmetic is no
+    longer bit-identical to the sequential fold (last-ulp drift), so
+    it is NOT the default; the determinism contract above holds only
+    for ``segment_rows=None``.
+    """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"need 0 < alpha <= 1, got {alpha}")
     if not key_cols or not order_cols:
         raise ValueError("key_cols and order_cols must be non-empty")
+    if segment_rows is not None:
+        if segment_rows < 2:
+            raise ValueError(f"need segment_rows >= 2, got {segment_rows}")
+        return _ewma_segmented(
+            df, key_cols, order_cols, value_col, float(alpha), out_col,
+            int(segment_rows),
+        )
     import pandas as pd  # noqa: F401  (applyInPandas contract)
 
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -86,4 +107,143 @@ def ewma(
 
     return df.groupBy(*[F.col(k) for k in key_cols]).applyInPandas(
         _smooth, schema=schema
+    )
+
+
+def _ewma_segmented(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    a: float,
+    out_col: str,
+    segment_rows: int,
+) -> DataFrame:
+    """Segmented EWMA (the SCALING.md §EWMA two-pass rewrite).
+
+    Within a segment holding non-null values x_1..x_m, the recurrence
+    e ← a·x + (1−a)·e is the affine map e_out = (1−a)^m · e_in + B
+    with B the same fold started from 0 — positive, DECAYING powers
+    only (the global closed form needs (1−a)^(−t), which overflows
+    doubles after ~700 steps; bounding the exponent to the segment
+    and keeping it positive underflows harmlessly instead). A segment
+    that contains the series' FIRST non-null uses the e_0 = x_0
+    initialization, captured as a second fold B_first.
+
+    Shape: one per-key sort (row_number, running frame — spillable,
+    streaming) → per-(key, segment) summary groups (bounded by
+    ``segment_rows``) → per-key compose over the tiny summary relation
+    (n_segments rows/key) → carry-in joined back → per-segment
+    re-fold. Every Arrow group is ≤ segment_rows; series length is
+    unbounded.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    kf = [f for f in df.schema.fields if f.name in key_cols]
+    rn = F.row_number().over(
+        Window.partitionBy(*key_cols).orderBy(*order_cols)
+    )
+    seg_df = df.withColumn(
+        "_seg", ((rn - F.lit(1)) / F.lit(segment_rows)).cast("long")
+    )
+
+    sum_schema = StructType(
+        kf
+        + [
+            StructField("_seg", LongType()),
+            StructField("_m", LongType()),
+            StructField("_b", DoubleType()),
+            StructField("_bf", DoubleType()),
+        ]
+    )
+
+    def _fold(vals, e):
+        for x in vals:
+            if x != x:  # NaN (source NULL): state carries over
+                continue
+            x = float(x)
+            e = x if e is None else a * x + (1.0 - a) * e
+        return e
+
+    def _summarize(keys, pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype="float64", na_value=float("nan"))
+        m = int((vals == vals).sum())
+        b = _fold(vals, 0.0) if m else 0.0
+        bf = _fold(vals, None)  # None if m == 0
+        return pd.DataFrame(
+            [list(keys[:-1]) + [keys[-1], m, b, bf]],
+            columns=[f.name for f in kf] + ["_seg", "_m", "_b", "_bf"],
+        )
+
+    summaries = seg_df.groupBy(*key_cols, "_seg").applyInPandas(
+        _summarize, schema=sum_schema
+    )
+
+    carry_schema = StructType(
+        kf
+        + [
+            StructField("_seg", LongType()),
+            StructField("_ein", DoubleType()),
+            StructField("_started", BooleanType()),
+        ]
+    )
+
+    def _compose(pdf):
+        # one group per series key: key columns are constant here
+        pdf = pdf.sort_values("_seg", kind="mergesort")
+        keyvals = [pdf[f.name].iloc[0] for f in kf]
+        segs = pdf["_seg"].to_numpy()
+        ms = pdf["_m"].to_numpy()
+        bs = pdf["_b"].to_numpy(dtype="float64")
+        bfs = pdf["_bf"].to_numpy(dtype="float64", na_value=float("nan"))
+        carry = None
+        rows = []
+        for i in range(len(segs)):
+            rows.append(
+                keyvals + [int(segs[i]), carry, carry is not None]
+            )
+            if carry is None:
+                carry = float(bfs[i]) if ms[i] else None
+            elif ms[i]:
+                carry = (1.0 - a) ** int(ms[i]) * carry + float(bs[i])
+        return pd.DataFrame(
+            rows, columns=[f.name for f in kf] + ["_seg", "_ein", "_started"]
+        )
+
+    carries = summaries.groupBy(*key_cols).applyInPandas(
+        _compose, schema=carry_schema
+    )
+
+    joined = seg_df.join(carries, [*key_cols, "_seg"])
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def _refold(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        e = float(pdf["_ein"].iloc[0]) if bool(pdf["_started"].iloc[0]) else None
+        vals = pdf[value_col].to_numpy(dtype="float64", na_value=float("nan"))
+        out = [None] * len(vals)
+        for i, x in enumerate(vals):
+            if x != x:
+                continue
+            x = float(x)
+            e = x if e is None else a * x + (1.0 - a) * e
+            out[i] = e
+        pdf = pdf.drop(columns=["_seg", "_ein", "_started"])
+        pdf[out_col] = pd.Series(out, index=pdf.index, dtype="object").astype(
+            "float64"
+        )
+        return pdf
+
+    return joined.groupBy(*key_cols, "_seg").applyInPandas(
+        _refold, schema=out_schema
     )

@@ -1152,7 +1152,7 @@ def strip_boilerplate_lines(
     n_lines = lines.groupBy("_doc").agg(
         F.count(F.lit(1)).alias("n_lines")
     )
-    return (
+    kept_agg = (
         kept.groupBy("_doc")
         .agg(
             F.array_sort(
@@ -1166,11 +1166,17 @@ def strip_boilerplate_lines(
             ).alias("text_clean"),
             F.size("_k").alias("n_kept"),
         )
-        .join(n_lines, "_doc")
-        .select(
-            F.col("_doc").alias(id_col),
-            "text_clean",
-            "n_lines",
-            (F.col("n_lines") - F.col("n_kept")).alias("n_removed"),
-        )
+    )
+    # LEFT join from the per-doc totals (round-8 advice): a document
+    # whose every non-blank line is boilerplate has no kept-lines row,
+    # and the old inner join dropped it entirely — the oracle (and the
+    # per-document contract) emit it with empty text_clean and
+    # n_removed = n_lines.
+    return n_lines.join(kept_agg, "_doc", "left").select(
+        F.col("_doc").alias(id_col),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        "n_lines",
+        (
+            F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))
+        ).alias("n_removed"),
     )

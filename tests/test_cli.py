@@ -1230,3 +1230,32 @@ def test_dedup_corpus_containment_method(spark, tmp_path, capsys):
         for r in spark.read.parquet(out2).collect()
     }
     assert flags == {1: True, 2: False, 3: False}
+
+
+def test_dedup_corpus_containment_exact_duplicates_keep_survivor(
+    spark, tmp_path, capsys
+):
+    """Round-8 advice regression: exact duplicates (identical token
+    sets) emit mutual containment pairs both ways; --keep_only must
+    keep the min-id copy of each duplicate group, not delete all of
+    them."""
+    dup = " ".join(f"token{i:03d}" for i in range(40))
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, dup),
+            (2, dup),
+            (3, dup),
+            (4, "a completely unrelated document about other matters"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "out.parquet")
+    main(["dedup-corpus", "--input", src, "--output", out,
+          "--method", "containment", "--threshold", "0.9",
+          "--keep_only"])
+    printed = capsys.readouterr().out
+    assert "dedup-corpus[containment]: 4 rows in, 2 rows out" in printed
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 4]  # min-id survivor per group, not zero

@@ -2438,6 +2438,23 @@ def test_profile_columns_stats_and_single_scan(spark):
     assert final.count("Scan ExistingRDD") == 1
 
 
+def test_profile_columns_hostile_column_names(spark):
+    """Round-8 advice regression: names with spaces, hyphens, and
+    embedded quotes must survive the stack() reshape (positional
+    intermediate aliases + escaped name literals)."""
+    from curw_flo2d_data_manager_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0)], "`my col` double, `a-b` double, `q'uote` double"
+    )
+    out = profile_columns(df, ["my col", "a-b", "q'uote"])
+    rows = {r.col_name: r for r in out.collect()}
+    assert set(rows) == {"my col", "a-b", "q'uote"}
+    assert rows["my col"].min_v == 1.0
+    assert rows["a-b"].max_v == 2.0
+    assert rows["q'uote"].avg_v == 3.0
+
+
 def test_profile_columns_approx_mode_has_no_expand(spark):
     from curw_flo2d_data_manager_spark.operators.profile import profile_columns
 
@@ -2541,6 +2558,29 @@ def test_mmr_rerank_skips_near_duplicates(spark):
         for r in mmr_rerank(df, k=3, lam=0.7).collect()
     }
     assert high == {1: 1, 2: 4, 3: 2}
+
+
+def test_mmr_rerank_string_ids(spark):
+    """Round-8 advice regression: the argmax tiebreak must be
+    type-agnostic — string corpus ids (reachable via query-ann-index
+    --diversify with a user --id_col) used to null-corrupt under the
+    old -corpus_id negation. Ties broken by MIN id."""
+    from curw_flo2d_data_manager_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        ("q1", "doc-b", 0.9, [1.0, 0.0]),
+        ("q1", "doc-a", 0.9, [1.0, 0.0]),  # tie: doc-a wins rank 1
+        ("q1", "doc-c", 0.5, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id string, corpus_id string, rel double, vec array<double>"
+    )
+    got = {
+        r.mmr_rank: r.corpus_id
+        for r in mmr_rerank(df, k=2, lam=0.5).collect()
+    }
+    assert got[1] == "doc-a"  # min-id tiebreak, no nulls
+    assert got[2] == "doc-c"  # orthogonal doc beats the clone
 
 
 def test_mmr_rerank_short_candidate_sets_and_parallel_queries(spark):
@@ -2702,3 +2742,33 @@ def test_strip_boilerplate_cross_doc_only_and_order_preserved(spark):
     assert got[3].text_clean == "delta"  # leading footer stripped
     assert got[4].text_clean == "echo\necho\necho"
     assert got[4].n_removed == 1
+
+
+def test_strip_boilerplate_keeps_all_boilerplate_doc(spark):
+    """Round-8 advice regression: a document whose EVERY non-blank
+    line is boilerplate must still appear in the output (empty
+    text_clean, n_removed = n_lines) — the old inner join dropped it,
+    diverging from the LEFT-JOIN oracle."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        strip_boilerplate_lines,
+    )
+
+    footer = "all rights reserved"
+    banner = "cookie banner"
+    rows = [
+        (1, f"alpha\n{footer}\n{banner}"),
+        (2, f"beta\n{footer}\n{banner}"),
+        # doc 3 is ONLY boilerplate lines
+        (3, f"{footer}\n{banner}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in strip_boilerplate_lines(
+            df, "doc_id", min_doc_freq=3
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[3].text_clean == ""
+    assert got[3].n_lines == 2 and got[3].n_removed == 2
+    assert got[1].text_clean == "alpha" and got[1].n_removed == 2
