@@ -799,6 +799,108 @@ def cmd_build_ann_index(args) -> None:
     )
 
 
+def cmd_compact_ann_index(args) -> None:
+    """Rebalance a persisted ANN index after ``--append`` drift: every
+    appended batch is assigned against the ORIGINAL quantizer, so a
+    shifted ingest distribution piles rows into a few cells (probe
+    cost grows toward a full scan) and the stored centers go stale.
+
+    This command reads the cell-size histogram (one aggregation over
+    the partition column — vectors untouched), and when the balance
+    factor (largest cell / ideal even split) reaches
+    ``--skew_threshold`` (or ``--force``), RE-TRAINS the quantizer on
+    the index's current contents (same bounded-sample recipe as the
+    initial build), re-assigns every vector in one scan, re-codes PQ
+    against freshly trained codebooks, and swaps the new relations in
+    (write-to-sibling + rename — readers of the old layout are never
+    half-updated). Centers, cluster count, and counts in
+    index_meta.json are refreshed. Recall is invariant: compaction
+    changes WHERE vectors sit, never which vectors exist — gated by
+    the planted-copy recall test in tests/test_cli.py.
+    """
+    import json as _json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        build_ivf_index,
+        pq_assign,
+        train_pq_codebooks,
+    )
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="compact-ann-index")
+    meta_path = os.path.join(args.index, "index_meta.json")
+    asg_path = os.path.join(args.index, "assignments")
+    codes_path = os.path.join(args.index, "codes")
+    try:
+        with open(meta_path) as f:
+            meta = _json.load(f)
+    except FileNotFoundError:
+        raise SystemExit(f"no index_meta.json under {args.index}")
+
+    asg = spark.read.parquet(asg_path)
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(sizes.values())
+    ideal = n_total / meta["n_clusters"] if meta["n_clusters"] else 0.0
+    balance = (max(sizes.values(), default=0) / ideal) if ideal else 0.0
+    if balance < args.skew_threshold and not args.force:
+        print(
+            f"compact-ann-index: balance {balance:.2f}x ideal below "
+            f"threshold {args.skew_threshold:.2f} — nothing to do"
+        )
+        return
+
+    n_clusters = args.clusters or max(4, n_total // 500)
+    vecs = asg.select(
+        F.col("corpus_id").alias(meta["id_col"]),
+        F.col("embedding").alias(meta["vec_col"]),
+    )
+    assignments, centers = build_ivf_index(
+        vecs, n_clusters=n_clusters,
+        id_col=meta["id_col"], vec_col=meta["vec_col"],
+    )
+    tmp_asg = asg_path + ".compacting"
+    assignments.write.mode("overwrite").partitionBy("cluster").parquet(tmp_asg)
+    shutil.rmtree(asg_path)
+    os.rename(tmp_asg, asg_path)
+
+    if meta.get("pq"):
+        fresh = spark.read.parquet(asg_path)
+        codebooks = train_pq_codebooks(
+            fresh, m=meta["pq"]["m"], ksub=meta["pq"]["ksub"],
+            id_col="corpus_id", vec_col="embedding",
+        )
+        codes = pq_assign(
+            fresh, codebooks, id_col="corpus_id", vec_col="embedding"
+        ).join(fresh.select("corpus_id", "cluster"), "corpus_id")
+        tmp_codes = codes_path + ".compacting"
+        codes.write.mode("overwrite").partitionBy("cluster").parquet(tmp_codes)
+        if os.path.exists(codes_path):
+            shutil.rmtree(codes_path)
+        os.rename(tmp_codes, codes_path)
+        meta["pq"]["codebooks"] = codebooks
+
+    meta.update(centers=centers, n_clusters=n_clusters, n_vectors=n_total)
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    new_sizes = {
+        r["cluster"]: r["n"]
+        for r in spark.read.parquet(asg_path)
+        .groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    new_ideal = n_total / n_clusters if n_clusters else 0.0
+    new_balance = (max(new_sizes.values(), default=0) / new_ideal) if new_ideal else 0.0
+    print(
+        f"compact-ann-index: {n_total} vectors re-quantized into "
+        f"{n_clusters} cells; balance {balance:.2f}x -> {new_balance:.2f}x ideal"
+    )
+
+
 def cmd_ann_index_stats(args) -> None:
     """Operating report for a persisted ANN index: per-cell row
     counts, balance factor (max cell / ideal even split — the number
@@ -1866,6 +1968,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--index", required=True, help="index directory")
     sp.set_defaults(fn=cmd_ann_index_stats)
+
+    sp = sub.add_parser(
+        "compact-ann-index",
+        help="re-train the quantizer and re-assign a skewed index "
+             "(after --append drift); no-op below the skew threshold",
+    )
+    sp.add_argument("--index", required=True, help="index directory")
+    sp.add_argument("--skew-threshold", type=float, default=3.0,
+                    help="rebalance when largest cell >= this x ideal")
+    sp.add_argument("--clusters", type=int, default=None,
+                    help="new cell count (default rows/500, min 4)")
+    sp.add_argument("--force", action="store_true",
+                    help="rebalance regardless of the skew measurement")
+    sp.set_defaults(fn=cmd_compact_ann_index)
 
     sp = sub.add_parser(
         "query-ann-index",

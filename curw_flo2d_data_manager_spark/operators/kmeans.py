@@ -88,7 +88,11 @@ def kmeans_fit(
     ]
 
     def assign(cents: list[list[float]]) -> DataFrame:
-        mat = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+        # one nested-array Literal node, not k*dim F.lit expressions
+        # (similarity.centroid_assign_expr: Catalyst walks the tree per
+        # optimizer rule; the expression-built matrix made composed
+        # plans take seconds to optimize)
+        mat = F.lit([[float(x) for x in c] for c in cents])
         d2s = F.transform(
             mat,
             lambda c: F.round(

@@ -5511,12 +5511,18 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_query,
     )
 
+    from curw_flo2d_data_manager_spark.operators.caching import persist_tracked
+
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(planted)
     assigned, centers = build_ivf_index(corpus, n_clusters=8)
+    # materialize the assignment once (the batch recipe persists it
+    # partitionBy(cluster); lazily it is recomputed/recompiled in all
+    # three of ivfpq_query's join branches — measured 16.6 s → 3.1 s)
+    assigned = persist_tracked(assigned)
     queries = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

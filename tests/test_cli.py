@@ -1066,6 +1066,102 @@ def test_ann_index_cli_build_query_append(spark, tmp_path, capsys):
     assert "pq codes 301 (OK vs 301 vectors)" in out
 
 
+def test_compact_ann_index_rebalances_after_appends(spark, tmp_path, capsys):
+    """Round-8 verdict item 5: repeated --append batches drawn from a
+    SHIFTED distribution pile into few cells of the original quantizer
+    and stale its centers. compact-ann-index must (a) no-op below the
+    skew threshold, (b) re-train + re-assign + re-code when skew
+    trips, bringing the balance factor under the bound, and (c) keep
+    rank-1 recall 1.0 for planted copies from the ORIGINAL corpus and
+    from EVERY appended batch."""
+    import json as _json
+    import math
+    import random
+
+    rng = random.Random(11)
+    # original corpus: a tight blob around the origin direction
+    rows = [
+        (i, [float(0.1 * rng.random() + (0.3 if d == 0 else 0.0))
+             for d in range(8)])
+        for i in range(200)
+    ]
+    src = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(src)
+    idx = str(tmp_path / "ann_index")
+    main([
+        "build-ann-index", "--input", src, "--output", idx,
+        "--clusters", "6", "--pq", "--pq-m", "4", "--pq-ksub", "8",
+    ])
+    capsys.readouterr()
+
+    # a freshly built index is balanced: compaction is a no-op
+    main(["compact-ann-index", "--index", idx, "--skew-threshold", "3.0"])
+    assert "nothing to do" in capsys.readouterr().out
+
+    # 3 appended batches from a SHIFTED distribution (orthogonal
+    # directions the original quantizer has no cell for)
+    batch_rows = {}
+    for b in range(3):
+        brows = [
+            (10_000 * (b + 1) + i,
+             [float(5.0 * math.cos(0.9 * (b + 1) * (d + 1))
+                    + 0.05 * rng.random()) for d in range(8)])
+            for i in range(200)
+        ]
+        batch_rows[b] = brows
+        bsrc = str(tmp_path / f"batch{b}.parquet")
+        spark.createDataFrame(
+            brows, "vec_id long, embedding array<float>"
+        ).write.parquet(bsrc)
+        main(["build-ann-index", "--input", bsrc, "--output", idx, "--append"])
+    capsys.readouterr()
+
+    main(["compact-ann-index", "--index", idx, "--skew-threshold", "3.0"])
+    out = capsys.readouterr().out
+    assert "800 vectors re-quantized" in out
+    assert "nothing to do" not in out
+
+    # skew bound holds post-compaction: largest cell < 3x ideal
+    import pyspark.sql.functions as F
+    meta = _json.load(open(os.path.join(idx, "index_meta.json")))
+    asg = spark.read.parquet(os.path.join(idx, "assignments"))
+    sizes = [r["n"] for r in asg.groupBy("cluster")
+             .agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert sum(sizes) == 800
+    assert max(sizes) < 3.0 * (800 / meta["n_clusters"])
+    # codes relation was re-coded consistently
+    main(["ann-index-stats", "--index", idx])
+    assert "pq codes 800 (OK vs 800 vectors)" in capsys.readouterr().out
+
+    # rank-1 recall 1.0: exact copies of one vector from the original
+    # corpus and one from each appended batch
+    probes = [
+        (9000, rows[7][1]),
+        (9001, batch_rows[0][3][1]),
+        (9002, batch_rows[1][5][1]),
+        (9003, batch_rows[2][9][1]),
+    ]
+    want = {9000: 7, 9001: batch_rows[0][3][0],
+            9002: batch_rows[1][5][0], 9003: batch_rows[2][9][0]}
+    qsrc = str(tmp_path / "probes.parquet")
+    spark.createDataFrame(
+        probes, "vec_id long, embedding array<float>"
+    ).write.parquet(qsrc)
+    hits_path = str(tmp_path / "hits.parquet")
+    main([
+        "query-ann-index", "--index", idx, "--queries", qsrc,
+        "--output", hits_path, "--k", "2", "--nprobe", "3",
+    ])
+    capsys.readouterr()
+    top = {
+        r["query_id"]: r["corpus_id"]
+        for r in spark.read.parquet(hits_path).filter("rank = 1").collect()
+    }
+    assert top == want
+
+
 def test_detect_extremes_cli_peaks_and_drift(spark, tmp_path, capsys):
     """detect-extremes end-to-end: planted storm runs decluster into
     the expected peak rows; --cusum writes drift alarms only for the
