@@ -28,6 +28,14 @@ def cumulative_fraction(
 
     ``total == 0`` yields fraction 0.0 (reference 0-guard,
     gen_rain.py:183-186).
+
+    SCALE WARNING: with ``group_cols=None`` both windows run over ONE
+    partition (a SinglePartition exchange — the whole relation sorts
+    in a single task). That is correct and cheap ONLY for the
+    single-bounded-series renders this form exists for (RAIN.DAT is
+    one gauge's series, reference gen_rain.py). On any multi-series
+    relation ALWAYS pass ``group_cols`` — the per-key window keeps
+    every stage as parallel as the key cardinality.
     """
     groups = group_cols or []
     w_run = (

@@ -51,6 +51,11 @@ def inflow_lines(
         "block_rank int, intra_rank long, line string",
     )
 
+    # SinglePartition windows — deliberate: an INFLOW.DAT render is ONE
+    # hydrograph node's bounded series (reference gen_inflow); this
+    # single-series form must not be reused on a multi-series relation
+    # (pass a key and partitionBy it instead — see
+    # operators/cumulative.cumulative_fraction's scale warning).
     w = Window.partitionBy(F.lit(1))
     data = (
         discharge_ts.withColumn("_t0", F.min("time").over(w))

@@ -965,6 +965,13 @@ def test_search_corpus_cli_bm25_hits(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):
         main(["search-corpus", "--input", src, "--query", "!!!"])
 
+    # --k is bounded at PARSE time (the hit list is driver-collected):
+    # out-of-range values exit before any Spark job runs
+    for bad_k in ("0", "10001", "-3"):
+        with _pytest.raises(SystemExit):
+            main(["search-corpus", "--input", src,
+                  "--query", "flood", "--k", bad_k])
+
 
 def test_ann_index_cli_build_query_append(spark, tmp_path, capsys):
     """The persisted-ANN surface end-to-end: build writes the

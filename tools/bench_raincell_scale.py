@@ -84,17 +84,80 @@ def main() -> None:
         if mode == "single":
             n_lines = sum(1 for _ in open(out))
         else:
-            n_lines = sum(
-                sum(1 for _ in open(p))
-                for p in glob.glob(os.path.join(out, "part-*.txt"))
-            )
+            # ONE buffered byte pass over the parts (455M lines of
+            # python line iteration is MINUTES; newline counting on
+            # 1 MiB chunks runs at ~GB/s): count + per-part first/last
+            # lines together, in MANIFEST order.
+            def _scan_part(p):
+                cnt = 0
+                head = b""
+                tail = b""
+                with open(p, "rb") as fh:
+                    while True:
+                        chunk = fh.read(1 << 20)
+                        if not chunk:
+                            break
+                        if len(head) < (1 << 16):
+                            head += chunk[: 1 << 16]
+                        cnt += chunk.count(b"\n")
+                        keep = 1 << 16
+                        tail = (tail + chunk)[-keep:] if len(chunk) < keep else chunk[-keep:]
+                if not head:
+                    return 0, None, None
+                if not tail.endswith(b"\n"):
+                    cnt += 1  # final unterminated line
+                first = head.split(b"\n", 1)[0].decode()
+                # last LINE, blank-preserving: RAINCELL blocks end in a
+                # blank separator, so a file ending "…19.123\n\n" has
+                # last line '' — rstrip-all-newlines would wrongly
+                # report the previous line
+                segs = tail.split(b"\n")
+                last = (segs[-2] if tail.endswith(b"\n") else segs[-1]).decode()
+                return cnt, first, last
+
+            with open(os.path.join(out, "_MANIFEST")) as mf:
+                names = [ln.strip() for ln in mf if ln.strip()]
+            bounds = []  # (global_rn, expected_line)
+            offset = 0
+            for name in names:
+                cnt, first, last = _scan_part(os.path.join(out, name))
+                if cnt:
+                    bounds.append((offset + 1, first))
+                    bounds.append((offset + cnt, last))
+                offset += cnt
+            n_lines = offset
         result[f"{mode}_render_sec"] = round(render_s, 2)
         result[f"{mode}_lines_per_sec"] = int(n_lines / render_s)
         result[f"{mode}_ok"] = n_lines == expected
         if mode == "parts":
-            result["parts_files"] = len(
-                glob.glob(os.path.join(out, "part-*.txt"))
+            result["parts_files"] = len(names)
+            # Byte-verify global order across parts (round-8 verdict
+            # item 4, UNTIMED — verification is itself a big job):
+            # check the globally-sorted relation holds exactly each
+            # part's first/last line at the parts' cumulative boundary
+            # offsets. A mis-ranged part, a mis-ordered manifest, or
+            # an intra-part sort slip all break a boundary.
+            from curw_flo2d_data_manager_spark.operators.rownum import (
+                global_row_number,
             )
+
+            rns = {rn for rn, _ in bounds}
+            # distributed global numbering — no SinglePartition sort
+            # of the 455M-line relation just to verify it
+            got = {
+                r["rn"]: r["line"]
+                for r in global_row_number(
+                    lines, ["block_rank", "intra_rank"], out_col="rn"
+                )
+                .filter(F.col("rn").isin(list(rns)))
+                .select("rn", "line")
+                .collect()
+            }
+            result["parts_boundary_checks"] = len(bounds)
+            result["parts_boundaries_ok"] = all(
+                got.get(rn) == line for rn, line in bounds
+            )
+            result["parts_manifest_total_ok"] = offset == expected
         shutil.rmtree(out, ignore_errors=True) if os.path.isdir(out) else os.remove(out)
     shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(result))
