@@ -212,7 +212,8 @@ def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     # bit j of h tests as (h & 2^j) != 0 — shift amounts can't be
     # lambda variables, but a literal powers array can ride transform.
     # 2^63 overflows a signed long, so bit 63 is the sign test.
-    pow_arr = F.array(*[F.lit(1 << j).cast("long") for j in range(63)])
+    # one array<long> Literal node, not 63 F.lit expressions
+    pow_arr = F.lit([1 << j for j in range(63)]).cast("array<long>")
 
     def _contrib(h):
         low = F.transform(

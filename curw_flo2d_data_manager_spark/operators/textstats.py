@@ -93,7 +93,9 @@ def punctuation_ratio(col: Column | str) -> Column:
 
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
     w = words(col)
-    sw = F.array(*[F.lit(s) for s in (stopwords or EN_STOPWORDS)])
+    # one array Literal node, not |stopwords| F.lit expressions (the
+    # Catalyst-tree-size lesson from similarity.centroid_assign_expr)
+    sw = F.lit(list(stopwords or EN_STOPWORDS))
     hits = F.size(F.array_intersect(F.array_distinct(w), sw))
     matched = F.filter(w, lambda x: F.array_contains(sw, x))
     return F.size(matched) / F.greatest(F.size(w), F.lit(1))
@@ -129,7 +131,7 @@ def lang_scores(col: Column | str, tokenized: bool = False) -> dict[str, Column]
     w = _c(col) if tokenized else words(col)
     out = {}
     for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
+        arr = F.lit(list(markers))  # one Literal node per language
         out[lang] = F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
     return out
 
