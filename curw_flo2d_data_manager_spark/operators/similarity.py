@@ -121,6 +121,51 @@ def _numpy_kmeans(X, k: int, seed: int, max_iter: int = 25, tol: float = 1e-6):
     return [list(map(float, c)) for c in C]
 
 
+# Above this many centroids the in-plan HOF argmin (interpreted —
+# higher-order functions don't codegen) loses to an Arrow-vectorized
+# NumPy matmul: at k=62 × dim 64 the expression form made the 1M-vector
+# assign pass ~1.8× slower than the old pyspark.ml transform, while the
+# Arrow form beats both. Small k (every sf-test path uses k ≤ 8) stays
+# pure-expression, keeping the oracle plans Python-free.
+_EXPR_ASSIGN_MAX_K = 24
+
+
+def _centroid_assign_arrow(unit_vec: Column, centers: list[list[float]]) -> Column:
+    """Arrow-batched argmin assign for LARGE centroid matrices: one
+    NumPy ``X @ C.T`` per batch (vectorized C), first-index tiebreak
+    identical to :func:`centroid_assign_expr`. The centroid matrix is
+    a closure constant (driver-bounded by construction)."""
+    import numpy as np
+    from pandas import Series
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centers, dtype="float64")
+    c2 = (C * C).sum(axis=1)[None, :]
+
+    def _assign(v):
+        X = np.asarray(v.tolist(), dtype="float64")
+        if X.size == 0:
+            return Series([], dtype="int32")
+        d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2
+        return Series(d.argmin(axis=1).astype("int32"))
+
+    # module-wide `from __future__ import annotations` stringifies
+    # inline hints, which pandas_udf's eval-type inference can't
+    # resolve for locally-imported names — attach real objects instead
+    _assign.__annotations__ = {"v": Series, "return": Series}
+    return pandas_udf(_assign, "int")(unit_vec)
+
+
+def assign_clusters_col(unit_vec: Column, centers: list[list[float]]) -> Column:
+    """Cluster id for a UNIT vector column against stored centers —
+    expression argmin for bounded k, Arrow/NumPy argmin past
+    ``_EXPR_ASSIGN_MAX_K``. Same metric (squared euclidean on the unit
+    sphere) and same smallest-index tiebreak either way."""
+    if len(centers) <= _EXPR_ASSIGN_MAX_K:
+        return centroid_assign_expr(unit_vec, centers)
+    return _centroid_assign_arrow(unit_vec, centers)
+
+
 def centroid_assign_expr(vec: Column, centers: list[list[float]]) -> Column:
     """Cluster id for ``vec`` against a literal centroid matrix: argmin
     of squared distance, first-index tiebreak — one in-plan array
@@ -216,7 +261,7 @@ def build_ivf_index(
         assignments = c.select(
             "corpus_id",
             F.col("_cv").alias("embedding"),
-            centroid_assign_expr(F.col("_unit"), centers).alias("cluster"),
+            assign_clusters_col(F.col("_unit"), centers).alias("cluster"),
         )
         return assignments, centers
 
@@ -262,7 +307,7 @@ def ivf_assign(
     return batch.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("embedding"),
-        centroid_assign_expr(_unit(F.col(vec_col)), centers).alias("cluster"),
+        assign_clusters_col(_unit(F.col(vec_col)), centers).alias("cluster"),
     )
 
 
