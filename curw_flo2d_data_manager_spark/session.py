@@ -59,6 +59,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Codegen pressure: this engine compiles hundreds of distinct
+        # whole-stage classes per session (176 registry queries × their
+        # stages). The JVM's default 240 MB reserved code cache and
+        # Spark's default 100-entry generated-class cache both thrash
+        # at that count — measured as composite extras running 2-3×
+        # their warm cost on re-visits late in a bench session.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
+            ),
+        )
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
