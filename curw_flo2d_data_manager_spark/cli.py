@@ -811,10 +811,12 @@ def cmd_compact_ann_index(args) -> None:
     ``--skew_threshold`` (or ``--force``), RE-TRAINS the quantizer on
     the index's current contents (same bounded-sample recipe as the
     initial build), re-assigns every vector in one scan, re-codes PQ
-    against freshly trained codebooks, and swaps the new relations in
-    (write-to-sibling + rename — readers of the old layout are never
-    half-updated). Centers, cluster count, and counts in
-    index_meta.json are refreshed. Recall is invariant: compaction
+    against freshly trained codebooks — all STAGED to sibling paths —
+    then commits with adjacent renames + the meta rewrite. A crash
+    during the expensive compute leaves the live index untouched; the
+    short commit window itself is not atomic (versioned directories +
+    a pointer file are the full fix at scale). Centers, cluster count,
+    and counts in index_meta.json are refreshed. Recall is invariant: compaction
     changes WHERE vectors sit, never which vectors exist — gated by
     the planted-copy recall test in tests/test_cli.py.
     """
@@ -864,13 +866,17 @@ def cmd_compact_ann_index(args) -> None:
         vecs, n_clusters=n_clusters,
         id_col=meta["id_col"], vec_col=meta["vec_col"],
     )
+    # STAGE everything first (all the expensive compute writes to
+    # sibling paths), then commit with a few adjacent filesystem ops —
+    # a crash during the retrain/re-code leaves the live index
+    # untouched. The commit itself (two renames + the meta write) is
+    # still not atomic; at real scale put each compaction in a
+    # versioned directory and flip a pointer file instead.
     tmp_asg = asg_path + ".compacting"
     assignments.write.mode("overwrite").partitionBy("cluster").parquet(tmp_asg)
-    shutil.rmtree(asg_path)
-    os.rename(tmp_asg, asg_path)
-
+    tmp_codes = None
     if meta.get("pq"):
-        fresh = spark.read.parquet(asg_path)
+        fresh = spark.read.parquet(tmp_asg)
         codebooks = train_pq_codebooks(
             fresh, m=meta["pq"]["m"], ksub=meta["pq"]["ksub"],
             id_col="corpus_id", vec_col="embedding",
@@ -880,12 +886,15 @@ def cmd_compact_ann_index(args) -> None:
         ).join(fresh.select("corpus_id", "cluster"), "corpus_id")
         tmp_codes = codes_path + ".compacting"
         codes.write.mode("overwrite").partitionBy("cluster").parquet(tmp_codes)
-        if os.path.exists(codes_path):
-            shutil.rmtree(codes_path)
-        os.rename(tmp_codes, codes_path)
         meta["pq"]["codebooks"] = codebooks
 
     meta.update(centers=centers, n_clusters=n_clusters, n_vectors=n_total)
+    shutil.rmtree(asg_path)
+    os.rename(tmp_asg, asg_path)
+    if tmp_codes is not None:
+        if os.path.exists(codes_path):
+            shutil.rmtree(codes_path)
+        os.rename(tmp_codes, codes_path)
     with open(meta_path, "w") as f:
         _json.dump(meta, f)
     new_sizes = {

@@ -317,8 +317,10 @@ def label_propagation(
     argmax collapses on (node) via a ``max(struct(cnt, -label))``
     aggregate — partial-aggregable, NO rank window, so a hub node's
     count rows spread across partials instead of sorting in one task.
-    Labels are ``localCheckpoint``-ed each round (the PageRank lineage
-    lesson). Edges are symmetrized internally; isolated nodes never
+    Labels' lineage grows LINEARLY (referenced once per round), so
+    truncation happens only every 4th round — per-round checkpoints
+    were pure job barriers; small fixed-iteration runs fuse into one
+    job. Edges are symmetrized internally; isolated nodes never
     appear (every node in ``pairs`` has degree ≥ 1).
 
     Returns ``(id, label)``, one row per distinct node.

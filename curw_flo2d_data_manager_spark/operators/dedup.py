@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from curw_flo2d_data_manager_spark.functions.plan_literals import lit_array
 from curw_flo2d_data_manager_spark.operators.parallelism import ensure_min_partitions
 from curw_flo2d_data_manager_spark.operators.textstats import words
 
@@ -212,8 +213,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     # bit j of h tests as (h & 2^j) != 0 — shift amounts can't be
     # lambda variables, but a literal powers array can ride transform.
     # 2^63 overflows a signed long, so bit 63 is the sign test.
-    # one array<long> Literal node, not 63 F.lit expressions
-    pow_arr = F.lit([1 << j for j in range(63)]).cast("array<long>")
+    # one array<long> Literal node (functions/plan_literals.py; a
+    # python list through F.lit would expand to 63 element nodes)
+    pow_arr = lit_array([1 << j for j in range(63)], dtype="int64")
 
     def _contrib(h):
         low = F.transform(

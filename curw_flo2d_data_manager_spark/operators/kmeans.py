@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from curw_flo2d_data_manager_spark.functions.plan_literals import lit_matrix
 from curw_flo2d_data_manager_spark.operators.caching import persist_tracked
 
 
@@ -88,11 +89,10 @@ def kmeans_fit(
     ]
 
     def assign(cents: list[list[float]]) -> DataFrame:
-        # one nested-array Literal node, not k*dim F.lit expressions
-        # (similarity.centroid_assign_expr: Catalyst walks the tree per
-        # optimizer rule; the expression-built matrix made composed
-        # plans take seconds to optimize)
-        mat = F.lit([[float(x) for x in c] for c in cents])
+        # k+1 plan nodes — one row Literal per centroid
+        # (functions/plan_literals.py; a python-list F.lit would expand
+        # right back to k*dim element expressions)
+        mat = lit_matrix(cents)
         d2s = F.transform(
             mat,
             lambda c: F.round(

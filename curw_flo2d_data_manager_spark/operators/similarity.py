@@ -20,6 +20,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from curw_flo2d_data_manager_spark.functions.plan_literals import (
+    lit_array,
+    lit_cube,
+    lit_matrix,
+)
 from curw_flo2d_data_manager_spark.operators.parallelism import ensure_min_partitions
 
 
@@ -143,11 +148,16 @@ def _centroid_assign_arrow(unit_vec: Column, centers: list[list[float]]) -> Colu
     c2 = (C * C).sum(axis=1)[None, :]
 
     def _assign(v):
-        X = np.asarray(v.tolist(), dtype="float64")
-        if X.size == 0:
-            return Series([], dtype="int32")
-        d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2
-        return Series(d.argmin(axis=1).astype("int32"))
+        # NULL vectors must yield NULL cluster (parity with the k<=24
+        # expression path, where null propagates through the fold) —
+        # np.asarray on a list containing None raises instead
+        out = Series([None] * len(v), dtype="Int32")
+        mask = v.notna().to_numpy()
+        if mask.any():
+            X = np.asarray(v[mask].tolist(), dtype="float64")
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2
+            out[mask] = d.argmin(axis=1).astype("int32")
+        return out
 
     # module-wide `from __future__ import annotations` stringifies
     # inline hints, which pandas_udf's eval-type inference can't
@@ -172,13 +182,13 @@ def centroid_assign_expr(vec: Column, centers: list[list[float]]) -> Column:
     expression, JVM-side, no model object. Suited to bounded k (the
     centroid matrix is a plan literal).
 
-    The matrix rides as ONE nested-array Literal node, not k·dim
-    ``F.lit`` expressions: Catalyst walks the tree per optimizer rule,
-    and the expression-built form made composed plans (IVF-PQ: this
-    expression appears in 3 join branches) take SECONDS to optimize
-    (measured 13.8 s → 1.9 s first-action latency on the sf0.1
-    composite after the literal collapse)."""
-    centers_arr = F.lit([[float(x) for x in ctr] for ctr in centers])
+    The matrix rides as k+1 plan nodes (one row Literal per centroid,
+    see functions/plan_literals.py) instead of k·dim element
+    expressions, and the argmin is ONE transform lambda template
+    instead of k copies of the fold — both matter because Catalyst
+    re-walks and codegen reprints the tree in every branch the
+    expression appears in (IVF-PQ composes it into 3 join branches)."""
+    centers_arr = lit_matrix(centers)
     d2s = F.transform(
         centers_arr,
         lambda ctr: F.aggregate(
@@ -330,9 +340,8 @@ def ivf_query(
         F.col(vec_col).alias("_cv"),
         F.col("cluster").alias("_cluster"),
     )
-    # one nested-array Literal node, not k*dim F.lit expressions (see
-    # centroid_assign_expr: Catalyst optimization time)
-    centers_arr = F.lit([[float(x) for x in ctr] for ctr in centers])
+    # k+1 plan nodes — one row Literal per centroid (plan_literals.py)
+    centers_arr = lit_matrix(centers)
 
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -705,12 +714,13 @@ def centroid_assign(
     """
     v = F.col(vec_col)
     vn = l2_norm(v)
-    # centroid matrix + norms as single Literal nodes (see
-    # centroid_assign_expr: Catalyst optimization time); same
-    # (score, -index) struct-max, ties to the smallest index
-    cents = F.lit([[float(x) for x in c] for c in centroids])
-    norms = F.lit(
-        [sum(float(x) * float(x) for x in c) ** 0.5 for c in centroids]
+    # row-Literal matrix + one norms Literal (plan_literals.py), one
+    # transform lambda template; same (score, -index) struct-max, ties
+    # to the smallest index
+    cents = lit_matrix(centroids)
+    norms = lit_array(
+        [sum(float(x) * float(x) for x in c) ** 0.5 for c in centroids],
+        dtype="float64",
     )
     scored = F.transform(
         cents,
@@ -896,7 +906,7 @@ def pq_assign(
     total = None
     for i in range(m):
         sub = F.slice(v, i * dsub + 1, dsub)
-        cb_i = F.lit([[float(x) for x in cent] for cent in codebooks[i]])
+        cb_i = lit_matrix(codebooks[i])
         d2s = F.transform(
             cb_i,
             lambda cent: F.aggregate(
@@ -1098,12 +1108,11 @@ def _pq_lut(qv: Column, codebooks: list[list[list[float]]]) -> Column:
     would, and the final sum adds subspaces in the same order, so the
     LUT path is bit-for-bit the naive Σ_i ||q_sub_i − cent(code_i)||²."""
     dsub = len(codebooks[0][0])
-    # one m x ksub x dsub Literal node (see centroid_assign_expr:
-    # Catalyst optimization time); per-cell arithmetic is the identical
-    # zip_with/aggregate, so values are unchanged bit-for-bit
-    cb = F.lit(
-        [[[float(x) for x in cent] for cent in sub] for sub in codebooks]
-    )
+    # m·(ksub+1)+1 plan nodes — one row Literal per sub-centroid
+    # (plan_literals.py) — and ONE nested transform lambda template
+    # instead of m·ksub aggregate copies; per-cell arithmetic is the
+    # identical zip_with/aggregate, so values are unchanged bit-for-bit
+    cb = lit_cube(codebooks)
     return F.transform(
         cb,
         lambda sub, i: F.transform(
@@ -1185,9 +1194,8 @@ def ivfpq_query(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
     )
-    # one nested-array Literal node, not k*dim F.lit expressions (see
-    # centroid_assign_expr: Catalyst optimization time)
-    centers_arr = F.lit([[float(x) for x in ctr] for ctr in centers])
+    # k+1 plan nodes — one row Literal per centroid (plan_literals.py)
+    centers_arr = lit_matrix(centers)
     sqdist = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -1431,7 +1439,16 @@ def mmr_rerank(
             "query_id",
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), round_to).alias(
+            # try_divide: a zero-vector candidate has no defined cosine
+            # — NULL (never compared above any threshold) instead of an
+            # ANSI divide-by-zero crash of the whole rerank
+            F.round(
+                F.try_divide(
+                    dot(F.col("_va"), F.col("_vb")),
+                    l2_norm(F.col("_va")) * l2_norm(F.col("_vb")),
+                ),
+                round_to,
+            ).alias(
                 "sim"
             ),
         )
@@ -1451,9 +1468,14 @@ def mmr_rerank(
         best = df.groupBy("query_id").agg(
             F.max(F.col(score_col)).alias("_best")
         )
+        # eqNullSafe: when EVERY remaining candidate's score is NULL
+        # (zero vectors -> try_divide -> NULL), _best is NULL and a
+        # plain == would emit no row, silently dropping the query from
+        # the round — the old struct-max emitted (min id, NULL score);
+        # null-safe equality preserves that contract
         return (
             df.join(best, "query_id")
-            .filter(F.col(score_col) == F.col("_best"))
+            .filter(F.col(score_col).eqNullSafe(F.col("_best")))
             .groupBy("query_id")
             .agg(
                 F.min("corpus_id").alias("corpus_id"),

@@ -146,7 +146,12 @@ def _ewma_segmented(
         StructType,
     )
 
-    kf = [f for f in df.schema.fields if f.name in key_cols]
+    # key fields in KEY_COLS order — _summarize fills values from the
+    # groupBy key tuple, which is in key_cols order; deriving kf from
+    # schema order silently swapped key columns whenever the caller's
+    # key_cols order differed from the schema (round-9 review finding:
+    # reversed keys returned zero rows through the carry join)
+    kf = [df.schema[k] for k in key_cols]
     rn = F.row_number().over(
         Window.partitionBy(*key_cols).orderBy(*order_cols)
     )
@@ -222,7 +227,17 @@ def _ewma_segmented(
         _compose, schema=carry_schema
     )
 
-    joined = seg_df.join(carries, [*key_cols, "_seg"])
+    # NULL-SAFE key equality: the plain equi-join dropped every row
+    # whose key contains NULL (the default whole-series path keeps
+    # them — groupBy treats NULL as a group)
+    sd = seg_df.alias("s")
+    cr = carries.alias("c")
+    cond = sd["_seg"] == cr["_seg"]
+    for kcol in key_cols:
+        cond = cond & sd[kcol].eqNullSafe(cr[kcol])
+    joined = sd.join(cr, cond).select(
+        *[sd[c] for c in seg_df.columns], cr["_ein"], cr["_started"]
+    )
     out_schema = StructType(
         list(df.schema.fields) + [StructField(out_col, DoubleType())]
     )

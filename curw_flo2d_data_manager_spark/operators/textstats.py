@@ -14,6 +14,8 @@ from fractions import Fraction
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from curw_flo2d_data_manager_spark.functions.plan_literals import lit_array
+
 # High-frequency function-word marker lexicons for the stopword
 # language heuristic (drawn from public frequency lists — the usual
 # top-of-corpus closed-class words per language). Still deterministic
@@ -93,9 +95,9 @@ def punctuation_ratio(col: Column | str) -> Column:
 
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
     w = words(col)
-    # one array Literal node, not |stopwords| F.lit expressions (the
-    # Catalyst-tree-size lesson from similarity.centroid_assign_expr)
-    sw = F.lit(list(stopwords or EN_STOPWORDS))
+    # one array Literal node (functions/plan_literals.py; a python
+    # list through F.lit would expand to |stopwords| element nodes)
+    sw = lit_array(stopwords or EN_STOPWORDS)
     hits = F.size(F.array_intersect(F.array_distinct(w), sw))
     matched = F.filter(w, lambda x: F.array_contains(sw, x))
     return F.size(matched) / F.greatest(F.size(w), F.lit(1))
@@ -131,7 +133,7 @@ def lang_scores(col: Column | str, tokenized: bool = False) -> dict[str, Column]
     w = _c(col) if tokenized else words(col)
     out = {}
     for lang, markers in LANG_MARKERS.items():
-        arr = F.lit(list(markers))  # one Literal node per language
+        arr = lit_array(markers)  # one Literal node per language
         out[lang] = F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
     return out
 

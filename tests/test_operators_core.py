@@ -2583,6 +2583,66 @@ def test_mmr_rerank_string_ids(spark):
     assert got[2] == "doc-c"  # orthogonal doc beats the clone
 
 
+def test_mmr_rerank_all_null_scores_keep_query(spark):
+    """Round-9 review regression: a query whose candidates all have
+    NULL relevance (zero vectors → try_divide → NULL) must still emit
+    a row per rank (min-id, NULL score) — a plain == against the NULL
+    max silently dropped the query from the round."""
+    from curw_flo2d_data_manager_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, 2, None, [1.0, 0.0]),
+        (0, 1, None, [0.0, 1.0]),
+        (1, 5, 0.9, [1.0, 0.0]),
+        # query 2: zero vectors — sims must be NULL, not an ANSI
+        # divide-by-zero crash
+        (2, 7, None, [0.0, 0.0]),
+        (2, 8, None, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, corpus_id long, rel double, vec array<double>"
+    )
+    got = {
+        (r.query_id, r.mmr_rank): (r.corpus_id, r.mmr_score)
+        for r in mmr_rerank(df, k=1, lam=0.5).collect()
+    }
+    assert got[(0, 1)] == (1, None)  # min-id tiebreak, NULL score kept
+    assert got[(1, 1)] == (5, pytest.approx(0.9))
+    assert got[(2, 1)] == (7, None)  # zero vectors: NULL, no crash
+
+
+def test_arrow_assign_large_k_matches_expression_and_handles_nulls(spark):
+    """Round-9 review regression: past _EXPR_ASSIGN_MAX_K the Arrow
+    argmin path must (a) agree with the expression argmin on every
+    vector and (b) yield NULL cluster for NULL vectors instead of
+    crashing the executor on np.asarray."""
+    import random
+
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        _centroid_assign_arrow,
+        _unit,
+        centroid_assign_expr,
+    )
+    import pyspark.sql.functions as F
+
+    rng = random.Random(5)
+    centers = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(30)]
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    u = _unit(F.col("embedding"))
+    both = df.select(
+        "vec_id",
+        centroid_assign_expr(u, centers).alias("c_expr"),
+        _centroid_assign_arrow(u, centers).alias("c_arrow"),
+    ).collect()
+    for r in both:
+        if r.vec_id == 99:
+            assert r.c_expr is None and r.c_arrow is None
+        else:
+            assert r.c_expr == r.c_arrow, r.vec_id
+
+
 def test_mmr_rerank_short_candidate_sets_and_parallel_queries(spark):
     """A query with fewer candidates than k emits what it has; two
     queries advance independently in the same greedy rounds."""

@@ -108,6 +108,36 @@ def test_ewma_segmented_one_group_per_segment(spark):
         assert g == pytest.approx(w, rel=1e-12)
 
 
+def test_ewma_segmented_key_order_and_null_keys(spark):
+    """Round-9 review regressions: (a) key_cols in a DIFFERENT order
+    than the schema must not swap key values in the carry join (the
+    old schema-ordered fill returned zero rows); (b) rows whose key is
+    NULL must survive the segmented path exactly like the default path
+    (null-safe carry join)."""
+    rows = [
+        ("g1", "a", i, float(i)) for i in range(7)
+    ] + [
+        ("g2", "b", i, float(i) * 2) for i in range(7)
+    ] + [
+        (None, "c", i, float(i) + 1 if i % 2 else None) for i in range(7)
+    ]
+    df = spark.createDataFrame(
+        rows, "k1 string, k2 string, t long, value double"
+    )
+    # key_cols deliberately REVERSED vs schema order
+    plain = ewma(df, ["k2", "k1"], ["t"], alpha=0.3)
+    seg = ewma(df, ["k2", "k1"], ["t"], alpha=0.3, segment_rows=3)
+    p = {(r.k1, r.k2, r.t): r.value_ewma for r in plain.collect()}
+    s = {(r.k1, r.k2, r.t): r.value_ewma for r in seg.collect()}
+    assert len(s) == len(rows)  # nothing dropped (incl. NULL-key rows)
+    assert set(p) == set(s)
+    for key in p:
+        if p[key] is None:
+            assert s[key] is None, key
+        else:
+            assert s[key] == pytest.approx(p[key], rel=1e-12), key
+
+
 def test_ewma_validation(spark):
     df = _mk(spark, {"x": [1.0]})
     with pytest.raises(ValueError):
