@@ -889,14 +889,21 @@ def cmd_compact_ann_index(args) -> None:
         meta["pq"]["codebooks"] = codebooks
 
     meta.update(centers=centers, n_clusters=n_clusters, n_vectors=n_total)
+    # Stage the new meta BEFORE touching the live dirs so the commit
+    # sequence is rename/rename/replace with no fs writes in between;
+    # os.replace is atomic, so the only crash window left is "new
+    # assignments + old meta", which _check_ann_meta_consistency in
+    # query/stats detects and reports loudly.
+    tmp_meta = meta_path + ".compacting"
+    with open(tmp_meta, "w") as f:
+        _json.dump(meta, f)
     shutil.rmtree(asg_path)
     os.rename(tmp_asg, asg_path)
     if tmp_codes is not None:
         if os.path.exists(codes_path):
             shutil.rmtree(codes_path)
         os.rename(tmp_codes, codes_path)
-    with open(meta_path, "w") as f:
-        _json.dump(meta, f)
+    os.replace(tmp_meta, meta_path)
     new_sizes = {
         r["cluster"]: r["n"]
         for r in spark.read.parquet(asg_path)
@@ -908,6 +915,24 @@ def cmd_compact_ann_index(args) -> None:
         f"compact-ann-index: {n_total} vectors re-quantized into "
         f"{n_clusters} cells; balance {balance:.2f}x -> {new_balance:.2f}x ideal"
     )
+
+
+def _check_ann_meta_consistency(meta, assignments, index_path) -> None:
+    """Fail loudly when assignments reference cluster ids outside
+    ``meta['centers']`` — the signature of an interrupted compaction
+    (new assignments committed, stale meta left behind; see
+    cmd_compact_ann_index's commit sequence). Reads only the cluster
+    partition column, so the check is a directory-listing agg."""
+    from pyspark.sql import functions as F
+
+    n_centers = len(meta.get("centers") or [])
+    top = assignments.agg(F.max("cluster").alias("m")).collect()[0]["m"]
+    if top is not None and n_centers and top >= n_centers:
+        raise SystemExit(
+            f"assignments under {index_path} reference cluster id {top} but "
+            f"index_meta.json has only {n_centers} centers — likely an "
+            f"interrupted compaction; re-run compact-ann-index --force"
+        )
 
 
 def cmd_ann_index_stats(args) -> None:
@@ -934,6 +959,14 @@ def cmd_ann_index_stats(args) -> None:
         r["cluster"]: r["n"]
         for r in asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    n_centers = len(meta.get("centers") or [])
+    if sizes and n_centers and max(sizes) >= n_centers:
+        raise SystemExit(
+            f"assignments under {args.index} reference cluster id "
+            f"{max(sizes)} but index_meta.json has only {n_centers} centers "
+            f"— likely an interrupted compaction; re-run "
+            f"compact-ann-index --force"
+        )
     n_total = sum(sizes.values())
     n_cells = meta["n_clusters"]
     ideal = n_total / n_cells if n_cells else 0
@@ -978,6 +1011,7 @@ def cmd_query_ann_index(args) -> None:
     except FileNotFoundError:
         raise SystemExit(f"no index_meta.json under {args.index}")
     assignments = spark.read.parquet(os.path.join(args.index, "assignments"))
+    _check_ann_meta_consistency(meta, assignments, args.index)
     queries = spark.read.parquet(args.queries)
     qid, qvec = args.query_id_col, args.query_vec_col or meta["vec_col"]
     for col in (qid, qvec):

@@ -139,13 +139,34 @@ def _centroid_assign_arrow(unit_vec: Column, centers: list[list[float]]) -> Colu
     """Arrow-batched argmin assign for LARGE centroid matrices: one
     NumPy ``X @ C.T`` per batch (vectorized C), first-index tiebreak
     identical to :func:`centroid_assign_expr`. The centroid matrix is
-    a closure constant (driver-bounded by construction)."""
+    a closure constant (driver-bounded by construction).
+
+    The matmul expansion (x² − 2x·c + c²) and the expression path's
+    sequential fold of (x−y)² can disagree in the last ulp, so rows
+    whose best-vs-second-best matmul gap is inside a conservative
+    near-tie band are recomputed with a dimension-ordered accumulation
+    — bit-identical to the JVM fold's summation order (verified by
+    test) — making the assignment IDENTICAL across the
+    ``_EXPR_ASSIGN_MAX_K`` boundary. The band (1e-9 relative) is ~1e4×
+    wider than the worst-case rounding divergence (~dim·4·ulp for unit
+    vectors) yet empty on any non-degenerate batch, so the fast path
+    stays one matmul."""
     import numpy as np
     from pandas import Series
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centers, dtype="float64")
     c2 = (C * C).sum(axis=1)[None, :]
+    k = C.shape[0]
+
+    def _exact_d2(X):
+        # same summation order as the expression fold: accumulate
+        # (x_j - c_j)^2 over dimensions left-to-right in doubles
+        d = np.zeros((X.shape[0], k))
+        for j in range(C.shape[1]):
+            t = X[:, j, None] - C[None, :, j]
+            d += t * t
+        return d
 
     def _assign(v):
         # NULL vectors must yield NULL cluster (parity with the k<=24
@@ -156,7 +177,17 @@ def _centroid_assign_arrow(unit_vec: Column, centers: list[list[float]]) -> Colu
         if mask.any():
             X = np.asarray(v[mask].tolist(), dtype="float64")
             d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2
-            out[mask] = d.argmin(axis=1).astype("int32")
+            idx = d.argmin(axis=1).astype("int32")
+            if k > 1:
+                part = np.partition(d, 1, axis=1)
+                near = (part[:, 1] - part[:, 0]) <= 1e-9 * np.maximum(
+                    1.0, np.abs(part[:, 0])
+                )
+                if near.any():
+                    idx[near] = (
+                        _exact_d2(X[near]).argmin(axis=1).astype("int32")
+                    )
+            out[mask] = idx
         return out
 
     # module-wide `from __future__ import annotations` stringifies
@@ -169,8 +200,11 @@ def _centroid_assign_arrow(unit_vec: Column, centers: list[list[float]]) -> Colu
 def assign_clusters_col(unit_vec: Column, centers: list[list[float]]) -> Column:
     """Cluster id for a UNIT vector column against stored centers —
     expression argmin for bounded k, Arrow/NumPy argmin past
-    ``_EXPR_ASSIGN_MAX_K``. Same metric (squared euclidean on the unit
-    sphere) and same smallest-index tiebreak either way."""
+    ``_EXPR_ASSIGN_MAX_K``. Identical assignment either way: same
+    metric (squared euclidean on the unit sphere), same smallest-index
+    tiebreak, and the Arrow path recomputes near-tie rows in the
+    expression fold's exact summation order so the argmin cannot
+    diverge across the k boundary (see _centroid_assign_arrow)."""
     if len(centers) <= _EXPR_ASSIGN_MAX_K:
         return centroid_assign_expr(unit_vec, centers)
     return _centroid_assign_arrow(unit_vec, centers)
@@ -1401,10 +1435,13 @@ def mmr_rerank(
     sets, e.g. cosine_topk's output joined back to vectors), never the
     corpus: with N candidates per query the pairwise-similarity
     relation is N² per query, computed ONCE, and each of the k−1
-    greedy rounds is two bounded shuffles on query_id (a max-sim
-    aggregate and a ``max(struct(score, −id))`` argmax — every query
-    advances in parallel per round; no per-query Python, no window
-    sort). Selected sets are localCheckpoint-ed per round.
+    greedy rounds is three bounded shuffles on query_id — a max-sim
+    aggregate over the selected set, then a type-agnostic argmax
+    (per-query max score; null-safe equality filter back to the rows
+    at that max, exact because scores are pre-rounded; min(corpus_id)
+    as the total tiebreak). Every query advances in parallel per
+    round; no per-query Python, no window sort. Selected sets are
+    localCheckpoint-ed per round.
 
     Relevance, pairwise similarities, and combined scores are rounded
     to ``round_to`` BEFORE every argmax (the float-robust ranking

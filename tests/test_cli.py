@@ -1185,6 +1185,36 @@ def test_compact_ann_index_rebalances_after_appends(spark, tmp_path, capsys):
     }
     assert top == want
 
+    # round-9 advice: an interrupted compaction (new assignments
+    # committed, stale meta left behind) must be detected LOUDLY by
+    # both stats and query, not silently probed with wrong centers.
+    # Simulate it by truncating meta['centers'] below the cluster ids
+    # the assignments actually reference.
+    meta_path = os.path.join(idx, "index_meta.json")
+    meta = _json.load(open(meta_path))
+    good_centers = meta["centers"]
+    meta["centers"] = good_centers[:2]
+    meta["n_clusters"] = 2
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="interrupted compaction"):
+        main(["ann-index-stats", "--index", idx])
+    with _pytest.raises(SystemExit, match="interrupted compaction"):
+        main([
+            "query-ann-index", "--index", idx, "--queries", qsrc,
+            "--k", "1",
+        ])
+    capsys.readouterr()
+    # restore and confirm both paths recover
+    meta["centers"] = good_centers
+    meta["n_clusters"] = len(good_centers)
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    main(["ann-index-stats", "--index", idx])
+    assert "pq codes 800 (OK vs 800 vectors)" in capsys.readouterr().out
+
 
 def test_detect_extremes_cli_peaks_and_drift(spark, tmp_path, capsys):
     """detect-extremes end-to-end: planted storm runs decluster into

@@ -2643,6 +2643,49 @@ def test_arrow_assign_large_k_matches_expression_and_handles_nulls(spark):
             assert r.c_expr == r.c_arrow, r.vec_id
 
 
+def test_arrow_assign_near_ties_bit_identical_to_expression(spark):
+    """Round-9 advice: the matmul expansion (x²−2x·c+c²) and the
+    expression fold of (x−y)² can diverge in the last ulp on
+    near-ties. The Arrow path now recomputes near-tie rows in the
+    fold's exact summation order, so assignment must be IDENTICAL to
+    the expression path even on vectors sitting on (or within 1e-12
+    of) the perpendicular bisector of two centers — the worst case
+    for the old code."""
+    import random
+
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        _centroid_assign_arrow,
+        centroid_assign_expr,
+    )
+    import pyspark.sql.functions as F
+
+    rng = random.Random(11)
+    dim = 6
+    # 30 centers (> _EXPR_ASSIGN_MAX_K) with two duplicated and two
+    # nearly-duplicated pairs planted at known indices
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(30)]
+    centers[7] = list(centers[3])  # exact duplicate -> exact tie
+    centers[19] = [v + 1e-13 for v in centers[12]]  # last-ulp-ish pair
+    rows = []
+    for i in range(60):
+        # vectors very close to a planted center: distance to the twin
+        # differs by ~0 — squarely inside the near-tie band
+        base = centers[(3, 12)[i % 2]]
+        rows.append((i, [v + rng.uniform(-1e-9, 1e-9) for v in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v = F.col("embedding")
+    both = df.select(
+        "vec_id",
+        centroid_assign_expr(v, centers).alias("c_expr"),
+        _centroid_assign_arrow(v, centers).alias("c_arrow"),
+    ).collect()
+    assert both
+    for r in both:
+        assert r.c_expr == r.c_arrow, (r.vec_id, r.c_expr, r.c_arrow)
+        # first-index tiebreak on the exact-duplicate pair
+        assert r.c_arrow != 7
+
+
 def test_mmr_rerank_short_candidate_sets_and_parallel_queries(spark):
     """A query with fewer candidates than k emits what it has; two
     queries advance independently in the same greedy rounds."""

@@ -97,8 +97,12 @@ def main() -> None:
                         chunk = fh.read(1 << 20)
                         if not chunk:
                             break
-                        if len(head) < (1 << 16):
-                            head += chunk[: 1 << 16]
+                        if b"\n" not in head:
+                            # contiguous prefix until the first line
+                            # boundary — slicing a fixed window from
+                            # every chunk would stitch non-adjacent
+                            # byte ranges together
+                            head += chunk
                         cnt += chunk.count(b"\n")
                         keep = 1 << 16
                         tail = (tail + chunk)[-keep:] if len(chunk) < keep else chunk[-keep:]
