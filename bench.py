@@ -195,6 +195,13 @@ def main() -> None:
         "sim_rank_fusion",
         "dedup_containment",
         "text_strip_boilerplate",
+        # round-10 additions: sparse ApSS, IR-index build, graph
+        # triangles, CM sketch, stream-stream interval join
+        "sim_sparse_cosine",
+        "text_inverted_index",
+        "g_triangle_count",
+        "sketch_countmin",
+        "stream_join_attrib",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

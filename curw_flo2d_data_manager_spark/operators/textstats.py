@@ -1184,3 +1184,177 @@ def strip_boilerplate_lines(
             F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))
         ).alias("n_removed"),
     )
+
+
+def word_ngram_terms(col: Column | str, n: int = 1) -> Column:
+    """Multiset word n-gram term array ([] for empty text). A document
+    shorter than n words contributes its full word-join once — the
+    same short-document convention as :func:`word_shingles`, but
+    KEEPING repeats (term frequencies matter to tf-idf; shingle sets
+    don't)."""
+    w = words(col)
+    if n <= 1:
+        return w
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(w) - F.lit(n - 1), F.lit(1))
+        ),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.when(F.size(w) == 0, F.array().cast("array<string>")).otherwise(
+        grams
+    )
+
+
+def inverted_index(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    min_df: int = 2,
+    ngram: int = 1,
+) -> "DataFrame":
+    """Flattened inverted-index construction: for every term with
+    document frequency ≥ ``min_df``, the per-term stats (df, corpus
+    tf) plus the top-``k`` postings by (tf desc, id asc) — the build
+    step behind BM25/tf-idf retrieval (reference parity n/a; this is
+    the LLM-pipeline IR extension family).
+
+    Scale shape: text leaves the plan at tokenization — only
+    (id, term, tf) rides the shuffles. One (id, term) aggregation, one
+    term aggregation, and a per-term top-k expressed as
+    ``row_number() <= k`` so Spark's InferWindowGroupLimit inserts the
+    map-side Partial group-limit (at most k postings per term per map
+    partition reach the exchange — the difference between shipping the
+    full posting lists of 10¹¹-token corpora and shipping k rows per
+    term). ``min_df`` drops the hapax tail (typically >40% of the
+    vocabulary) before the window.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(word_ngram_terms(text_col, ngram)).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("corpus_tf"),
+    ).filter(F.col("df") >= min_df)
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc(id_col))
+    top = (
+        tf.join(stats.select("term"), "term", "left_semi")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return top.join(stats, "term").select(
+        "term", "df", "corpus_tf", F.col(id_col), "tf", "rank"
+    )
+
+
+def sparse_cosine_pairs(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str = "text",
+    min_sim: float = 0.5,
+    max_df_frac: float = 0.25,
+    weight_scale: int = 10_000,
+    ngram: int = 1,
+) -> "DataFrame":
+    """All-pairs sparse tf-idf cosine similarity via an inverted-index
+    self-join (Bayardo et al., WWW'07 — "Scaling Up All Pairs
+    Similarity Search"): candidate pairs are generated ONLY through
+    shared terms, never by a corpus cross join, which is what makes
+    text similarity search feasible where dense-embedding ANN isn't
+    available or wanted.
+
+    Scale levers, in the order they bound the work:
+    - terms with df > ``max_df_frac``·N (stopwords — the quadratic
+      killers, since a term in f docs contributes f² candidate rows)
+      are dropped from the VECTORS (both numerator and norms), the
+      standard stopword-pruning semantics;
+    - hapax terms (df = 1) stay in the norms but can't generate pairs,
+      so the join side filters df ≥ 2;
+    - the pair aggregation shuffles on (id_a, id_b) with map-side
+      partial sums.
+
+    Float robustness across engines: weights are fixed-point
+    ``round(tf·idf·weight_scale)`` BIGINTs, so dot products and
+    squared norms are EXACT integer sums (associative — immune to
+    Spark-vs-DuckDB summation order); the only floating ops are one
+    sqrt and one divide on the final exact integers, both correctly
+    rounded IEEE and therefore bit-identical cross-engine, then
+    rounded to 6 decimals.
+
+    ``ngram`` > 1 switches the vocabulary from unigrams to word
+    n-grams (multiset, a document shorter than n words contributing
+    its full word-join once) — on small or templated vocabularies the
+    unigram df distribution is too flat to discriminate, while n-gram
+    vocabulary grows combinatorially and restores the sparse-vector
+    regime ApSS assumes.
+
+    Returns (id_a, id_b, n_shared_terms, cosine) for pairs with
+    cosine ≥ ``min_sim``, id_a < id_b.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_ngram_terms(text_col, ngram)).alias("term"),
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = (
+        df.filter(F.size(words(text_col)) > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    weighted = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.col("n_docs") * F.lit(max_df_frac))
+        .withColumn(
+            "w",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                )
+                * F.lit(float(weight_scale))
+            ).cast("long"),
+        )
+        .select("_id", "term", "df", "w")
+    )
+    norms = weighted.groupBy("_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("norm2")
+    )
+    postings = weighted.filter(F.col("df") >= 2).select("_id", "term", "w")
+    a = postings.select(
+        F.col("_id").alias("id_a"), "term", F.col("w").alias("w_a")
+    )
+    b = postings.select(
+        F.col("_id").alias("id_b"), "term", F.col("w").alias("w_b")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_terms"),
+            F.sum(F.col("w_a") * F.col("w_b")).alias("dot"),
+        )
+    )
+    return (
+        dots.join(norms.select(F.col("_id").alias("id_a"),
+                               F.col("norm2").alias("na")), "id_a")
+        .join(norms.select(F.col("_id").alias("id_b"),
+                           F.col("norm2").alias("nb")), "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("na").cast("double"))
+                   * F.sqrt(F.col("nb").cast("double"))),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= min_sim)
+        .select("id_a", "id_b", "n_shared_terms", "cosine")
+    )

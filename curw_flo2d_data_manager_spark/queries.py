@@ -8191,6 +8191,361 @@ ORDER BY id, event_id
 """
 
 
+def sim_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse tf-idf cosine via inverted-index self-join
+    (Bayardo et al., WWW'07) — the text-side similarity search that
+    complements the dense-embedding ANN stack: candidate pairs exist
+    only through shared word-3-gram terms, never a corpus cross join.
+    Weights are fixed-point BIGINTs so dot products and norms are
+    exact integer sums (engine summation order can't flip the hash);
+    see operators/textstats.py::sparse_cosine_pairs for the scale
+    levers (stopword df cap, hapax-free join side)."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        sparse_cosine_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return sparse_cosine_pairs(
+        docs, "doc_id", "text", min_sim=0.5, max_df_frac=0.02, ngram=3
+    ).orderBy("id_a", "id_b")
+
+
+SIM_SPARSE_COSINE_SQL = """
+WITH w AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+') AS words
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) != ''
+),
+g AS (
+    SELECT doc_id, array_to_string(words[i:i+2], ' ') AS term
+    FROM w, UNNEST(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM w),
+wt AS (
+    SELECT t.doc_id, t.term, d.df,
+           CAST(ROUND(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) * 10000.0)
+                AS BIGINT) AS wgt
+    FROM tf t JOIN dfq d USING (term) CROSS JOIN n
+    WHERE d.df <= n.n_docs * 0.02
+),
+norms AS (SELECT doc_id, SUM(wgt * wgt) AS norm2 FROM wt GROUP BY 1),
+dots AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS n_shared_terms, SUM(a.wgt * b.wgt) AS dot
+    FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+    WHERE a.df >= 2
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT id_a, id_b, n_shared_terms,
+           ROUND(dot / (sqrt(CAST(na.norm2 AS DOUBLE))
+                        * sqrt(CAST(nb.norm2 AS DOUBLE))), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = dots.id_a
+    JOIN norms nb ON nb.doc_id = dots.id_b
+)
+SELECT * FROM scored WHERE cosine >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build over word bigrams: per-term df / corpus tf
+    and the top-3 postings by (tf desc, doc asc) — the IR-index
+    construction stage behind the BM25/tf-idf retrieval queries. The
+    per-term top-k is a row_number() <= k window, so the physical plan
+    carries Spark's map-side WindowGroupLimit (plan-gated)."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        inverted_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return inverted_index(
+        docs, "doc_id", "text", k=3, min_df=5, ngram=2
+    ).orderBy("term", "rank")
+
+
+TEXT_INVERTED_SQL = """
+WITH w AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+') AS words
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) != ''
+),
+g AS (
+    SELECT doc_id, array_to_string(words[i:i+1], ' ') AS term
+    FROM w, UNNEST(generate_series(1, greatest(len(words) - 1, 1))) AS t(i)
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+stats AS (
+    SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS corpus_tf
+    FROM tf GROUP BY 1 HAVING COUNT(*) >= 5
+),
+ranked AS (
+    SELECT term, doc_id, tf,
+           ROW_NUMBER() OVER (PARTITION BY term
+                              ORDER BY tf DESC, doc_id) AS rank
+    FROM tf
+    WHERE term IN (SELECT term FROM stats)
+)
+SELECT r.term, s.df, s.corpus_tf, r.doc_id, r.tf, r.rank
+FROM ranked r JOIN stats s USING (term)
+WHERE r.rank <= 3
+ORDER BY term, rank
+"""
+
+
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-occurrence graph
+    (parts sharing an order become an edge — 1.2M edges / 20k nodes /
+    max degree ~220 at sf0.1, a genuinely sparse graph, unlike the
+    supplier projection which saturates complete): the degree-oriented
+    node-iterator — wedges enumerated only at each triangle's
+    lowest-(degree, id) corner, closed against the canonical edge set —
+    which caps wedge volume at O(|E|^1.5) on any degree distribution
+    (operators/triangles.py). The oracle counts the same triangles by
+    direct 3-way self-join, fine at oracle scale and quadratic-degree-
+    blowup at real scale; both count every triangle corner exactly
+    once."""
+    from curw_flo2d_data_manager_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        # first two ship-years: 103k edges / 41k triangles at sf0.1 —
+        # a substantial sparse graph whose wedge volume stays in the
+        # per-query bench budget (the unbounded 1.2M-edge projection
+        # generates 41M wedges — that shape is proven separately by
+        # tools/bench_triangle_scale.py's planted graph)
+        .filter(F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_partkey")
+    )
+    # bipartite→unipartite projection via per-container array
+    # expansion: ONE groupBy shuffle of the raw rows, pairs generated
+    # in-plan from each order's sorted part set (measured 1.8× faster
+    # than the equivalent self-join at sf0.1, same 1.2M-edge output;
+    # per-container quadratic cost is bounded by order width either
+    # way)
+    arr = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    edges = (
+        arr.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ps"), i + F.lit(2), F.size(F.col("ps"))
+                            ),
+                            lambda y: F.struct(
+                                x.alias("p_a"), y.alias("p_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .select("pr.p_a", "pr.p_b")
+        .distinct()
+    )
+    return triangle_counts(edges, "p_a", "p_b").orderBy("node")
+
+
+G_TRIANGLE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1997-01-01'),
+e AS (
+    SELECT DISTINCT a.p AS sa, b.p AS sb
+    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+),
+tri AS (
+    SELECT e1.sa AS x, e1.sb AS y, e2.sb AS z
+    FROM e e1
+    JOIN e e2 ON e2.sa = e1.sa AND e2.sb > e1.sb
+    JOIN e e3 ON e3.sa = e1.sb AND e3.sb = e2.sb
+),
+corners AS (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM corners GROUP BY node ORDER BY node
+"""
+
+
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch build + point queries: the 4×256 counter
+    matrix is ONE partial-aggregable shuffle of (row, bucket) pairs —
+    corpus-size-independent state, the sketch-family guarantee — and
+    the 20 exact-top terms are probed back with min-over-rows. Every
+    estimate must satisfy the CM one-sided bound est ≥ exact, and both
+    engines rebuild the identical sketch from the shared md5 hash
+    construction (operators/sketches.py)."""
+    from curw_flo2d_data_manager_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+    from curw_flo2d_data_manager_spark.operators.textstats import words
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(words("text")).alias("term"))
+    sketch = countmin_build(toks, "term", depth=4, width=256)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    from pyspark.sql import Window
+
+    top = (
+        exact.withColumn(
+            "_r",
+            F.row_number().over(
+                Window.orderBy(F.desc("exact_n"), F.asc("term"))
+            ),
+        )
+        .filter(F.col("_r") <= 20)
+        .drop("_r")
+    )
+    est = countmin_estimate(top.select("term"), sketch, "term",
+                            depth=4, width=256)
+    return (
+        top.join(est, "term")
+        .select("term", "exact_n", "cm_estimate",
+                (F.col("cm_estimate") >= F.col("exact_n")).alias("bound_ok"))
+        .orderBy(F.desc("exact_n"), "term")
+    )
+
+
+SKETCH_COUNTMIN_SQL = """
+WITH w AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+') AS words
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) != ''
+),
+tok AS (SELECT unnest(words) AS term FROM w),
+exact AS (SELECT term, COUNT(*) AS exact_n FROM tok GROUP BY 1),
+top AS (
+    SELECT term, exact_n FROM exact
+    ORDER BY exact_n DESC, term LIMIT 20
+),
+cells AS (
+    SELECT t.r,
+           CAST(('0x' || substring(md5(tok.term || '|' || t.r), 1, 8))
+                AS BIGINT) % 256 AS bucket,
+           COUNT(*) AS cnt
+    FROM tok CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(r)
+    GROUP BY 1, 2
+),
+est AS (
+    SELECT top.term, top.exact_n, MIN(c.cnt) AS cm_estimate
+    FROM top
+    CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(r)
+    JOIN cells c
+      ON c.r = t.r
+     AND c.bucket = CAST(('0x' || substring(md5(top.term || '|' || t.r), 1, 8))
+                         AS BIGINT) % 256
+    GROUP BY 1, 2
+)
+SELECT term, exact_n, cm_estimate, cm_estimate >= exact_n AS bound_ok
+FROM est
+ORDER BY exact_n DESC, term
+"""
+
+
+def stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view→purchase attribution): one
+    month of events replayed through a file stream, split into a view
+    stream and a purchase stream, inner-joined per user with a closed
+    30-minute window. Must equal the batch self-join oracle pair for
+    pair — the Structured Streaming shape (two watermarked sides,
+    equi-key + time-range state bounds) the other streams don't
+    exercise."""
+    import tempfile
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    src = tempfile.mkdtemp(prefix="stream_attrib_src_")
+    ev.select(
+        F.col("user_id").cast("string").alias("id"),
+        F.col("ts").alias("time"),
+        "event_type",
+        "event_id",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from curw_flo2d_data_manager_spark.streaming import (
+        streaming_attribution_join,
+    )
+
+    schema = StructType([
+        StructField("id", StringType()),
+        StructField("time", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+    ])
+    # A stream-stream join keeps FOUR state stores per shuffle
+    # partition; at the session's default parallelism that's 128 store
+    # instances (dir creation + per-batch commit files each) for a
+    # 40k-row replay — pure fixed overhead. State parallelism is sized
+    # to the stream's key cardinality, not the batch session's CPU
+    # count (measured 13 s → ~5 s at sf0.1). The conf is read at query
+    # start, so scoping it around the replay is safe and restored.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        name = _run_replay_stream(
+            spark, src,
+            lambda s: streaming_attribution_join(
+                s, "view", "purchase", gap="30 minutes", watermark="2 hours"
+            ),
+            "stream_attrib_", "append", schema=schema,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return (
+        spark.table(name)
+        .select(
+            F.col("id").cast("long").alias("user_id"),
+            F.col("left_id").alias("view_id"),
+            F.col("right_id").alias("purchase_id"),
+            (F.unix_micros("right_time") - F.unix_micros("left_time"))
+            .alias("gap_us"),
+        )
+        .orderBy("user_id", "view_id", "purchase_id")
+    )
+
+
+STREAM_ATTRIB_SQL = """
+SELECT v.user_id AS user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP))
+         AS gap_us
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view'
+ AND p.event_type = 'purchase'
+ AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+ AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP)
+     + INTERVAL 30 MINUTE
+ORDER BY v.user_id, view_id, purchase_id
+"""
+
+
 # Registry order is CONTRACTUAL: the external correctness driver
 # verifies only the FIRST 50 entries, so positions 1-50 must cover one
 # gating query for every SURVEY §2 operator family (S/P/K/F/J/A/W/O/
@@ -8207,6 +8562,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # consistency, PQ LUT, rangejoin inverted-interval semantics),
     # then the entries with the OLDEST certification (last green
     # in the r5 window or earlier), then two r6-certified fills.
+    # ---- round-10 additions (never driver-certified — window head)
+    "sim_sparse_cosine": (sim_sparse_cosine, SIM_SPARSE_COSINE_SQL),
+    "text_inverted_index": (text_inverted_index, TEXT_INVERTED_SQL),
+    "g_triangle_count": (g_triangle_count, G_TRIANGLE_SQL),
+    "sketch_countmin": (sketch_countmin, SKETCH_COUNTMIN_SQL),
+    "stream_join_attrib": (stream_join_attrib, STREAM_ATTRIB_SQL),
     "a_salted_sum": (a_salted_sum, A_SALTED_SQL),
     "stream_hot_terms": (stream_hot_terms, STREAM_HOT_SQL),
     "dedup_fuzzy_names": (dedup_fuzzy_names, DEDUP_FUZZY_SQL),

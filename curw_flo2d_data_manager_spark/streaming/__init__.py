@@ -10,6 +10,7 @@ from curw_flo2d_data_manager_spark.streaming.ingest import (
     hychan_extract_stream,
     timdep_extract_stream,
     read_series_stream,
+    streaming_attribution_join,
     streaming_cumulative_sum,
     streaming_dedup,
     streaming_cusum,
@@ -24,6 +25,7 @@ __all__ = [
     "hychan_extract_stream",
     "timdep_extract_stream",
     "read_series_stream",
+    "streaming_attribution_join",
     "streaming_cumulative_sum",
     "streaming_dedup",
     "streaming_cusum",

@@ -894,3 +894,66 @@ def streaming_hot_terms(
         .filter(F.col("n") >= min_count)
         .select(F.col("w.start").alias("window_start"), "term", "n")
     )
+
+
+def streaming_attribution_join(
+    stream: DataFrame,
+    left_type: str,
+    right_type: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    type_col: str = "event_type",
+    key_col: str = "id",
+    time_col: str = "time",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Stream-stream interval join: every ``right_type`` event is
+    attributed to each ``left_type`` event of the same key whose
+    timestamp precedes it by at most ``gap`` (view→purchase
+    attribution, trigger→alert correlation). Both sides are filtered
+    views of ONE input stream — Spark treats them as two streams, so
+    this is the full stream-stream inner-join machinery, the one
+    Structured Streaming shape the other eleven streams don't cover.
+
+    Scale shape: both sides carry a ``watermark`` and the join has
+    both an equi-key (state co-partitions on it — the shuffle key) and
+    a closed time-range condition, so each side's buffered state is
+    bounded by the watermark horizon per key, not by stream length;
+    without the range bound Spark would buffer the right side forever.
+    Inner-join matches emit as soon as both rows have arrived (no
+    watermark wait); the watermark only evicts state.
+
+    Returns (key, left_id, left_time, right_id, right_time).
+    """
+    left = (
+        stream.filter(F.col(type_col) == left_type)
+        .select(
+            F.col(key_col).alias("l_key"),
+            F.col(time_col).alias("l_time"),
+            F.col(id_col).alias("left_id"),
+        )
+        .withWatermark("l_time", watermark)
+    )
+    right = (
+        stream.filter(F.col(type_col) == right_type)
+        .select(
+            F.col(key_col).alias("r_key"),
+            F.col(time_col).alias("r_time"),
+            F.col(id_col).alias("right_id"),
+        )
+        .withWatermark("r_time", watermark)
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            f"l_key = r_key AND r_time >= l_time "
+            f"AND r_time <= l_time + interval {gap}"
+        ),
+    )
+    return joined.select(
+        F.col("l_key").alias(key_col),
+        "left_id",
+        F.col("l_time").alias("left_time"),
+        "right_id",
+        F.col("r_time").alias("right_time"),
+    )

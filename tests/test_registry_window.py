@@ -11,9 +11,12 @@ lockstep with any registry reorder."""
 
 from curw_flo2d_data_manager_spark.queries import DRIVER_WINDOW, REGISTRY
 
-# Round-8 window: keys must sit at registry position < DRIVER_WINDOW.
+# Round-10 window: keys must sit at registry position < DRIVER_WINDOW.
 REQUIRED_IN_WINDOW = {
-    # the thirty-nine round-8 additions, never driver-certified
+    # the five round-10 additions, never driver-certified
+    "sim_sparse_cosine", "text_inverted_index", "g_triangle_count",
+    "sketch_countmin", "stream_join_attrib",
+    # the thirty-nine round-8 additions, certified in the r8/r9 windows
     "w_interp_user", "w_hampel_user", "f_domain_cap", "f_quantile_norm",
     "text_char_entropy", "w_peaks_over_threshold", "w_cusum_drift",
     "dedup_normalized", "dedup_url_canonical", "a_histogram",
@@ -31,12 +34,12 @@ REQUIRED_IN_WINDOW = {
     # PQ ADC lookup-table rewrite, and the rangejoin inverted-interval
     # semantics fix
     "w_linear_interp", "sim_kmeans", "sim_pq_adc", "sim_pq_rerank",
-    "sim_ivfpq", "j_interval_overlap", "j_range_join",
-    # oldest certifications (last green in the r5 window or earlier);
-    # all re-verified locally in the round-7 and round-8 full sweeps
-    "s2_grid_scan_correction", "s6_max_end_time", "j6_nearest_rank1",
-    "j8_gap_fill",
-    
+    "sim_ivfpq", "j_interval_overlap",
+    # (round-10 rotation: the five new additions displaced j_range_join /
+    # s2_grid_scan_correction / s6_max_end_time / j6_nearest_rank1 /
+    # j8_gap_fill — every one driver-certified in BOTH the r8 and r9
+    # windows and re-verified locally in each full sweep since.)
+
     # (the late-round-8 additions a_salted_sum / j_salted_join /
     # x_zorder_index / f_robust_scale / stream_hot_terms /
     # dedup_fuzzy_names / a_profile_columns / text_zipf_slope /
