@@ -1321,6 +1321,12 @@ def sparse_cosine_pairs(
             ).cast("long"),
         )
         .select("_id", "term", "df", "w")
+        # consumed by THREE branches (norms + both join arms); without
+        # a checkpoint the tokenize + tf + df aggregations re-execute
+        # per branch (round-9 lesson — the term-keyed exchange is
+        # reused across the join arms, but the norm aggregation's
+        # _id-keyed branch recomputes the whole lineage)
+        .localCheckpoint(eager=True)
     )
     norms = weighted.groupBy("_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("norm2")

@@ -2875,3 +2875,210 @@ def test_strip_boilerplate_keeps_all_boilerplate_doc(spark):
     assert got[3].text_clean == ""
     assert got[3].n_lines == 2 and got[3].n_removed == 2
     assert got[1].text_clean == "alpha" and got[1].n_removed == 2
+
+
+# round-10: triangle counting (operators/triangles.py)
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 (every node in C(3,2)=3 triangles), a triangle with a
+    pendant edge, and a square (no triangles); reversed/duplicate
+    edges and self-loops must not change the answer."""
+    from curw_flo2d_data_manager_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    # noise: duplicates, reversed orientation, a self-loop
+    edges = k4 + [(b, a) for a, b in k4[:3]] + [(2, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    tri_pendant = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    df = spark.createDataFrame(tri_pendant, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}  # pendant node 4 omitted
+
+    square = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    df = spark.createDataFrame(square, "src long, dst long")
+    assert triangle_counts(df).count() == 0
+
+
+def test_triangle_counts_matches_bruteforce_on_random_graph(spark):
+    """Degree-oriented counts equal the itertools brute force on a
+    random-ish deterministic graph (the orientation/tiebreak logic is
+    where off-by-one bugs live)."""
+    import itertools
+    import random
+
+    from curw_flo2d_data_manager_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = sorted(
+        {(a, b) for a in nodes for b in nodes
+         if a < b and rng.random() < 0.2}
+    )
+    eset = set(edges)
+    want: dict[int, int] = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in eset and (x, z) in eset and (y, z) in eset:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == want
+
+
+# round-10: sparse all-pairs cosine (operators/textstats.py)
+
+def test_sparse_cosine_pairs_planted_duplicates_and_threshold(spark):
+    """Exact copies hit cosine 1.0; unrelated documents never pair
+    (no shared 3-gram terms); the threshold drops weak pairs."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        sparse_cosine_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate
+        (3, "completely different words about spark catalyst plans"),
+        (4, base + " with a small trailing addition here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sparse_cosine_pairs(
+            df, "doc_id", min_sim=0.2, max_df_frac=1.0, ngram=3
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    # doc 4 extends the base text: its unique cross-boundary 3-grams
+    # carry high idf, so the cosine is well below 1 but the shared
+    # prefix keeps it above the threshold
+    assert (1, 4) in got and 0.2 <= got[(1, 4)] < 1.0
+    assert not any(3 in pair for pair in got)
+
+
+def test_sparse_cosine_pairs_df_cap_prunes_stopword_terms(spark):
+    """With a tight max_df_frac every term shared by ALL docs is
+    pruned from vectors, so docs that only share ubiquitous terms
+    cannot pair at all."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        sparse_cosine_pairs,
+    )
+
+    common = "alpha beta gamma"
+    rows = [
+        (1, common + " one two three"),
+        (2, common + " four five six"),
+        (3, common + " seven eight nine"),
+        # doc 4 shares nothing, so common's df=3 < N=4 and its
+        # smoothed idf ln(5/4) stays positive (df = N would zero it)
+        (4, "unrelated filler payload"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # unigrams: 'alpha'/'beta'/'gamma' have df=3; cap at 0.5 (df<=2)
+    # prunes them and nothing else can generate a pair
+    loose = sparse_cosine_pairs(
+        df, "doc_id", min_sim=0.01, max_df_frac=1.0, ngram=1
+    ).count()
+    tight = sparse_cosine_pairs(
+        df, "doc_id", min_sim=0.01, max_df_frac=0.5, ngram=1
+    ).count()
+    assert loose >= 3 and tight == 0
+
+
+def test_word_ngram_terms_short_and_empty_docs(spark):
+    """A doc shorter than n words yields its full join once; empty
+    text yields an empty array (never a null row explosion)."""
+    import pyspark.sql.functions as F
+
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        word_ngram_terms,
+    )
+
+    rows = [(1, "only two"), (2, ""), (3, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.terms
+        for r in df.select(
+            "doc_id", word_ngram_terms("text", 3).alias("terms")
+        ).collect()
+    }
+    assert got[1] == ["only two"]
+    assert got[2] == []
+    assert got[3] == ["a b c", "b c d"]
+
+
+# round-10: inverted index (operators/textstats.py)
+
+def test_inverted_index_postings_and_plan_gate(spark):
+    """Known tf/df plus the InferWindowGroupLimit plan shape: the
+    row_number <= k filter must produce a map-side Partial
+    WindowGroupLimit so at most k postings per term per map partition
+    ride the shuffle."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        inverted_index,
+    )
+
+    rows = [
+        (1, "spark spark spark flink"),
+        (2, "spark flink flink"),
+        (3, "spark trino"),
+        (4, "spark"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = inverted_index(df, "doc_id", k=2, min_df=2, ngram=1)
+    got = {
+        (r.term, r.rank): (r.df, r.corpus_tf, r.doc_id, r.tf)
+        for r in out.collect()
+    }
+    # spark: df=4, corpus_tf=6, top postings (1, tf3) then (2, tf1 min id)
+    assert got[("spark", 1)] == (4, 6, 1, 3)
+    assert got[("spark", 2)] == (4, 6, 2, 1)
+    assert got[("flink", 1)] == (2, 3, 2, 2)
+    assert got[("flink", 2)] == (2, 3, 1, 1)
+    assert ("trino", 1) not in got  # df=1 < min_df
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+# round-10: Count-Min sketch (operators/sketches.py)
+
+def test_countmin_bound_and_exactness(spark):
+    """est >= exact always (the CM one-sided bound); with a roomy
+    sketch and a tiny vocabulary estimates are exact; shrinking the
+    width forces collisions that only ever push estimates UP."""
+    import pyspark.sql.functions as F
+
+    from curw_flo2d_data_manager_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    rows = [(f"t{i % 7}",) for i in range(700)] + [("rare",)] * 3
+    toks = spark.createDataFrame(rows, "term string")
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+
+    roomy = countmin_build(toks, depth=4, width=256)
+    est = countmin_estimate(exact.select("term"), roomy,
+                            depth=4, width=256)
+    merged = {r.term: (r.exact_n, r.cm_estimate)
+              for r in exact.join(est, "term").collect()}
+    assert len(merged) == 8
+    assert all(e == c for e, c in merged.values())
+
+    tight = countmin_build(toks, depth=2, width=2)
+    est2 = countmin_estimate(exact.select("term"), tight,
+                             depth=2, width=2)
+    merged2 = {r.term: (r.exact_n, r.cm_estimate)
+               for r in exact.join(est2, "term").collect()}
+    assert all(c >= e for e, c in merged2.values())
+    # 8 terms in 2x2 cells MUST collide somewhere
+    assert any(c > e for e, c in merged2.values())

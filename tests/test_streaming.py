@@ -538,3 +538,76 @@ def test_streaming_hot_terms_window_close_and_threshold(spark, tmp_path):
         (r.window_start, r.term): r.n for r in spark.table(name).collect()
     }
     assert got == {(T(0), "spam"): 3}
+
+
+def test_streaming_attribution_join_interval_and_key_semantics(spark, tmp_path):
+    """Stream-stream interval join: purchases match each same-user
+    view within the closed 30-minute window — boundary hits (exactly
+    0 and exactly 30 min) included, 31 min and other-user purchases
+    excluded, two views inside the window both matched. The two sides
+    are filtered views of ONE replayed source, exercising Spark's
+    full stream-stream join machinery."""
+    import uuid
+    from datetime import datetime, timedelta
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from curw_flo2d_data_manager_spark.streaming import (
+        read_series_stream,
+        streaming_attribution_join,
+    )
+
+    schema = StructType([
+        StructField("id", StringType()),
+        StructField("time", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+    ])
+    t0 = datetime(2024, 1, 1, 12, 0)
+    m = lambda k: t0 + timedelta(minutes=k)  # noqa: E731
+    rows = [
+        ("u1", m(0), "view", 1),
+        ("u1", m(10), "view", 2),
+        ("u1", m(10), "purchase", 100),   # matches views 1 (10m) and 2 (0m)
+        ("u1", m(30), "purchase", 101),   # matches 1 (exactly 30m) and 2
+        ("u1", m(41), "purchase", 102),   # 41m/31m after views: no match
+        # u2: purchase at m(5) matches view 4 (same instant, closed
+        # bound) but NOT view 3 (purchase precedes it), and never
+        # crosses users into u1's views
+        ("u2", m(5), "purchase", 200),
+        ("u2", m(6), "view", 3),
+        ("u2", m(5), "view", 4),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    name = "attrib_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_attribution_join(
+            read_series_stream(spark, src, schema=schema),
+            "view", "purchase", gap="30 minutes", watermark="2 hours",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = sorted(
+        (r.id, r.left_id, r.right_id)
+        for r in spark.table(name).collect()
+    )
+    assert got == [
+        ("u1", 1, 100), ("u1", 1, 101),
+        ("u1", 2, 100), ("u1", 2, 101),
+        ("u2", 4, 200),
+    ]
