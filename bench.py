@@ -202,6 +202,7 @@ def main() -> None:
         "g_triangle_count",
         "sketch_countmin",
         "stream_join_attrib",
+        "stream_join_unmatched",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

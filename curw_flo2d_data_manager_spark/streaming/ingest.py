@@ -906,6 +906,7 @@ def streaming_attribution_join(
     key_col: str = "id",
     time_col: str = "time",
     id_col: str = "event_id",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: every ``right_type`` event is
     attributed to each ``left_type`` event of the same key whose
@@ -923,7 +924,16 @@ def streaming_attribution_join(
     Inner-join matches emit as soon as both rows have arrived (no
     watermark wait); the watermark only evicts state.
 
-    Returns (key, left_id, left_time, right_id, right_time).
+    ``how='left_outer'`` changes the semantics qualitatively: an
+    unmatched left row can only be DECLARED unmatched once the
+    watermark has passed its whole match window, so null-extended rows
+    emit on watermark advancement, not on arrival — the streaming
+    analogue of an anti-join needs the event-time clock to move past
+    the row (callers replaying finite data append far-future sentinel
+    rows to push it there; see the ``stream_join_unmatched`` query).
+
+    Returns (key, left_id, left_time, right_id, right_time);
+    right columns are NULL for watermark-closed unmatched left rows.
     """
     left = (
         stream.filter(F.col(type_col) == left_type)
@@ -949,6 +959,7 @@ def streaming_attribution_join(
             f"l_key = r_key AND r_time >= l_time "
             f"AND r_time <= l_time + interval {gap}"
         ),
+        how,
     )
     return joined.select(
         F.col("l_key").alias(key_col),

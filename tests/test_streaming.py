@@ -611,3 +611,78 @@ def test_streaming_attribution_join_interval_and_key_semantics(spark, tmp_path):
         ("u1", 2, 100), ("u1", 2, 101),
         ("u2", 4, 200),
     ]
+
+
+def test_streaming_attribution_join_left_outer_watermark_emission(spark, tmp_path):
+    """Left-outer stream-stream join: a view with no in-window
+    purchase emits null-extended ONLY after the watermark passes its
+    match window (pushed by far-future sentinels); matched views never
+    emit a null row; the sentinel's own open window stays unemitted
+    within the replay's filtered view."""
+    import uuid
+    from datetime import datetime, timedelta
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from curw_flo2d_data_manager_spark.streaming import (
+        read_series_stream,
+        streaming_attribution_join,
+    )
+
+    schema = StructType([
+        StructField("id", StringType()),
+        StructField("time", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+    ])
+    t0 = datetime(2024, 1, 1, 12, 0)
+    m = lambda k: t0 + timedelta(minutes=k)  # noqa: E731
+    rows = [
+        ("u1", m(0), "view", 1),              # matched at +10
+        ("u1", m(10), "purchase", 100),
+        ("u1", m(20), "view", 2),             # purchase at +40 -> unmatched
+        ("u1", m(60), "purchase", 101),
+        ("u2", m(0), "view", 3),              # no purchases at all
+        # sentinels push the watermark past every real window —
+        # distinct keys so they can't match each other
+        ("sv", m(24 * 60), "view", -1),
+        ("sp", m(24 * 60), "purchase", -2),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    name = "unmatched_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_attribution_join(
+            read_series_stream(spark, src, schema=schema),
+            "view", "purchase", gap="30 minutes",
+            watermark="10 minutes", how="left_outer",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    out = spark.table(name)
+    matched = sorted(
+        (r.id, r.left_id, r.right_id)
+        for r in out.filter("right_id IS NOT NULL").collect()
+    )
+    unmatched = sorted(
+        (r.id, r.left_id)
+        for r in out.filter(
+            "right_id IS NULL AND id NOT IN ('sv', 'sp')"
+        ).collect()
+    )
+    assert matched == [("u1", 1, 100)]
+    assert unmatched == [("u1", 2), ("u2", 3)]
