@@ -1538,6 +1538,71 @@ def cmd_prepare_corpus(args) -> None:
     print(f"prepare-corpus: {len(stages)} stages complete")
 
 
+def cmd_corpus_similarity(args) -> None:
+    """All-pairs sparse tf-idf cosine over a parquet corpus (ApSS,
+    Bayardo WWW'07): writes (id_a, id_b, n_shared_terms, cosine)
+    parquet for every pair at or above ``--min_sim`` — the text-side
+    near-dup / plagiarism / cross-source overlap pass when no
+    embedding column exists. Candidate pairs arise only through
+    shared word-n-gram terms (inverted-index self-join), never a
+    corpus cross join; ``--max_df_frac`` prunes the quadratic
+    stopword terms (see operators/textstats.sparse_cosine_pairs)."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        sparse_cosine_pairs,
+    )
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="corpus-similarity")
+    df = spark.read.parquet(args.input)
+    for col in (args.id_col, args.text_col):
+        if col not in df.columns:
+            raise SystemExit(f"column {col!r} not in input ({df.columns})")
+    pairs = sparse_cosine_pairs(
+        df,
+        args.id_col,
+        args.text_col,
+        min_sim=args.min_sim,
+        max_df_frac=args.max_df_frac,
+        ngram=args.ngram,
+    )
+    pairs.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(
+        f"corpus-similarity: {n} pairs with cosine >= {args.min_sim} "
+        f"(ngram={args.ngram}) -> {args.output}"
+    )
+
+
+def cmd_graph_triangles(args) -> None:
+    """Per-node triangle counts over an undirected edge parquet —
+    the clustering-coefficient primitive for duplicate-pair and
+    co-occurrence graphs (operators/triangles.py: degree-oriented
+    wedge enumeration, O(|E|^1.5) on any degree skew)."""
+    from curw_flo2d_data_manager_spark.operators.triangles import (
+        triangle_counts,
+    )
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="graph-triangles")
+    edges = spark.read.parquet(args.edges)
+    for col in (args.src_col, args.dst_col):
+        if col not in edges.columns:
+            raise SystemExit(f"column {col!r} not in edges ({edges.columns})")
+    out = triangle_counts(edges, args.src_col, args.dst_col)
+    out.write.mode("overwrite").parquet(args.output)
+    import pyspark.sql.functions as F
+
+    agg = spark.read.parquet(args.output).agg(
+        F.count(F.lit(1)).alias("nodes"),
+        F.sum("n_triangles").alias("corners"),
+    ).collect()[0]
+    total = (agg["corners"] or 0) // 3
+    print(
+        f"graph-triangles: {total} triangles across {agg['nodes']} nodes "
+        f"-> {args.output}"
+    )
+
+
 def cmd_corpus_stats(args) -> None:
     """One-pass corpus health report: per-(lang, source) doc/token
     counts, mixture weights, and mean quality signals — the look-
@@ -1831,6 +1896,31 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--keep_only", action="store_true",
                     help="write only surviving rows (original columns)")
     sp.set_defaults(fn=cmd_dedup_corpus)
+
+    sp = sub.add_parser(
+        "corpus-similarity",
+        help="all-pairs sparse tf-idf cosine (ApSS) -> pair parquet",
+    )
+    sp.add_argument("--input", required=True, help="input parquet path")
+    sp.add_argument("--output", required=True, help="pair parquet path")
+    sp.add_argument("--id_col", default="doc_id")
+    sp.add_argument("--text_col", default="text")
+    sp.add_argument("--min_sim", type=float, default=0.8)
+    sp.add_argument("--max_df_frac", type=float, default=0.25,
+                    help="drop terms in more than this fraction of docs")
+    sp.add_argument("--ngram", type=int, default=3,
+                    help="word n-gram term size (1 = unigrams)")
+    sp.set_defaults(fn=cmd_corpus_similarity)
+
+    sp = sub.add_parser(
+        "graph-triangles",
+        help="per-node triangle counts over an undirected edge parquet",
+    )
+    sp.add_argument("--edges", required=True, help="edge parquet path")
+    sp.add_argument("--output", required=True, help="output parquet path")
+    sp.add_argument("--src_col", default="src")
+    sp.add_argument("--dst_col", default="dst")
+    sp.set_defaults(fn=cmd_graph_triangles)
 
     sp = sub.add_parser(
         "corpus-stats",

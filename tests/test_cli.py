@@ -1409,3 +1409,43 @@ def test_dedup_corpus_containment_exact_duplicates_keep_survivor(
     assert "dedup-corpus[containment]: 4 rows in, 2 rows out" in printed
     kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert kept == [1, 4]  # min-id survivor per group, not zero
+
+
+def test_corpus_similarity_cli_pairs(spark, tmp_path, capsys):
+    """corpus-similarity end-to-end: planted verbatim copy surfaces at
+    cosine 1.0, unrelated docs produce no pair, output parquet carries
+    the (id_a, id_b, n_shared_terms, cosine) schema."""
+    base = ("the quick brown fox jumps over the lazy dog "
+            "and keeps on running far away")
+    rows = [
+        (1, base),
+        (2, base),
+        (3, "entirely unrelated text about catalyst physical plans"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "pairs.parquet")
+    main([
+        "corpus-similarity", "--input", src, "--output", out,
+        "--min_sim", "0.9", "--max_df_frac", "1.0",
+    ])
+    assert "1 pairs with cosine >= 0.9" in capsys.readouterr().out
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b, r.cosine) == (1, 2, 1.0)
+    assert r.n_shared_terms > 0
+
+
+def test_graph_triangles_cli(spark, tmp_path, capsys):
+    """graph-triangles end-to-end: K4 plus a pendant edge -> 4
+    triangles total, every K4 node in 3."""
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges.append((3, 9))
+    src = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(edges, "src long, dst long").write.parquet(src)
+    out = str(tmp_path / "tri.parquet")
+    main(["graph-triangles", "--edges", src, "--output", out])
+    assert "4 triangles across 4 nodes" in capsys.readouterr().out
+    got = {r.node: r.n_triangles for r in spark.read.parquet(out).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
