@@ -203,6 +203,8 @@ def main() -> None:
         "sketch_countmin",
         "stream_join_attrib",
         "stream_join_unmatched",
+        "g_kcore",
+        "sim_bq_hamming",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

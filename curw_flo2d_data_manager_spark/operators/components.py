@@ -360,3 +360,61 @@ def label_propagation(
         if (it + 1) % 4 == 0 and (it + 1) < n_iters:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 4,
+    n_rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core via ``n_rounds`` synchronous peeling rounds: each round
+    drops every node with degree < k and the edges touching it. The
+    peel is IDEMPOTENT once the core stabilizes, so a fixed round
+    count past the graph's peel depth computes the exact k-core while
+    keeping the computation (and its SQL oracle — unrolled CTE stages,
+    the label_propagation pattern) engine-deterministic; under-budget
+    rounds are still well-defined ("the graph after R peels").
+
+    Scale shape: per round, one degree aggregation (partial-agg
+    friendly) and two left-semi joins on the endpoint — key-partitioned
+    shuffles of id pairs only. Unlike LPA's labels, the edge relation
+    is referenced THREE times per round (degree + both semi joins), so
+    lineage grows 3^R without truncation — each round's survivor set is
+    localCheckpoint-ed (the star-contraction rationale, not the LPA
+    one).
+
+    Returns (node, degree) for nodes whose degree within the peeled
+    graph is still ≥ k — the k-core membership with its core degree.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return final_deg.filter(F.col("degree") >= k)

@@ -8298,42 +8298,23 @@ ORDER BY term, rank
 """
 
 
-def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts over the part co-occurrence graph
-    (parts sharing an order become an edge — 1.2M edges / 20k nodes /
-    max degree ~220 at sf0.1, a genuinely sparse graph, unlike the
-    supplier projection which saturates complete): the degree-oriented
-    node-iterator — wedges enumerated only at each triangle's
-    lowest-(degree, id) corner, closed against the canonical edge set —
-    which caps wedge volume at O(|E|^1.5) on any degree distribution
-    (operators/triangles.py). The oracle counts the same triangles by
-    direct 3-way self-join, fine at oracle scale and quadratic-degree-
-    blowup at real scale; both count every triangle corner exactly
-    once."""
-    from curw_flo2d_data_manager_spark.operators.triangles import (
-        triangle_counts,
-    )
-
+def _part_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-occurrence edge relation shared by the graph-family
+    queries (g_triangle_count, g_kcore): parts sharing an order in the
+    first two ship-years, built by per-container array expansion — ONE
+    groupBy shuffle of the raw rows, pairs generated in-plan from each
+    order's sorted part set (measured 1.8× faster than the equivalent
+    self-join at sf0.1, same 103k-edge output; per-container quadratic
+    cost is bounded by order width either way)."""
     li = (
         _t(spark, sf_dir, "lineitem")
-        # first two ship-years: 103k edges / 41k triangles at sf0.1 —
-        # a substantial sparse graph whose wedge volume stays in the
-        # per-query bench budget (the unbounded 1.2M-edge projection
-        # generates 41M wedges — that shape is proven separately by
-        # tools/bench_triangle_scale.py's planted graph)
         .filter(F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         .select("l_orderkey", "l_partkey")
     )
-    # bipartite→unipartite projection via per-container array
-    # expansion: ONE groupBy shuffle of the raw rows, pairs generated
-    # in-plan from each order's sorted part set (measured 1.8× faster
-    # than the equivalent self-join at sf0.1, same 1.2M-edge output;
-    # per-container quadratic cost is bounded by order width either
-    # way)
     arr = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    edges = (
+    return (
         arr.select(
             F.explode(
                 F.flatten(
@@ -8354,6 +8335,30 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pr.p_a", "pr.p_b")
         .distinct()
     )
+
+
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-occurrence graph
+    (parts sharing an order become an edge — 1.2M edges / 20k nodes /
+    max degree ~220 at sf0.1, a genuinely sparse graph, unlike the
+    supplier projection which saturates complete): the degree-oriented
+    node-iterator — wedges enumerated only at each triangle's
+    lowest-(degree, id) corner, closed against the canonical edge set —
+    which caps wedge volume at O(|E|^1.5) on any degree distribution
+    (operators/triangles.py). The oracle counts the same triangles by
+    direct 3-way self-join, fine at oracle scale and quadratic-degree-
+    blowup at real scale; both count every triangle corner exactly
+    once."""
+    from curw_flo2d_data_manager_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    # first two ship-years: 103k edges / 41k triangles at sf0.1 — a
+    # substantial sparse graph whose wedge volume stays in the
+    # per-query bench budget (the unbounded 1.2M-edge projection
+    # generates 41M wedges — that shape is proven separately by
+    # tools/bench_triangle_scale.py's planted graph)
+    edges = _part_cooccur_edges(spark, sf_dir)
     return triangle_counts(edges, "p_a", "p_b").orderBy("node")
 
 
@@ -8546,6 +8551,118 @@ ORDER BY v.user_id, view_id, purchase_id
 """
 
 
+def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the part co-occurrence graph via 6 synchronous
+    peeling rounds (operators/components.py::k_core) — the density
+    filter that isolates the cohesive region of dedup-pair and
+    co-occurrence graphs before community detection. 6 rounds is past
+    the measured peel depth at every test SF (≤ 3), and the peel is
+    idempotent after convergence, so the fixed round budget computes
+    the exact core while keeping the oracle an unrolled-CTE replica
+    (the label_propagation pattern)."""
+    from curw_flo2d_data_manager_spark.operators.components import k_core
+
+    edges = _part_cooccur_edges(spark, sf_dir)
+    return k_core(edges, k=4, n_rounds=6, src="p_a", dst="p_b").orderBy(
+        "node"
+    )
+
+
+def _gen_kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled-CTE DuckDB replica of k_core over the part
+    co-occurrence graph — generated from the SAME (k, rounds)
+    constants the Spark query passes, so the two cannot drift."""
+    parts = ["""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1997-01-01'),
+e0 AS MATERIALIZED (SELECT DISTINCT a.p AS sa, b.p AS sb
+       FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p)"""]
+    for r in range(rounds):
+        parts.append(f""",
+k{r} AS MATERIALIZED (SELECT node FROM (
+    SELECT node, COUNT(*) AS d FROM
+      (SELECT sa AS node FROM e{r} UNION ALL SELECT sb FROM e{r}) u{r}
+    GROUP BY node) d{r} WHERE d >= {k}),
+e{r + 1} AS MATERIALIZED (SELECT sa, sb FROM e{r}
+             WHERE sa IN (SELECT node FROM k{r})
+               AND sb IN (SELECT node FROM k{r}))""")
+    parts.append(f"""
+SELECT node, COUNT(*) AS degree FROM
+  (SELECT sa AS node FROM e{rounds} UNION ALL SELECT sb FROM e{rounds}) uf
+GROUP BY node HAVING COUNT(*) >= {k}
+ORDER BY node""")
+    return "".join(parts)
+
+
+G_KCORE_SQL = _gen_kcore_sql(k=4, rounds=6)
+
+
+def sim_bq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (the 1-bit rung of the PQ/SQ/BQ
+    quantization ladder): 64-dim vectors collapse to one sign-bit
+    BIGINT, Hamming (popcount of xor) ranks a 50-candidate short list
+    per query, exact cosine reranks to top-10. The brute-force stage
+    scans 8-byte codes instead of 512-byte vectors — the ~64×
+    scan-shrink that makes code-space search viable at 10⁹ vectors
+    (operators/similarity.py::bq_hamming_topk)."""
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        bq_hamming_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = bq_hamming_topk(emb, queries, k=10, candidate_mult=5, dim=64)
+    return out.select(
+        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+SIM_BQ_SQL = """
+WITH codes AS (
+    SELECT vec_id,
+           bit_or(CASE WHEN e > 0 THEN
+               (CASE WHEN i = 64 THEN -9223372036854775808
+                     ELSE (1::BIGINT << (i - 1)) END)
+           ELSE 0 END) AS code
+    FROM (SELECT vec_id, UNNEST(embedding) AS e,
+                 UNNEST(generate_series(1, len(embedding))) AS i
+          FROM embeddings)
+    GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, code AS qcode FROM codes WHERE vec_id < 5),
+ham AS (
+    SELECT q.query_id, c.vec_id AS corpus_id,
+           bit_count(xor(c.code, q.qcode)) AS hamming
+    FROM codes c CROSS JOIN q
+),
+cand AS (
+    SELECT query_id, corpus_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, corpus_id) AS crk
+        FROM ham) t
+    WHERE crk <= 50
+),
+scored AS (
+    SELECT cand.query_id, cand.corpus_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(qe.embedding AS DOUBLE[])) AS cosine
+    FROM cand
+    JOIN embeddings e ON e.vec_id = cand.corpus_id
+    JOIN embeddings qe ON qe.vec_id = cand.query_id
+),
+ranked AS (
+    SELECT query_id, corpus_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, corpus_id) AS rank
+    FROM scored
+)
+SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 def stream_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming anti-join semantics via a LEFT OUTER stream-stream
     join: views with NO same-user purchase inside the closed 30-minute
@@ -8673,6 +8790,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sketch_countmin": (sketch_countmin, SKETCH_COUNTMIN_SQL),
     "stream_join_attrib": (stream_join_attrib, STREAM_ATTRIB_SQL),
     "stream_join_unmatched": (stream_join_unmatched, STREAM_UNMATCHED_SQL),
+    "g_kcore": (g_kcore, G_KCORE_SQL),
+    "sim_bq_hamming": (sim_bq_hamming, SIM_BQ_SQL),
     "a_salted_sum": (a_salted_sum, A_SALTED_SQL),
     "stream_hot_terms": (stream_hot_terms, STREAM_HOT_SQL),
     "dedup_fuzzy_names": (dedup_fuzzy_names, DEDUP_FUZZY_SQL),

@@ -3082,3 +3082,111 @@ def test_countmin_bound_and_exactness(spark):
     assert all(c >= e for e, c in merged2.values())
     # 8 terms in 2x2 cells MUST collide somewhere
     assert any(c > e for e, c in merged2.values())
+
+
+# round-10: k-core peeling (operators/components.py)
+
+def test_k_core_peels_to_fixpoint_and_is_idempotent_past_it(spark):
+    """A 5-clique with a pendant chain: every chain node peels (the
+    peel CASCADES — removing the tail drops the next node under k),
+    the clique survives with degree 4; extra rounds past fixpoint
+    change nothing; k above the max degree empties the graph."""
+    from curw_flo2d_data_manager_spark.operators.components import k_core
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + chain, "src long, dst long")
+    got = {r.node: r.degree for r in k_core(df, k=4, n_rounds=6).collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+    # idempotence past fixpoint
+    got2 = {r.node: r.degree for r in k_core(df, k=4, n_rounds=9).collect()}
+    assert got2 == got
+    assert k_core(df, k=5, n_rounds=6).count() == 0
+
+
+def test_k_core_matches_bruteforce_on_random_graph(spark):
+    """Fixed-round k_core equals the classic loop-to-fixpoint peel on
+    a random graph whose peel depth is under the round budget."""
+    import random
+
+    from curw_flo2d_data_manager_spark.operators.components import k_core
+
+    rng = random.Random(13)
+    edges = sorted(
+        {(a, b) for a in range(40) for b in range(40)
+         if a < b and rng.random() < 0.12}
+    )
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    k = 3
+    while True:
+        drop = [n for n, ns in adj.items() if len(ns) < k]
+        if not drop:
+            break
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    want = {n: len(ns) for n, ns in adj.items()}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.degree for r in k_core(df, k=k, n_rounds=12).collect()}
+    assert got == want
+
+
+# round-10: binary quantization (operators/similarity.py)
+
+def test_bq_code_bits_and_word_boundary(spark):
+    """Known sign patterns produce the expected packed word, including
+    bit 63 (the wrapped min-long) and the zero-is-clear convention."""
+    import pyspark.sql.functions as F
+
+    from curw_flo2d_data_manager_spark.operators.similarity import bq_code
+
+    v_all = [1.0] * 64
+    v_none = [-1.0] * 32 + [0.0] * 32
+    v_bit0 = [1.0] + [-1.0] * 63
+    v_bit63 = [-1.0] * 63 + [0.5]
+    df = spark.createDataFrame(
+        [(1, v_all), (2, v_none), (3, v_bit0), (4, v_bit63)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.code
+        for r in df.select(
+            "vec_id", bq_code(F.col("embedding"), 64).alias("code")
+        ).collect()
+    }
+    assert got[1] == -1          # all 64 bits set
+    assert got[2] == 0           # negatives and zeros clear
+    assert got[3] == 1
+    assert got[4] == -(1 << 63)  # bit 63 alone = min long
+
+
+def test_bq_hamming_topk_planted_copy_rank1(spark):
+    """An exact copy of the query vector shares its full sign pattern
+    (hamming 0) and must come back rank 1 with cosine 1.0; the rerank
+    is exact cosine so candidate order beyond the copy follows true
+    similarity within the short list."""
+    import random
+
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        bq_hamming_topk,
+    )
+    import pyspark.sql.functions as F
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(200)
+    ]
+    rows.append((999, list(rows[5][1])))  # planted copy of vec 5
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = bq_hamming_topk(corpus, queries, k=3, candidate_mult=5).collect()
+    top = {r.rank: (r.corpus_id, round(r.cosine, 6)) for r in got}
+    # rank 1/2 are the vector and its planted copy (id tiebreak), both 1.0
+    assert top[1] == (5, 1.0)
+    assert top[2] == (999, 1.0)
