@@ -205,6 +205,9 @@ def main() -> None:
         "stream_join_unmatched",
         "g_kcore",
         "sim_bq_hamming",
+        "g_clustering_coef",
+        "text_readability",
+        "x_event_transitions",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -8663,6 +8663,204 @@ ORDER BY query_id, rank
 """
 
 
+def g_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — 2·T(v) / (deg(v)·
+    (deg(v)−1)) over the part co-occurrence graph: the per-node
+    community-density signal triangle counts exist to feed. One extra
+    degree aggregation + broadcastable join on top of
+    operators/triangles.py; nodes of degree < 2 have no defined
+    coefficient and are omitted, triangle-free nodes report 0."""
+    from curw_flo2d_data_manager_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    edges = _part_cooccur_edges(spark, sf_dir)
+    tri = triangle_counts(edges, "p_a", "p_b")
+    deg = (
+        edges.select(F.col("p_a").alias("node"))
+        .unionAll(edges.select(F.col("p_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= 2)
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.coalesce("n_triangles", F.lit(0))
+                * 2.0
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                6,
+            ).alias("coefficient"),
+        )
+        .orderBy("node")
+    )
+
+
+G_CLUSTERING_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1997-01-01'),
+e AS MATERIALIZED (
+    SELECT DISTINCT a.p AS sa, b.p AS sb
+    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+),
+tri AS (
+    SELECT e1.sa AS x, e1.sb AS y, e2.sb AS z
+    FROM e e1
+    JOIN e e2 ON e2.sa = e1.sa AND e2.sb > e1.sb
+    JOIN e e3 ON e3.sa = e1.sb AND e3.sb = e2.sb
+),
+corners AS (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+),
+tcounts AS (SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node),
+deg AS (
+    SELECT node, COUNT(*) AS degree FROM
+      (SELECT sa AS node FROM e UNION ALL SELECT sb FROM e) u
+    GROUP BY node HAVING COUNT(*) >= 2
+)
+SELECT d.node, d.degree,
+       COALESCE(t.n_triangles, 0) AS n_triangles,
+       ROUND(COALESCE(t.n_triangles, 0) * 2.0
+             / (d.degree * (d.degree - 1)), 6) AS coefficient
+FROM deg d LEFT JOIN tcounts t USING (node)
+ORDER BY node
+"""
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per source: words/sentence and
+    vowel-group syllables/word folded into the classic 206.835 −
+    1.015·(w/s) − 84.6·(syl/w) score — the cheap fluency gate next to
+    the punctuation/stopword quality signals. Pure regexp-count
+    expressions (JVM-side, ride the scan), aggregated per source with
+    partial aggregation; per-doc scores never shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))
+        ).alias("_s"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0)
+            )
+        ).alias("_syl"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), F.lit(0)
+            )
+        ).alias("_w"),
+    ).select(
+        "source",
+        "_w",
+        "_syl",
+        F.greatest(F.col("_s"), F.lit(1)).alias("_sent"),
+    ).filter(F.col("_w") > 0)
+    per_doc = per_doc.withColumn(
+        "_score",
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("_w") / F.col("_sent"))
+        - F.lit(84.6) * (F.col("_syl") / F.col("_w")),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_score"), 4).alias("avg_flesch"),
+            F.round(F.avg(F.col("_w") / F.col("_sent")), 4).alias(
+                "avg_words_per_sentence"
+            ),
+            F.round(F.avg(F.col("_syl") / F.col("_w")), 4).alias(
+                "avg_syllables_per_word"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_READABILITY_SQL = """
+WITH per_doc AS (
+    SELECT source,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+           len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sent
+    FROM documents
+),
+scored AS (
+    SELECT source, w, syl, sent,
+           206.835 - 1.015 * (CAST(w AS DOUBLE) / sent)
+                   - 84.6 * (CAST(syl AS DOUBLE) / w) AS score
+    FROM per_doc WHERE w > 0
+)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(score), 4) AS avg_flesch,
+       ROUND(AVG(CAST(w AS DOUBLE) / sent), 4) AS avg_words_per_sentence,
+       ROUND(AVG(CAST(syl AS DOUBLE) / w), 4) AS avg_syllables_per_word
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next type | previous type), the session-behavior
+    fingerprint next to funnels and sessionization. One per-user lag
+    window (the (user, ts, id) sort is the only shuffle of the raw
+    events) then a 25-row aggregate; probabilities are exact-count
+    ratios rounded AFTER the divide, so both engines rank identical
+    integer counts."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("_tot"))
+    return (
+        counts.join(totals, "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            F.round(F.col("n") / F.col("_tot"), 6).alias("p"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+X_TRANSITIONS_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+counts AS (
+    SELECT prev_type, event_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6)
+         AS p
+FROM counts
+ORDER BY prev_type, event_type
+"""
+
+
 def stream_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming anti-join semantics via a LEFT OUTER stream-stream
     join: views with NO same-user purchase inside the closed 30-minute
@@ -8792,6 +8990,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stream_join_unmatched": (stream_join_unmatched, STREAM_UNMATCHED_SQL),
     "g_kcore": (g_kcore, G_KCORE_SQL),
     "sim_bq_hamming": (sim_bq_hamming, SIM_BQ_SQL),
+    "g_clustering_coef": (g_clustering_coef, G_CLUSTERING_SQL),
+    "text_readability": (text_readability, TEXT_READABILITY_SQL),
+    "x_event_transitions": (x_event_transitions, X_TRANSITIONS_SQL),
     "a_salted_sum": (a_salted_sum, A_SALTED_SQL),
     "stream_hot_terms": (stream_hot_terms, STREAM_HOT_SQL),
     "dedup_fuzzy_names": (dedup_fuzzy_names, DEDUP_FUZZY_SQL),

@@ -13,10 +13,11 @@ from curw_flo2d_data_manager_spark.queries import DRIVER_WINDOW, REGISTRY
 
 # Round-10 window: keys must sit at registry position < DRIVER_WINDOW.
 REQUIRED_IN_WINDOW = {
-    # the eight round-10 additions, never driver-certified
+    # the eleven round-10 additions, never driver-certified
     "sim_sparse_cosine", "text_inverted_index", "g_triangle_count",
     "sketch_countmin", "stream_join_attrib", "stream_join_unmatched",
-    "g_kcore", "sim_bq_hamming",
+    "g_kcore", "sim_bq_hamming", "g_clustering_coef",
+    "text_readability", "x_event_transitions",
     # the thirty-nine round-8 additions, certified in the r8/r9 windows
     "w_interp_user", "w_hampel_user", "f_domain_cap", "f_quantile_norm",
     "text_char_entropy", "w_peaks_over_threshold", "w_cusum_drift",
@@ -34,9 +35,9 @@ REQUIRED_IN_WINDOW = {
     # fix, kmeans final-assignment consistency + HALF_UP init, the
     # PQ ADC lookup-table rewrite, and the rangejoin inverted-interval
     # semantics fix
-    "w_linear_interp", "sim_kmeans", "sim_pq_adc",
-    # (round-10 rotation: the eight new additions displaced
-    # sim_pq_rerank / sim_ivfpq / j_interval_overlap / j_range_join /
+    # (round-10 rotation: the eleven new additions displaced
+    # w_linear_interp / sim_kmeans / sim_pq_adc / sim_pq_rerank /
+    # sim_ivfpq / j_interval_overlap / j_range_join /
     # s2_grid_scan_correction / s6_max_end_time / j6_nearest_rank1 /
     # j8_gap_fill — every one driver-certified in BOTH the r8 and r9
     # windows and re-verified locally in each full sweep since.)
