@@ -208,6 +208,7 @@ def main() -> None:
         "g_clustering_coef",
         "text_readability",
         "x_event_transitions",
+        "g_pagerank_weighted",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -91,3 +91,84 @@ def pagerank(
             )
         )
     return ranks
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    iters: int = 5,
+    scale: int = 10**12,
+    d_num: int = 17,
+    d_den: int = 20,
+) -> DataFrame:
+    """WEIGHTED PageRank in exact integer fixed-point — every
+    operation is BIGINT multiply / integer-divide / sum, so the result
+    is bit-identical on any engine and any partitioning (integer sums
+    are associative; float PageRank's Σ rank·w/deg accumulates in
+    shuffle order and drifts in the last ulps, which a cross-engine
+    oracle over hundreds-of-edge nodes cannot round away).
+
+    rank'·S = ((d_den−d_num)·S) DIV (d_den·N)
+              + (d_num · Σ_{u→v} (rank_u·S · w_uv) DIV W_u) DIV d_den
+
+    with S = ``scale`` (ranks carried as rank·S), damping d =
+    d_num/d_den, W_u = Σ outgoing weight of u (``weight_col`` must be
+    integral; None = 1 per edge). Truncation loses ≤ 1/S per term —
+    the result is PageRank to ~12 decimal digits, deterministically.
+    Dangling mass is NOT redistributed (dangling nodes keep receiving
+    the teleport share only) — callers with dangling nodes and exact
+    mass-conservation needs want the float :func:`pagerank`.
+
+    Scale shape: identical to :func:`pagerank` — per iteration one
+    edge shuffle keyed by src and one partial-aggregated sum keyed by
+    dst; ranks localCheckpoint-ed per round (referenced twice).
+    Overflow headroom: rank·S ≤ S, so terms stay ≤ S·max_w ≪ 2⁶³ for
+    any realistic integer weight.
+
+    Returns (node, rank_fp) with rank_fp = rank·S as BIGINT.
+    """
+    if iters < 1:
+        raise ValueError(f"iters {iters} < 1")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("_w")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    outw = e.groupBy("src").agg(F.sum("_w").alias("_degw"))
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", F.expr(f"{scale} DIV _n").alias("rank_fp")
+    )
+    teleport = F.expr(f"{(d_den - d_num) * scale} DIV ({d_den} * _n)")
+    for _ in range(int(iters)):
+        ranks = ranks.localCheckpoint(eager=True)
+        contribs = (
+            e.join(ranks.join(outw, ranks["node"] == outw["src"]), "src")
+            .select(
+                "dst",
+                F.expr("(rank_fp * _w) DIV _degw").alias("_c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    teleport
+                    + F.expr(
+                        f"({d_num} * coalesce(_sum, 0L)) DIV {d_den}"
+                    )
+                ).alias("rank_fp"),
+            )
+        )
+    return ranks

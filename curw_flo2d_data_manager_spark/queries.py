@@ -8861,6 +8861,107 @@ ORDER BY prev_type, event_type
 """
 
 
+def g_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank over the supplier co-occurrence graph
+    (edge weight = shared-order count), computed in exact integer
+    fixed-point (operators/pagerank.py::pagerank_fixed_point): float
+    PageRank's Σ rank·w/deg accumulates in shuffle order and drifts in
+    the last ulps — over this graph's hundreds-of-edge nodes no
+    rounding scheme makes a float oracle safe, so the recurrence
+    itself is made exact (BIGINT multiply / integer-divide / sum,
+    associative and engine-independent). rank_fp = rank·10¹²."""
+    from curw_flo2d_data_manager_spark.operators.pagerank import (
+        pagerank_fixed_point,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # per-container array expansion (the g_triangle_count edge-build
+    # shape) with the pair OCCURRENCES kept — the groupBy then counts
+    # shared orders as the edge weight
+    arr = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
+    pairs = (
+        arr.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ss"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ss"), i + F.lit(2), F.size(F.col("ss"))
+                            ),
+                            lambda y: F.struct(
+                                x.alias("s_a"), y.alias("s_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .select("pr.s_a", "pr.s_b")
+        .groupBy("s_a", "s_b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    edges = pairs.select(
+        F.col("s_a").alias("src"), F.col("s_b").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(
+            F.col("s_b").alias("src"), F.col("s_a").alias("dst"), "w"
+        )
+    )
+    pr = pagerank_fixed_point(edges, weight_col="w", iters=5)
+    return pr.select(
+        F.col("node").alias("supplier"), "rank_fp"
+    ).orderBy("supplier")
+
+
+def _gen_wpr_sql(iters: int, scale: int = 10**12,
+                 d_num: int = 17, d_den: int = 20) -> str:
+    """Unrolled-CTE DuckDB replica of pagerank_fixed_point over the
+    supplier co-occurrence graph — generated from the SAME constants
+    the Spark query passes. Integer fixed-point makes every iteration
+    exact, so the final BIGINT ranks compare with NO rounding."""
+    parts = ["""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+pairs AS (
+    SELECT a.s AS sa, b.s AS sb, COUNT(*) AS w
+    FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s
+    GROUP BY a.s, b.s HAVING COUNT(*) >= 2),
+edges AS MATERIALIZED (
+    SELECT sa AS src, sb AS dst, w FROM pairs
+    UNION ALL SELECT sb, sa, w FROM pairs),
+nodes AS MATERIALIZED (
+    SELECT DISTINCT node FROM
+      (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) u),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+od AS MATERIALIZED (SELECT src, SUM(w) AS degw FROM edges GROUP BY src),"""]
+    parts.append(f"""
+r0 AS MATERIALIZED (SELECT node, {scale} // nn.n AS rank_fp
+                    FROM nodes CROSS JOIN nn)""")
+    for i in range(1, iters + 1):
+        parts.append(f""",
+r{i} AS MATERIALIZED (
+    SELECT n.node,
+           ({(d_den - d_num) * scale} // ({d_den} * nn.n))
+           + ({d_num} * COALESCE(c.s, 0)) // {d_den} AS rank_fp
+    FROM nodes n CROSS JOIN nn
+    LEFT JOIN (
+        SELECT e.dst AS node, SUM((r.rank_fp * e.w) // od.degw) AS s
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN od ON e.src = od.src
+        GROUP BY e.dst
+    ) c ON n.node = c.node)""")
+    parts.append(f"""
+SELECT node AS supplier, CAST(rank_fp AS BIGINT) AS rank_fp
+FROM r{iters} ORDER BY supplier""")
+    return "".join(parts)
+
+
+G_WPR_SQL = _gen_wpr_sql(iters=5)
+
+
 def stream_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming anti-join semantics via a LEFT OUTER stream-stream
     join: views with NO same-user purchase inside the closed 30-minute
@@ -8991,6 +9092,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "g_kcore": (g_kcore, G_KCORE_SQL),
     "sim_bq_hamming": (sim_bq_hamming, SIM_BQ_SQL),
     "g_clustering_coef": (g_clustering_coef, G_CLUSTERING_SQL),
+    "g_pagerank_weighted": (g_pagerank_weighted, G_WPR_SQL),
     "text_readability": (text_readability, TEXT_READABILITY_SQL),
     "x_event_transitions": (x_event_transitions, X_TRANSITIONS_SQL),
     "a_salted_sum": (a_salted_sum, A_SALTED_SQL),

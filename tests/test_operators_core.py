@@ -3190,3 +3190,54 @@ def test_bq_hamming_topk_planted_copy_rank1(spark):
     # rank 1/2 are the vector and its planted copy (id tiebreak), both 1.0
     assert top[1] == (5, 1.0)
     assert top[2] == (999, 1.0)
+
+
+# round-10: fixed-point weighted PageRank (operators/pagerank.py)
+
+def test_pagerank_fixed_point_matches_float_unweighted(spark):
+    """With unit weights and no dangling nodes the fixed-point ranks
+    must equal the float operator's to ~1e-9 (truncation loses at most
+    a few units in 10^12 per iteration)."""
+    from curw_flo2d_data_manager_spark.operators.pagerank import (
+        pagerank,
+        pagerank_fixed_point,
+    )
+
+    # directed triangle plus a chord — strongly connected, no dangling
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    f = {r.node: r.rank for r in pagerank(df, iters=5).collect()}
+    fp = {
+        r.node: r.rank_fp / 1e12
+        for r in pagerank_fixed_point(df, iters=5).collect()
+    }
+    assert set(f) == set(fp)
+    for n in f:
+        assert abs(f[n] - fp[n]) < 1e-9, (n, f[n], fp[n])
+
+
+def test_pagerank_fixed_point_weights_shift_rank(spark):
+    """On a symmetric 3-cycle (both directions), uniform weights give
+    equal ranks; skewing one edge's weight pulls rank toward its
+    head. Re-running gives bit-identical BIGINTs (determinism is the
+    operator's whole point)."""
+    from curw_flo2d_data_manager_spark.operators.pagerank import (
+        pagerank_fixed_point,
+    )
+
+    sym = []
+    for a, b in [(1, 2), (2, 3), (3, 1)]:
+        sym += [(a, b, 1), (b, a, 1)]
+    df = spark.createDataFrame(sym, "src long, dst long, w long")
+    even = {r.node: r.rank_fp
+            for r in pagerank_fixed_point(df, weight_col="w").collect()}
+    assert len(set(even.values())) == 1  # symmetry -> identical ranks
+
+    skew = [(s, d, 10 if (s, d) == (1, 2) else 1) for s, d, _ in sym]
+    df2 = spark.createDataFrame(skew, "src long, dst long, w long")
+    got = {r.node: r.rank_fp
+           for r in pagerank_fixed_point(df2, weight_col="w").collect()}
+    assert got[2] > got[3] and got[2] > got[1]
+    again = {r.node: r.rank_fp
+             for r in pagerank_fixed_point(df2, weight_col="w").collect()}
+    assert got == again
