@@ -9022,7 +9022,7 @@ def stream_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("event_id", LongType()),
     ])
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         name = _run_replay_stream(
             spark, src,
