@@ -209,6 +209,7 @@ def main() -> None:
         "text_readability",
         "x_event_transitions",
         "g_pagerank_weighted",
+        "ml_train_classifier",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

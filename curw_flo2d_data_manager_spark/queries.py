@@ -8962,6 +8962,87 @@ FROM r{iters} ORDER BY supplier""")
 G_WPR_SQL = _gen_wpr_sql(iters=5)
 
 
+def ml_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the hashed linear quality classifier (the learn step for
+    the fixed-weight hash_classifier_score): 3 full-batch GD epochs on
+    a hard-sigmoid linear probe predicting lang='en', in EXACT integer
+    fixed-point (operators/mltrain.py) — float GD cannot be oracled
+    cross-engine (shuffle-order gradient sums, last-ulp libm exp), so
+    the recurrence itself is integer multiply / truncating-divide /
+    clamp, and the final weights compare as exact BIGINTs with NO
+    rounding."""
+    from curw_flo2d_data_manager_spark.operators.mltrain import (
+        train_linear_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = train_linear_classifier(
+        docs,
+        label=(F.col("lang") == "en").cast("int"),
+        n_buckets=16,
+        iters=3,
+    )
+    return w.orderBy("bucket")
+
+
+def _gen_mltrain_sql(n_buckets: int, iters: int,
+                     scale: int = 10**8, lr_den: int = 4) -> str:
+    """Unrolled-CTE DuckDB replica of train_linear_classifier —
+    generated from the SAME constants the Spark query passes. Every
+    CTE is MATERIALIZED (each iteration references the previous
+    weights and the feature relation repeatedly)."""
+    half = scale // 2
+    parts = [f"""WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{{ffff}}-]+', ' ', 'g')), '\\s+')) AS term
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{{ffff}}-]+', ' ', 'g')) != ''
+),
+x AS MATERIALIZED (
+    SELECT doc_id, y,
+           CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT)
+             % {n_buckets} AS bucket,
+           COUNT(*) AS x
+    FROM toks GROUP BY 1, 2, 3
+),
+nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM x),
+w0 AS MATERIALIZED (
+    SELECT UNNEST(generate_series(0, {n_buckets - 1})) AS bucket,
+           0::BIGINT AS w_fp
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+m{i} AS MATERIALIZED (
+    SELECT x.doc_id, x.y, SUM(x.x * w.w_fp) AS m_fp
+    FROM x JOIN w{i - 1} w USING (bucket)
+    GROUP BY x.doc_id, x.y
+),
+e{i} AS MATERIALIZED (
+    SELECT doc_id,
+           least(greatest(m_fp // 4 + {half}, 0), {scale})
+             - y * {scale} AS err_fp
+    FROM m{i}
+),
+w{i} AS MATERIALIZED (
+    SELECT w.bucket,
+           CAST(w.w_fp - COALESCE(g.g, 0) // ({lr_den} * nn.n) AS BIGINT)
+             AS w_fp
+    FROM w{i - 1} w
+    LEFT JOIN (
+        SELECT x.bucket, SUM(e.err_fp * x.x) AS g
+        FROM x JOIN e{i} e USING (doc_id)
+        GROUP BY x.bucket
+    ) g ON g.bucket = w.bucket
+    CROSS JOIN nn)""")
+    parts.append(f"""
+SELECT bucket, w_fp FROM w{iters} ORDER BY bucket""")
+    return "".join(parts)
+
+
+ML_TRAIN_SQL = _gen_mltrain_sql(n_buckets=16, iters=3)
+
+
 def stream_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming anti-join semantics via a LEFT OUTER stream-stream
     join: views with NO same-user purchase inside the closed 30-minute
@@ -9093,6 +9174,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_bq_hamming": (sim_bq_hamming, SIM_BQ_SQL),
     "g_clustering_coef": (g_clustering_coef, G_CLUSTERING_SQL),
     "g_pagerank_weighted": (g_pagerank_weighted, G_WPR_SQL),
+    "ml_train_classifier": (ml_train_classifier, ML_TRAIN_SQL),
     "text_readability": (text_readability, TEXT_READABILITY_SQL),
     "x_event_transitions": (x_event_transitions, X_TRANSITIONS_SQL),
     "a_salted_sum": (a_salted_sum, A_SALTED_SQL),

@@ -3241,3 +3241,91 @@ def test_pagerank_fixed_point_weights_shift_rank(spark):
     again = {r.node: r.rank_fp
              for r in pagerank_fixed_point(df2, weight_col="w").collect()}
     assert got == again
+
+
+# round-10: fixed-point classifier training (operators/mltrain.py)
+
+def test_train_linear_classifier_matches_python_reference(spark):
+    """The distributed fixed-point recurrence equals a pure-Python
+    replay of the same integer updates EXACTLY (no tolerance) — the
+    operator's whole claim is engine/partitioning-independence."""
+    import pyspark.sql.functions as F
+
+    from curw_flo2d_data_manager_spark.operators.mltrain import (
+        hash_bucket,
+        train_linear_classifier,
+        words,
+    )
+
+    rows = [
+        (1, "alpha beta alpha", 1),
+        (2, "beta gamma", 0),
+        (3, "alpha delta delta", 1),
+        (4, "gamma gamma epsilon", 0),
+        (5, "zeta", 1),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    B, S, ITERS, LR_DEN = 8, 10**8, 4, 4
+    got = {
+        r.bucket: r.w_fp
+        for r in train_linear_classifier(
+            docs, F.col("y"), n_buckets=B, iters=ITERS, scale=S,
+            lr_den=LR_DEN,
+        ).collect()
+    }
+    # pure-Python replay over the identical (doc, bucket, count) counts
+    feats = docs.select(
+        "doc_id", "y", F.explode(words("text")).alias("term")
+    ).select("doc_id", "y", hash_bucket(F.col("term"), B).alias("b"))
+    x: dict = {}
+    ys: dict = {}
+    for r in feats.collect():
+        x[(r.doc_id, r.b)] = x.get((r.doc_id, r.b), 0) + 1
+        ys[r.doc_id] = r.y
+    n = len(ys)
+
+    def tdiv(a, b):  # truncating integer division (Spark DIV semantics)
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    w = [0] * B
+    for _ in range(ITERS):
+        err = {}
+        for d in ys:
+            m = sum(w[b] * c for (dd, b), c in x.items() if dd == d)
+            p = min(max(tdiv(m, 4) + S // 2, 0), S)
+            err[d] = p - ys[d] * S
+        g = [0] * B
+        for (d, b), c in x.items():
+            g[b] += err[d] * c
+        w = [w[b] - tdiv(g[b], LR_DEN * n) for b in range(B)]
+    want = {b: w[b] for b in range(B)}
+    assert got == want
+
+
+def test_train_linear_classifier_separates_planted_labels(spark):
+    """A linearly separable toy corpus: the learned weights score
+    every positive doc above every negative one, and re-training is
+    bit-identical."""
+    import pyspark.sql.functions as F
+
+    from curw_flo2d_data_manager_spark.operators.mltrain import (
+        hash_bucket,
+        train_linear_classifier,
+    )
+
+    rows = [(i, "goodword " * 3, 1) for i in range(10)]
+    rows += [(100 + i, "badword " * 3, 0) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w = train_linear_classifier(docs, F.col("y"), n_buckets=16, iters=3)
+    wm = {r.bucket: r.w_fp for r in w.collect()}
+    gb = spark.createDataFrame(
+        [("goodword",), ("badword",)], "term string"
+    ).select("term", hash_bucket(F.col("term"), 16).alias("b")).collect()
+    buckets = {r.term: r.b for r in gb}
+    assert buckets["goodword"] != buckets["badword"]  # no hash collision
+    assert wm[buckets["goodword"]] > 0 > wm[buckets["badword"]]
+    w2 = {r.bucket: r.w_fp
+          for r in train_linear_classifier(
+              docs, F.col("y"), n_buckets=16, iters=3).collect()}
+    assert w2 == wm
