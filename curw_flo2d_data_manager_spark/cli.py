@@ -1603,6 +1603,73 @@ def cmd_graph_triangles(args) -> None:
     )
 
 
+def cmd_train_classifier(args) -> None:
+    """Train the hashed linear quality classifier on a labeled parquet
+    corpus (exact fixed-point GD — operators/mltrain.py) and write the
+    learned weights as parquet (bucket, w_fp, w). Prints the training
+    accuracy of the hard-sigmoid probe; the float ``w`` column feeds
+    ``textstats.hash_classifier_score`` for corpus-scale scoring."""
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.mltrain import (
+        hash_bucket,
+        train_linear_classifier,
+    )
+    from curw_flo2d_data_manager_spark.operators.textstats import words
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="train-classifier")
+    df = spark.read.parquet(args.input)
+    for col in (args.id_col, args.text_col, args.label_col):
+        if col not in df.columns:
+            raise SystemExit(f"column {col!r} not in input ({df.columns})")
+    scale = 10**8
+    w = train_linear_classifier(
+        df,
+        label=F.col(args.label_col).cast("int"),
+        id_col=args.id_col,
+        text_col=args.text_col,
+        n_buckets=args.buckets,
+        iters=args.iters,
+        scale=scale,
+    )
+    w.select(
+        "bucket", "w_fp", (F.col("w_fp") / F.lit(float(scale))).alias("w")
+    ).write.mode("overwrite").parquet(args.output)
+    weights = spark.read.parquet(args.output)
+
+    # training accuracy of the hard-sigmoid probe (same margin +
+    # activation as training: predict 1 iff m_fp DIV 4 + S/2 >= S/2,
+    # i.e. m_fp >= 0)
+    x = (
+        df.select(
+            F.col(args.id_col).alias("_doc"),
+            F.col(args.label_col).cast("int").alias("_y"),
+            F.explode(words(args.text_col)).alias("term"),
+        )
+        .groupBy("_doc", "_y",
+                 hash_bucket(F.col("term"), args.buckets).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    acc = (
+        x.join(F.broadcast(weights.select("bucket", "w_fp")), "bucket")
+        .groupBy("_doc", "_y")
+        .agg(F.sum(F.col("x") * F.col("w_fp")).alias("m_fp"))
+        .select(
+            (
+                (F.col("m_fp") >= 0).cast("int") == F.col("_y")
+            ).cast("int").alias("hit")
+        )
+        .agg(F.avg("hit").alias("acc"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    print(
+        f"train-classifier: {args.buckets} buckets, {args.iters} epochs, "
+        f"train accuracy {acc['acc']:.4f} over {acc['n']} docs "
+        f"-> {args.output}"
+    )
+
+
 def cmd_corpus_stats(args) -> None:
     """One-pass corpus health report: per-(lang, source) doc/token
     counts, mixture weights, and mean quality signals — the look-
@@ -1896,6 +1963,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--keep_only", action="store_true",
                     help="write only surviving rows (original columns)")
     sp.set_defaults(fn=cmd_dedup_corpus)
+
+    sp = sub.add_parser(
+        "train-classifier",
+        help="fixed-point GD on a hashed linear probe -> weight parquet",
+    )
+    sp.add_argument("--input", required=True, help="labeled parquet path")
+    sp.add_argument("--output", required=True, help="weights parquet path")
+    sp.add_argument("--id_col", default="doc_id")
+    sp.add_argument("--text_col", default="text")
+    sp.add_argument("--label_col", required=True,
+                    help="0/1 integer label column")
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--iters", type=int, default=3)
+    sp.set_defaults(fn=cmd_train_classifier)
 
     sp = sub.add_parser(
         "corpus-similarity",

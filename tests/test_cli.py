@@ -1449,3 +1449,37 @@ def test_graph_triangles_cli(spark, tmp_path, capsys):
     assert "4 triangles across 4 nodes" in capsys.readouterr().out
     got = {r.node: r.n_triangles for r in spark.read.parquet(out).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_train_classifier_cli_learns_and_scores(spark, tmp_path, capsys):
+    """train-classifier end-to-end: a separable corpus reaches 1.0
+    train accuracy, the weight parquet carries (bucket, w_fp, w), and
+    the float weights plug into hash_classifier_score with the same
+    bucket convention (planted-good docs outscore planted-bad)."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        hash_classifier_score,
+    )
+
+    rows = [(i, "excellent prose here", 1) for i in range(8)]
+    rows += [(100 + i, "spammy junk tokens", 0) for i in range(8)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, y int"
+    ).write.parquet(src)
+    out = str(tmp_path / "weights.parquet")
+    main([
+        "train-classifier", "--input", src, "--output", out,
+        "--label_col", "y", "--buckets", "32", "--iters", "3",
+    ])
+    assert "train accuracy 1.0000 over 16 docs" in capsys.readouterr().out
+    wdf = spark.read.parquet(out).orderBy("bucket").collect()
+    assert len(wdf) == 32
+    weights = [r.w for r in wdf]
+    docs = spark.read.parquet(src)
+    scores = {
+        r.doc_id: r.score
+        for r in hash_classifier_score(docs, "doc_id", weights).collect()
+    }
+    assert min(scores[i] for i in range(8)) > max(
+        scores[100 + i] for i in range(8)
+    )
