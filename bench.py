@@ -210,6 +210,8 @@ def main() -> None:
         "x_event_transitions",
         "g_pagerank_weighted",
         "ml_train_classifier",
+        "ml_auc_exact",
+        "ml_calibration_bins",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

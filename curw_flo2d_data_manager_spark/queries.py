@@ -5463,10 +5463,11 @@ def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _classifier_sql() -> str:
+def _classifier_sql(bias: float = 0.25, order: bool = True) -> str:
     vals = ", ".join(
         f"({i}, {w!r})" for i, w in enumerate(CLASSIFIER_WEIGHTS)
     )
+    tail = " ORDER BY doc_id" if order else ""
     return f"""
 WITH w AS (
     SELECT doc_id,
@@ -5483,8 +5484,8 @@ joined AS (
       ON CAST(concat('0x', substring(md5(tf.term), 1, 8)) AS BIGINT) % 64 = wt.bucket
 )
 SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-       ROUND(1.0 / (1.0 + exp(-(0.25 + SUM(tf * wgt) / SUM(tf)))), 6) AS score
-FROM joined GROUP BY doc_id ORDER BY doc_id
+       ROUND(1.0 / (1.0 + exp(-({bias!r} + SUM(tf * wgt) / SUM(tf)))), 6) AS score
+FROM joined GROUP BY doc_id{tail}
 """
 
 
@@ -9043,6 +9044,148 @@ SELECT bucket, w_fp FROM w{iters} ORDER BY bucket""")
 ML_TRAIN_SQL = _gen_mltrain_sql(n_buckets=16, iters=3)
 
 
+def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the hashed quality classifier against the
+    lang='en' label — Mann-Whitney with tie handling, computed from
+    per-score-group counts: AUC = Σ_s pos(s)·(neg_below(s) +
+    ½·neg(s)) / (P·N). The numerator is carried doubled
+    (``auc_num2``) so it is an EXACT integer on both engines; the one
+    float divide happens at the end.
+
+    Scale shape: the corpus reduces to per-distinct-score (pos, neg)
+    counts FIRST (partial-aggregable; cardinality bounded by the
+    score's 6-decimal rounding at ≤ 2·10⁶ rows no matter the corpus),
+    so the global-order window runs over that bounded relation — never
+    a corpus-wide SinglePartition sort (the x_global_rownum lesson)."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        hash_classifier_score,
+    )
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = hash_classifier_score(
+        docs, "doc_id", CLASSIFIER_WEIGHTS
+    ).join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("long").alias("y")
+        ),
+        "doc_id",
+    )
+    g = scored.groupBy("score").agg(
+        F.sum("y").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    terms = g.withColumn(
+        "_cumneg", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    ).select(
+        (F.col("pos") * (2 * F.col("_cumneg") + F.col("neg"))).alias("_t"),
+        "pos",
+        "neg",
+    )
+    return terms.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.sum("_t").alias("auc_num2"),
+        F.round(
+            F.sum("_t")
+            / (F.lit(2.0) * F.sum("pos") * F.sum("neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+_ML_AUC_TEMPLATE = """
+WITH scored AS (
+    SELECT s.score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM (@SCORE_SQL@) s JOIN documents d USING (doc_id)
+),
+g AS (
+    SELECT score, SUM(y) AS pos, SUM(1 - y) AS neg
+    FROM scored GROUP BY score
+),
+terms AS (
+    SELECT pos, neg,
+           COALESCE(SUM(neg) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cumneg
+    FROM g
+)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(neg) AS BIGINT) AS n_neg,
+       CAST(SUM(pos * (2 * cumneg + neg)) AS BIGINT) AS auc_num2,
+       ROUND(SUM(pos * (2 * cumneg + neg))
+             / (2.0 * SUM(pos) * SUM(neg)), 6) AS auc
+FROM terms
+"""
+
+
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the hashed quality classifier vs the
+    lang='en' label: scores bucketed into 10 equal-width bins, each
+    bin reporting count, mean score, and observed positive rate — the
+    standard calibration check before a score gates a corpus. Exact
+    cross-engine arithmetic: the 6-decimal-rounded scores become
+    BIGINTs (score·10⁶), so bin sums are exact integers and each mean
+    is ONE correctly-rounded divide."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        hash_classifier_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = hash_classifier_score(
+        docs, "doc_id", CLASSIFIER_WEIGHTS
+    ).join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("long").alias("y")
+        ),
+        "doc_id",
+    )
+    si = F.round(F.col("score") * 1e6).cast("long")
+    return (
+        scored.select(
+            F.least(F.floor(F.col("score") * 10), F.lit(9))
+            .cast("int")
+            .alias("bin"),
+            si.alias("_si"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("_si") / (F.count(F.lit(1)) * F.lit(1e6)), 6)
+            .alias("mean_score"),
+            F.round(F.sum("y") / F.count(F.lit(1)), 6).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+
+
+_ML_CALIBRATION_TEMPLATE = """
+WITH scored AS (
+    SELECT s.score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM (@SCORE_SQL@) s JOIN documents d USING (doc_id)
+)
+SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+       COUNT(*) AS n,
+       ROUND(SUM(CAST(ROUND(score * 1e6) AS BIGINT))
+             / (COUNT(*) * 1e6), 6) AS mean_score,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+FROM scored
+GROUP BY 1
+ORDER BY bin
+"""
+
+ML_AUC_SQL = _ML_AUC_TEMPLATE.replace(
+    "@SCORE_SQL@", _classifier_sql(bias=0.0, order=False)
+)
+ML_CALIBRATION_SQL = _ML_CALIBRATION_TEMPLATE.replace(
+    "@SCORE_SQL@", _classifier_sql(bias=0.0, order=False)
+)
+
+
 def stream_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming anti-join semantics via a LEFT OUTER stream-stream
     join: views with NO same-user purchase inside the closed 30-minute
@@ -9175,6 +9318,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "g_clustering_coef": (g_clustering_coef, G_CLUSTERING_SQL),
     "g_pagerank_weighted": (g_pagerank_weighted, G_WPR_SQL),
     "ml_train_classifier": (ml_train_classifier, ML_TRAIN_SQL),
+    "ml_auc_exact": (ml_auc_exact, ML_AUC_SQL),
+    "ml_calibration_bins": (ml_calibration_bins, ML_CALIBRATION_SQL),
     "text_readability": (text_readability, TEXT_READABILITY_SQL),
     "x_event_transitions": (x_event_transitions, X_TRANSITIONS_SQL),
     "a_salted_sum": (a_salted_sum, A_SALTED_SQL),

@@ -5,7 +5,7 @@ never driver-certified take priority, then the entries whose last
 certification is oldest; untouched previously-green gates rotate out
 and are re-verified via ``tools/check_correctness.py``.
 
-This test pins the round-8 window so a registry edit can never
+This test pins the round-10 window so a registry edit can never
 silently drop an intended gate: REQUIRED_IN_WINDOW must be edited in
 lockstep with any registry reorder."""
 
@@ -13,14 +13,14 @@ from curw_flo2d_data_manager_spark.queries import DRIVER_WINDOW, REGISTRY
 
 # Round-10 window: keys must sit at registry position < DRIVER_WINDOW.
 REQUIRED_IN_WINDOW = {
-    # the thirteen round-10 additions, never driver-certified
+    # the fifteen round-10 additions, never driver-certified
     "sim_sparse_cosine", "text_inverted_index", "g_triangle_count",
     "sketch_countmin", "stream_join_attrib", "stream_join_unmatched",
     "g_kcore", "sim_bq_hamming", "g_clustering_coef",
     "text_readability", "x_event_transitions", "g_pagerank_weighted",
-    "ml_train_classifier",
-    # the thirty-nine round-8 additions, certified in the r8/r9 windows
-    "w_interp_user", "w_hampel_user", "f_domain_cap",
+    "ml_train_classifier", "ml_auc_exact", "ml_calibration_bins",
+    # thirty-five round-8 additions, certified in the r8/r9 windows
+    "w_interp_user",
     "w_peaks_over_threshold", "w_cusum_drift",
     "dedup_normalized", "dedup_url_canonical", "a_histogram",
     "j_radius_grid", "sim_sq_adc", "stream_pot_events",
@@ -36,9 +36,10 @@ REQUIRED_IN_WINDOW = {
     # fix, kmeans final-assignment consistency + HALF_UP init, the
     # PQ ADC lookup-table rewrite, and the rangejoin inverted-interval
     # semantics fix
-    # (round-10 rotation: the thirteen new additions displaced
-    # f_quantile_norm / text_char_entropy (r8 additions, certified in
-    # the r8 AND r9 windows) plus
+    # (round-10 rotation: the fifteen new additions displaced
+    # w_hampel_user / f_domain_cap / f_quantile_norm /
+    # text_char_entropy (r8 additions, certified in the r8 AND r9
+    # windows) plus
     # w_linear_interp / sim_kmeans / sim_pq_adc / sim_pq_rerank /
     # sim_ivfpq / j_interval_overlap / j_range_join /
     # s2_grid_scan_correction / s6_max_end_time / j6_nearest_rank1 /
