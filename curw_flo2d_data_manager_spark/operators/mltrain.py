@@ -119,3 +119,48 @@ def train_linear_classifier(
             )
         )
     return w
+
+
+def auc_exact(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney with tie handling) from a scored
+    relation: AUC = Σ_s pos(s)·(neg_below(s) + ½·neg(s)) / (P·N),
+    carried with the numerator DOUBLED (``auc_num2``) so it is an
+    exact integer — cross-engine-safe — with one float divide at the
+    end.
+
+    Scale shape: the corpus reduces FIRST to per-distinct-score
+    (pos, neg) counts (partial-aggregable; cardinality bounded by the
+    score's precision — 6-decimal scores cap it at ~2·10⁶ rows at ANY
+    corpus size), and the global-order window runs over that bounded
+    relation, never a corpus-wide SinglePartition sort.
+
+    Returns one row: (n_pos, n_neg, auc_num2, auc)."""
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("long")
+    g = scored.groupBy(score_col).agg(
+        F.sum(y).alias("pos"),
+        F.sum(F.lit(1) - y).alias("neg"),
+    )
+    w = Window.orderBy(score_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    terms = g.withColumn(
+        "_cumneg", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+    return terms.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.sum(
+            F.col("pos") * (2 * F.col("_cumneg") + F.col("neg"))
+        ).alias("auc_num2"),
+        F.round(
+            F.sum(F.col("pos") * (2 * F.col("_cumneg") + F.col("neg")))
+            / (F.lit(2.0) * F.sum("pos") * F.sum("neg")),
+            6,
+        ).alias("auc"),
+    )

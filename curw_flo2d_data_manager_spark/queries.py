@@ -9057,10 +9057,10 @@ def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     score's 6-decimal rounding at ≤ 2·10⁶ rows no matter the corpus),
     so the global-order window runs over that bounded relation — never
     a corpus-wide SinglePartition sort (the x_global_rownum lesson)."""
+    from curw_flo2d_data_manager_spark.operators.mltrain import auc_exact
     from curw_flo2d_data_manager_spark.operators.textstats import (
         hash_classifier_score,
     )
-    from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
     scored = hash_classifier_score(
@@ -9071,30 +9071,7 @@ def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
-    g = scored.groupBy("score").agg(
-        F.sum("y").alias("pos"),
-        F.sum(F.lit(1) - F.col("y")).alias("neg"),
-    )
-    w = Window.orderBy("score").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    terms = g.withColumn(
-        "_cumneg", F.coalesce(F.sum("neg").over(w), F.lit(0))
-    ).select(
-        (F.col("pos") * (2 * F.col("_cumneg") + F.col("neg"))).alias("_t"),
-        "pos",
-        "neg",
-    )
-    return terms.agg(
-        F.sum("pos").alias("n_pos"),
-        F.sum("neg").alias("n_neg"),
-        F.sum("_t").alias("auc_num2"),
-        F.round(
-            F.sum("_t")
-            / (F.lit(2.0) * F.sum("pos") * F.sum("neg")),
-            6,
-        ).alias("auc"),
-    )
+    return auc_exact(scored, "score", "y")
 
 
 _ML_AUC_TEMPLATE = """

@@ -3329,3 +3329,41 @@ def test_train_linear_classifier_separates_planted_labels(spark):
           for r in train_linear_classifier(
               docs, F.col("y"), n_buckets=16, iters=3).collect()}
     assert w2 == wm
+
+
+def test_auc_exact_matches_pairwise_bruteforce(spark):
+    """The per-score-group Mann-Whitney formula equals the O(P·N)
+    pairwise definition (1 per correctly-ordered pair, 0.5 per tie) —
+    including heavy ties and a perfect / inverted / random mix. The
+    oracle shares the same formula, so this independent brute force is
+    the test that actually pins it."""
+    import itertools
+    import random
+
+    from curw_flo2d_data_manager_spark.operators.mltrain import auc_exact
+
+    rng = random.Random(17)
+    cases = [
+        # heavy ties: two scores only
+        [(0.5, 1)] * 3 + [(0.5, 0)] * 2 + [(0.9, 1)] * 2 + [(0.9, 0)],
+        # perfect separation and perfect inversion
+        [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)],
+        [(0.9, 0), (0.8, 0), (0.1, 1), (0.2, 1)],
+        # random mix with tie clusters
+        [(round(rng.choice([0.2, 0.4, 0.6, 0.8]), 1), rng.randint(0, 1))
+         for _ in range(60)],
+    ]
+    for rows in cases:
+        pos = [s for s, y in rows if y == 1]
+        neg = [s for s, y in rows if y == 0]
+        if not pos or not neg:
+            continue
+        brute = sum(
+            1.0 if p > n else (0.5 if p == n else 0.0)
+            for p, n in itertools.product(pos, neg)
+        ) / (len(pos) * len(neg))
+        df = spark.createDataFrame(rows, "score double, y int")
+        got = auc_exact(df, "score", "y").collect()[0]
+        assert got.n_pos == len(pos) and got.n_neg == len(neg)
+        assert got.auc_num2 == round(brute * 2 * len(pos) * len(neg))
+        assert abs(got.auc - round(brute, 6)) < 1e-12
