@@ -3043,10 +3043,17 @@ def test_inverted_index_postings_and_plan_gate(spark):
     assert got[("flink", 1)] == (2, 3, 2, 2)
     assert got[("flink", 2)] == (2, 3, 1, 1)
     assert ("trino", 1) not in got  # df=1 < min_df
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted"
+    # plan gate on a FRESH (unexecuted) frame — the post-collect
+    # queryExecution prints the AQE final plan, whose shape depends on
+    # session history (flaked in the full suite). On this tiny
+    # in-memory input only the Final group-limit appears (no exchange
+    # below it); the map-side Partial shape is gated on real parquet in
+    # test_plan_quality.py::test_inverted_index_partial_group_limit.
+    fresh = inverted_index(df, "doc_id", k=2, min_df=2, ngram=1)
+    plan = fresh._sc._jvm.PythonSQLUtils.explainString(
+        fresh._jdf.queryExecution(), "simple"
     )
-    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
 
 
 # round-10: Count-Min sketch (operators/sketches.py)

@@ -578,3 +578,26 @@ def test_label_propagation_round_has_no_window_operator(spark):
     plan = plan_of(label_propagation(edges, n_iters=1))
     assert "Window" not in plan
     assert "row_number" not in plan.lower()
+
+
+def test_inverted_index_partial_group_limit(spark, sf_dir):
+    """inverted_index's per-term top-k must hit InferWindowGroupLimit
+    with the map-side Partial BELOW the exchange — at most k postings
+    per term per map partition ride the shuffle, the difference between
+    shipping full posting lists of a 10^11-token corpus and k rows per
+    term."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        inverted_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = plan_of(
+        inverted_index(docs, "doc_id", k=3, min_df=2, ngram=2),
+        mode="simple",
+    )
+    assert "WindowGroupLimit" in plan, plan
+    i_partial = plan.index(", Partial")
+    i_exchange = plan.index("Exchange hashpartitioning")
+    assert i_exchange < i_partial, plan
