@@ -152,15 +152,15 @@ def auc_exact(
     terms = g.withColumn(
         "_cumneg", F.coalesce(F.sum("neg").over(w), F.lit(0))
     )
+    num2 = F.sum(F.col("pos") * (2 * F.col("_cumneg") + F.col("neg")))
     return terms.agg(
         F.sum("pos").alias("n_pos"),
         F.sum("neg").alias("n_neg"),
-        F.sum(
-            F.col("pos") * (2 * F.col("_cumneg") + F.col("neg"))
-        ).alias("auc_num2"),
-        F.round(
-            F.sum(F.col("pos") * (2 * F.col("_cumneg") + F.col("neg")))
-            / (F.lit(2.0) * F.sum("pos") * F.sum("neg")),
-            6,
+        num2.alias("auc_num2"),
+        # a single-class relation has no ranking to measure — NULL auc
+        # instead of an IEEE inf/nan leaking into downstream compares
+        F.when(
+            (F.sum("pos") > 0) & (F.sum("neg") > 0),
+            F.round(num2 / (F.lit(2.0) * F.sum("pos") * F.sum("neg")), 6),
         ).alias("auc"),
     )

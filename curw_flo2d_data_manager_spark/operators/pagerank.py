@@ -132,9 +132,17 @@ def pagerank_fixed_point(
     if iters < 1:
         raise ValueError(f"iters {iters} < 1")
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("_w")
-    ).localCheckpoint(eager=True)
+    # nonpositive weights have no PageRank meaning and a node whose
+    # total outgoing weight is 0 would hit an ANSI division error in
+    # the contribution DIV — drop such edges up front (documented
+    # semantics: only positive-weight edges carry rank)
+    e = (
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("_w")
+        )
+        .filter(F.col("_w") > 0)
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

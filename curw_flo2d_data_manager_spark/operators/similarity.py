@@ -1668,7 +1668,10 @@ def bq_hamming_topk(
     codes = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("corpus_id"),
         bq_code(F.col(vec_col), dim).alias("_code"),
-    )
+        # NULL vectors yield NULL codes, and ASC ordering puts NULLs
+        # FIRST — they would fill every candidate list ahead of real
+        # neighbors; they can never produce a cosine, so drop them here
+    ).filter(F.col("_code").isNotNull())
     qcodes = queries.select(
         F.col(query_id_col).alias("query_id"),
         bq_code(F.col(vec_col), dim).alias("_qcode"),

@@ -78,7 +78,13 @@ def countmin_estimate(
     """Point-query the sketch for each term in ``terms``: min over the
     d row counters. The sketch is d·w rows — broadcast by size — so the
     probe is a broadcast equi-join per row, never a shuffle of the
-    probed relation."""
+    probed relation.
+
+    Cells the build never touched are ABSENT from the sketch relation
+    (they hold an implicit 0), so the probe joins LEFT and coalesces —
+    a never-seen term estimates 0 (the correct CM answer) instead of
+    silently vanishing from the output, and a term whose cells are
+    only partially present takes the true min including the zeros."""
     term = F.col(term_col)
     probes = terms.select(
         term_col,
@@ -94,7 +100,10 @@ def countmin_estimate(
     ).select(term_col, F.col("rb.row").alias("row"),
              F.col("rb.bucket").alias("bucket"))
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(term_col)
-        .agg(F.min("cnt").alias("cm_estimate"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+            .alias("cm_estimate")
+        )
     )

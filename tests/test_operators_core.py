@@ -3374,3 +3374,84 @@ def test_auc_exact_matches_pairwise_bruteforce(spark):
         assert got.n_pos == len(pos) and got.n_neg == len(neg)
         assert got.auc_num2 == round(brute * 2 * len(pos) * len(neg))
         assert abs(got.auc - round(brute, 6)) < 1e-12
+
+
+# round-10 self-review regressions
+
+def test_countmin_unseen_term_estimates_zero(spark):
+    """A probe term the build never saw must come back with estimate 0
+    (its cells are implicit zeros), not silently vanish — and a term
+    sharing SOME cells with real mass still takes the min including
+    the zero cells."""
+    from curw_flo2d_data_manager_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    toks = spark.createDataFrame([("seen",)] * 5, "term string")
+    sketch = countmin_build(toks, depth=4, width=256)
+    probes = spark.createDataFrame(
+        [("seen",), ("never_seen_term",)], "term string"
+    )
+    got = {
+        r.term: r.cm_estimate
+        for r in countmin_estimate(probes, sketch, depth=4,
+                                   width=256).collect()
+    }
+    assert got == {"seen": 5, "never_seen_term": 0}
+
+
+def test_bq_hamming_topk_null_embeddings_never_candidates(spark):
+    """NULL corpus vectors produce NULL codes, which ASC ordering
+    would rank FIRST in every candidate list — they must be dropped
+    before candidate generation."""
+    import random
+
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        bq_hamming_topk,
+    )
+    import pyspark.sql.functions as F
+
+    rng = random.Random(9)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(30)]
+    rows += [(900 + i, None) for i in range(5)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = corpus.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = bq_hamming_topk(corpus, queries, k=5, candidate_mult=2).collect()
+    assert len(got) == 5
+    assert all(r.corpus_id < 900 for r in got)
+    assert got[0].corpus_id != 3 or any(r.corpus_id == 3 for r in got)
+
+
+def test_auc_exact_single_class_is_null_not_inf(spark):
+    """All-positive (or all-negative) labels have no ranking to
+    measure: auc must be NULL, never inf/nan."""
+    from curw_flo2d_data_manager_spark.operators.mltrain import auc_exact
+
+    df = spark.createDataFrame(
+        [(0.2, 1), (0.9, 1)], "score double, y int"
+    )
+    r = auc_exact(df, "score", "y").collect()[0]
+    assert r.n_pos == 2 and r.n_neg == 0
+    assert r.auc is None
+
+
+def test_pagerank_fixed_point_drops_nonpositive_weights(spark):
+    """Zero/negative-weight edges are excluded (a zero total outgoing
+    weight would be an ANSI division error); the remaining graph ranks
+    normally."""
+    from curw_flo2d_data_manager_spark.operators.pagerank import (
+        pagerank_fixed_point,
+    )
+
+    edges = [(1, 2, 1), (2, 1, 1), (1, 3, 0), (3, 1, -5)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r.node: r.rank_fp
+           for r in pagerank_fixed_point(df, weight_col="w").collect()}
+    # node 3's only edges are nonpositive -> not in the graph at all
+    assert set(got) == {1, 2}
+    assert got[1] == got[2]  # symmetric 2-cycle
