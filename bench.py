@@ -212,6 +212,8 @@ def main() -> None:
         "ml_train_classifier",
         "ml_auc_exact",
         "ml_calibration_bins",
+        "ml_confusion_matrix",
+        "sim_gram_matrix",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -1714,3 +1714,63 @@ def bq_hamming_topk(
         .filter(F.col("_rk") <= k)
         .select("query_id", "corpus_id", "cosine", F.col("_rk").alias("rank"))
     )
+
+
+def gram_matrix_fixed_point(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 10_000,
+) -> DataFrame:
+    """EXACT Gram matrix Σ x·xᵀ over fixed-point embeddings — the
+    aggregation behind PCA / whitening / covariance statistics, with
+    the same exactness-first contract as the fixed-point PageRank and
+    classifier trainer: elements become round(x·scale) BIGINTs, so
+    every Gram entry is an exact integer sum (associative — identical
+    on any engine and partitioning; a float Gram over 10⁹ rows drifts
+    in shuffle order).
+
+    Scale shape: the per-row upper-triangle products expand in the MAP
+    stage only — Catalyst's partial aggregation collapses each
+    partition to dim·(dim+1)/2 rows before the exchange, so the
+    shuffle is matrix-sized (2,080 rows at dim 64) no matter the
+    corpus. Pure JVM expressions (the oracle plan stays Python-free);
+    at extreme row counts an Arrow ``X_intᵀ @ X_int`` per batch is the
+    faster map side with the same exact integers.
+
+    Overflow headroom: |x·scale| ≤ scale·max|x|, so an entry sum is
+    ≤ rows·(scale·max|x|)² — at scale 10⁴ and unit-ish vectors that is
+    ~10⁸ per row, 2⁶³ supports ~10¹⁰ rows; shrink ``scale`` for more.
+
+    Returns (i, j, gram) for 0 ≤ i ≤ j < dim; NULL vectors are
+    skipped.
+    """
+    ei = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * scale).cast("long"),
+    )
+    rows = corpus.filter(F.col(vec_col).isNotNull()).select(ei.alias("_e"))
+    pairs = rows.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(dim - 1)),
+                        lambda j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (
+                                F.element_at(F.col("_e"), i + 1)
+                                * F.element_at(F.col("_e"), j + 1)
+                            ).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("t")
+    )
+    return (
+        pairs.groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(F.sum("t.p").alias("gram"))
+    )

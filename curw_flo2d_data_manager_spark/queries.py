@@ -9163,6 +9163,114 @@ ML_CALIBRATION_SQL = _ML_CALIBRATION_TEMPLATE.replace(
 )
 
 
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 of the hashed quality
+    classifier thresholded at 0.5 against the lang='en' label — the
+    last member of the eval family (AUC ranks, calibration checks
+    probabilities, this checks the operating point). Counts are one
+    partial-aggregable pass; the three ratios are single divides of
+    exact integers (NULL when undefined, not inf/nan)."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        hash_classifier_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = hash_classifier_score(
+        docs, "doc_id", CLASSIFIER_WEIGHTS
+    ).join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("long").alias("y")
+        ),
+        "doc_id",
+    )
+    pred = (F.col("score") >= 0.5).cast("long")
+    agg = scored.agg(
+        F.sum(pred * F.col("y")).alias("tp"),
+        F.sum(pred * (1 - F.col("y"))).alias("fp"),
+        F.sum((1 - pred) * F.col("y")).alias("fn"),
+        F.sum((1 - pred) * (1 - F.col("y"))).alias("tn"),
+    )
+    prec_den = F.col("tp") + F.col("fp")
+    rec_den = F.col("tp") + F.col("fn")
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        F.when(prec_den > 0,
+               F.round(F.col("tp") / prec_den, 6)).alias("precision"),
+        F.when(rec_den > 0,
+               F.round(F.col("tp") / rec_den, 6)).alias("recall"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.round(
+                2 * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+                6,
+            ),
+        ).alias("f1"),
+    )
+
+
+_ML_CONFUSION_TEMPLATE = """
+WITH scored AS (
+    SELECT s.score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM (@SCORE_SQL@) s JOIN documents d USING (doc_id)
+),
+c AS (
+    SELECT
+        CAST(SUM(CASE WHEN score >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN score >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN score < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN score < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM scored
+)
+SELECT tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN ROUND(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+       END AS f1
+FROM c
+"""
+
+ML_CONFUSION_SQL = _ML_CONFUSION_TEMPLATE.replace(
+    "@SCORE_SQL@", _classifier_sql(bias=0.0, order=False)
+)
+
+
+def sim_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point Gram matrix over the embeddings (the PCA /
+    whitening aggregation): upper-triangle Σ x_i·x_j as exact BIGINTs
+    — map-side expansion collapses to 2,080 rows per partition before
+    the exchange, so the shuffle is matrix-sized at any corpus size
+    (operators/similarity.py::gram_matrix_fixed_point)."""
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        gram_matrix_fixed_point,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return gram_matrix_fixed_point(emb, "embedding", dim=64).orderBy(
+        "i", "j"
+    )
+
+
+SIM_GRAM_SQL = """
+WITH e AS (
+    SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(ROUND(x * 10000) AS BIGINT)) AS ei
+    FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT t1.i, t2.j, CAST(SUM(e.ei[t1.i + 1] * e.ei[t2.j + 1]) AS BIGINT)
+         AS gram
+FROM e
+CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS i) t1
+CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS j) t2
+WHERE t2.j >= t1.i
+GROUP BY t1.i, t2.j
+ORDER BY i, j
+"""
+
+
 def stream_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming anti-join semantics via a LEFT OUTER stream-stream
     join: views with NO same-user purchase inside the closed 30-minute
@@ -9297,6 +9405,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ml_train_classifier": (ml_train_classifier, ML_TRAIN_SQL),
     "ml_auc_exact": (ml_auc_exact, ML_AUC_SQL),
     "ml_calibration_bins": (ml_calibration_bins, ML_CALIBRATION_SQL),
+    "ml_confusion_matrix": (ml_confusion_matrix, ML_CONFUSION_SQL),
+    "sim_gram_matrix": (sim_gram_matrix, SIM_GRAM_SQL),
     "text_readability": (text_readability, TEXT_READABILITY_SQL),
     "x_event_transitions": (x_event_transitions, X_TRANSITIONS_SQL),
     "a_salted_sum": (a_salted_sum, A_SALTED_SQL),

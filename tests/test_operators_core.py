@@ -3455,3 +3455,38 @@ def test_pagerank_fixed_point_drops_nonpositive_weights(spark):
     # node 3's only edges are nonpositive -> not in the graph at all
     assert set(got) == {1, 2}
     assert got[1] == got[2]  # symmetric 2-cycle
+
+
+# round-10: exact Gram matrix (operators/similarity.py)
+
+def test_gram_matrix_fixed_point_matches_numpy_exactly(spark):
+    """The distributed Gram equals numpy's int64 X.T @ X on the same
+    fixed-point elements EXACTLY (no tolerance); NULL vectors are
+    skipped; repartitioning cannot change a bit."""
+    import random
+
+    import numpy as np
+
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        gram_matrix_fixed_point,
+    )
+
+    rng = random.Random(21)
+    dim = 6
+    vecs = [[rng.uniform(-2, 2) for _ in range(dim)] for _ in range(40)]
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(999, None)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(7)
+    got = {
+        (r.i, r.j): r.gram
+        for r in gram_matrix_fixed_point(df, dim=dim, scale=10_000).collect()
+    }
+    X = np.array(
+        [[round(x * 10_000) for x in v] for v in vecs], dtype=np.int64
+    )
+    G = X.T @ X
+    assert len(got) == dim * (dim + 1) // 2
+    for i in range(dim):
+        for j in range(i, dim):
+            assert got[(i, j)] == int(G[i, j]), (i, j)

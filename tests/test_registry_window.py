@@ -13,19 +13,19 @@ from curw_flo2d_data_manager_spark.queries import DRIVER_WINDOW, REGISTRY
 
 # Round-10 window: keys must sit at registry position < DRIVER_WINDOW.
 REQUIRED_IN_WINDOW = {
-    # the fifteen round-10 additions, never driver-certified
+    # the seventeen round-10 additions, never driver-certified
     "sim_sparse_cosine", "text_inverted_index", "g_triangle_count",
     "sketch_countmin", "stream_join_attrib", "stream_join_unmatched",
     "g_kcore", "sim_bq_hamming", "g_clustering_coef",
     "text_readability", "x_event_transitions", "g_pagerank_weighted",
     "ml_train_classifier", "ml_auc_exact", "ml_calibration_bins",
+    "ml_confusion_matrix", "sim_gram_matrix",
     # thirty-five round-8 additions, certified in the r8/r9 windows
-    "w_interp_user",
     "w_peaks_over_threshold", "w_cusum_drift",
     "dedup_normalized", "dedup_url_canonical", "a_histogram",
     "j_radius_grid", "sim_sq_adc", "stream_pot_events",
     "w_rate_of_change", "x_funnel_steps", "f_zscore_norm",
-    "dedup_suffix_prefix", "stream_cusum_drift",
+    "dedup_suffix_prefix",
     "a_salted_sum", "j_salted_join", "x_zorder_index", "f_robust_scale",
     "stream_hot_terms", "dedup_fuzzy_names", "a_profile_columns",
     "text_zipf_slope", "sim_label_prop", "w_autocorr", "sim_mmr_rerank",
@@ -36,7 +36,8 @@ REQUIRED_IN_WINDOW = {
     # fix, kmeans final-assignment consistency + HALF_UP init, the
     # PQ ADC lookup-table rewrite, and the rangejoin inverted-interval
     # semantics fix
-    # (round-10 rotation: the fifteen new additions displaced
+    # (round-10 rotation: the seventeen new additions displaced
+    # stream_cusum_drift / w_interp_user /
     # w_hampel_user / f_domain_cap / f_quantile_norm /
     # text_char_entropy (r8 additions, certified in the r8 AND r9
     # windows) plus
