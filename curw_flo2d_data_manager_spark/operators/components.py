@@ -387,6 +387,16 @@ def k_core(
 
     Returns (node, degree) for nodes whose degree within the peeled
     graph is still ≥ k — the k-core membership with its core degree.
+
+    Convergence (round-10 advice): each round's survivor edge count is
+    already materialized by the per-round localCheckpoint, so the loop
+    EARLY-EXITS the moment a peel removes nothing — the result is then
+    the exact k-core regardless of ``n_rounds`` (the peel is
+    idempotent, so stopping early equals running the remaining rounds).
+    If the budget is exhausted while the last round still removed
+    edges, the result is only "the graph after ``n_rounds`` peels" — a
+    SUPERSET of the true k-core — and a ``UserWarning`` says so, so
+    callers (CLI, graph pipelines) are never silently over-counting.
     """
     e = (
         edges.select(
@@ -397,7 +407,13 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # count() over a checkpointed relation is a cheap metadata-ish job
+    # (no recompute); one BIGINT per round buys the convergence proof.
+    prev_edges = e.count()
+    converged = prev_edges == 0
     for _ in range(n_rounds):
+        if converged:
+            break
         deg = (
             e.select(F.col("a").alias("node"))
             .unionAll(e.select(F.col("b").alias("node")))
@@ -410,6 +426,20 @@ def k_core(
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
             .select("a", "b")
             .localCheckpoint(eager=True)
+        )
+        n_edges = e.count()
+        converged = n_edges == prev_edges
+        prev_edges = n_edges
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"k_core(k={k}): round budget n_rounds={n_rounds} exhausted "
+            "while peels were still removing edges — result is the graph "
+            f"after {n_rounds} peels, a SUPERSET of the true {k}-core; "
+            "raise n_rounds for the exact core.",
+            UserWarning,
+            stacklevel=2,
         )
     final_deg = (
         e.select(F.col("a").alias("node"))

@@ -1676,7 +1676,11 @@ def bq_hamming_topk(
         F.col(query_id_col).alias("query_id"),
         bq_code(F.col(vec_col), dim).alias("_qcode"),
         F.col(vec_col).alias("_qv"),
-    )
+        # mirror the corpus-side NULL-code drop (round-10 advice): a
+        # NULL query code yields NULL hamming against EVERY corpus row,
+        # so its candidate list would fill arbitrarily and emit k rows
+        # of NULL cosine — a NULL query vector must produce no rows
+    ).filter(F.col("_qcode").isNotNull())
     n_cand = k * candidate_mult
     ham = codes.crossJoin(
         F.broadcast(qcodes.select("query_id", "_qcode"))

@@ -14,6 +14,7 @@ from fractions import Fraction
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from curw_flo2d_data_manager_spark.functions.exactmath import ln_ratio_det
 from curw_flo2d_data_manager_spark.functions.plan_literals import lit_array
 
 # High-frequency function-word marker lexicons for the stopword
@@ -1281,10 +1282,15 @@ def sparse_cosine_pairs(
     Float robustness across engines: weights are fixed-point
     ``round(tf·idf·weight_scale)`` BIGINTs, so dot products and
     squared norms are EXACT integer sums (associative — immune to
-    Spark-vs-DuckDB summation order); the only floating ops are one
-    sqrt and one divide on the final exact integers, both correctly
-    rounded IEEE and therefore bit-identical cross-engine, then
-    rounded to 6 decimals.
+    Spark-vs-DuckDB summation order). The idf itself is computed by
+    ``functions/exactmath.ln_ratio_det`` — a basic-ops-only (+ - * /)
+    log with an identical expression tree on both engines, so the
+    weight doubles are bit-identical BEFORE rounding (a libm
+    ``F.log`` could differ from DuckDB's ``ln`` in the last ulp and
+    flip a ``round()`` at a half-way boundary — round-10 advice).
+    The remaining floating ops are one sqrt and one divide on the
+    final exact integers, both correctly rounded IEEE and therefore
+    bit-identical cross-engine, then rounded to 6 decimals.
 
     ``ngram`` > 1 switches the vocabulary from unigrams to word
     n-grams (multiset, a document shorter than n words contributing
@@ -1313,9 +1319,9 @@ def sparse_cosine_pairs(
         .withColumn(
             "w",
             F.round(
-                F.col("tf")
-                * F.log(
-                    (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                F.col("tf").cast("double")
+                * ln_ratio_det(
+                    F.col("n_docs") + F.lit(1), F.col("df") + F.lit(1)
                 )
                 * F.lit(float(weight_scale))
             ).cast("long"),

@@ -20,6 +20,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from curw_flo2d_data_manager_spark.functions.exactmath import (
+    ln_ratio_det_sql as _ln_ratio_det_sql,
+)
 from curw_flo2d_data_manager_spark.operators.cumulative import cumulative_fraction
 from curw_flo2d_data_manager_spark.operators.components import (
     cluster_assign,
@@ -8227,7 +8230,9 @@ dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT COUNT(*) AS n_docs FROM w),
 wt AS (
     SELECT t.doc_id, t.term, d.df,
-           CAST(ROUND(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) * 10000.0)
+           CAST(ROUND(CAST(t.tf AS DOUBLE)
+                      * {LN_RATIO_NDF}
+                      * 10000.0)
                 AS BIGINT) AS wgt
     FROM tf t JOIN dfq d USING (term) CROSS JOIN n
     WHERE d.df <= n.n_docs * 0.02
@@ -8251,6 +8256,14 @@ scored AS (
 SELECT * FROM scored WHERE cosine >= 0.5
 ORDER BY id_a, id_b
 """
+
+# The idf weight must be bit-identical across engines BEFORE the
+# fixed-point round (round-10 advice): splice in the deterministic
+# basic-ops log, the exact SQL twin of the Spark-side expression in
+# operators/textstats.py::sparse_cosine_pairs.
+SIM_SPARSE_COSINE_SQL = SIM_SPARSE_COSINE_SQL.replace(
+    "{LN_RATIO_NDF}", _ln_ratio_det_sql("n.n_docs + 1", "d.df + 1")
+)
 
 
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:

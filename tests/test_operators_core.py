@@ -3427,6 +3427,72 @@ def test_bq_hamming_topk_null_embeddings_never_candidates(spark):
     assert got[0].corpus_id != 3 or any(r.corpus_id == 3 for r in got)
 
 
+def test_bq_hamming_topk_null_query_vector_emits_no_rows(spark):
+    """Round-10 advice: a NULL QUERY embedding yields NULL hamming
+    against every corpus row — its candidate list would fill
+    arbitrarily and emit k rows of NULL cosine. NULL query vectors
+    must be excluded exactly like NULL corpus vectors; real queries
+    in the same batch are unaffected."""
+    import random
+
+    from curw_flo2d_data_manager_spark.operators.similarity import (
+        bq_hamming_topk,
+    )
+
+    rng = random.Random(11)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [
+            (1, [rng.uniform(-1, 1) for _ in range(64)]),
+            (2, None),
+        ],
+        "query_id long, embedding array<double>",
+    )
+    got = bq_hamming_topk(corpus, queries, k=5, candidate_mult=2).collect()
+    assert len(got) == 5
+    assert all(r.query_id == 1 for r in got)
+    assert all(r.cosine is not None for r in got)
+
+
+def test_k_core_early_exit_and_budget_warning(spark):
+    """Round-10 advice: k_core must early-exit once a peel removes
+    nothing (result == exact core regardless of n_rounds) and warn
+    when the round budget is exhausted mid-peel (result is then a
+    superset). A path graph peels one node per round from each end at
+    k=2, so a long path is a guaranteed deep-peel fixture."""
+    import warnings
+
+    from curw_flo2d_data_manager_spark.operators.components import k_core
+
+    # 12-node path: true 2-core is empty, peel depth is 6 rounds.
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # converged runs must NOT warn
+        got = k_core(path, k=2, n_rounds=8).collect()
+    assert got == []
+
+    # Budget of 2 rounds leaves a non-empty superset AND warns.
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        partial = k_core(path, k=2, n_rounds=2).collect()
+    assert len(partial) > 0
+    assert any("SUPERSET" in str(x.message) for x in w)
+
+    # A graph that IS its own 2-core converges on round 1, no warning.
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        core = {r.node for r in k_core(tri, k=2, n_rounds=3).collect()}
+    assert core == {1, 2, 3}
+
+
 def test_auc_exact_single_class_is_null_not_inf(spark):
     """All-positive (or all-negative) labels have no ranking to
     measure: auc must be NULL, never inf/nan."""
