@@ -214,6 +214,21 @@ def main() -> None:
         "ml_calibration_bins",
         "ml_confusion_matrix",
         "sim_gram_matrix",
+        # round-11 additions: exact stats (mode / weighted median /
+        # moments / normal-equation regression / KS), retrieval NDCG,
+        # link prediction, PMI collocations, moving median,
+        # rectangle-containment join, frame-sampling plan
+        "a_exact_mode",
+        "a_weighted_median",
+        "a_moments_fixed",
+        "ml_linreg_normal",
+        "ml_ks_statistic",
+        "ml_ndcg",
+        "g_link_predict",
+        "text_pmi_bigrams",
+        "w_moving_median",
+        "j_point_in_rect",
+        "mm_frame_plan",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -164,3 +164,217 @@ def auc_exact(
             F.round(num2 / (F.lit(2.0) * F.sum("pos") * F.sum("neg")), 6),
         ).alias("auc"),
     )
+
+
+def linreg_normal_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    x_int: Column,
+    y_fp: Column,
+) -> DataFrame:
+    """Exact closed-form simple linear regression (normal equations)
+    per group — the fixed-point counterpart of the float
+    ``regr_slope`` path (queries.w_trend_slope): all five sufficient
+    statistics n, Σx, Σy, Σx², Σxy are BIGINT sums over integer
+    inputs (``x_int`` integer-valued, ``y_fp`` pre-scaled fixed
+    point), so they are exact and associative on any engine and
+    partitioning; the slope/intercept assembly then uses ONE fixed
+    sequence of correctly-rounded casts and divides, bit-identical
+    cross-engine (the exactmath contract).
+
+    The cross products n·Σxy and Σx·Σy exceed BIGINT long before the
+    sums do, so they are computed in DECIMAL(38,0) (Spark) /
+    HUGEINT-exact (SQL oracle) — exact integers up to ~10³⁸.
+
+    Overflow headroom on the SUMS: |Σxy| ≤ n·max|x|·max|y_fp| must
+    stay < 2⁶³ ≈ 9.2e18 — at max|x| = 50, max|y_fp| = 10⁷ that is
+    n < 1.8e10 rows PER GROUP; rescale y_fp down for more.
+
+    Returns group cols + n + slope_fp (y_fp units per x unit),
+    intercept_fp, corr — slope/intercept NULL for degenerate
+    (zero-variance-x) groups.
+    """
+    x = x_int.cast("long")
+    y = y_fp.cast("long")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = d("n") * d("sxx") - d("sx") * d("sx")
+    deny = d("n") * d("syy") - d("sy") * d("sy")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    corr = num.cast("double") / (
+        F.sqrt(den.cast("double")) * F.sqrt(deny.cast("double"))
+    )
+    nz = den.cast("double") > 0
+    return agg.select(
+        *group_cols,
+        F.col("n"),
+        F.when(nz, slope).alias("slope_fp"),
+        F.when(nz, intercept).alias("intercept_fp"),
+        F.when(nz & (deny.cast("double") > 0), corr).alias("corr"),
+    )
+
+
+def ks_statistic_exact(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    score distributions of the positive (label 1) and negative
+    (label 0) classes: D = max over thresholds of |F̂₁(t) - F̂₀(t)|,
+    carried as the INTEGER numerator |cum₁·n₀ - cum₀·n₁| so the max
+    and its arg are exact on any engine (same doubled-numerator trick
+    as ``auc_exact``), with one float divide at the end.
+
+    Scale shape mirrors auc_exact: per-distinct-score (pos, neg)
+    counts first (partial-aggregable, cardinality bounded by score
+    precision), then cumulative windows over that bounded relation.
+    The argmax threshold ties break to the SMALLEST score via
+    ``max(struct(d_num, -score))``.
+
+    Overflow: cum·n ≤ n₁·n₀ < 2⁶³ requires n₁·n₀ < 9.2e18 — both
+    classes under ~3e9 rows.
+
+    Returns one row: (n_pos, n_neg, ks_num, ks_stat, ks_at_score).
+    """
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("long")
+    g = scored.groupBy(score_col).agg(
+        F.sum(y).alias("pos"),
+        F.sum(F.lit(1) - y).alias("neg"),
+    )
+    w = Window.orderBy(score_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    cum = g.select(
+        F.col(score_col),
+        F.sum("pos").over(w).alias("cpos"),
+        F.sum("neg").over(w).alias("cneg"),
+        F.sum("pos").over(tot).alias("n_pos"),
+        F.sum("neg").over(tot).alias("n_neg"),
+    )
+    d_num = F.abs(
+        F.col("cpos") * F.col("n_neg") - F.col("cneg") * F.col("n_pos")
+    )
+    terms = cum.select(
+        "n_pos",
+        "n_neg",
+        F.struct(
+            d_num.alias("d"), (-F.col(score_col)).alias("neg_s")
+        ).alias("cand"),
+    )
+    return (
+        terms.groupBy("n_pos", "n_neg")
+        .agg(F.max("cand").alias("m"))
+        .select(
+            "n_pos",
+            "n_neg",
+            F.col("m.d").alias("ks_num"),
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.round(
+                    F.col("m.d").cast("double")
+                    / (
+                        F.col("n_pos").cast("double")
+                        * F.col("n_neg").cast("double")
+                    ),
+                    6,
+                ),
+            ).alias("ks_stat"),
+            (-F.col("m.neg_s")).alias("ks_at_score"),
+        )
+    )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+    gain_scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact-arithmetic NDCG@k over a ranked retrieval run with
+    BINARY relevance: the per-position discount 1/log₂(rank+1) is
+    frozen into a fixed-point BIGINT gain
+
+        g(r) = round(gain_scale · LN2 / ln(r+1))
+
+    with ``ln`` the deterministic basic-ops log
+    (functions/exactmath.ln_ratio_det) — the gain table is therefore
+    bit-identical cross-engine, DCG = Σ rel·g(rank) and the binary
+    ideal IDCG = Σ_{i=1..min(n_rel,k)} g(i) are exact integer sums,
+    and NDCG needs one correctly-rounded divide.
+
+    Input: one row per (query, rank 1..k) with ``rel_col`` ∈ {0, 1}.
+    Returns (query, n_rel, dcg_fp, idcg_fp, ndcg); queries with zero
+    relevant rows in the run get NULL ndcg (no ideal to normalize by).
+    """
+    from curw_flo2d_data_manager_spark.functions.exactmath import (
+        LN2_DET,
+        ln_ratio_det,
+    )
+
+    def gain(rank: Column) -> Column:
+        lnr = ln_ratio_det(rank + F.lit(1), F.lit(1))
+        return F.round(
+            F.lit(float(gain_scale)) * F.lit(float(LN2_DET)) / lnr
+        ).cast("long")
+
+    rel = F.col(rel_col).cast("long")
+    per_q = (
+        ranked.filter(F.col(rank_col) <= k)
+        .groupBy(query_col)
+        .agg(
+            F.sum(rel).alias("n_rel"),
+            F.sum(rel * gain(F.col(rank_col))).alias("dcg_fp"),
+        )
+    )
+    # Spark's sequence(1, 0) DESCENDS ([1, 0]) and gain(0) divides by
+    # ln(1) = 0 — clamp the top to 1 and NULL the n_rel = 0 case out.
+    ideal = per_q.withColumn(
+        "idcg_fp",
+        F.when(
+            F.col("n_rel") > 0,
+            F.aggregate(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(
+                            F.least(F.col("n_rel"), F.lit(k)), F.lit(1)
+                        ),
+                    ),
+                    lambda i: gain(i),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, g: acc + g,
+            ),
+        ),
+    )
+    return ideal.select(
+        query_col,
+        "n_rel",
+        "dcg_fp",
+        "idcg_fp",
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(
+                F.col("dcg_fp").cast("double")
+                / F.col("idcg_fp").cast("double"),
+                6,
+            ),
+        ).alias("ndcg"),
+    )

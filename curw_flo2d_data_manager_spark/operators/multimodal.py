@@ -403,3 +403,70 @@ def extract_features(
         yield from iter_feature_batches(batches, dim, content_col, encoder)
 
     return df.select("media_id", content_col).mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    duration_ms: str = "duration_ms",
+    fps_x100: str = "fps_x100",
+    k: int = 8,
+) -> DataFrame:
+    """Uniform frame-sampling PLAN for video assets: which frame
+    indices (and their timestamps) :func:`sample_frames` should grab —
+    the deterministic scheduling half of the video path, kept separate
+    from the decode half so it is fully SQL-expressible and oracle-
+    checkable (the decode half stays behind the stand-in codec).
+
+    All arithmetic is exact integer division (fps carried ×100):
+
+        total_frames = duration_ms · fps_x100 DIV 100000
+        m            = min(k, total_frames)
+        frame_idx(i) = i · total_frames DIV m        (i = 0..m-1)
+        ts_ms(idx)   = idx · 100000 DIV fps_x100
+
+    Assets shorter than ``k`` frames contribute one row per existing
+    frame (m = total_frames makes frame_idx(i) = i); array_distinct
+    guards the degenerate collapse, so the fan-out never exceeds
+    min(k, total_frames).
+
+    Returns (id, total_frames, frame_idx, ts_ms), one row per sampled
+    frame; zero-frame assets produce no rows.
+    """
+    dur = F.col(duration_ms).cast("long")
+    fps = F.col(fps_x100).cast("long")
+    total = ((dur * fps) - (dur * fps) % F.lit(100000)) / F.lit(100000)
+    with_total = assets.select(
+        F.col(id_col),
+        fps.alias("_fps"),
+        total.cast("long").alias("total_frames"),
+    ).filter(F.col("total_frames") > 0)
+    m = F.least(F.lit(k), F.col("total_frames"))
+    idxs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), m - F.lit(1)),
+            lambda i: (
+                (
+                    (i * F.col("total_frames"))
+                    - (i * F.col("total_frames")) % m
+                )
+                / m
+            ).cast("long"),
+        )
+    )
+    exploded = with_total.select(
+        id_col,
+        "_fps",
+        "total_frames",
+        F.explode(idxs).alias("frame_idx"),
+    )
+    ts = (
+        (F.col("frame_idx") * F.lit(100000))
+        - (F.col("frame_idx") * F.lit(100000)) % F.col("_fps")
+    ) / F.col("_fps")
+    return exploded.select(
+        id_col,
+        "total_frames",
+        "frame_idx",
+        ts.cast("long").alias("ts_ms"),
+    )

@@ -262,3 +262,46 @@ def _ewma_segmented(
     return joined.groupBy(*key_cols, "_seg").applyInPandas(
         _refold, schema=out_schema
     )
+
+
+def moving_median(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    window: int = 5,
+) -> Column | DataFrame:
+    """Exact trailing moving median over the last ``window`` rows per
+    key — the robust smoother next to :func:`ewma` (outliers shift a
+    mean; a median ignores them until they are the majority).
+
+    Spark has no framed ``median`` window function (analysis error),
+    so the frame is materialized with ``collect_list`` over a BOUNDED
+    trailing row frame — at most ``window`` elements per row, sorted
+    with ``array_sort`` and picked positionally. The middle pick rule
+    is spelled with basic ops only ((lo + hi) / 2.0 for even counts —
+    NOT percentile-style ``lo + (hi-lo)·f``, whose last ulp differs),
+    so a SQL oracle using the same list-window construction is
+    bit-identical.
+
+    Scale: one key-partitioned sort window with an O(window) frame per
+    row; no global sort, no unbounded frame (the round-8 quadratic
+    rowsBetween trap does not apply to bounded trailing frames).
+
+    Returns the input plus ``moving_median``.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+    n = F.size(arr)
+    # 1-based picks: odd n → lo == hi == the middle ((m+m)/2.0 == m
+    # exactly in IEEE); even n → the two central elements averaged.
+    lo = F.element_at(arr, F.floor((n + F.lit(1)) / F.lit(2)).cast("int"))
+    hi = F.element_at(arr, F.floor(n / F.lit(2)).cast("int") + F.lit(1))
+    med = (lo + hi) / F.lit(2.0)
+    return df.withColumn("moving_median", med)

@@ -80,3 +80,54 @@ def radius_grid_join(
         .drop("_cx", "_cy")
     )
     return joined
+
+
+def point_in_rect_join(
+    points: DataFrame,
+    rects: DataFrame,
+    px: str = "px",
+    py: str = "py",
+    x_lo: str = "x_lo",
+    x_hi: str = "x_hi",
+    y_lo: str = "y_lo",
+    y_hi: str = "y_hi",
+    bucket_width: float = 100.0,
+) -> DataFrame:
+    """Containment join: every (point, rectangle) pair with the point
+    inside the closed rectangle — the windowed-region counterpart of
+    :func:`radius_grid_join` (geofences, tile assignment, bounding-box
+    pre-filters).
+
+    Same fixed-grid trick, asymmetric roles: each point lives in ONE
+    x-bucket (floor(px / bucket_width)); each rectangle EXPLODES to
+    the x-buckets its [x_lo, x_hi] span touches (span/bucket_width + 1
+    rows — size the bucket near the typical rectangle width so the
+    fan-out stays O(1)). Equi-join on the bucket, exact BETWEEN
+    refine on both axes. A pair matches in exactly one bucket (the
+    point's home bucket), so the output needs no dedup.
+
+    100-TB shape: one shuffle per side keyed on the x-bucket, no
+    cartesian; a second-axis bucket key is the extension for
+    pathologically tall rectangles. All arithmetic is
+    floor/divide/compare — engine-deterministic, SQL-replicable.
+    """
+    pb = points.withColumn(
+        "_bx", F.floor(F.col(px) / F.lit(float(bucket_width))).cast("long")
+    )
+    rb = rects.withColumn(
+        "_bx",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(x_lo) / F.lit(float(bucket_width))).cast(
+                    "long"
+                ),
+                F.floor(F.col(x_hi) / F.lit(float(bucket_width))).cast(
+                    "long"
+                ),
+            )
+        ),
+    )
+    return pb.join(rb, "_bx").filter(
+        F.col(px).between(F.col(x_lo), F.col(x_hi))
+        & F.col(py).between(F.col(y_lo), F.col(y_hi))
+    ).drop("_bx")

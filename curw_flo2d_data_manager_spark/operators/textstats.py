@@ -1370,3 +1370,104 @@ def sparse_cosine_pairs(
         .filter(F.col("cosine") >= min_sim)
         .select("id_a", "id_b", "n_shared_terms", "cosine")
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+    pmi_scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over word
+    bigrams:
+
+        PMI(x, y) = ln P(x,y) − ln P(x) − ln P(y)
+                  = ln c_xy − ln N_bi − ln c_x − ln c_y + 2·ln N_uni
+
+    Every log is the DETERMINISTIC basic-ops ln
+    (functions/exactmath.ln_ratio_det over (count, 1)), and the five
+    terms are combined in ONE fixed order, so the PMI double is
+    bit-identical cross-engine; ordering is frozen through
+    ``pmi_fp = round(pmi·pmi_scale)`` BIGINTs with a term tiebreak.
+    Computing each ln separately (instead of ln of one big rational)
+    also keeps every integer argument ≤ max(count) — no N²·c overflow.
+
+    Scale shape: two token aggregations (unigram, bigram counts — both
+    partial-aggregable) and two broadcast joins of the bigram relation
+    against the unigram counts keyed on each word; the ``min_count``
+    floor prunes the hapax tail BEFORE the joins. Top-k is a global
+    sort of the surviving collocations only.
+
+    Returns (term, c_xy, c_x, c_y, pmi_fp, rank), rank 1..k by
+    (pmi_fp desc, term asc).
+    """
+    from curw_flo2d_data_manager_spark.functions.exactmath import (
+        ln_ratio_det,
+    )
+    from pyspark.sql import Window
+
+    w = df.select(F.explode(words(text_col)).alias("word"))
+    uni = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    bi_all = (
+        df.select(
+            F.explode(word_ngram_terms(text_col, 2)).alias("term")
+        )
+        .filter(F.size(F.split(F.col("term"), " ")) == 2)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    # N_bi is the UNFILTERED bigram mass (P(x,y) denominator); the
+    # min_count floor only prunes which collocations are scored
+    n_bi = bi_all.agg(F.sum("c_xy").alias("n_bi"))
+    bi = bi_all.filter(F.col("c_xy") >= min_count)
+    parts = bi.select(
+        "term",
+        "c_xy",
+        F.split(F.col("term"), " ").getItem(0).alias("w1"),
+        F.split(F.col("term"), " ").getItem(1).alias("w2"),
+    )
+    joined = (
+        parts.join(
+            F.broadcast(uni.select(F.col("word").alias("w1"),
+                                   F.col("c").alias("c_x"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("word").alias("w2"),
+                                   F.col("c").alias("c_y"))),
+            "w2",
+        )
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi))
+    )
+    one = F.lit(1)
+    pmi = (
+        (
+            (
+                (
+                    ln_ratio_det(F.col("c_xy"), one)
+                    + F.lit(2.0) * ln_ratio_det(F.col("n_uni"), one)
+                )
+                - ln_ratio_det(F.col("n_bi"), one)
+            )
+            - ln_ratio_det(F.col("c_x"), one)
+        )
+        - ln_ratio_det(F.col("c_y"), one)
+    )
+    scored = joined.select(
+        "term",
+        "c_xy",
+        "c_x",
+        "c_y",
+        F.round(pmi * F.lit(float(pmi_scale))).cast("long").alias(
+            "pmi_fp"
+        ),
+    )
+    wr = Window.orderBy(F.desc("pmi_fp"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+    )

@@ -9388,31 +9388,690 @@ ORDER BY user_id, view_id
 """
 
 
+def a_exact_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact mode (most frequent l_quantity with min-value
+    tie-break) — the hot-group-safe argmax: a (group, value) count
+    then ``max(struct(cnt, -value))``, both partial-aggregable, no
+    rank window anywhere (operators/exactstats.py::group_mode)."""
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        group_mode,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return group_mode(
+        li, ["l_returnflag", "l_linestatus"], "l_quantity"
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+A_MODE_SQL = """
+WITH c AS (
+    SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS cnt
+    FROM lineitem GROUP BY 1, 2, 3
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY l_returnflag, l_linestatus
+        ORDER BY cnt DESC, l_quantity ASC) AS rn
+    FROM c
+)
+SELECT l_returnflag, l_linestatus, l_quantity AS mode_value,
+       cnt AS mode_count
+FROM r WHERE rn = 1
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower weighted median of l_quantity weighted by revenue
+    (fixed-point cents, so cumulative/total sums are exact BIGINTs) —
+    the interpolation-free pick rule 2·cum ≥ tot on a per-distinct-
+    value pre-aggregation (operators/exactstats.py::weighted_median:
+    the window runs over ≤50 distinct quantities per flag, never the
+    raw rows)."""
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        weighted_median,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    w_fp = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return weighted_median(
+        li, ["l_returnflag"], "l_quantity", w_fp
+    ).orderBy("l_returnflag")
+
+
+A_WMEDIAN_SQL = """
+WITH agg AS (
+    SELECT l_returnflag, l_quantity,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS w_fp
+    FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+    SELECT l_returnflag, l_quantity,
+           SUM(w_fp) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                           ROWS UNBOUNDED PRECEDING) AS cum_w,
+           SUM(w_fp) OVER (PARTITION BY l_returnflag) AS tot_w
+    FROM agg
+)
+SELECT l_returnflag, MIN(l_quantity) AS weighted_median,
+       CAST(MAX(tot_w) AS BIGINT) AS total_weight_fp
+FROM cum WHERE 2 * cum_w >= tot_w
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def a_moments_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact skewness/kurtosis per return flag from integer raw power
+    sums Σx..Σx⁴ (l_quantity is integer-valued) — the moments are
+    assembled from the exact BIGINTs with one fixed basic-ops
+    sequence, so the unrounded doubles hash-match the oracle bit for
+    bit (operators/exactstats.py::moments_fixed)."""
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        moments_fixed,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return moments_fixed(
+        li, ["l_returnflag"], F.col("l_quantity")
+    ).orderBy("l_returnflag")
+
+
+A_MOMENTS_SQL = """
+WITH s AS (
+    SELECT l_returnflag, COUNT(*) AS n,
+           SUM(CAST(l_quantity AS BIGINT)) AS s1,
+           SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+           SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+               * CAST(l_quantity AS BIGINT)) AS s3,
+           SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+               * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
+    FROM lineitem GROUP BY 1
+),
+d AS (
+    SELECT l_returnflag, n,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+           CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+           CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+    FROM s
+),
+m AS (
+    SELECT l_returnflag, n, mean,
+           e2 - mean * mean AS m2,
+           e3 - 3.0 * mean * e2 + 2.0 * mean * mean * mean AS m3,
+           e4 - 4.0 * mean * e3 + 6.0 * mean * mean * e2
+              - 3.0 * mean * mean * mean * mean AS m4
+    FROM d
+)
+SELECT l_returnflag, n, mean, m2,
+       CASE WHEN m2 > 0 THEN m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) END
+           AS skewness,
+       CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis
+FROM m ORDER BY l_returnflag
+"""
+
+
+def ml_linreg_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact closed-form linear regression of revenue cents on
+    quantity per return flag (normal equations over BIGINT sufficient
+    statistics, DECIMAL(38) cross products, one fixed divide
+    sequence) — the fixed-point counterpart of w_trend_slope's float
+    regr_slope (operators/mltrain.py::linreg_normal_exact); the
+    unrounded slope/intercept/corr doubles hash-match the oracle."""
+    from curw_flo2d_data_manager_spark.operators.mltrain import (
+        linreg_normal_exact,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return linreg_normal_exact(
+        li,
+        ["l_returnflag"],
+        F.col("l_quantity"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+    ).orderBy("l_returnflag")
+
+
+ML_LINREG_SQL = """
+WITH s AS (
+    SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS HUGEINT) AS sy,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(l_quantity AS BIGINT)
+                    * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS HUGEINT) AS sxy,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS HUGEINT) AS syy
+    FROM lineitem GROUP BY 1
+),
+m AS (
+    SELECT l_returnflag, n,
+           n * sxy - sx * sy AS num,
+           n * sxx - sx * sx AS den,
+           n * syy - sy * sy AS deny,
+           sx, sy
+    FROM s
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CASE WHEN CAST(den AS DOUBLE) > 0
+            THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope_fp,
+       CASE WHEN CAST(den AS DOUBLE) > 0
+            THEN (CAST(sy AS DOUBLE)
+                  - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+       END AS intercept_fp,
+       CASE WHEN CAST(den AS DOUBLE) > 0 AND CAST(deny AS DOUBLE) > 0
+            THEN CAST(num AS DOUBLE)
+                 / (sqrt(CAST(den AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE)))
+       END AS corr
+FROM m ORDER BY l_returnflag
+"""
+
+
+def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between click and
+    error event-value distributions — the drift/shift detector next to
+    ml_auc_exact's ranking view, carried as an integer numerator so
+    max and argmax are engine-exact
+    (operators/mltrain.py::ks_statistic_exact)."""
+    from curw_flo2d_data_manager_spark.operators.mltrain import (
+        ks_statistic_exact,
+    )
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(
+            F.col("event_type").isin("click", "error")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            F.col("value").alias("score"),
+            (F.col("event_type") == "click").cast("int").alias("y"),
+        )
+    )
+    return ks_statistic_exact(ev, "score", "y")
+
+
+ML_KS_SQL = """
+WITH g AS (
+    SELECT value AS score,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS pos,
+           SUM(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END) AS neg
+    FROM events
+    WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+    GROUP BY value
+),
+c AS (
+    SELECT score,
+           SUM(pos) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cpos,
+           SUM(neg) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cneg,
+           SUM(pos) OVER () AS n_pos,
+           SUM(neg) OVER () AS n_neg
+    FROM g
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(ABS(cpos * n_neg - cneg * n_pos) AS BIGINT) AS ks_num,
+       ROUND(CAST(ABS(cpos * n_neg - cneg * n_pos) AS DOUBLE)
+             / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+           AS ks_stat,
+       score AS ks_at_score
+FROM c ORDER BY ks_num DESC, score ASC LIMIT 1
+"""
+
+
+def _gain_sql(rank_expr: str) -> str:
+    """SQL twin of mltrain.ndcg_at_k's fixed-point DCG gain
+    round(10⁶·LN2/ln(rank+1)) — deterministic basic-ops log, explicit
+    DOUBLE casts so neither engine routes a constant through DECIMAL
+    arithmetic."""
+    lnr = _ln_ratio_det_sql(f"({rank_expr}) + 1", "1")
+    return (
+        "CAST(ROUND(CAST(1000000.0 AS DOUBLE)"
+        f" * CAST(0.6931471805599453 AS DOUBLE) / {lnr}) AS BIGINT)"
+    )
+
+
+def ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the brute-force cosine retrieval run with
+    label-match binary relevance — retrieval-quality eval for the ANN
+    stack, with the per-position 1/log₂ discount frozen to
+    fixed-point BIGINT gains via the deterministic basic-ops log so
+    DCG/IDCG are exact integer sums
+    (operators/mltrain.py::ndcg_at_k)."""
+    from curw_flo2d_data_manager_spark.operators.mltrain import ndcg_at_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding",
+        F.col("label").alias("qlabel"),
+    )
+    run = cosine_topk(emb, q.select("query_id", "embedding"), k=10)
+    rel = (
+        run.join(F.broadcast(q.select("query_id", "qlabel")), "query_id")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("corpus_id"),
+                F.col("label").alias("clabel"),
+            ),
+            "corpus_id",
+        )
+        .withColumn(
+            "rel", (F.col("qlabel") == F.col("clabel")).cast("int")
+        )
+    )
+    return ndcg_at_k(rel, "query_id", "rank", "rel", k=10).orderBy(
+        "query_id"
+    )
+
+
+ML_NDCG_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+    FROM embeddings WHERE vec_id < 20
+),
+scored AS (
+    SELECT q.query_id, q.qlabel, e.vec_id AS corpus_id, e.label AS clabel,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.qv AS DOUBLE[])) AS cosine
+    FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+    SELECT query_id, qlabel, corpus_id, clabel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, corpus_id) AS rank
+    FROM scored
+),
+run AS (
+    SELECT query_id,
+           CASE WHEN qlabel = clabel THEN 1 ELSE 0 END AS rel, rank
+    FROM ranked WHERE rank <= 10
+),
+perq AS (
+    SELECT query_id, CAST(SUM(rel) AS BIGINT) AS n_rel,
+           CAST(SUM(rel * {GAIN_RANK}) AS BIGINT) AS dcg_fp
+    FROM run GROUP BY 1
+),
+ideal AS (
+    SELECT query_id, n_rel, dcg_fp,
+           CASE WHEN n_rel > 0 THEN (
+               SELECT CAST(SUM({GAIN_I}) AS BIGINT)
+               FROM UNNEST(generate_series(1,
+                    CAST(LEAST(n_rel, 10) AS BIGINT))) AS t(i)
+           ) END AS idcg_fp
+    FROM perq
+)
+SELECT query_id, n_rel, dcg_fp, idcg_fp,
+       CASE WHEN n_rel > 0
+            THEN ROUND(CAST(dcg_fp AS DOUBLE) / CAST(idcg_fp AS DOUBLE), 6)
+       END AS ndcg
+FROM ideal ORDER BY query_id
+"""
+ML_NDCG_SQL = ML_NDCG_SQL.replace("{GAIN_RANK}", _gain_sql("rank")).replace(
+    "{GAIN_I}", _gain_sql("i")
+)
+
+
+def g_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 predicted missing edges of the part co-occurrence graph
+    by resource-allocation index (exact fixed-point Σ floor(10⁶/deg w)
+    over shared neighbors), with common-neighbor count and
+    neighborhood Jaccard — wedge enumeration keyed on the shared
+    neighbor, repartition-pinned against AQE's input-sized coalescing
+    (operators/linkpredict.py::link_prediction_scores)."""
+    from curw_flo2d_data_manager_spark.operators.linkpredict import (
+        link_prediction_scores,
+    )
+
+    edges = _part_cooccur_edges(spark, sf_dir)
+    scores = link_prediction_scores(edges, "p_a", "p_b")
+    return scores.orderBy(
+        F.desc("ra_fp"), "node_a", "node_b"
+    ).limit(100)
+
+
+G_LINKPRED_SQL = """
+WITH li AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1997-01-01'
+),
+e AS MATERIALIZED (
+    SELECT DISTINCT a.p AS a, b.p AS b
+    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+),
+adj AS MATERIALIZED (
+    SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e
+),
+deg AS MATERIALIZED (SELECT w, COUNT(*) AS deg FROM adj GROUP BY w),
+wd AS MATERIALIZED (
+    SELECT adj.w, adj.n,
+           CAST(FLOOR(CAST(1000000.0 AS DOUBLE) / deg.deg) AS BIGINT) AS ra_w
+    FROM adj JOIN deg ON adj.w = deg.w
+),
+pairs AS MATERIALIZED (
+    SELECT a1.n AS u, a2.n AS v, COUNT(*) AS common,
+           CAST(SUM(a1.ra_w) AS BIGINT) AS ra_fp
+    FROM wd a1 JOIN wd a2 ON a1.w = a2.w AND a1.n < a2.n
+    GROUP BY 1, 2
+),
+nonadj AS (
+    SELECT p.* FROM pairs p
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.u AND e.b = p.v)
+),
+scored AS (
+    SELECT u AS node_a, v AS node_b, common, ra_fp,
+           ROUND(CAST(common AS DOUBLE)
+                 / CAST(du.deg + dv.deg - common AS DOUBLE), 6) AS jaccard
+    FROM nonadj
+    JOIN deg du ON du.w = nonadj.u
+    JOIN deg dv ON dv.w = nonadj.v
+)
+SELECT * FROM scored ORDER BY ra_fp DESC, node_a, node_b LIMIT 100
+"""
+
+
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word-bigram collocations by pointwise mutual
+    information, every log the deterministic basic-ops ln so the PMI
+    doubles are bit-identical cross-engine and the ordering is frozen
+    through round(pmi·10⁶) BIGINTs
+    (operators/textstats.py::pmi_bigrams)."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        pmi_bigrams,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pmi_bigrams(docs, "doc_id", "text", min_count=5, k=50)
+
+
+TEXT_PMI_SQL = """
+WITH w AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')), '\\s+') AS words
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9\\x80-\\x{ffff}-]+', ' ', 'g')) != ''
+),
+uni AS MATERIALIZED (
+    SELECT word, COUNT(*) AS c
+    FROM w, UNNEST(words) AS t(word) GROUP BY 1
+),
+nu AS (SELECT SUM(c) AS n_uni FROM uni),
+g AS (
+    SELECT array_to_string(words[i:i+1], ' ') AS term
+    FROM w, UNNEST(generate_series(1, greatest(len(words) - 1, 1))) AS t(i)
+),
+bi0 AS MATERIALIZED (
+    SELECT term, COUNT(*) AS c_xy FROM g
+    WHERE len(string_split(term, ' ')) = 2
+    GROUP BY 1
+),
+nb AS (SELECT SUM(c_xy) AS n_bi FROM bi0),
+j AS (
+    SELECT b.term, b.c_xy, u1.c AS c_x, u2.c AS c_y, nu.n_uni, nb.n_bi
+    FROM bi0 b
+    JOIN uni u1 ON u1.word = string_split(b.term, ' ')[1]
+    JOIN uni u2 ON u2.word = string_split(b.term, ' ')[2]
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE b.c_xy >= 5
+),
+scored AS (
+    SELECT term, c_xy, c_x, c_y,
+           CAST(ROUND((((({LN_CXY} + 2.0 * {LN_NU}) - {LN_NB}) - {LN_CX})
+                       - {LN_CY}) * CAST(1000000.0 AS DOUBLE))
+                AS BIGINT) AS pmi_fp
+    FROM j
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_fp DESC, term ASC) AS rank
+    FROM scored
+)
+SELECT term, c_xy, c_x, c_y, pmi_fp, rank
+FROM ranked WHERE rank <= 50
+"""
+TEXT_PMI_SQL = (
+    TEXT_PMI_SQL.replace("{LN_CXY}", _ln_ratio_det_sql("c_xy", "1"))
+    .replace("{LN_NU}", _ln_ratio_det_sql("n_uni", "1"))
+    .replace("{LN_NB}", _ln_ratio_det_sql("n_bi", "1"))
+    .replace("{LN_CX}", _ln_ratio_det_sql("c_x", "1"))
+    .replace("{LN_CY}", _ln_ratio_det_sql("c_y", "1"))
+)
+
+
+def w_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing 5-row moving median of event values per user —
+    the robust smoother next to w_moving_avg/w_ewma, materialized as
+    a bounded collect_list frame because Spark has no framed median
+    window function; the (lo+hi)/2.0 middle rule keeps the doubles
+    bit-identical to the oracle's identical list construction
+    (operators/smoothing.py::moving_median)."""
+    from curw_flo2d_data_manager_spark.operators.smoothing import (
+        moving_median,
+    )
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter((F.col("user_id") < 10) & F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+    out = moving_median(ev, ["user_id"], ["ts", "event_id"], "value", 5)
+    return out.select("user_id", "event_id", "moving_median").orderBy(
+        "user_id", "event_id"
+    )
+
+
+W_MOVMED_SQL = """
+WITH f AS (
+    SELECT user_id, event_id,
+           list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+    FROM events
+    WHERE user_id < 10 AND value IS NOT NULL
+)
+SELECT user_id, event_id,
+       (arr[CAST(FLOOR((len(arr) + 1) / 2) AS INT)]
+        + arr[CAST(FLOOR(len(arr) / 2) AS INT) + 1]) / 2.0
+           AS moving_median
+FROM f ORDER BY user_id, event_id
+"""
+
+
+def j_point_in_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join — customers as (acctbal, custkey-band) points
+    inside supplier-derived rectangles — via the one-home-bucket grid
+    trick: rectangles explode to the x-buckets they span, points keep
+    one bucket, equi-join then exact BETWEEN refine; no cartesian, no
+    dedup needed (operators/spatial.py::point_in_rect_join)."""
+    from curw_flo2d_data_manager_spark.operators.spatial import (
+        point_in_rect_join,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("px"),
+        (F.col("c_custkey") % 1000).cast("double").alias("py"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - F.lit(100.0)).alias("x_lo"),
+        (F.col("s_acctbal") + F.lit(100.0)).alias("x_hi"),
+        (F.col("s_nationkey") * 40).cast("double").alias("y_lo"),
+        ((F.col("s_nationkey") * 40).cast("double") + F.lit(100.0)).alias(
+            "y_hi"
+        ),
+    )
+    out = point_in_rect_join(cust, sup, bucket_width=100.0)
+    return out.select("s_suppkey", "c_custkey").orderBy(
+        "s_suppkey", "c_custkey"
+    )
+
+
+J_RECT_SQL = """
+WITH p AS (
+    SELECT c_custkey, c_acctbal AS px,
+           CAST(c_custkey % 1000 AS DOUBLE) AS py,
+           CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS bx
+    FROM customer
+),
+r AS (
+    SELECT s_suppkey,
+           s_acctbal - 100.0 AS x_lo, s_acctbal + 100.0 AS x_hi,
+           CAST(s_nationkey * 40 AS DOUBLE) AS y_lo,
+           CAST(s_nationkey * 40 AS DOUBLE) + 100.0 AS y_hi
+    FROM supplier
+),
+rb AS (
+    SELECT r.*, t.bx
+    FROM r, UNNEST(generate_series(CAST(FLOOR(x_lo / 100.0) AS BIGINT),
+                                   CAST(FLOOR(x_hi / 100.0) AS BIGINT)))
+         AS t(bx)
+)
+SELECT s_suppkey, c_custkey
+FROM p JOIN rb USING (bx)
+WHERE px BETWEEN x_lo AND x_hi AND py BETWEEN y_lo AND y_hi
+ORDER BY s_suppkey, c_custkey
+"""
+
+
+def mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform video frame-sampling plan (which frame indices and
+    timestamps the decode stage grabs) over synthetic per-asset
+    duration/fps metadata — all exact integer division, the
+    SQL-checkable scheduling half of the multimodal video path
+    (operators/multimodal.py::frame_sample_plan; the decode half is
+    the stand-in-codec mapInPandas in sample_frames)."""
+    from curw_flo2d_data_manager_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        (F.lit(1000) + (F.col("doc_id") % 97) * 750)
+        .cast("long")
+        .alias("duration_ms"),
+        (F.lit(2400) + (F.col("doc_id") % 3) * 600)
+        .cast("long")
+        .alias("fps_x100"),
+    )
+    return frame_sample_plan(assets, "asset_id", k=8).orderBy(
+        "asset_id", "frame_idx"
+    )
+
+
+MM_FRAMEPLAN_SQL = """
+WITH a AS (
+    SELECT doc_id AS asset_id,
+           1000 + (doc_id % 97) * 750 AS duration_ms,
+           2400 + (doc_id % 3) * 600 AS fps_x100
+    FROM documents
+),
+t AS (
+    SELECT asset_id, fps_x100,
+           (duration_ms * fps_x100) // 100000 AS total_frames
+    FROM a WHERE (duration_ms * fps_x100) // 100000 > 0
+),
+f AS (
+    SELECT DISTINCT asset_id, fps_x100, total_frames,
+           (s.i * total_frames) // LEAST(8, total_frames) AS frame_idx
+    FROM t, UNNEST(generate_series(0,
+             CAST(LEAST(8, total_frames) - 1 AS BIGINT))) AS s(i)
+)
+SELECT asset_id, total_frames, frame_idx,
+       (frame_idx * 100000) // fps_x100 AS ts_ms
+FROM f ORDER BY asset_id, frame_idx
+"""
+
+
 # Registry order is CONTRACTUAL: the external correctness driver
-# verifies only the FIRST 50 entries, so positions 1-50 must cover one
-# gating query for every SURVEY §2 operator family (S/P/K/F/J/A/W/O/
-# U/X), the streaming gates, and every LLM-data family (sampling is
-# driver-green since round 1 and yields its slots to the families that
-# had none). tests/test_registry_window.py pins this invariant.
+# verifies only the FIRST 50 entries. Window policy (amended in round
+# 11 per the round-10 advice, which caught the S-family gates rotating
+# out while this comment still demanded full family coverage):
+# positions 1-50 hold, in priority order, (a) never-driver-certified
+# additions, (b) queries over operator code touched this round,
+# (c) one gate per SURVEY §2 family whose latest certification is
+# older than round N-2 — a fully re-certified family MAY rotate out
+# entirely while its certification is recent, (d) the oldest-certified
+# entries. Rotated-out entries remain covered by the per-round local
+# full sweep (tools/check_correctness.py, all entries, sf0.01).
+# tests/test_registry_window.py pins the realized window.
 DRIVER_WINDOW = 50
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # ---- round-8 driver window (positions 1-50; see
-    # tests/test_registry_window.py). Rotation policy: the three
-    # never-certified round-8 additions, then every query whose
-    # operator code changed this round (interp frame fix, kmeans
-    # consistency, PQ LUT, rangejoin inverted-interval semantics),
-    # then the entries with the OLDEST certification (last green
-    # in the r5 window or earlier), then two r6-certified fills.
-    # ---- round-10 additions (never driver-certified — window head)
+    # ---- round-11 driver window (positions 1-50; pinned by
+    # tests/test_registry_window.py). Rotation policy (amended per the
+    # round-10 advice): (a) never-driver-certified additions first,
+    # (b) queries whose OPERATOR CODE changed this round (the
+    # deterministic-idf rewrite, the bq NULL-query filter, the k_core
+    # early-exit), (c) one gate per SURVEY §2 family whose last
+    # certification would otherwise age past the rotation horizon
+    # (S/P/O/U this round — a family may rotate out of the window
+    # only while its gates hold a RECENT certification, r>=N-2),
+    # (d) the entries with the OLDEST certification (the r5 cohort).
+    # Everything displaced stays verified by the local full sweep
+    # (tools/check_correctness.py) each round.
+    # ---- round-11 additions (never driver-certified)
+    "a_exact_mode": (a_exact_mode, A_MODE_SQL),
+    "a_weighted_median": (a_weighted_median, A_WMEDIAN_SQL),
+    "a_moments_fixed": (a_moments_fixed, A_MOMENTS_SQL),
+    "ml_linreg_normal": (ml_linreg_normal, ML_LINREG_SQL),
+    "ml_ks_statistic": (ml_ks_statistic, ML_KS_SQL),
+    "ml_ndcg": (ml_ndcg, ML_NDCG_SQL),
+    "g_link_predict": (g_link_predict, G_LINKPRED_SQL),
+    "text_pmi_bigrams": (text_pmi_bigrams, TEXT_PMI_SQL),
+    "w_moving_median": (w_moving_median, W_MOVMED_SQL),
+    "j_point_in_rect": (j_point_in_rect, J_RECT_SQL),
+    "mm_frame_plan": (mm_frame_plan, MM_FRAMEPLAN_SQL),
+    # ---- operator code touched this round
     "sim_sparse_cosine": (sim_sparse_cosine, SIM_SPARSE_COSINE_SQL),
+    "sim_bq_hamming": (sim_bq_hamming, SIM_BQ_SQL),
+    "g_kcore": (g_kcore, G_KCORE_SQL),
+    # ---- family gates restored (S/P/O/U; round-10 advice)
+    "s2_grid_scan_correction": (s2_grid_scan_correction, S2_SQL),
+    "s6_max_end_time": (s6_max_end_time, S6_SQL),
+    "p1_hychan_roundtrip": (p1_hychan_roundtrip, P1_SQL),
+    "o2_ordered_topk": (o2_ordered_topk, O2_SQL),
+    "u2_set_ops": (u2_set_ops, U2_SET_SQL),
+    # ---- oldest-certified cohort (last green r5)
+    "j_asof_join": (j_asof_join, J_ASOF_SQL),
+    "a2_resample_right_closed": (a2_resample_right_closed, A2_SQL),
+    "a4_cumulative_fraction": (a4_cumulative_fraction, A4_SQL),
+    "w3_fill_down": (w3_fill_down, W3_SQL),
+    "w_sessionize_events": (w_sessionize_events, W_SESSION_SQL),
+    "q12_priority_case": (q12_priority_case, Q12_SQL),
+    "x4_json_extract": (x4_json_extract, X4_SQL),
+    "k3_raincell_render": (k3_raincell_render, K3_SQL),
+    "k5_chan_render": (k5_chan_render, K5_SQL),
+    "k8_run_metadata": (k8_run_metadata, K8_SQL),
+    "f9_get_or_create": (f9_get_or_create, F9_SQL),
+    "j1_calendar_spine": (j1_calendar_spine, J1_SQL),
+    "j2_dim_enrichment": (j2_dim_enrichment, J2_SQL),
+    "stream_cumsum_events": (stream_cumsum_events, STREAM_CUMSUM_SQL),
+    "stream_session_events": (stream_session_events, STREAM_SESSION_SQL),
+    "dedup_exact": (dedup_exact_docs, DEDUP_EXACT_SQL),
+    "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
+    "sim_lsh_pairs": (sim_lsh_pairs, SIM_LSH_SQL),
+    "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "w_moving_avg": (w_moving_avg, W_MOVAVG_SQL),
+    "x_unpivot_lineitem": (x_unpivot_lineitem, X_UNPIVOT_SQL),
+    "a_cube_counts": (a_cube_counts, A_CUBE_SQL),
+    "a_percentiles": (a_percentiles, A_PCT_SQL),
+    "q2_min_supplier": (q2_min_supplier, Q2_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "sim_ivf_topk": (sim_ivf_topk_docs, SIM_IVF_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh_docs, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
+    "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
+    # ---- past the window: re-verified via local full sweeps
     "text_inverted_index": (text_inverted_index, TEXT_INVERTED_SQL),
     "g_triangle_count": (g_triangle_count, G_TRIANGLE_SQL),
     "sketch_countmin": (sketch_countmin, SKETCH_COUNTMIN_SQL),
     "stream_join_attrib": (stream_join_attrib, STREAM_ATTRIB_SQL),
     "stream_join_unmatched": (stream_join_unmatched, STREAM_UNMATCHED_SQL),
-    "g_kcore": (g_kcore, G_KCORE_SQL),
-    "sim_bq_hamming": (sim_bq_hamming, SIM_BQ_SQL),
     "g_clustering_coef": (g_clustering_coef, G_CLUSTERING_SQL),
     "g_pagerank_weighted": (g_pagerank_weighted, G_WPR_SQL),
     "ml_train_classifier": (ml_train_classifier, ML_TRAIN_SQL),
@@ -9468,49 +10127,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_ivfpq": (sim_ivfpq, SIM_IVFPQ_SQL),
     "j_interval_overlap": (j_interval_overlap, J_OVERLAP_SQL),
     "j_range_join": (j_range_join, J_RANGE_SQL),
-    "s2_grid_scan_correction": (s2_grid_scan_correction, S2_SQL),
-    "s6_max_end_time": (s6_max_end_time, S6_SQL),
     "j6_nearest_rank1": (j6_nearest_rank1, J6_SQL),
     "j8_gap_fill": (j8_gap_fill, J8_SQL),
-    "j_asof_join": (j_asof_join, J_ASOF_SQL),
-    "a2_resample_right_closed": (a2_resample_right_closed, A2_SQL),
-    "a4_cumulative_fraction": (a4_cumulative_fraction, A4_SQL),
-    "w3_fill_down": (w3_fill_down, W3_SQL),
-    "w_sessionize_events": (w_sessionize_events, W_SESSION_SQL),
-    "q12_priority_case": (q12_priority_case, Q12_SQL),
-    "x4_json_extract": (x4_json_extract, X4_SQL),
-    "k3_raincell_render": (k3_raincell_render, K3_SQL),
-    "k5_chan_render": (k5_chan_render, K5_SQL),
-    "k8_run_metadata": (k8_run_metadata, K8_SQL),
-    "f9_get_or_create": (f9_get_or_create, F9_SQL),
-    "j1_calendar_spine": (j1_calendar_spine, J1_SQL),
-    "j2_dim_enrichment": (j2_dim_enrichment, J2_SQL),
-    "stream_cumsum_events": (stream_cumsum_events, STREAM_CUMSUM_SQL),
-    "stream_session_events": (stream_session_events, STREAM_SESSION_SQL),
-    "dedup_exact": (dedup_exact_docs, DEDUP_EXACT_SQL),
-    "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
-    "sim_lsh_pairs": (sim_lsh_pairs, SIM_LSH_SQL),
-    "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
-    "text_quality": (text_quality, TEXT_QUALITY_SQL),
-    "w_moving_avg": (w_moving_avg, W_MOVAVG_SQL),
-    "x_unpivot_lineitem": (x_unpivot_lineitem, X_UNPIVOT_SQL),
-    "a_cube_counts": (a_cube_counts, A_CUBE_SQL),
-    "a_percentiles": (a_percentiles, A_PCT_SQL),
-    "q2_min_supplier": (q2_min_supplier, Q2_SQL),
-    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
-    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
     "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
     "q17_small_quantity": (q17_small_quantity, Q17_SQL),
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),
-    "sim_ivf_topk": (sim_ivf_topk_docs, SIM_IVF_SQL),
-    "dedup_minhash_lsh": (dedup_minhash_lsh_docs, DEDUP_MINHASH_SQL),
-    "dedup_simhash": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
-    "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_passages": (dedup_passages, DEDUP_PASSAGES_SQL),
-    # ---- past the window: certified r6/r7 (newest first to
-    # rotate out), re-verified locally each round via
-    # tools/check_correctness.py full sweeps.
     "text_bigram_logprob": (text_bigram_logprob, TEXT_BIGRAM_SQL),
     "f_split_assign": (f_split_assign, F_SPLIT_SQL),
     "sim_semantic_dedup": (sim_semantic_dedup, SIM_SEMDEDUP_SQL),
@@ -9541,7 +10164,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_cosine_dedup": (sim_cosine_dedup, SIM_DEDUP_SQL),
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROID_SQL),
     "s1_series_range_scan": (s1_series_range_scan, S1_SQL),
-    "p1_hychan_roundtrip": (p1_hychan_roundtrip, P1_SQL),
     "p2_timdep_roundtrip": (p2_timdep_roundtrip, P2_SQL),
     "mm_binary_meta": (mm_binary_meta, MM_BINARY_SQL),
     "k2_outflow_render": (k2_outflow_render, K2_SQL),
@@ -9590,8 +10212,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "f6_sentinel_cleaning": (f6_sentinel_cleaning, F6_SQL),
     "j5_semi_join": (j5_semi_join, J5_SQL),
     "w2_elapsed_hours": (w2_elapsed_hours, W2_SQL),
-    "o2_ordered_topk": (o2_ordered_topk, O2_SQL),
-    "u2_set_ops": (u2_set_ops, U2_SET_SQL),
     "x11_series_hash_id": (x11_series_hash_id, X11_SQL),
     "dedup_fingerprint": (dedup_fingerprint_docs, DEDUP_FP_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_docs, DEDUP_JACCARD_SQL),

@@ -1,83 +1,54 @@
 """The external correctness driver verifies only the first
 ``DRIVER_WINDOW`` (50) registry entries. The window ROTATES each round
-(round-2 verdict, next-round item 5): entries touched this round or
-never driver-certified take priority, then the entries whose last
-certification is oldest; untouched previously-green gates rotate out
-and are re-verified via ``tools/check_correctness.py``.
+under the policy documented at the REGISTRY definition (amended in
+round 11 per the round-10 advice): never-certified additions, then
+queries over operator code touched this round, then one gate per
+SURVEY §2 family whose last certification is older than round N-2
+(a family may rotate out entirely only while recently certified),
+then the oldest-certified cohort. Rotated-out entries are re-verified
+every round by ``tools/check_correctness.py`` full sweeps.
 
-This test pins the round-10 window so a registry edit can never
+This test pins the round-11 window so a registry edit can never
 silently drop an intended gate: REQUIRED_IN_WINDOW must be edited in
 lockstep with any registry reorder."""
 
 from curw_flo2d_data_manager_spark.queries import DRIVER_WINDOW, REGISTRY
 
-# Round-10 window: keys must sit at registry position < DRIVER_WINDOW.
+# Round-11 window: keys must sit at registry position < DRIVER_WINDOW.
 REQUIRED_IN_WINDOW = {
-    # the seventeen round-10 additions, never driver-certified
-    "sim_sparse_cosine", "text_inverted_index", "g_triangle_count",
-    "sketch_countmin", "stream_join_attrib", "stream_join_unmatched",
-    "g_kcore", "sim_bq_hamming", "g_clustering_coef",
-    "text_readability", "x_event_transitions", "g_pagerank_weighted",
-    "ml_train_classifier", "ml_auc_exact", "ml_calibration_bins",
-    "ml_confusion_matrix", "sim_gram_matrix",
-    # thirty-five round-8 additions, certified in the r8/r9 windows
-    "w_peaks_over_threshold", "w_cusum_drift",
-    "dedup_normalized", "dedup_url_canonical", "a_histogram",
-    "j_radius_grid", "sim_sq_adc", "stream_pot_events",
-    "w_rate_of_change", "x_funnel_steps", "f_zscore_norm",
-    "dedup_suffix_prefix",
-    "a_salted_sum", "j_salted_join", "x_zorder_index", "f_robust_scale",
-    "stream_hot_terms", "dedup_fuzzy_names", "a_profile_columns",
-    "text_zipf_slope", "sim_label_prop", "w_autocorr", "sim_mmr_rerank",
-    "a_histogram_equidepth", "w_trend_slope", "x_global_rownum", "x_retention_cohorts",
-    "j_cooccurrence_pairs", "a_rolling_actives", "a_grouping_sets",
-    "sim_rank_fusion", "dedup_containment", "text_strip_boilerplate",
-    # queries over code touched in round 8: the interpolation frame
-    # fix, kmeans final-assignment consistency + HALF_UP init, the
-    # PQ ADC lookup-table rewrite, and the rangejoin inverted-interval
-    # semantics fix
-    # (round-10 rotation: the seventeen new additions displaced
-    # stream_cusum_drift / w_interp_user /
-    # w_hampel_user / f_domain_cap / f_quantile_norm /
-    # text_char_entropy (r8 additions, certified in the r8 AND r9
-    # windows) plus
-    # w_linear_interp / sim_kmeans / sim_pq_adc / sim_pq_rerank /
-    # sim_ivfpq / j_interval_overlap / j_range_join /
-    # s2_grid_scan_correction / s6_max_end_time / j6_nearest_rank1 /
-    # j8_gap_fill — every one driver-certified in BOTH the r8 and r9
-    # windows and re-verified locally in each full sweep since.)
-
-    # (the late-round-8 additions a_salted_sum / j_salted_join /
-    # x_zorder_index / f_robust_scale / stream_hot_terms /
-    # dedup_fuzzy_names / a_profile_columns / text_zipf_slope /
-    # sim_label_prop / w_autocorr / sim_mmr_rerank /
-    # a_histogram_equidepth / w_trend_slope / x_global_rownum /
-    # x_retention_cohorts / j_cooccurrence_pairs / a_rolling_actives /
-    # a_grouping_sets / sim_rank_fusion / dedup_containment /
-    # text_strip_boilerplate displaced j_asof_join /
-    # a2_resample_right_closed / a4_cumulative_fraction / w3_fill_down /
-    # w_sessionize_events / q12_priority_case /
-    # x4_json_extract /
-    # k3_raincell_render / k5_chan_render / k8_run_metadata /
-    # f9_get_or_create / j1_calendar_spine /
-    # j2_dim_enrichment / stream_cumsum_events /
-    # stream_session_events / dedup_exact / sim_cosine_topk /
-    # sim_lsh_pairs / text_token_counts / text_quality /
-    # w_moving_avg — all r5-or-earlier-certified, re-verified
-    # locally, now first past the window for round 9.
-    # the eighteen earlier round-8 additions displaced x_unpivot_lineitem /
-    # a_cube_counts /
-    # a_percentiles / q2_min_supplier /
-    # q7_nation_volume / q13_order_distribution / q16_supplier_cnt /
-    # q17_small_quantity /
-    # q22_idle_customers / sim_ivf_topk / dedup_minhash_lsh /
-    # dedup_simhash / k7_merge_upsert — all r5-or-earlier-certified,
-    # re-verified locally — plus the two r6-certified fills
-    # dedup_components / dedup_passages, which sit first past the
-    # window for round 9; the full round-7 window — 30 r7 additions
-    # plus its rotation set — certified r7 and rotates out;
-    # everything re-verified locally via tools/check_correctness.py
-    # full sweeps each round)
+    # (a) the eleven round-11 additions, never driver-certified
+    "a_exact_mode", "a_weighted_median", "a_moments_fixed",
+    "ml_linreg_normal", "ml_ks_statistic", "ml_ndcg",
+    "g_link_predict", "text_pmi_bigrams", "w_moving_median",
+    "j_point_in_rect", "mm_frame_plan",
+    # (b) operator code touched in round 11: the deterministic-idf
+    # rewrite (functions/exactmath), the bq NULL-query filter, the
+    # k_core early-exit/convergence warning
+    "sim_sparse_cosine", "sim_bq_hamming", "g_kcore",
+    # (c) family gates whose last certification aged past r9: the two
+    # S-family gates the round-10 advice flagged, plus P/O/U (last
+    # certified r7/r6/r6)
+    "s2_grid_scan_correction", "s6_max_end_time",
+    "p1_hychan_roundtrip", "o2_ordered_topk", "u2_set_ops",
+    # (d) the oldest-certified cohort (last driver-green in the r5
+    # window; re-verified locally in every full sweep since)
+    "j_asof_join", "a2_resample_right_closed", "a4_cumulative_fraction",
+    "w3_fill_down", "w_sessionize_events", "q12_priority_case",
+    "x4_json_extract", "k3_raincell_render", "k5_chan_render",
+    "k8_run_metadata", "f9_get_or_create", "j1_calendar_spine",
+    "j2_dim_enrichment", "stream_cumsum_events", "stream_session_events",
+    "dedup_exact", "sim_cosine_topk", "sim_lsh_pairs",
+    "text_token_counts", "text_quality", "w_moving_avg",
+    "x_unpivot_lineitem", "a_cube_counts", "a_percentiles",
+    "q2_min_supplier", "q7_nation_volume", "q13_order_distribution",
+    "sim_ivf_topk", "dedup_minhash_lsh", "dedup_simhash",
+    "k7_merge_upsert",
+    # (round-11 rotation: the seventeen r10 additions plus the r8
+    # cohort certified in the r10 window — sim_gram_matrix,
+    # ml_train_classifier and the rest — rotate out with a FRESH r10
+    # certification; the three r5-cohort members q16_supplier_cnt /
+    # q17_small_quantity / q22_idle_customers yield their slots to the
+    # restored P/O/U family gates and are first in line for round 12.)
 }
 
 

@@ -1,0 +1,292 @@
+"""Unit tests for the round-11 operators: exact statistics (mode,
+weighted median, moments), exact normal-equation regression, KS
+statistic, fixed-point NDCG, link prediction, PMI collocations,
+moving median, rectangle containment join, frame-sampling plan."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_group_mode_tie_breaks_to_min_value(spark):
+    from curw_flo2d_data_manager_spark.operators.exactstats import group_mode
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("a", 3.0), ("a", 3.0), ("a", 9.0),
+         ("b", 7.0)],
+        "g string, v double",
+    )
+    got = {r.g: (r.mode_value, r.mode_count)
+           for r in group_mode(df, ["g"], "v").collect()}
+    # a: 5.0 and 3.0 both appear twice -> tie breaks to the SMALLER
+    assert got == {"a": (3.0, 2), "b": (7.0, 1)}
+
+
+def test_weighted_median_lower_rule(spark):
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        weighted_median,
+    )
+
+    # values 1,2,3 with weights 1,1,2: total 4, 2*cum(2)=4 >= 4 -> 2
+    df = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 2)],
+        "g string, v double, w long",
+    )
+    r = weighted_median(df, ["g"], "v", F.col("w")).collect()[0]
+    assert r.weighted_median == 2.0 and r.total_weight_fp == 4
+
+    # dominant-weight tail: median jumps to the heavy value
+    df2 = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 10)],
+        "g string, v double, w long",
+    )
+    assert (
+        weighted_median(df2, ["g"], "v", F.col("w")).collect()[0]
+        .weighted_median == 3.0
+    )
+
+
+def test_moments_fixed_matches_direct_computation(spark):
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        moments_fixed,
+    )
+
+    vals = [1, 2, 2, 3, 7, 9, 9, 9, 15]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, x long")
+    r = moments_fixed(df, ["g"], F.col("x")).collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    m2 = sum((v - mean) ** 2 for v in vals) / n
+    m3 = sum((v - mean) ** 3 for v in vals) / n
+    m4 = sum((v - mean) ** 4 for v in vals) / n
+    assert r.n == n
+    assert math.isclose(r.mean, mean, rel_tol=1e-12)
+    assert math.isclose(r.m2, m2, rel_tol=1e-9)
+    assert math.isclose(r.skewness, m3 / m2**1.5, rel_tol=1e-9)
+    assert math.isclose(r.kurtosis, m4 / m2**2 - 3.0, rel_tol=1e-9)
+
+
+def test_moments_fixed_degenerate_group_is_null(spark):
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        moments_fixed,
+    )
+
+    df = spark.createDataFrame([("g", 4), ("g", 4)], "g string, x long")
+    r = moments_fixed(df, ["g"], F.col("x")).collect()[0]
+    assert r.m2 == 0.0 and r.skewness is None and r.kurtosis is None
+
+
+def test_linreg_normal_exact_recovers_planted_line(spark):
+    from curw_flo2d_data_manager_spark.operators.mltrain import (
+        linreg_normal_exact,
+    )
+
+    # y = 300*x + 5000 exactly -> slope/intercept recovered exactly
+    rows = [("g", x, 300 * x + 5000) for x in range(1, 40)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = linreg_normal_exact(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+    assert r.n == 39
+    assert math.isclose(r.slope_fp, 300.0, rel_tol=1e-12)
+    assert math.isclose(r.intercept_fp, 5000.0, rel_tol=1e-12)
+    assert math.isclose(r.corr, 1.0, rel_tol=1e-12)
+
+
+def test_linreg_normal_exact_zero_variance_x_is_null(spark):
+    from curw_flo2d_data_manager_spark.operators.mltrain import (
+        linreg_normal_exact,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 2, 10), ("g", 2, 20)], "g string, x long, y long"
+    )
+    r = linreg_normal_exact(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+    assert r.slope_fp is None and r.intercept_fp is None and r.corr is None
+
+
+def test_ks_statistic_exact_brute_force(spark):
+    from curw_flo2d_data_manager_spark.operators.mltrain import (
+        ks_statistic_exact,
+    )
+
+    pos = [1.0, 2.0, 2.0, 6.0, 7.0]
+    neg = [2.0, 3.0, 4.0, 5.0]
+    rows = [(s, 1) for s in pos] + [(s, 0) for s in neg]
+    df = spark.createDataFrame(rows, "score double, y int")
+    r = ks_statistic_exact(df, "score", "y").collect()[0]
+    # brute force over distinct thresholds
+    best = max(
+        abs(
+            sum(1 for s in pos if s <= t) * len(neg)
+            - sum(1 for s in neg if s <= t) * len(pos)
+        )
+        for t in sorted(set(pos + neg))
+    )
+    assert r.n_pos == 5 and r.n_neg == 4
+    assert r.ks_num == best
+    assert math.isclose(
+        r.ks_stat, best / (len(pos) * len(neg)), abs_tol=1e-6
+    )
+
+
+def test_ndcg_at_k_hand_case(spark):
+    from curw_flo2d_data_manager_spark.operators.mltrain import ndcg_at_k
+
+    # q1: rel at ranks 1 and 3 of 3 -> dcg = g(1)+g(3), idcg = g(1)+g(2)
+    # q2: no relevant -> NULL ndcg
+    rows = [(1, 1, 1), (1, 2, 0), (1, 3, 1), (2, 1, 0), (2, 2, 0)]
+    df = spark.createDataFrame(rows, "query_id long, rank long, rel int")
+    got = {r.query_id: r for r in ndcg_at_k(df, k=10).collect()}
+
+    def g(r):
+        return round(1_000_000 * math.log(2) / math.log(r + 1))
+
+    assert got[1].n_rel == 2
+    assert got[1].dcg_fp == g(1) + g(3)
+    assert got[1].idcg_fp == g(1) + g(2)
+    expect = round((g(1) + g(3)) / (g(1) + g(2)), 6)
+    assert math.isclose(got[1].ndcg, expect, abs_tol=2e-6)
+    assert got[2].n_rel == 0 and got[2].ndcg is None
+
+
+def test_link_prediction_scores_hand_graph(spark):
+    from curw_flo2d_data_manager_spark.operators.linkpredict import (
+        link_prediction_scores,
+    )
+
+    # path 1-2-3 plus 2-4: non-adjacent pairs through shared neighbor
+    # 2: (1,3), (1,4), (3,4); deg(2) = 3 -> ra_w = floor(1e6/3)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4)], "src long, dst long"
+    )
+    got = {(r.node_a, r.node_b): r
+           for r in link_prediction_scores(edges).collect()}
+    assert set(got) == {(1, 3), (1, 4), (3, 4)}
+    for pair, r in got.items():
+        assert r.common == 1
+        assert r.ra_fp == 333333
+        # deg(1)=deg(3)=deg(4)=1 -> jaccard = 1/(1+1-1) = 1.0
+        assert r.jaccard == 1.0
+
+    # adjacent pairs with shared neighbors are excluded
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    assert link_prediction_scores(tri).count() == 0
+
+
+def test_pmi_bigrams_counts_and_ranking(spark):
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        pmi_bigrams,
+    )
+
+    # "x y" always together (5 times); "a b" frequent but a, b also
+    # appear apart -> "x y" has the higher PMI
+    docs = [(i, "x y a b") for i in range(5)]
+    docs += [(100 + i, "a c b d") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = pmi_bigrams(df, min_count=5, k=10).collect()
+    by_term = {r.term: r for r in rows}
+    assert by_term["x y"].c_xy == 5
+    assert by_term["x y"].c_x == 5 and by_term["x y"].c_y == 5
+    assert by_term["a b"].c_x == 10 and by_term["a b"].c_y == 10
+    assert by_term["x y"].pmi_fp > by_term["a b"].pmi_fp
+    assert rows[0].rank == 1
+
+
+def test_moving_median_matches_pandas(spark):
+    import pandas as pd
+
+    from curw_flo2d_data_manager_spark.operators.smoothing import (
+        moving_median,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(u, i, rng.uniform(0, 100)) for u in range(3) for i in range(40)]
+    df = spark.createDataFrame(rows, "u long, i long, v double")
+    got = (
+        moving_median(df, ["u"], ["i"], "v", window=5)
+        .orderBy("u", "i")
+        .collect()
+    )
+    pdf = pd.DataFrame(rows, columns=["u", "i", "v"]).sort_values(["u", "i"])
+    expect = (
+        pdf.groupby("u")["v"]
+        .rolling(5, min_periods=1)
+        .median()
+        .reset_index(drop=True)
+        .tolist()
+    )
+    for r, e in zip(got, expect):
+        assert math.isclose(r.moving_median, e, rel_tol=1e-12)
+
+
+def test_point_in_rect_join_boundaries_and_bucket_crossing(spark):
+    from curw_flo2d_data_manager_spark.operators.spatial import (
+        point_in_rect_join,
+    )
+
+    points = spark.createDataFrame(
+        [(1, 150.0, 5.0), (2, 250.0, 5.0), (3, 150.0, 50.0),
+         (4, 99.9, 5.0), (5, 300.0, 5.0)],
+        "pid long, px double, py double",
+    )
+    # rect spans buckets 0..2 (x 99.9..300.0 inclusive), y 0..10
+    rects = spark.createDataFrame(
+        [(7, 99.9, 300.0, 0.0, 10.0)],
+        "rid long, x_lo double, x_hi double, y_lo double, y_hi double",
+    )
+    got = sorted(
+        r.pid
+        for r in point_in_rect_join(points, rects, bucket_width=100.0)
+        .collect()
+    )
+    # closed rectangle: boundary points 4 (x_lo) and 5 (x_hi) included;
+    # 3 excluded on y
+    assert got == [1, 2, 4, 5]
+
+
+def test_point_in_rect_join_no_duplicate_pairs(spark):
+    from curw_flo2d_data_manager_spark.operators.spatial import (
+        point_in_rect_join,
+    )
+
+    points = spark.createDataFrame(
+        [(1, 150.0, 5.0)], "pid long, px double, py double"
+    )
+    rects = spark.createDataFrame(
+        [(7, 0.0, 1000.0, 0.0, 10.0)],
+        "rid long, x_lo double, x_hi double, y_lo double, y_hi double",
+    )
+    # rect spans 11 buckets but the pair must appear exactly once
+    assert point_in_rect_join(points, rects, bucket_width=100.0).count() == 1
+
+
+def test_frame_sample_plan_exact_schedule(spark):
+    from curw_flo2d_data_manager_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    assets = spark.createDataFrame(
+        [
+            (1, 2000, 2400),   # 2 s @ 24 fps -> 48 frames, 8 samples
+            (2, 100, 3000),    # 0.1 s @ 30 fps -> 3 frames < k
+            (3, 10, 2400),     # 0.24 frames -> 0 -> excluded
+        ],
+        "asset_id long, duration_ms long, fps_x100 long",
+    )
+    rows = frame_sample_plan(assets, k=8).orderBy(
+        "asset_id", "frame_idx"
+    ).collect()
+    a1 = [r for r in rows if r.asset_id == 1]
+    a2 = [r for r in rows if r.asset_id == 2]
+    assert all(r.total_frames == 48 for r in a1)
+    assert [r.frame_idx for r in a1] == [i * 48 // 8 for i in range(8)]
+    # ts_ms = idx*100000 // fps_x100 (e.g. idx 6 -> 250 ms @ 24 fps)
+    assert [r.ts_ms for r in a1] == [
+        i * 48 // 8 * 100000 // 2400 for i in range(8)
+    ]
+    assert [r.frame_idx for r in a2] == [0, 1, 2]
+    assert not [r for r in rows if r.asset_id == 3]
