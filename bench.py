@@ -229,6 +229,10 @@ def main() -> None:
         "w_moving_median",
         "j_point_in_rect",
         "mm_frame_plan",
+        "g_bfs_hops",
+        "x_time_to_convert",
+        "f_per_key_cap",
+        "stream_window_distinct",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

@@ -448,3 +448,64 @@ def k_core(
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return final_deg.filter(F.col("degree") >= k)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    n_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Multi-source BFS hop distances: the exact distance (≤
+    ``n_rounds``) from every node to its NEAREST source — the
+    reachability/radius primitive the rest of the graph family
+    (components / PageRank / k-core / link prediction) doesn't cover;
+    "how far is every record from a trusted seed set" in provenance
+    and contamination-spread analyses.
+
+    Synchronous frontier relaxation: per round, every labeled node
+    offers dist+1 to its neighbors and each node keeps the MIN —
+    integer distances, deterministic on any engine/partitioning
+    (min is associative), so an unrolled-CTE SQL oracle replays it
+    exactly. Nodes farther than ``n_rounds`` hops are absent from the
+    result (the documented horizon — callers pick the round budget
+    like k_core's, and the relaxation is idempotent past the graph's
+    true eccentricity).
+
+    Scale shape per round: one key shuffle of the (neighbor, dist)
+    offer relation + a partial-aggregable min. ``dists`` is referenced
+    TWICE per round (the join and the union), so lineage doubles per
+    round without truncation — checkpoint every second round (the
+    k_core rationale, halved).
+
+    Returns (node, dist), dist 0 for the sources themselves.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("node"), F.col("b").alias("nb"))
+    dists = sources.select(
+        F.col(id_col).cast("long").alias("node"), F.lit(0).alias("dist")
+    ).distinct()
+    for r in range(n_rounds):
+        offers = adj.join(dists, "node").select(
+            F.col("nb").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dists = (
+            dists.unionAll(offers)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (r + 1) % 2 == 0 and (r + 1) < n_rounds:
+            dists = dists.localCheckpoint(eager=True)
+    return dists

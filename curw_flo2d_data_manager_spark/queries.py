@@ -9985,6 +9985,227 @@ FROM f ORDER BY asset_id, frame_idx
 """
 
 
+def g_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances over the part co-occurrence
+    graph (seeds = nodes ≡ 0 mod 97): synchronous frontier relaxation,
+    4 rounds, integer min-distances — deterministic on any
+    partitioning, so the unrolled-CTE oracle replays it exactly
+    (operators/components.py::bfs_hops)."""
+    from curw_flo2d_data_manager_spark.operators.components import (
+        bfs_hops,
+    )
+
+    edges = _part_cooccur_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("p_a").alias("id"))
+        .unionAll(edges.select(F.col("p_b").alias("id")))
+        .distinct()
+        .filter(F.col("id") % 97 == 0)
+    )
+    return bfs_hops(
+        edges, nodes, n_rounds=4, src="p_a", dst="p_b"
+    ).orderBy("node")
+
+
+G_BFS_SQL = """
+WITH li AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1997-01-01'
+),
+e AS MATERIALIZED (
+    SELECT DISTINCT a.p AS a, b.p AS b
+    FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+),
+adj AS MATERIALIZED (
+    SELECT a AS node, b AS nb FROM e UNION ALL SELECT b, a FROM e
+),
+d0 AS MATERIALIZED (
+    SELECT DISTINCT node, 0 AS dist
+    FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+    WHERE node % 97 = 0
+),
+d1 AS MATERIALIZED (
+    SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d0
+        UNION ALL
+        SELECT adj.nb AS node, d0.dist + 1 AS dist
+        FROM adj JOIN d0 ON adj.node = d0.node
+    ) GROUP BY node
+),
+d2 AS MATERIALIZED (
+    SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d1
+        UNION ALL
+        SELECT adj.nb AS node, d1.dist + 1 AS dist
+        FROM adj JOIN d1 ON adj.node = d1.node
+    ) GROUP BY node
+),
+d3 AS MATERIALIZED (
+    SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d2
+        UNION ALL
+        SELECT adj.nb AS node, d2.dist + 1 AS dist
+        FROM adj JOIN d2 ON adj.node = d2.node
+    ) GROUP BY node
+),
+d4 AS MATERIALIZED (
+    SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d3
+        UNION ALL
+        SELECT adj.nb AS node, d3.dist + 1 AS dist
+        FROM adj JOIN d3 ON adj.node = d3.node
+    ) GROUP BY node
+)
+SELECT node, dist FROM d4 ORDER BY node
+"""
+
+
+def x_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: per user, the first view and the first purchase
+    at-or-after it, with the exact microsecond delta — the
+    time-dimension companion of x_funnel_steps' step counts. Two
+    partial-aggregable reductions (first-view per user, then min
+    qualifying purchase) — no window, no per-user sort."""
+    ev = _events(spark, sf_dir)
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+        .select(
+            "user_id",
+            "first_view",
+            "first_purchase",
+            (
+                F.unix_micros("first_purchase")
+                - F.unix_micros("first_view")
+            ).alias("delta_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+X_CONVERT_SQL = """
+WITH fv AS (
+    SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_view
+    FROM events WHERE event_type = 'view' GROUP BY 1
+)
+SELECT f.user_id, f.first_view,
+       MIN(CAST(p.ts AS TIMESTAMP)) AS first_purchase,
+       epoch_us(MIN(CAST(p.ts AS TIMESTAMP))) - epoch_us(f.first_view)
+           AS delta_us
+FROM fv f
+JOIN events p ON p.user_id = f.user_id AND p.event_type = 'purchase'
+             AND CAST(p.ts AS TIMESTAMP) >= f.first_view
+GROUP BY f.user_id, f.first_view
+ORDER BY f.user_id
+"""
+
+
+def f_per_key_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation cap: keep at most 20 documents per source,
+    preferring longer docs (n_chars desc, doc_id tiebreak) — the
+    per-domain quota every web-corpus recipe applies. The
+    row_number ≤ k filter plans a map-side WindowGroupLimit Partial
+    (at most k rows per source per map partition ride the shuffle —
+    the round-8 plan lesson)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .orderBy("source", "rk")
+    )
+
+
+F_PERKEY_SQL = """
+SELECT source, doc_id, n_chars, rk FROM (
+    SELECT source, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id ASC) AS rk
+    FROM documents
+)
+WHERE rk <= 20
+ORDER BY source, rk
+"""
+
+
+def stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT distinct users per 6-hour tumbling window —
+    chained stateful operators (watermark-evicted dedup feeding a
+    windowed count; streaming/ingest.streaming_windowed_distinct), the
+    one Structured Streaming shape the other streams don't cover.
+    Far-future sentinel rows flush the last real window on the finite
+    replay and are filtered out below; DuckDB's batch COUNT(DISTINCT)
+    per bucket is the oracle."""
+    import tempfile
+
+    end = "2024-01-03 00:00:00"
+    ev = _events(spark, sf_dir, end=end).filter(
+        F.col("ts") < F.lit(end).cast("timestamp")
+    )
+    rows = ev.select(
+        F.col("user_id").cast("string").alias("id"),
+        F.col("ts").alias("time"),
+        "value",
+    )
+    sentinel = spark.createDataFrame(
+        [("zz_sentinel", "2024-06-01 00:00:00", 0.0)],
+        "id string, time string, value double",
+    ).select("id", F.col("time").cast("timestamp").alias("time"), "value")
+    src = tempfile.mkdtemp(prefix="stream_wdist_src_")
+    rows.unionByName(sentinel).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    from curw_flo2d_data_manager_spark.streaming import (
+        streaming_windowed_distinct,
+    )
+
+    # two chained stateful operators keep state stores PER shuffle
+    # partition, and the count is frozen into the checkpoint at first
+    # start — scope it to the handful of 6-hour windows in the replay
+    # (the round-10 stream-join lesson; measured 16.4 s → ~7 s)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        name = _run_replay_stream(
+            spark, src,
+            lambda s: streaming_windowed_distinct(s, "6 hours", "1 hour"),
+            "stream_wdist_", "append",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return (
+        spark.table(name)
+        .filter(
+            F.col("wstart_s")
+            < F.unix_timestamp(F.lit(end).cast("timestamp"))
+        )
+        .select("wstart_s", "n_ids")
+        .orderBy("wstart_s")
+    )
+
+
+STREAM_WDIST_SQL = """
+SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600
+            AS BIGINT) AS wstart_s,
+       COUNT(DISTINCT user_id) AS n_ids
+FROM events
+WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03 00:00:00'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registry order is CONTRACTUAL: the external correctness driver
 # verifies only the FIRST 50 entries. Window policy (amended in round
 # 11 per the round-10 advice, which caught the S-family gates rotating
@@ -10013,6 +10234,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # Everything displaced stays verified by the local full sweep
     # (tools/check_correctness.py) each round.
     # ---- round-11 additions (never driver-certified)
+    "g_bfs_hops": (g_bfs_hops, G_BFS_SQL),
+    "x_time_to_convert": (x_time_to_convert, X_CONVERT_SQL),
+    "f_per_key_cap": (f_per_key_cap, F_PERKEY_SQL),
+    "stream_window_distinct": (stream_window_distinct, STREAM_WDIST_SQL),
     "a_exact_mode": (a_exact_mode, A_MODE_SQL),
     "a_weighted_median": (a_weighted_median, A_WMEDIAN_SQL),
     "a_moments_fixed": (a_moments_fixed, A_MOMENTS_SQL),
@@ -10062,11 +10287,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q2_min_supplier": (q2_min_supplier, Q2_SQL),
     "q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "q13_order_distribution": (q13_order_distribution, Q13_SQL),
-    "sim_ivf_topk": (sim_ivf_topk_docs, SIM_IVF_SQL),
-    "dedup_minhash_lsh": (dedup_minhash_lsh_docs, DEDUP_MINHASH_SQL),
-    "dedup_simhash": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
-    "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
     # ---- past the window: re-verified via local full sweeps
+    "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
+    "dedup_simhash": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh_docs, DEDUP_MINHASH_SQL),
+    "sim_ivf_topk": (sim_ivf_topk_docs, SIM_IVF_SQL),
     "text_inverted_index": (text_inverted_index, TEXT_INVERTED_SQL),
     "g_triangle_count": (g_triangle_count, G_TRIANGLE_SQL),
     "sketch_countmin": (sketch_countmin, SKETCH_COUNTMIN_SQL),

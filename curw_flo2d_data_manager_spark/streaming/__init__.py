@@ -15,6 +15,7 @@ from curw_flo2d_data_manager_spark.streaming.ingest import (
     streaming_dedup,
     streaming_cusum,
     streaming_hot_terms,
+    streaming_windowed_distinct,
     streaming_pot,
     streaming_session_sum,
     streaming_resample_sum,
@@ -30,6 +31,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_cusum",
     "streaming_hot_terms",
+    "streaming_windowed_distinct",
     "streaming_pot",
     "streaming_session_sum",
     "streaming_resample_sum",

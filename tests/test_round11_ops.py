@@ -290,3 +290,100 @@ def test_frame_sample_plan_exact_schedule(spark):
     ]
     assert [r.frame_idx for r in a2] == [0, 1, 2]
     assert not [r for r in rows if r.asset_id == 3]
+
+
+def test_bfs_hops_known_graph(spark):
+    from curw_flo2d_data_manager_spark.operators.components import bfs_hops
+
+    # path 1-2-3-4-5-6 with branch 3-7; sources {1, 7}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (3, 7)],
+        "src long, dst long",
+    )
+    sources = spark.createDataFrame([(1,), (7,)], "id long")
+    got = {r.node: r.dist
+           for r in bfs_hops(edges, sources, n_rounds=4).collect()}
+    # node 3 is 2 hops from 1 but 1 hop from 7 -> min wins
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3, 6: 4, 7: 0}
+
+    # horizon: 2 rounds omit nodes farther than 2 hops (5 is 3 hops
+    # from its nearest source 7, 6 is 4 -> both absent)
+    got2 = {r.node: r.dist
+            for r in bfs_hops(edges, sources, n_rounds=2).collect()}
+    assert got2 == {1: 0, 2: 1, 3: 1, 4: 2, 7: 0}
+
+
+def test_bfs_hops_idempotent_past_convergence(spark):
+    from curw_flo2d_data_manager_spark.operators.components import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(1,)], "id long")
+    a = {r.node: r.dist for r in bfs_hops(edges, sources, 2).collect()}
+    b = {r.node: r.dist for r in bfs_hops(edges, sources, 7).collect()}
+    assert a == b == {1: 0, 2: 1, 3: 2}
+
+
+def test_streaming_windowed_distinct_matches_batch(spark):
+    """Chained stateful operators (dedup -> windowed count): exact
+    distinct ids per tumbling window over a finite replay must equal
+    the batch COUNT(DISTINCT); the sentinel row flushes the real
+    windows and its own window must NOT emit."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.streaming import (
+        read_series_stream,
+        streaming_windowed_distinct,
+    )
+
+    rows = [
+        # window 0 (00:00-06:00): ids a, b (a twice)
+        ("a", "2024-01-01 01:00:00", 1.0),
+        ("a", "2024-01-01 02:00:00", 1.0),
+        ("b", "2024-01-01 05:59:59", 1.0),
+        # window 1 (06:00-12:00): id a only
+        ("a", "2024-01-01 06:00:00", 1.0),
+        # sentinel far future: flushes both real windows
+        ("zz", "2024-03-01 00:00:00", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "id string, time string, value double")
+    df = df.select("id", F.col("time").cast("timestamp").alias("time"), "value")
+    src = tempfile.mkdtemp(prefix="wdist_test_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+        name = "wdist_" + uuid.uuid4().hex[:8]
+        q = (
+            streaming_windowed_distinct(
+                read_series_stream(spark, src), "6 hours", "1 hour"
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(src, "_chk"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        got = {
+            r.wstart_s: r.n_ids for r in spark.table(name).collect()
+        }
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    import datetime as dt
+
+    w0 = int(
+        dt.datetime(2024, 1, 1, 0, 0, tzinfo=dt.timezone.utc)
+        .astimezone()
+        .timestamp()
+    )
+    # windows are epoch-aligned 6h buckets in session-local time; read
+    # the buckets back from the keys instead of hand-computing offsets
+    assert sorted(got.values()) == [1, 2]
+    assert len(got) == 2  # the sentinel's own window never emitted
