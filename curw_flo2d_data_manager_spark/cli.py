@@ -1603,6 +1603,77 @@ def cmd_graph_triangles(args) -> None:
     )
 
 
+def cmd_link_predict(args) -> None:
+    """Top-k predicted missing edges of an undirected edge parquet by
+    resource-allocation / Jaccard / common-neighbor scores
+    (operators/linkpredict.py: wedge enumeration at the shared
+    neighbor, anti-join against existing edges, optional hub degree
+    cap)."""
+    from curw_flo2d_data_manager_spark.operators.linkpredict import (
+        link_prediction_scores,
+    )
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    import pyspark.sql.functions as F
+
+    spark = get_spark(app_name="link-predict")
+    edges = spark.read.parquet(args.edges)
+    for col in (args.src_col, args.dst_col):
+        if col not in edges.columns:
+            raise SystemExit(f"column {col!r} not in edges ({edges.columns})")
+    scores = link_prediction_scores(
+        edges,
+        args.src_col,
+        args.dst_col,
+        max_wedge_degree=args.max_degree,
+    )
+    out = scores.orderBy(
+        F.desc("ra_fp"), "node_a", "node_b"
+    ).limit(args.top_k)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"link-predict: top {n} candidate edges -> {args.output}")
+
+
+def cmd_graph_distances(args) -> None:
+    """Multi-source BFS hop distances over an undirected edge parquet
+    (operators/components.py::bfs_hops): nearest-seed distance per
+    node up to --rounds hops; seeds come from a parquet of ids."""
+    from curw_flo2d_data_manager_spark.operators.components import (
+        bfs_hops,
+    )
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    spark = get_spark(app_name="graph-distances")
+    edges = spark.read.parquet(args.edges)
+    seeds = spark.read.parquet(args.seeds)
+    for col in (args.src_col, args.dst_col):
+        if col not in edges.columns:
+            raise SystemExit(f"column {col!r} not in edges ({edges.columns})")
+    if args.id_col not in seeds.columns:
+        raise SystemExit(
+            f"column {args.id_col!r} not in seeds ({seeds.columns})"
+        )
+    out = bfs_hops(
+        edges,
+        seeds,
+        n_rounds=args.rounds,
+        src=args.src_col,
+        dst=args.dst_col,
+        id_col=args.id_col,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    import pyspark.sql.functions as F
+
+    agg = spark.read.parquet(args.output).agg(
+        F.count(F.lit(1)).alias("n"), F.max("dist").alias("d")
+    ).collect()[0]
+    print(
+        f"graph-distances: {agg['n']} nodes within {args.rounds} hops "
+        f"(max dist {agg['d']}) -> {args.output}"
+    )
+
+
 def cmd_train_classifier(args) -> None:
     """Train the hashed linear quality classifier on a labeled parquet
     corpus (exact fixed-point GD — operators/mltrain.py) and write the
@@ -2002,6 +2073,36 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--src_col", default="src")
     sp.add_argument("--dst_col", default="dst")
     sp.set_defaults(fn=cmd_graph_triangles)
+
+    sp = sub.add_parser(
+        "link-predict",
+        help="top-k predicted missing edges (RA / Jaccard / common "
+        "neighbors) over an undirected edge parquet",
+    )
+    sp.add_argument("--edges", required=True, help="edge parquet path")
+    sp.add_argument("--output", required=True, help="output parquet path")
+    sp.add_argument("--src_col", default="src")
+    sp.add_argument("--dst_col", default="dst")
+    sp.add_argument("--top_k", type=int, default=100)
+    sp.add_argument(
+        "--max_degree", type=int, default=None,
+        help="drop shared neighbors above this degree (hub cap)",
+    )
+    sp.set_defaults(fn=cmd_link_predict)
+
+    sp = sub.add_parser(
+        "graph-distances",
+        help="multi-source BFS hop distances over an undirected edge "
+        "parquet",
+    )
+    sp.add_argument("--edges", required=True, help="edge parquet path")
+    sp.add_argument("--seeds", required=True, help="seed-id parquet path")
+    sp.add_argument("--output", required=True, help="output parquet path")
+    sp.add_argument("--src_col", default="src")
+    sp.add_argument("--dst_col", default="dst")
+    sp.add_argument("--id_col", default="id")
+    sp.add_argument("--rounds", type=int, default=6)
+    sp.set_defaults(fn=cmd_graph_distances)
 
     sp = sub.add_parser(
         "corpus-stats",

@@ -1483,3 +1483,36 @@ def test_train_classifier_cli_learns_and_scores(spark, tmp_path, capsys):
     assert min(scores[i] for i in range(8)) > max(
         scores[100 + i] for i in range(8)
     )
+
+
+def test_link_predict_cli(spark, tmp_path, capsys):
+    """link-predict end-to-end: hub gadget (center 2 with spokes
+    1/3/4) -> the three spoke pairs predicted with RA floor(1e6/3)."""
+    src = str(tmp_path / "lp_edges.parquet")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4)], "src long, dst long"
+    ).write.parquet(src)
+    out = str(tmp_path / "lp.parquet")
+    main(["link-predict", "--edges", src, "--output", out, "--top_k", "2"])
+    assert "top 2 candidate edges" in capsys.readouterr().out
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 2
+    assert all(r.ra_fp == 333333 and r.common == 1 for r in got)
+
+
+def test_graph_distances_cli(spark, tmp_path, capsys):
+    """graph-distances end-to-end: path graph, seed at one end."""
+    src = str(tmp_path / "bfs_edges.parquet")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    ).write.parquet(src)
+    seeds = str(tmp_path / "seeds.parquet")
+    spark.createDataFrame([(1,)], "id long").write.parquet(seeds)
+    out = str(tmp_path / "dist.parquet")
+    main([
+        "graph-distances", "--edges", src, "--seeds", seeds,
+        "--output", out, "--rounds", "3",
+    ])
+    assert "4 nodes within 3 hops (max dist 3)" in capsys.readouterr().out
+    got = {r.node: r.dist for r in spark.read.parquet(out).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
