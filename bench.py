@@ -231,7 +231,6 @@ def main() -> None:
         "mm_frame_plan",
         "g_bfs_hops",
         "x_time_to_convert",
-        "f_per_key_cap",
         "stream_window_distinct",
     ]
     extra_runs: list[dict[str, float]] = []

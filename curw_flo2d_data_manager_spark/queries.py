@@ -10108,37 +10108,6 @@ ORDER BY f.user_id
 """
 
 
-def f_per_key_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus curation cap: keep at most 20 documents per source,
-    preferring longer docs (n_chars desc, doc_id tiebreak) — the
-    per-domain quota every web-corpus recipe applies. The
-    row_number ≤ k filter plans a map-side WindowGroupLimit Partial
-    (at most k rows per source per map partition ride the shuffle —
-    the round-8 plan lesson)."""
-    docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
-    )
-    return (
-        docs.select("source", "doc_id", "n_chars")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .orderBy("source", "rk")
-    )
-
-
-F_PERKEY_SQL = """
-SELECT source, doc_id, n_chars, rk FROM (
-    SELECT source, doc_id, n_chars,
-           ROW_NUMBER() OVER (PARTITION BY source
-                              ORDER BY n_chars DESC, doc_id ASC) AS rk
-    FROM documents
-)
-WHERE rk <= 20
-ORDER BY source, rk
-"""
-
-
 def stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming EXACT distinct users per 6-hour tumbling window —
     chained stateful operators (watermark-evicted dedup feeding a
@@ -10236,7 +10205,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # ---- round-11 additions (never driver-certified)
     "g_bfs_hops": (g_bfs_hops, G_BFS_SQL),
     "x_time_to_convert": (x_time_to_convert, X_CONVERT_SQL),
-    "f_per_key_cap": (f_per_key_cap, F_PERKEY_SQL),
     "stream_window_distinct": (stream_window_distinct, STREAM_WDIST_SQL),
     "a_exact_mode": (a_exact_mode, A_MODE_SQL),
     "a_weighted_median": (a_weighted_median, A_WMEDIAN_SQL),
@@ -10287,8 +10255,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q2_min_supplier": (q2_min_supplier, Q2_SQL),
     "q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "q13_order_distribution": (q13_order_distribution, Q13_SQL),
-    # ---- past the window: re-verified via local full sweeps
     "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
+    # ---- past the window: re-verified via local full sweeps
     "dedup_simhash": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh_docs, DEDUP_MINHASH_SQL),
     "sim_ivf_topk": (sim_ivf_topk_docs, SIM_IVF_SQL),
