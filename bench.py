@@ -230,6 +230,9 @@ def main() -> None:
         "j_point_in_rect",
         "mm_frame_plan",
         "g_bfs_hops",
+        "ml_ttest_welch",
+        "ml_chi_square",
+        "ml_mutual_info",
         "x_time_to_convert",
         "stream_window_distinct",
     ]

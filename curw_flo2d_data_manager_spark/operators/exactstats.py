@@ -160,3 +160,190 @@ def moments_fixed(
         F.when(m2 > 0, m3 / (sd * sd * sd)).alias("skewness"),
         F.when(m2 > 0, m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_fp: Column,
+    label: Column,
+) -> DataFrame:
+    """Welch's two-sample t statistic (unequal variances) between the
+    label-1 and label-0 populations of ``value_fp`` (an integer
+    fixed-point column, so Σx and Σx² are exact BIGINTs).
+
+    ONE conditional-aggregate pass — no join, no window: six sums
+    (n, Σx, Σx² per class) reduce map-side; the t statistic and the
+    Welch–Satterthwaite degrees of freedom are then assembled with a
+    fixed sequence of IEEE basic ops over the exact integers, so the
+    unrounded doubles hash-match a SQL oracle spelling the same tree.
+
+    Sample variance uses the textbook (Σx² − (Σx)²/n)/(n−1) form with
+    (Σx)²/n computed in DOUBLES — (Σx)² overflows int64 long before
+    the sums do, and cross-engine identity only needs the same
+    correctly-rounded ops, not integer exactness.
+
+    Returns one row: (n1, n0, mean1, mean0, t_stat, welch_df); t/df
+    NULL when either class has < 2 rows or both variances are 0.
+    """
+    y = label.cast("int")
+    x = value_fp.cast("long")
+    agg = df.agg(
+        F.sum(F.when(y == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(y == 1, x).otherwise(0)).alias("s1"),
+        F.sum(F.when(y == 1, x * x).otherwise(0)).alias("q1"),
+        F.sum(F.when(y == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(y == 0, x).otherwise(0)).alias("s0"),
+        F.sum(F.when(y == 0, x * x).otherwise(0)).alias("q0"),
+    )
+    n1 = F.col("n1").cast("double")
+    n0 = F.col("n0").cast("double")
+    m1 = F.col("s1").cast("double") / n1
+    m0 = F.col("s0").cast("double") / n0
+    v1 = (
+        F.col("q1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / n1
+    ) / (n1 - F.lit(1.0))
+    v0 = (
+        F.col("q0").cast("double")
+        - F.col("s0").cast("double") * F.col("s0").cast("double") / n0
+    ) / (n0 - F.lit(1.0))
+    se2 = v1 / n1 + v0 / n0
+    t = (m1 - m0) / F.sqrt(se2)
+    dfree = (se2 * se2) / (
+        (v1 / n1) * (v1 / n1) / (n1 - F.lit(1.0))
+        + (v0 / n0) * (v0 / n0) / (n0 - F.lit(1.0))
+    )
+    ok = (F.col("n1") >= 2) & (F.col("n0") >= 2)
+    return agg.select(
+        "n1",
+        "n0",
+        m1.alias("mean1"),
+        m0.alias("mean0"),
+        F.when(ok & (se2 > 0), t).alias("t_stat"),
+        F.when(ok & (se2 > 0), dfree).alias("welch_df"),
+    )
+
+
+def chi_square_fixed(
+    df: DataFrame,
+    row_col: Column,
+    col_col: Column,
+    term_scale: int = 1_000_000,
+) -> DataFrame:
+    """Pearson chi-square independence statistic over a contingency
+    table, cross-engine exact: the per-cell term (O−E)²/E is a
+    deterministic double (E = row_tot·col_tot/N from exact integer
+    counts, one fixed op sequence), frozen to round(term·scale)
+    BIGINT — so the SUM over cells is an exact integer, immune to the
+    engine's cell visit order (a raw double Σ would drift in the last
+    ulps with summation order).
+
+    Scale shape: one (row, col) count aggregation, two broadcast-sized
+    marginal aggregations joined back on their key, one global sum.
+
+    Returns one row: (n, n_rows, n_cols, dof, chi2_fp, chi2).
+    """
+    cell = df.select(row_col.alias("_r"), col_col.alias("_c")).groupBy(
+        "_r", "_c"
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rowm = cell.groupBy("_r").agg(F.sum("o").alias("rt"))
+    colm = cell.groupBy("_c").agg(F.sum("o").alias("ct"))
+    tot = cell.agg(F.sum("o").alias("n"))
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    diff = F.col("o").cast("double") - e
+    term_fp = F.round(
+        diff * diff / e * F.lit(float(term_scale))
+    ).cast("long")
+    terms = (
+        cell.join(F.broadcast(rowm), "_r")
+        .join(F.broadcast(colm), "_c")
+        .join(F.broadcast(tot))
+        .select(
+            F.col("n"),
+            F.col("_r"),
+            F.col("_c"),
+            term_fp.alias("term_fp"),
+        )
+    )
+    return (
+        terms.groupBy("n")
+        .agg(
+            F.count_distinct("_r").alias("n_rows"),
+            F.count_distinct("_c").alias("n_cols"),
+            F.sum("term_fp").alias("chi2_fp"),
+        )
+        .select(
+            "n",
+            "n_rows",
+            "n_cols",
+            (
+                (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+            ).alias("dof"),
+            "chi2_fp",
+            (
+                F.col("chi2_fp").cast("double")
+                / F.lit(float(term_scale))
+            ).alias("chi2"),
+        )
+    )
+
+
+def mutual_info_fixed(
+    df: DataFrame,
+    x_col: Column,
+    y_col: Column,
+    ln_scale: int = 1_000_000,
+) -> DataFrame:
+    """Mutual information I(X;Y) = Σ_cells (c_xy/N)·ln(c_xy·N /
+    (c_x·c_y)) in nats, cross-engine exact: every log is the
+    deterministic basic-ops ln (functions/exactmath.ln_ratio_det),
+    applied to the rational's larger/smaller side with an explicit
+    sign (the series needs num ≥ den), then frozen per cell to
+    c_xy·round(ln·scale) — a BIGINT whose global sum is exact in any
+    visit order. One float divide by N·scale at the end.
+
+    Overflow: c_xy·N must stay < 2⁶³ — fine to ~3e9 rows; the per-cell
+    term is ≤ c_xy·scale·ln(N) ≪ 2⁶³ at any realistic cardinality.
+
+    Returns one row: (n, n_cells, mi_fp, mi_nats).
+    """
+    from curw_flo2d_data_manager_spark.functions.exactmath import (
+        ln_ratio_det,
+    )
+
+    cell = df.select(x_col.alias("_x"), y_col.alias("_y")).groupBy(
+        "_x", "_y"
+    ).agg(F.count(F.lit(1)).alias("cxy"))
+    xm = cell.groupBy("_x").agg(F.sum("cxy").alias("cx"))
+    ym = cell.groupBy("_y").agg(F.sum("cxy").alias("cy"))
+    tot = cell.agg(F.sum("cxy").alias("n"))
+    num = F.col("cxy") * F.col("n")
+    den = F.col("cx") * F.col("cy")
+    ln_fp = F.when(
+        num >= den,
+        F.round(ln_ratio_det(num, den) * F.lit(float(ln_scale))),
+    ).otherwise(
+        -F.round(ln_ratio_det(den, num) * F.lit(float(ln_scale)))
+    ).cast("long")
+    terms = (
+        cell.join(F.broadcast(xm), "_x")
+        .join(F.broadcast(ym), "_y")
+        .join(F.broadcast(tot))
+        .select(F.col("n"), (F.col("cxy") * ln_fp).alias("term_fp"))
+    )
+    return terms.groupBy("n").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("term_fp").alias("mi_fp"),
+    ).select(
+        "n",
+        "n_cells",
+        "mi_fp",
+        (
+            F.col("mi_fp").cast("double")
+            / (F.col("n").cast("double") * F.lit(float(ln_scale)))
+        ).alias("mi_nats"),
+    )

@@ -10175,6 +10175,183 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def ml_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic between click and error event
+    values (fixed-point cents) — the significance test beside
+    ml_ks_statistic's distribution distance: one conditional-aggregate
+    pass, exact BIGINT sufficient statistics, unrounded doubles
+    hash-matched against the oracle's identical expression tree
+    (operators/exactstats.py::welch_ttest)."""
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        welch_ttest,
+    )
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "error")
+        & F.col("value").isNotNull()
+    )
+    return welch_ttest(
+        ev,
+        F.round(F.col("value") * 100).cast("long"),
+        (F.col("event_type") == "click").cast("int"),
+    )
+
+
+ML_TTEST_SQL = """
+WITH s AS (
+    SELECT
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(ROUND(value * 100) AS BIGINT)
+                      * CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS q1,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n0,
+        CAST(SUM(CASE WHEN event_type = 'error'
+                 THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS s0,
+        CAST(SUM(CASE WHEN event_type = 'error'
+                 THEN CAST(ROUND(value * 100) AS BIGINT)
+                      * CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS q0
+    FROM events
+    WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+),
+d AS (
+    SELECT n1, n0,
+           CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+           CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+           (CAST(q1 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+           (CAST(q0 AS DOUBLE)
+            - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+              / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0) AS v0
+    FROM s
+),
+e AS (
+    SELECT n1, n0, m1, m0, v1, v0,
+           v1 / CAST(n1 AS DOUBLE) + v0 / CAST(n0 AS DOUBLE) AS se2
+    FROM d
+)
+SELECT n1, n0, m1 AS mean1, m0 AS mean0,
+       CASE WHEN n1 >= 2 AND n0 >= 2 AND se2 > 0
+            THEN (m1 - m0) / sqrt(se2) END AS t_stat,
+       CASE WHEN n1 >= 2 AND n0 >= 2 AND se2 > 0
+            THEN (se2 * se2) /
+                 ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+                      / (CAST(n1 AS DOUBLE) - 1.0)
+                  + (v0 / CAST(n0 AS DOUBLE)) * (v0 / CAST(n0 AS DOUBLE))
+                      / (CAST(n0 AS DOUBLE) - 1.0))
+       END AS welch_df
+FROM e
+"""
+
+
+def ml_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test of event_type × user
+    bucket — the categorical-association check beside the t-test's
+    means: per-cell (O−E)²/E terms frozen to fixed-point BIGINTs so
+    the cell sum is exact in any visit order
+    (operators/exactstats.py::chi_square_fixed)."""
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        chi_square_fixed,
+    )
+
+    ev = _events(spark, sf_dir)
+    return chi_square_fixed(
+        ev, F.col("event_type"), F.col("user_id") % 4
+    )
+
+
+ML_CHISQ_SQL = """
+WITH cell AS (
+    SELECT event_type AS r, user_id % 4 AS c, COUNT(*) AS o
+    FROM events GROUP BY 1, 2
+),
+rowm AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt FROM cell GROUP BY 1),
+colm AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct FROM cell GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cell),
+terms AS (
+    SELECT tot.n, cell.r, cell.c,
+           CAST(ROUND((CAST(cell.o AS DOUBLE)
+                       - CAST(rowm.rt AS DOUBLE) * CAST(colm.ct AS DOUBLE)
+                         / CAST(tot.n AS DOUBLE))
+                      * (CAST(cell.o AS DOUBLE)
+                         - CAST(rowm.rt AS DOUBLE) * CAST(colm.ct AS DOUBLE)
+                           / CAST(tot.n AS DOUBLE))
+                      / (CAST(rowm.rt AS DOUBLE) * CAST(colm.ct AS DOUBLE)
+                         / CAST(tot.n AS DOUBLE))
+                      * CAST(1000000.0 AS DOUBLE))
+                AS BIGINT) AS term_fp
+    FROM cell
+    JOIN rowm ON rowm.r = cell.r
+    JOIN colm ON colm.c = cell.c
+    CROSS JOIN tot
+)
+SELECT n, COUNT(DISTINCT r) AS n_rows, COUNT(DISTINCT c) AS n_cols,
+       (COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS dof,
+       CAST(SUM(term_fp) AS BIGINT) AS chi2_fp,
+       CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE)
+           / CAST(1000000.0 AS DOUBLE) AS chi2
+FROM terms GROUP BY n
+"""
+
+
+def ml_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; user bucket) in nats — the
+    dependence strength the chi-square only tests for: every cell log
+    via the deterministic basic-ops ln with an explicit sign, frozen
+    to per-cell BIGINTs so the sum is exact in any visit order
+    (operators/exactstats.py::mutual_info_fixed)."""
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        mutual_info_fixed,
+    )
+
+    ev = _events(spark, sf_dir)
+    return mutual_info_fixed(
+        ev, F.col("event_type"), F.col("user_id") % 8
+    )
+
+
+ML_MI_SQL = """
+WITH cell AS (
+    SELECT event_type AS x, user_id % 8 AS y, COUNT(*) AS cxy
+    FROM events GROUP BY 1, 2
+),
+xm AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM cell GROUP BY 1),
+ym AS (SELECT y, CAST(SUM(cxy) AS BIGINT) AS cy FROM cell GROUP BY 1),
+tot AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM cell),
+terms AS (
+    SELECT tot.n,
+           cell.cxy * (CASE WHEN cell.cxy * tot.n >= xm.cx * ym.cy
+                THEN CAST(ROUND({LN_POS} * CAST(1000000.0 AS DOUBLE))
+                          AS BIGINT)
+                ELSE -CAST(ROUND({LN_NEG} * CAST(1000000.0 AS DOUBLE))
+                           AS BIGINT)
+           END) AS term_fp
+    FROM cell
+    JOIN xm ON xm.x = cell.x
+    JOIN ym ON ym.y = cell.y
+    CROSS JOIN tot
+)
+SELECT n, COUNT(*) AS n_cells,
+       CAST(SUM(term_fp) AS BIGINT) AS mi_fp,
+       CAST(CAST(SUM(term_fp) AS BIGINT) AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS mi_nats
+FROM terms GROUP BY n
+"""
+ML_MI_SQL = ML_MI_SQL.replace(
+    "{LN_POS}", _ln_ratio_det_sql("cell.cxy * tot.n", "xm.cx * ym.cy")
+).replace(
+    "{LN_NEG}", _ln_ratio_det_sql("xm.cx * ym.cy", "cell.cxy * tot.n")
+)
+
+
 # Registry order is CONTRACTUAL: the external correctness driver
 # verifies only the FIRST 50 entries. Window policy (amended in round
 # 11 per the round-10 advice, which caught the S-family gates rotating
@@ -10203,6 +10380,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # Everything displaced stays verified by the local full sweep
     # (tools/check_correctness.py) each round.
     # ---- round-11 additions (never driver-certified)
+    "ml_ttest_welch": (ml_ttest_welch, ML_TTEST_SQL),
+    "ml_chi_square": (ml_chi_square, ML_CHISQ_SQL),
+    "ml_mutual_info": (ml_mutual_info, ML_MI_SQL),
     "g_bfs_hops": (g_bfs_hops, G_BFS_SQL),
     "x_time_to_convert": (x_time_to_convert, X_CONVERT_SQL),
     "stream_window_distinct": (stream_window_distinct, STREAM_WDIST_SQL),
@@ -10252,11 +10432,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "x_unpivot_lineitem": (x_unpivot_lineitem, X_UNPIVOT_SQL),
     "a_cube_counts": (a_cube_counts, A_CUBE_SQL),
     "a_percentiles": (a_percentiles, A_PCT_SQL),
-    "q2_min_supplier": (q2_min_supplier, Q2_SQL),
-    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
-    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
     "k7_merge_upsert": (k7_merge_upsert, K7_SQL),
     # ---- past the window: re-verified via local full sweeps
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "q2_min_supplier": (q2_min_supplier, Q2_SQL),
     "dedup_simhash": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh_docs, DEDUP_MINHASH_SQL),
     "sim_ivf_topk": (sim_ivf_topk_docs, SIM_IVF_SQL),

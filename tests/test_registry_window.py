@@ -16,12 +16,13 @@ from curw_flo2d_data_manager_spark.queries import DRIVER_WINDOW, REGISTRY
 
 # Round-11 window: keys must sit at registry position < DRIVER_WINDOW.
 REQUIRED_IN_WINDOW = {
-    # (a) the fourteen round-11 additions, never driver-certified
+    # (a) the seventeen round-11 additions, never driver-certified
     "a_exact_mode", "a_weighted_median", "a_moments_fixed",
     "ml_linreg_normal", "ml_ks_statistic", "ml_ndcg",
     "g_link_predict", "text_pmi_bigrams", "w_moving_median",
     "j_point_in_rect", "mm_frame_plan",
     "g_bfs_hops", "x_time_to_convert", "stream_window_distinct",
+    "ml_ttest_welch", "ml_chi_square", "ml_mutual_info",
     # (b) operator code touched in round 11: the deterministic-idf
     # rewrite (functions/exactmath), the bq NULL-query filter, the
     # k_core early-exit/convergence warning
@@ -41,14 +42,14 @@ REQUIRED_IN_WINDOW = {
     "dedup_exact", "sim_cosine_topk", "sim_lsh_pairs",
     "text_token_counts", "text_quality", "w_moving_avg",
     "x_unpivot_lineitem", "a_cube_counts", "a_percentiles",
-    "q2_min_supplier", "q7_nation_volume", "q13_order_distribution",
     "k7_merge_upsert",
     # (round-11 rotation: the seventeen r10 additions plus the r8
     # cohort certified in the r10 window — sim_gram_matrix,
     # ml_train_classifier and the rest — rotate out with a FRESH r10
     # certification; the r5-cohort members q16_supplier_cnt /
     # q17_small_quantity / q22_idle_customers / sim_ivf_topk /
-    # dedup_minhash_lsh / dedup_simhash yield their
+    # dedup_minhash_lsh / dedup_simhash / q2_min_supplier /
+    # q7_nation_volume / q13_order_distribution yield their
     # slots to the restored P/O/U family gates and the late
     # round-11 additions, and are first in line for round 12 — their
     # families stay covered in-window by dedup_exact / sim_cosine_topk /

@@ -387,3 +387,105 @@ def test_streaming_windowed_distinct_matches_batch(spark):
     # the buckets back from the keys instead of hand-computing offsets
     assert sorted(got.values()) == [1, 2]
     assert len(got) == 2  # the sentinel's own window never emitted
+
+
+def test_welch_ttest_matches_textbook(spark):
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        welch_ttest,
+    )
+
+    a = [310, 295, 288, 305, 300, 292]   # label 1
+    b = [270, 285, 276, 290, 265]        # label 0
+    rows = [(v, 1) for v in a] + [(v, 0) for v in b]
+    df = spark.createDataFrame(rows, "v long, y int")
+    r = welch_ttest(df, F.col("v"), F.col("y")).collect()[0]
+    n1, n0 = len(a), len(b)
+    m1, m0 = sum(a) / n1, sum(b) / n0
+    v1 = sum((x - m1) ** 2 for x in a) / (n1 - 1)
+    v0 = sum((x - m0) ** 2 for x in b) / (n0 - 1)
+    se2 = v1 / n1 + v0 / n0
+    t = (m1 - m0) / se2**0.5
+    dfree = se2**2 / (
+        (v1 / n1) ** 2 / (n1 - 1) + (v0 / n0) ** 2 / (n0 - 1)
+    )
+    assert r.n1 == n1 and r.n0 == n0
+    assert math.isclose(r.mean1, m1, rel_tol=1e-12)
+    assert math.isclose(r.t_stat, t, rel_tol=1e-9)
+    assert math.isclose(r.welch_df, dfree, rel_tol=1e-9)
+
+
+def test_welch_ttest_degenerate_is_null(spark):
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        welch_ttest,
+    )
+
+    df = spark.createDataFrame([(5, 1), (7, 0), (8, 0)], "v long, y int")
+    r = welch_ttest(df, F.col("v"), F.col("y")).collect()[0]
+    assert r.t_stat is None and r.welch_df is None  # n1 < 2
+
+
+def test_chi_square_fixed_matches_direct(spark):
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        chi_square_fixed,
+    )
+
+    # 2x2 with a planted association
+    rows = (
+        [("a", 0)] * 30 + [("a", 1)] * 10
+        + [("b", 0)] * 10 + [("b", 1)] * 30
+    )
+    df = spark.createDataFrame(rows, "r string, c int")
+    got = chi_square_fixed(df, F.col("r"), F.col("c")).collect()[0]
+    n = len(rows)
+    from collections import Counter
+
+    o = Counter(rows)
+    rt = Counter(r for r, _ in rows)
+    ct = Counter(c for _, c in rows)
+    chi2 = sum(
+        (o[(r, c)] - rt[r] * ct[c] / n) ** 2 / (rt[r] * ct[c] / n)
+        for r in rt for c in ct
+    )
+    assert got.n == n and got.dof == 1
+    assert math.isclose(got.chi2, chi2, abs_tol=5e-6)  # 4 cells x 1e-6
+
+
+def test_mutual_info_fixed_matches_direct(spark):
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        mutual_info_fixed,
+    )
+
+    # perfectly dependent -> MI = H(X) = ln 2 for a 50/50 split;
+    # independent-ish noise cells pull it below
+    rows = [("a", 0)] * 25 + [("b", 1)] * 25 + [("a", 1)] * 5 + [("b", 0)] * 5
+    df = spark.createDataFrame(rows, "x string, y int")
+    got = mutual_info_fixed(df, F.col("x"), F.col("y")).collect()[0]
+    n = len(rows)
+    from collections import Counter
+
+    cxy = Counter(rows)
+    cx = Counter(x for x, _ in rows)
+    cy = Counter(y for _, y in rows)
+    mi = sum(
+        (c / n) * math.log(c * n / (cx[x] * cy[y]))
+        for (x, y), c in cxy.items()
+    )
+    assert got.n == n and got.n_cells == 4
+    # per-cell fixed-point rounding error <= cxy * 0.5 / (n * 1e6)
+    assert math.isclose(got.mi_nats, mi, abs_tol=1e-6)
+    assert got.mi_nats > 0.2  # strong planted dependence
+
+
+def test_mutual_info_fixed_independent_is_near_zero(spark):
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        mutual_info_fixed,
+    )
+
+    # exactly independent cells (products factorize) -> MI exactly 0
+    rows = (
+        [("a", 0)] * 20 + [("a", 1)] * 20
+        + [("b", 0)] * 10 + [("b", 1)] * 10
+    )
+    df = spark.createDataFrame(rows, "x string, y int")
+    got = mutual_info_fixed(df, F.col("x"), F.col("y")).collect()[0]
+    assert abs(got.mi_nats) < 1e-6
