@@ -35,10 +35,16 @@ def group_mode(
     instead of sorting in one task (the hot-group-safe argmax, same
     shape as LPA's label vote in operators/components.py).
 
+    NULL values are excluded (standard mode semantics — otherwise a
+    NULL-heavy column reports NULL as its mode and the negated
+    tie-break struct misorders against real values).
+
     Returns group columns + ``mode_value`` + ``mode_count``.
     """
-    cnt = df.groupBy(*group_cols, value_col).agg(
-        F.count(F.lit(1)).alias("cnt")
+    cnt = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (
         cnt.groupBy(*group_cols)
@@ -75,10 +81,15 @@ def weighted_median(
 
     Scale: one (group, value) pre-aggregation collapses the raw
     relation, then a cumulative window over the DISTINCT values per
-    group (bounded by value cardinality, not row count).
+    group (bounded by value cardinality, not row count). NULL values
+    and NULL weights are excluded (a NULL value would sort FIRST in
+    the Spark ASC window and absorb weight mass the oracle's
+    NULLS-LAST windows never see).
     """
-    agg = df.groupBy(*group_cols, value_col).agg(
-        F.sum(weight_fp).alias("w_fp")
+    agg = (
+        df.filter(F.col(value_col).isNotNull() & weight_fp.isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.sum(weight_fp).alias("w_fp"))
     )
     wspec = (
         Window.partitionBy(*group_cols)
@@ -127,9 +138,12 @@ def moments_fixed(
     values) or pre-aggregate per group; 2⁶³ supports n·max|x|⁴ < 9e18.
 
     Returns group cols + n + mean/m2/skewness/kurtosis (excess),
-    NULL skew/kurt for degenerate (m2 = 0) groups.
+    NULL skew/kurt for degenerate (m2 = 0) groups. NULL values are
+    excluded BEFORE the count — otherwise ``n`` counts rows the power
+    sums skipped and every moment silently shifts.
     """
     x = value_int.cast("long")
+    df = df.filter(value_int.isNotNull())
     agg = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("s1"),
@@ -184,9 +198,12 @@ def welch_ttest(
 
     Returns one row: (n1, n0, mean1, mean0, t_stat, welch_df); t/df
     NULL when either class has < 2 rows or both variances are 0.
+    Rows with a NULL value or NULL label are excluded — a NULL label
+    would otherwise fall through the CASE into class 0.
     """
     y = label.cast("int")
     x = value_fp.cast("long")
+    df = df.filter(value_fp.isNotNull() & label.isNotNull())
     agg = df.agg(
         F.sum(F.when(y == 1, 1).otherwise(0)).alias("n1"),
         F.sum(F.when(y == 1, x).otherwise(0)).alias("s1"),
@@ -241,11 +258,17 @@ def chi_square_fixed(
     Scale shape: one (row, col) count aggregation, two broadcast-sized
     marginal aggregations joined back on their key, one global sum.
 
-    Returns one row: (n, n_rows, n_cols, dof, chi2_fp, chi2).
+    Returns one row: (n, n_rows, n_cols, dof, chi2_fp, chi2). Rows
+    with a NULL key on either axis are excluded — a NULL group would
+    count into ``n`` but never match its marginal join back (NULL
+    never equi-joins NULL), silently dropping its term.
     """
-    cell = df.select(row_col.alias("_r"), col_col.alias("_c")).groupBy(
-        "_r", "_c"
-    ).agg(F.count(F.lit(1)).alias("o"))
+    cell = (
+        df.filter(row_col.isNotNull() & col_col.isNotNull())
+        .select(row_col.alias("_r"), col_col.alias("_c"))
+        .groupBy("_r", "_c")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
     rowm = cell.groupBy("_r").agg(F.sum("o").alias("rt"))
     colm = cell.groupBy("_c").agg(F.sum("o").alias("ct"))
     tot = cell.agg(F.sum("o").alias("n"))
@@ -309,15 +332,19 @@ def mutual_info_fixed(
     Overflow: c_xy·N must stay < 2⁶³ — fine to ~3e9 rows; the per-cell
     term is ≤ c_xy·scale·ln(N) ≪ 2⁶³ at any realistic cardinality.
 
-    Returns one row: (n, n_cells, mi_fp, mi_nats).
+    Returns one row: (n, n_cells, mi_fp, mi_nats). NULL keys on
+    either axis are excluded (the chi_square_fixed rationale).
     """
     from curw_flo2d_data_manager_spark.functions.exactmath import (
         ln_ratio_det,
     )
 
-    cell = df.select(x_col.alias("_x"), y_col.alias("_y")).groupBy(
-        "_x", "_y"
-    ).agg(F.count(F.lit(1)).alias("cxy"))
+    cell = (
+        df.filter(x_col.isNotNull() & y_col.isNotNull())
+        .select(x_col.alias("_x"), y_col.alias("_y"))
+        .groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
     xm = cell.groupBy("_x").agg(F.sum("cxy").alias("cx"))
     ym = cell.groupBy("_y").agg(F.sum("cxy").alias("cy"))
     tot = cell.agg(F.sum("cxy").alias("n"))

@@ -192,10 +192,12 @@ def linreg_normal_exact(
 
     Returns group cols + n + slope_fp (y_fp units per x unit),
     intercept_fp, corr — slope/intercept NULL for degenerate
-    (zero-variance-x) groups.
+    (zero-variance-x) groups. Rows with a NULL x or y are excluded
+    BEFORE the count, so ``n`` never counts rows the sums skipped.
     """
     x = x_int.cast("long")
     y = y_fp.cast("long")
+    df = df.filter(x_int.isNotNull() & y_fp.isNotNull())
     agg = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
@@ -247,10 +249,16 @@ def ks_statistic_exact(
     classes under ~3e9 rows.
 
     Returns one row: (n_pos, n_neg, ks_num, ks_stat, ks_at_score).
+    NULL scores and NULL labels are excluded — a NULL score would
+    rank FIRST in Spark's ASC window (the round-10 candidate-ordering
+    lesson) while the oracle's NULLS-LAST windows place it last.
     """
     from pyspark.sql import Window
 
     y = F.col(label_col).cast("long")
+    scored = scored.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
     g = scored.groupBy(score_col).agg(
         F.sum(y).alias("pos"),
         F.sum(F.lit(1) - y).alias("neg"),

@@ -288,6 +288,10 @@ def moving_median(
     row; no global sort, no unbounded frame (the round-8 quadratic
     rowsBetween trap does not apply to bounded trailing frames).
 
+    NULL handling caveat: Spark's collect_list SKIPS NULLs while
+    DuckDB's list() KEEPS them — filter NULL values out upstream
+    before any cross-engine comparison (the gating query does).
+
     Returns the input plus ``moving_median``.
     """
     from pyspark.sql import Window

@@ -114,6 +114,10 @@ def point_in_rect_join(
     pb = points.withColumn(
         "_bx", F.floor(F.col(px) / F.lit(float(bucket_width))).cast("long")
     )
+    # degenerate rectangles (x_lo > x_hi) would make sequence() DESCEND
+    # through every bucket in between — they can never contain a point,
+    # so drop them before the explode
+    rects = rects.filter(F.col(x_lo) <= F.col(x_hi))
     rb = rects.withColumn(
         "_bx",
         F.explode(

@@ -489,3 +489,97 @@ def test_mutual_info_fixed_independent_is_near_zero(spark):
     df = spark.createDataFrame(rows, "x string, y int")
     got = mutual_info_fixed(df, F.col("x"), F.col("y")).collect()[0]
     assert abs(got.mi_nats) < 1e-6
+
+
+def test_null_handling_across_exactstats(spark):
+    """Round-11 self-review: NULLs must be EXCLUDED consistently —
+    counts must never include rows the sums skipped, NULL labels must
+    not fall through CASE into class 0, NULL contingency keys must not
+    inflate N while failing their marginal join."""
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        chi_square_fixed,
+        group_mode,
+        moments_fixed,
+        mutual_info_fixed,
+        weighted_median,
+        welch_ttest,
+    )
+    from curw_flo2d_data_manager_spark.operators.mltrain import (
+        ks_statistic_exact,
+        linreg_normal_exact,
+    )
+
+    # mode: NULL-heavy column still reports the real mode
+    df = spark.createDataFrame(
+        [("g", None), ("g", None), ("g", None), ("g", 2.0), ("g", 2.0),
+         ("g", 9.0)],
+        "g string, v double",
+    )
+    r = group_mode(df, ["g"], "v").collect()[0]
+    assert (r.mode_value, r.mode_count) == (2.0, 2)
+
+    # weighted median: NULL value rows carry no weight
+    wm = spark.createDataFrame(
+        [("g", None, 100), ("g", 1.0, 1), ("g", 5.0, 1)],
+        "g string, v double, w long",
+    )
+    row = weighted_median(wm, ["g"], "v", F.col("w")).collect()[0]
+    assert row.weighted_median == 1.0 and row.total_weight_fp == 2
+
+    # moments: n must equal the non-null count
+    mo = spark.createDataFrame(
+        [("g", 1), ("g", 3), ("g", None)], "g string, x long"
+    )
+    assert moments_fixed(mo, ["g"], F.col("x")).collect()[0].n == 2
+
+    # welch: NULL label rows are dropped, not class 0
+    wt = spark.createDataFrame(
+        [(10, 1), (12, 1), (5, 0), (6, 0), (999, None)],
+        "v long, y int",
+    )
+    r = welch_ttest(wt, F.col("v"), F.col("y")).collect()[0]
+    assert r.n1 == 2 and r.n0 == 2
+
+    # linreg: n equals rows where BOTH x and y are present
+    lr = spark.createDataFrame(
+        [("g", 1, 10), ("g", 2, 20), ("g", None, 30), ("g", 3, None)],
+        "g string, x long, y long",
+    )
+    assert linreg_normal_exact(
+        lr, ["g"], F.col("x"), F.col("y")
+    ).collect()[0].n == 2
+
+    # ks: NULL scores are excluded from both classes
+    ks = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 0), (None, 0)],
+        "score double, y int",
+    )
+    r = ks_statistic_exact(ks, "score", "y").collect()[0]
+    assert r.n_pos == 2 and r.n_neg == 1
+
+    # chi-square / MI: NULL keys excluded from N and cells
+    cs = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("b", 0), ("b", 1), (None, 0), ("a", None)],
+        "r string, c int",
+    )
+    assert chi_square_fixed(cs, F.col("r"), F.col("c")).collect()[0].n == 4
+    assert mutual_info_fixed(cs, F.col("r"), F.col("c")).collect()[0].n == 4
+
+
+def test_point_in_rect_join_degenerate_rect_is_dropped(spark):
+    """x_lo > x_hi can never contain a point; it must be dropped
+    BEFORE the bucket explode (a descending sequence() would fan out
+    across every bucket in between)."""
+    from curw_flo2d_data_manager_spark.operators.spatial import (
+        point_in_rect_join,
+    )
+
+    points = spark.createDataFrame(
+        [(1, 150.0, 5.0)], "pid long, px double, py double"
+    )
+    rects = spark.createDataFrame(
+        [(7, 100000.0, -100000.0, 0.0, 10.0)],
+        "rid long, x_lo double, x_hi double, y_lo double, y_hi double",
+    )
+    out = point_in_rect_join(points, rects, bucket_width=100.0)
+    assert out.count() == 0
