@@ -1011,3 +1011,130 @@ def test_ewma_segmented_property_vs_recurrence(spark, vals, alpha, segment_rows)
             continue
         e = x if e is None else alpha * x + (1.0 - alpha) * e
         assert got[i] == pytest.approx(e, rel=1e-9, abs=1e-12), i
+
+
+@SETTINGS
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**12),
+            st.integers(min_value=1, max_value=10**6),
+        ).map(lambda t: (max(t[0], t[1]), min(t[0], t[1]))),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_ln_ratio_det_bit_identical_property(spark, pairs):
+    """The deterministic log's cross-engine contract as a property:
+    for ANY integer num >= den >= 1, the Spark column and the DuckDB
+    SQL twin produce the same 64 bits, and both sit within 2e-7 of
+    libm ln."""
+    import math
+    import struct
+
+    import duckdb
+
+    from curw_flo2d_data_manager_spark.functions.exactmath import (
+        ln_ratio_det,
+        ln_ratio_det_sql,
+    )
+
+    df = spark.createDataFrame(pairs, "num long, den long")
+    got = {
+        (r.num, r.den): r.lnr
+        for r in df.withColumn(
+            "lnr", ln_ratio_det(F.col("num"), F.col("den"))
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(num BIGINT, den BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    oracle = {
+        (a, b): v
+        for a, b, v in con.sql(
+            f"SELECT num, den, {ln_ratio_det_sql('num', 'den')} FROM p"
+        ).fetchall()
+    }
+    for k, v in got.items():
+        assert struct.pack("<d", v) == struct.pack("<d", oracle[k])
+        assert abs(v - math.log(k[0] / k[1])) < 2e-7
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-20, max_value=20),  # value
+            st.integers(min_value=1, max_value=9),     # weight
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_weighted_median_matches_brute_force(spark, rows):
+    """Lower weighted median property: smallest v with
+    2·cum(v) >= total, verified against a pure-Python scan."""
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(v), w) for v, w in rows],
+        "g string, v double, w long",
+    )
+    got = weighted_median(df, ["g"], "v", F.col("w")).collect()[0]
+    agg = {}
+    for v, w in rows:
+        agg[v] = agg.get(v, 0) + w
+    tot = sum(agg.values())
+    cum = 0
+    for v in sorted(agg):
+        cum += agg[v]
+        if 2 * cum >= tot:
+            expect = v
+            break
+    assert got.weighted_median == float(expect)
+    assert got.total_weight_fp == tot
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=3, max_size=40
+    )
+)
+def test_moments_fixed_matches_python_same_formula(spark, vals):
+    """Exact-equality property: the operator's doubles must EQUAL (==)
+    a pure-Python evaluation of the same raw-sum formula — same
+    integer sums, same IEEE op sequence, no tolerance."""
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        moments_fixed,
+    )
+
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, x long"
+    )
+    r = moments_fixed(df, ["g"], F.col("x")).collect()[0]
+    n = len(vals)
+    s1 = sum(vals)
+    s2 = sum(v * v for v in vals)
+    s3 = sum(v * v * v for v in vals)
+    s4 = sum(v * v * v * v for v in vals)
+    nd = float(n)
+    mean = s1 / nd
+    m2 = s2 / nd - mean * mean
+    m3 = s3 / nd - 3.0 * mean * (s2 / nd) + 2.0 * mean * mean * mean
+    m4 = (
+        s4 / nd
+        - 4.0 * mean * (s3 / nd)
+        + 6.0 * mean * mean * (s2 / nd)
+        - 3.0 * mean * mean * mean * mean
+    )
+    assert r.n == n and r.mean == mean and r.m2 == m2
+    if m2 > 0:
+        sd = m2**0.5
+        assert r.skewness == m3 / (sd * sd * sd)
+        assert r.kurtosis == m4 / (m2 * m2) - 3.0
+    else:
+        assert r.skewness is None and r.kurtosis is None
