@@ -1429,15 +1429,20 @@ def pmi_bigrams(
         F.split(F.col("term"), " ").getItem(0).alias("w1"),
         F.split(F.col("term"), " ").getItem(1).alias("w2"),
     )
+    # the unigram-count joins carry NO broadcast hint: at web scale
+    # the vocabulary is itself huge (a forced broadcast OOMs the
+    # driver), while AQE still broadcasts automatically whenever the
+    # measured build side is small — only the two single-row totals
+    # are hint-broadcast
     joined = (
         parts.join(
-            F.broadcast(uni.select(F.col("word").alias("w1"),
-                                   F.col("c").alias("c_x"))),
+            uni.select(F.col("word").alias("w1"),
+                       F.col("c").alias("c_x")),
             "w1",
         )
         .join(
-            F.broadcast(uni.select(F.col("word").alias("w2"),
-                                   F.col("c").alias("c_y"))),
+            uni.select(F.col("word").alias("w2"),
+                       F.col("c").alias("c_y")),
             "w2",
         )
         .join(F.broadcast(n_uni))
