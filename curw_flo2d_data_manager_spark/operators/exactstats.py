@@ -281,9 +281,12 @@ def chi_square_fixed(
     term_fp = F.round(
         diff * diff / e * F.lit(float(term_scale))
     ).cast("long")
+    # marginals carry no broadcast hint: axis cardinality can be huge
+    # (per-user contingency axes), and AQE broadcasts automatically
+    # when the measured side is small; only the 1-row total is hinted
     terms = (
-        cell.join(F.broadcast(rowm), "_r")
-        .join(F.broadcast(colm), "_c")
+        cell.join(rowm, "_r")
+        .join(colm, "_c")
         .join(F.broadcast(tot))
         .select(
             F.col("n"),
@@ -356,9 +359,10 @@ def mutual_info_fixed(
     ).otherwise(
         -F.round(ln_ratio_det(den, num) * F.lit(float(ln_scale)))
     ).cast("long")
+    # same no-hint rationale as chi_square_fixed's marginals
     terms = (
-        cell.join(F.broadcast(xm), "_x")
-        .join(F.broadcast(ym), "_y")
+        cell.join(xm, "_x")
+        .join(ym, "_y")
         .join(F.broadcast(tot))
         .select(F.col("n"), (F.col("cxy") * ln_fp).alias("term_fp"))
     )
