@@ -1261,6 +1261,8 @@ def sparse_cosine_pairs(
     max_df_frac: float = 0.25,
     weight_scale: int = 10_000,
     ngram: int = 1,
+    prefix_filter: bool = True,
+    candidates_out: dict | None = None,
 ) -> "DataFrame":
     """All-pairs sparse tf-idf cosine similarity via an inverted-index
     self-join (Bayardo et al., WWW'07 — "Scaling Up All Pairs
@@ -1276,8 +1278,28 @@ def sparse_cosine_pairs(
       standard stopword-pruning semantics;
     - hapax terms (df = 1) stay in the norms but can't generate pairs,
       so the join side filters df ≥ 2;
+    - ``prefix_filter`` (Bayardo's probe-vs-index asymmetry — round-10
+      verdict item 2): candidate generation indexes only each doc's
+      PREFIX — the smallest term subset whose excluded remainder has
+      Σ x̂ᵢ·maxwᵢ < ``min_sim`` (x̂ = L2-normalized weight, maxw = the
+      term's corpus max normalized weight). Any partner's cosine
+      contribution from excluded terms is bounded by that sum, so a
+      pair ≥ min_sim MUST share an indexed term of its smaller-id
+      member — the index-side join arm shrinks from every posting to
+      the prefix postings, while scoring still uses FULL vectors (an
+      exact verify join over the surviving candidate pairs; output is
+      bit-identical with the filter on or off). Excluded mass is
+      accumulated in ascending x̂·maxw order, dropping the maximum
+      number of postings per doc; 1e-9 slack absorbs float error in
+      the running bound.
     - the pair aggregation shuffles on (id_a, id_b) with map-side
       partial sums.
+
+    ``candidates_out``: pass a dict to receive
+    ``{"candidates": DataFrame(id_a, id_b)}`` — the distinct candidate
+    pairs generated before exact scoring (observability for the scale
+    smoke's before/after candidate-volume comparison; only populated
+    on the prefix-filtered path).
 
     Float robustness across engines: weights are fixed-point
     ``round(tf·idf·weight_scale)`` BIGINTs, so dot products and
@@ -1313,7 +1335,14 @@ def sparse_cosine_pairs(
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     weighted = (
-        tf.join(dfreq, "term")
+        # merge hint: dfreq scales with the VOCABULARY (38M rows on the
+        # 1M-doc smoke) but its term/long schema compresses so well
+        # that AQE's compressed shuffle stats fall under the session's
+        # 64MB broadcast threshold — the auto-converted broadcast then
+        # OOMs the driver materializing tens of millions of rows. Both
+        # sides are term-keyed aggregates of the same tokens relation,
+        # so SMJ reuses the exchange; broadcast buys nothing here.
+        tf.join(dfreq.hint("shuffle_merge"), "term")
         .join(F.broadcast(n_docs))
         .filter(F.col("df") <= F.col("n_docs") * F.lit(max_df_frac))
         .withColumn(
@@ -1337,6 +1366,13 @@ def sparse_cosine_pairs(
     norms = weighted.groupBy("_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("norm2")
     )
+    if prefix_filter and min_sim > 0:
+        # on the prefix path norms feeds THREE branches (na/nb joins +
+        # the filter's normalization) — without its own checkpoint each
+        # branch re-aggregates the full weighted relation; on the
+        # two-consumer direct path the barrier costs more than the one
+        # recompute it saves at bench scale
+        norms = norms.localCheckpoint(eager=True)
     postings = weighted.filter(F.col("df") >= 2).select("_id", "term", "w")
     a = postings.select(
         F.col("_id").alias("id_a"), "term", F.col("w").alias("w_a")
@@ -1344,20 +1380,73 @@ def sparse_cosine_pairs(
     b = postings.select(
         F.col("_id").alias("id_b"), "term", F.col("w").alias("w_b")
     )
-    dots = (
-        a.join(b, "term")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_shared_terms"),
-            F.sum(F.col("w_a") * F.col("w_b")).alias("dot"),
+    if prefix_filter and min_sim > 0:
+        from pyspark.sql import Window
+
+        # Per-posting L2-normalized weight and per-term corpus max of
+        # it: a partner's coordinate on this term is <= maxw, so the
+        # pair's cosine mass from a set S of this doc's terms is
+        # <= sum(nw * maxw for S). Exclude postings in ascending
+        # contribution order while that running bound stays below
+        # min_sim; the kept remainder is the doc's INDEX prefix.
+        # merge hints: norms scales with the corpus and maxw with the
+        # vocabulary — neither may auto-convert to a driver broadcast
+        # (same compressed-stats hazard as the dfreq join above)
+        nw = postings.join(norms.hint("shuffle_merge"), "_id").withColumn(
+            "nw", F.col("w") / F.sqrt(F.col("norm2").cast("double"))
         )
-    )
+        maxw = nw.groupBy("term").agg(F.max("nw").alias("maxw"))
+        contrib = nw.join(maxw.hint("shuffle_merge"), "term").withColumn(
+            "c", F.col("nw") * F.least(F.col("maxw"), F.lit(1.0))
+        )
+        roll = (
+            Window.partitionBy("_id")
+            .orderBy(F.asc("c"), F.asc("term"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        indexed = (
+            contrib.withColumn("cum", F.sum("c").over(roll))
+            .filter(F.col("cum") >= F.lit(min_sim - 1e-9))
+            .select("_id", "term")
+        )
+        cand = (
+            indexed.select(F.col("_id").alias("id_a"), "term")
+            .join(b.select("id_b", "term"), "term")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        if candidates_out is not None:
+            candidates_out["candidates"] = cand
+        # Exact verify: full-vector dot over the surviving pairs only
+        # (n_shared_terms still counts ALL shared df>=2 terms — the
+        # same relation the unfiltered path aggregates).
+        dots = (
+            cand.join(a, "id_a")
+            .join(b, ["id_b", "term"])
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_shared_terms"),
+                F.sum(F.col("w_a") * F.col("w_b")).alias("dot"),
+            )
+        )
+    else:
+        dots = (
+            a.join(b.hint("shuffle_merge"), "term")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_shared_terms"),
+                F.sum(F.col("w_a") * F.col("w_b")).alias("dot"),
+            )
+        )
     return (
         dots.join(norms.select(F.col("_id").alias("id_a"),
-                               F.col("norm2").alias("na")), "id_a")
+                               F.col("norm2").alias("na"))
+                  .hint("shuffle_merge"), "id_a")
         .join(norms.select(F.col("_id").alias("id_b"),
-                           F.col("norm2").alias("nb")), "id_b")
+                           F.col("norm2").alias("nb"))
+              .hint("shuffle_merge"), "id_b")
         .withColumn(
             "cosine",
             F.round(

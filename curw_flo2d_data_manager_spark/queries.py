@@ -8209,8 +8209,15 @@ def sim_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # prefix_filter off HERE: at min_sim 0.5 over this templated
+    # corpus the Bayardo bound prunes almost nothing, so the filtered
+    # path's candidate+verify joins just re-pay the full index join
+    # (~2x; measured 4.9 -> 8.3 s at sf0.1). The prefix path is the
+    # high-threshold / huge-corpus lever — proved exact with a 38x
+    # candidate cut on the 1M-doc smoke (tools/bench_apss_scale.py).
     return sparse_cosine_pairs(
-        docs, "doc_id", "text", min_sim=0.5, max_df_frac=0.02, ngram=3
+        docs, "doc_id", "text", min_sim=0.5, max_df_frac=0.02, ngram=3,
+        prefix_filter=False,
     ).orderBy("id_a", "id_b")
 
 

@@ -56,7 +56,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", DEFAULT_TZ)
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: driver heap IS the whole executor pool. 24g
+        # (box has 128 GiB): localCheckpoint blocks are pinned
+        # (non-evictable) storage, so corpus-scaled checkpoints (ApSS
+        # weighted postings at the 1M-doc smoke ≈ 38M rows) starved
+        # execution memory under the old 8g cap
+        # (UNABLE_TO_ACQUIRE_MEMORY in the downstream aggregate).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # Codegen pressure: this engine compiles hundreds of distinct

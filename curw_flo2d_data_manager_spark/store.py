@@ -189,25 +189,34 @@ class TimeseriesStore:
         path: str,
         target_file_bytes: int = 128 * 1024 * 1024,
         dates: list[str] | None = None,
+        partition_prefix: str = "date=",
+        sort_cols: tuple[str, ...] | list[str] = ("id", "time"),
     ) -> int:
-        """Compact the date-partitioned fact layout in place.
+        """Compact a hive-partitioned parquet layout in place.
 
-        Continuous appends (the reference's cron-driven inserts) leave
-        each ``date=`` directory full of small files; at 100 TB the
-        file-listing and per-file open costs dominate the scan. This
-        rewrites each selected partition to ``ceil(bytes/target)``
-        files, restoring the canonical ``(id, time)`` in-file sort —
-        the Parquet equivalent of the reference MySQL's implicit index
-        maintenance. Writes go partition-by-partition through a
-        write-new-then-swap rename, so a reader never observes a
-        PARTIALLY-compacted partition — but the swap itself is two
-        renames (POSIX has no atomic directory exchange without
-        renameat2), so there is a brief window in which the ``date=``
-        directory is absent and a concurrent lister misses or fails on
-        that partition. Run compaction when no job is listing the
-        store (the reference's cron layout guarantees this); if truly
-        concurrent readers matter, point them at a manifest/symlink
-        that flips after the swap instead of the directory tree.
+        Continuous appends (the reference's cron-driven inserts; a
+        stream's per-micro-batch ledger writes) leave each partition
+        directory full of small files; at 100 TB the file-listing and
+        per-file open costs dominate the scan. This rewrites each
+        selected partition to ``ceil(bytes/target)`` files, restoring
+        the canonical in-file sort — the Parquet equivalent of the
+        reference MySQL's implicit index maintenance. Writes go
+        partition-by-partition through a write-new-then-swap rename,
+        so a reader never observes a PARTIALLY-compacted partition —
+        but the swap itself is two renames (POSIX has no atomic
+        directory exchange without renameat2), so there is a brief
+        window in which the partition directory is absent and a
+        concurrent lister misses or fails on that partition. Run
+        compaction when no job is listing the store (the reference's
+        cron layout guarantees this); if truly concurrent readers
+        matter, point them at a manifest/symlink that flips after the
+        swap instead of the directory tree.
+
+        Defaults fit the ``date=``-partitioned fact layout sorted by
+        ``(id, time)``; the streaming digest ledger compacts with
+        ``partition_prefix="batch="``, ``sort_cols=("digest",)``
+        (proved by ``test_streaming.py``'s 3-wave compaction case).
+        ``dates`` selects partition VALUES under the prefix.
         Returns the number of partitions compacted.
         """
         import math
@@ -216,10 +225,11 @@ class TimeseriesStore:
 
         part_dirs = sorted(
             d for d in os.listdir(path)
-            if d.startswith("date=") and os.path.isdir(os.path.join(path, d))
+            if d.startswith(partition_prefix)
+            and os.path.isdir(os.path.join(path, d))
         )
         if dates is not None:
-            keep = {f"date={d}" for d in dates}
+            keep = {f"{partition_prefix}{d}" for d in dates}
             part_dirs = [d for d in part_dirs if d in keep]
 
         n_done = 0
@@ -236,7 +246,7 @@ class TimeseriesStore:
             shutil.rmtree(tmp, ignore_errors=True)
             (
                 df.repartition(n_files)
-                .sortWithinPartitions("id", "time")
+                .sortWithinPartitions(*sort_cols)
                 .write.mode("overwrite")
                 .parquet(tmp)
             )

@@ -372,8 +372,12 @@ def corpus_dedup_stream(
     Scale shape: the anti-join shuffles 32-byte digests, never text;
     the ledger is digest-only parquet, so history grows by hash count,
     not corpus bytes. At very large history, compact the ledger dir
-    (``TimeseriesStore.compact_data`` works on it unchanged) — the
-    per-batch layout keeps old files immutable.
+    between runs with ``TimeseriesStore.compact_data(spark,
+    ledger_dir, partition_prefix="batch=", sort_cols=("digest",))`` —
+    per-batch directories stay intact (replay identity and the
+    current-batch exclusion filter are untouched), each just collapses
+    to ceil(bytes/target) sorted files. Proved by the 3-wave
+    compact-between-waves case in ``tests/test_streaming.py``.
 
     Returns the started ``StreamingQuery``.
     """

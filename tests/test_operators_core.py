@@ -2992,6 +2992,68 @@ def test_sparse_cosine_pairs_df_cap_prunes_stopword_terms(spark):
     assert loose >= 3 and tight == 0
 
 
+def test_sparse_cosine_prefix_filter_is_lossless_and_prunes(spark):
+    """Bayardo prefix filtering (round-10 verdict item 2): the
+    prefix-filtered path returns BIT-IDENTICAL rows to the unfiltered
+    full-index join (candidate generation is a provable superset of
+    the true pairs; scoring is the same exact-integer verify), while
+    indexing strictly fewer postings — observable as fewer candidate
+    pairs than the full join generates on a corpus with overlapping
+    but dissimilar documents."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        sparse_cosine_pairs,
+    )
+
+    # Docs share a few common words (candidate-generating terms) but
+    # only 1/2 are near-duplicates at the 0.6 threshold.
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "alpha kappa lumen mosaic nectar oasis prism quartz"),
+        (4, "beta kappa rhubarb stone tulip umber violet willow"),
+        (5, "gamma lumen stone xylem yonder zephyr anchor basil"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_sim=0.6, max_df_frac=1.0, ngram=1)
+    cand_out: dict = {}
+    on = sorted(
+        tuple(r)
+        for r in sparse_cosine_pairs(
+            df, "doc_id", candidates_out=cand_out, **kw
+        ).collect()
+    )
+    off = sorted(
+        tuple(r)
+        for r in sparse_cosine_pairs(
+            df, "doc_id", prefix_filter=False, **kw
+        ).collect()
+    )
+    assert on == off and len(on) >= 1
+    assert any(a == 1 and b == 2 for a, b, *_ in on)
+    # Full-join candidate volume: every pair sharing ANY df>=2 term —
+    # recomputed here rather than pinned by hand.
+    n_cand = cand_out["candidates"].count()
+    from collections import defaultdict
+
+    terms = defaultdict(set)
+    for did, text in rows:
+        for t in set(text.split()):
+            terms[t].add(did)
+    full_pairs = {
+        (a, b)
+        for docs in terms.values()
+        if len(docs) >= 2
+        for a in docs
+        for b in docs
+        if a < b
+    }
+    assert n_cand < len(full_pairs)
+    # and losslessness at the candidate level: every emitted pair was
+    # a candidate
+    cands = {(r.id_a, r.id_b) for r in cand_out["candidates"].collect()}
+    assert {(a, b) for a, b, *_ in on} <= cands
+
+
 def test_word_ngram_terms_short_and_empty_docs(spark):
     """A doc shorter than n words yields its full join once; empty
     text yields an empty array (never a null row explosion)."""

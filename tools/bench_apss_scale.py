@@ -67,8 +67,10 @@ def main() -> None:
     )
 
     t0 = time.time()
+    cand_out: dict = {}
     pairs = sparse_cosine_pairs(
-        docs, "doc_id", min_sim=0.9, max_df_frac=0.5, ngram=3
+        docs, "doc_id", min_sim=0.9, max_df_frac=0.5, ngram=3,
+        candidates_out=cand_out,
     )
     agg = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
@@ -84,6 +86,25 @@ def main() -> None:
     }
     elapsed = time.time() - t0
 
+    # Candidate-volume observability (round-10 verdict item 2): the
+    # distinct pairs the prefix-filtered index join generated, vs the
+    # join ROWS the unfiltered full-index self-join would have
+    # produced (sum over df>=2 terms of f*(f-1)/2) — computed from the
+    # corpus term stats, untimed.
+    n_cand = cand_out["candidates"].count()
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        word_ngram_terms,
+    )
+    full_rows = (
+        docs.select(F.explode(word_ngram_terms("text", 3)).alias("term"),
+                    F.col("doc_id").alias("_id"))
+        .groupBy("_id", "term").count()
+        .groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.col("f") >= 2)
+        .agg(F.sum(F.col("f") * (F.col("f") - 1) / 2).alias("rows"))
+        .collect()[0]["rows"]
+    )
+
     ok = found == planted and agg["exact"] == len(planted)
     print(json.dumps({
         "metric": "apss_scale",
@@ -93,6 +114,8 @@ def main() -> None:
         "pairs_at_cosine_1": int(agg["exact"]),
         "false_pairs": len(found - planted),
         "missed_pairs": len(planted - found),
+        "prefix_candidates": int(n_cand),
+        "full_join_rows": int(full_rows or 0),
         "elapsed_sec": round(elapsed, 2),
         "docs_per_sec": int((n_docs + n_copies) / elapsed),
         "exact": bool(ok),
