@@ -251,7 +251,7 @@ def stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("time"),
         "event_type",
         "event_id",
-    ).coalesce(1).write.mode("overwrite").parquet(src)
+    ).repartition(1).write.mode("overwrite").parquet(src)
 
     from pyspark.sql.types import (
         LongType,
@@ -1077,7 +1077,7 @@ def stream_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     src = tempfile.mkdtemp(prefix="stream_unmatched_src_")
-    rows.unionByName(sentinels.select(rows.columns)).coalesce(1).write.mode(
+    rows.unionByName(sentinels.select(rows.columns)).repartition(1).write.mode(
         "overwrite"
     ).parquet(src)
 
@@ -1888,7 +1888,7 @@ def stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id string, time string, value double",
     ).select("id", F.col("time").cast("timestamp").alias("time"), "value")
     src = tempfile.mkdtemp(prefix="stream_wdist_src_")
-    rows.unionByName(sentinel).coalesce(1).write.mode(
+    rows.unionByName(sentinel).repartition(1).write.mode(
         "overwrite"
     ).parquet(src)
 

@@ -450,7 +450,7 @@ def stream_pot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-01-04 00:00:00").cast("timestamp").alias("time"),
         F.lit(9999.0).alias("value"),
     )
-    rows.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(src)
+    rows.unionByName(sentinels).repartition(1).write.mode("overwrite").parquet(src)
 
     from curw_flo2d_data_manager_spark.streaming import streaming_pot
 
@@ -890,7 +890,7 @@ def stream_hot_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("sentinel").alias("text"),
     )
     src = tempfile.mkdtemp(prefix="stream_hot_src_")
-    rows.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(src)
+    rows.unionByName(sentinel).repartition(1).write.mode("overwrite").parquet(src)
 
     from curw_flo2d_data_manager_spark.streaming import streaming_hot_terms
 
@@ -1891,7 +1891,7 @@ def stream_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     src = tempfile.mkdtemp(prefix="stream_cusum_src_")
-    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    ev.repartition(1).write.mode("overwrite").parquet(src)
 
     from curw_flo2d_data_manager_spark.streaming import streaming_cusum
 

@@ -592,7 +592,7 @@ def stream_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="stream_src_")
     ev.select(
         F.lit("events").alias("id"), F.col("ts").alias("time"), "value"
-    ).coalesce(1).write.mode("overwrite").parquet(src)  # one file → one
+    ).repartition(1).write.mode("overwrite").parquet(src)  # one file → one
     # micro-batch → exactly one (final) update row per bucket in the sink
 
     from curw_flo2d_data_manager_spark.streaming import streaming_resample_sum
@@ -629,7 +629,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tripled = rows.unionAll(rows).unionAll(rows)
     src = tempfile.mkdtemp(prefix="stream_dedup_src_")
-    tripled.coalesce(1).write.mode("overwrite").parquet(src)
+    tripled.repartition(1).write.mode("overwrite").parquet(src)
 
     from curw_flo2d_data_manager_spark.streaming import streaming_dedup
 
@@ -677,7 +677,7 @@ def stream_cumsum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     src = tempfile.mkdtemp(prefix="stream_cum_src_")
-    ev.coalesce(1).write.mode("overwrite").parquet(src)  # one micro-batch
+    ev.repartition(1).write.mode("overwrite").parquet(src)  # one micro-batch
 
     from curw_flo2d_data_manager_spark.streaming import streaming_cumulative_sum
 
@@ -731,7 +731,7 @@ def stream_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-01-04 00:00:00").cast("timestamp").alias("time"),
         F.lit(0.0).alias("value"),
     )
-    rows.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(src)
+    rows.unionByName(sentinels).repartition(1).write.mode("overwrite").parquet(src)
 
     from curw_flo2d_data_manager_spark.streaming import streaming_session_sum
 

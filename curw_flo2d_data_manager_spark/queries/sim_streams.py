@@ -108,7 +108,7 @@ def stream_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
         q.stop()
-        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        docs.filter(F.col("doc_id") % 2 == 1).repartition(1).write.mode(
             "ignore"
         ).parquet(f"{watch}/wave2")
     accepted = spark.read.parquet(f"{out}/accepted").select(
@@ -187,7 +187,7 @@ def stream_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
         q.stop()
-        wave2.coalesce(1).write.mode("ignore").parquet(f"{watch}/wave2")
+        wave2.repartition(1).write.mode("ignore").parquet(f"{watch}/wave2")
     return (
         spark.read.parquet(f"{out}/docs")
         .select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
@@ -741,7 +741,7 @@ def stream_corpus_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
         q.stop()
-        feed.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        feed.filter(F.col("doc_id") % 2 == 1).repartition(1).write.mode(
             "ignore"
         ).parquet(f"{watch}/wave2")
     accepted = spark.read.parquet(f"{out}/accepted").select(
