@@ -269,6 +269,15 @@ def main() -> None:
         "ml_mutual_info",
         "x_time_to_convert",
         "stream_window_distinct",
+        # late round-11 additions: retrieval eval, HITS, rank stats,
+        # domain JSD, the Bayardo-prefix ApSS gate
+        "ml_mrr",
+        "ml_map",
+        "g_hits",
+        "ml_spearman",
+        "ml_mann_whitney",
+        "text_js_divergence",
+        "sim_sparse_cosine_prefix",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

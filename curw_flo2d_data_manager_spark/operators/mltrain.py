@@ -386,3 +386,102 @@ def ndcg_at_k(
             ),
         ).alias("ndcg"),
     )
+
+
+def mrr_at_k(
+    ranked: DataFrame,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Exact-arithmetic reciprocal rank @k over a ranked retrieval run
+    with binary relevance: per query the rank of the FIRST relevant
+    result, and its reciprocal frozen to fixed point
+    ``rr_fp = scale DIV first_rel_rank`` — a single integer divide, so
+    the value (and any downstream mean) is bit-identical cross-engine
+    (the float 1/rank family differs in the last ulp between engines
+    once summed; reference n/a — retrieval-eval extension beside
+    :func:`ndcg_at_k`).
+
+    Input: one row per (query, rank 1..k). Returns
+    (query, first_rel_rank, rr_fp); queries with no relevant result in
+    the top-k get NULLs (they still appear — the caller decides
+    whether MRR averages over them as zero).
+
+    Scale shape: one partial-aggregable min per query — no window, no
+    per-query materialization.
+    """
+    rel = F.col(rel_col).cast("long")
+    first = (
+        ranked.filter(F.col(rank_col) <= k)
+        .groupBy(query_col)
+        .agg(
+            F.min(
+                F.when(rel == 1, F.col(rank_col).cast("long"))
+            ).alias("first_rel_rank")
+        )
+    )
+    return first.select(
+        query_col,
+        "first_rel_rank",
+        F.expr(f"CAST({scale} AS BIGINT) DIV first_rel_rank").alias(
+            "rr_fp"
+        ),
+    )
+
+
+def average_precision_at_k(
+    ranked: DataFrame,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Exact-arithmetic average precision @k (the per-query summand of
+    MAP) with binary relevance:
+
+        AP = (Σ_{relevant positions r} P@r) / n_rel,
+        P@r = cum_rel(r) / r
+
+    Every precision is frozen to fixed point BEFORE summation —
+    ``(scale·cum_rel) DIV r`` — so the per-query sum is an exact
+    integer and the final ``DIV n_rel`` one more exact integer op:
+    bit-identical cross-engine regardless of summation order.
+
+    Input: one row per (query, rank 1..k). Returns (query, n_rel,
+    ap_fp); ap_fp NULL when the query has no relevant result in the
+    run. The running cum_rel window is bounded by k rows per query.
+    """
+    from pyspark.sql import Window
+
+    rel = F.col(rel_col).cast("long")
+    w = (
+        Window.partitionBy(query_col)
+        .orderBy(F.asc(rank_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ranked.filter(F.col(rank_col) <= k).withColumn(
+        "_cum", F.sum(rel).over(w)
+    )
+    per_q = cum.groupBy(query_col).agg(
+        F.sum(rel).alias("n_rel"),
+        F.sum(
+            F.when(
+                rel == 1,
+                F.expr(
+                    f"(CAST({scale} AS BIGINT) * _cum) DIV "
+                    f"CAST({rank_col} AS BIGINT)"
+                ),
+            )
+        ).alias("_ap_sum"),
+    )
+    return per_q.select(
+        query_col,
+        "n_rel",
+        F.when(
+            F.col("n_rel") > 0, F.expr("_ap_sum DIV n_rel")
+        ).alias("ap_fp"),
+    )

@@ -185,3 +185,105 @@ def pagerank_fixed_point(
             )
         )
     return ranks
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    scale: int = 10**9,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, public method) in
+    exact integer fixed-point with per-round L1 normalization:
+
+        a'_v = Σ_{u→v} h_u              (raw authority)
+        a_v  = (a'_v · S) DIV Σ a'      (L1-normalized, carried ·S)
+        h'_u = Σ_{u→v} a_v              (raw hub)
+        h_u  = (h'_u · S) DIV Σ h'
+
+    Every operation is BIGINT multiply / integer-divide / sum, so the
+    result is bit-identical on any engine and any partitioning — the
+    same exactness recipe as :func:`pagerank_fixed_point`, which a
+    float HITS (whose normalization denominator is a float sum in
+    shuffle order) cannot offer a cross-engine oracle.
+
+    Scale shape: per half-round one edge shuffle keyed by src or dst
+    plus one partial-aggregated sum. UNLIKE the PageRank recurrence,
+    each normalized relation is referenced TWICE (the join feeding the
+    next half-round AND its own 1-row L1 total), so the raw aggregate
+    is localCheckpoint-ed per half-round — without it lineage doubles
+    per reference (the round-9/11 checkpoint rule: count references
+    per loop body).
+
+    Overflow headroom: the start vector is L1-normalized
+    (h₀ = S DIV N), and every later vector is L1-normalized by
+    construction, so any raw aggregate is ≤ Σ h ≤ S and the
+    normalization product raw·S ≤ S² = 10¹⁸ < 2⁶³ at the default
+    scale (requires N ≤ S nodes). Dangling/sourceless nodes keep
+    score 0 through the DIV (COALESCE to 0 raw).
+
+    Returns (node, hub_fp, auth_fp), one row per distinct node.
+    """
+    if iters < 1:
+        raise ValueError(f"iters {iters} < 1")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    hub = nodes.crossJoin(F.broadcast(n)).select(
+        "node", F.expr(f"{int(scale)} DIV _n").alias("h")
+    )
+    auth = None
+    for _ in range(int(iters)):
+        a_raw = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("_raw"))
+            .localCheckpoint(eager=True)  # consumed by total + join
+        )
+        a_tot = a_raw.agg(F.sum("_raw").alias("_tot"))
+        auth = (
+            nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                F.expr(
+                    f"(coalesce(_raw, 0L) * {int(scale)}) DIV _tot"
+                ).alias("a"),
+            )
+        )
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("_raw"))
+            .localCheckpoint(eager=True)
+        )
+        h_tot = h_raw.agg(F.sum("_raw").alias("_tot"))
+        hub = (
+            nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                F.expr(
+                    f"(coalesce(_raw, 0L) * {int(scale)}) DIV _tot"
+                ).alias("h"),
+            )
+        )
+    return (
+        hub.join(
+            auth.select(F.col("node").alias("_n"), "a"),
+            hub["node"] == F.col("_n"),
+        )
+        .select(
+            "node",
+            F.col("h").alias("hub_fp"),
+            F.col("a").alias("auth_fp"),
+        )
+    )

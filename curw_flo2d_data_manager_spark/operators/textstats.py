@@ -1565,3 +1565,105 @@ def pmi_bigrams(
         scored.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
     )
+
+
+def signed_ln_ratio_det(num: Column, den: Column) -> Column:
+    """Deterministic ``ln(num/den)`` for POSITIVE integer columns with
+    ratio on either side of 1: routes through
+    :func:`functions.exactmath.ln_ratio_det` (whose contract is
+    num >= den >= 1) with the arguments swapped and the sign flipped
+    when the ratio is below 1 — the same expression tree both ways, so
+    the double stays bit-identical cross-engine."""
+    from curw_flo2d_data_manager_spark.functions.exactmath import (
+        ln_ratio_det,
+    )
+
+    return F.when(num >= den, ln_ratio_det(num, den)).otherwise(
+        -ln_ratio_det(den, num)
+    )
+
+
+def domain_js_divergence(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 10**9,
+) -> DataFrame:
+    """Jensen-Shannon divergence (nats) between each domain's unigram
+    distribution P and the whole-corpus distribution Q — the standard
+    domain-shift / mixture-drift signal for training-data curation
+    (how far a source's token distribution sits from the corpus it
+    feeds; DSIR/CCNet-adjacent, reference n/a):
+
+        JSD(P‖Q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m),  m = (p+q)/2
+
+    Exactness: with integer counts c_d (term in domain), N_d (domain
+    tokens), c_c, N_c (corpus), each ratio is RATIONAL —
+    p/m = 2·c_d·N_c / (c_d·N_c + c_c·N_d) — so every log is the
+    deterministic basic-ops :func:`signed_ln_ratio_det` of two
+    BIGINTs, p and q are single correctly-rounded divides, and every
+    summand is frozen to ``round(scale·term)`` BIGINT before the sum:
+    the aggregate is an exact integer, immune to engine summation
+    order. Final ``DIV 2`` folds the two halves.
+
+    Scale shape: two token aggregations (domain-term, corpus-term),
+    one domain-total and one 1-row corpus-total broadcast, and ONE
+    vocab x n_domains expansion (domains are the bounded dimension —
+    a corpus has tens of sources, not millions) joined left to the
+    domain-term counts; all sums partial-aggregate.
+
+    Returns (domain, n_terms, n_tokens, jsd_fp) with
+    jsd_fp = round-trip fixed point at ``scale`` (divide by scale for
+    nats; 0 <= JSD <= ln 2 ≈ 0.6931).
+    """
+    toks = df.select(
+        F.col(domain_col).alias("_dom"),
+        F.explode(words(text_col)).alias("term"),
+    )
+    cd = toks.groupBy("_dom", "term").agg(
+        F.count(F.lit(1)).alias("c_d")
+    )
+    nd = cd.groupBy("_dom").agg(
+        F.sum("c_d").alias("n_d"), F.count(F.lit(1)).alias("n_terms")
+    )
+    cc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_c"))
+    nc = cc.agg(F.sum("c_c").alias("n_c"))
+
+    # vocab x domains expansion (domains broadcast), left join the
+    # domain's own counts; the corpus side q contributes on EVERY
+    # term, the domain side p only where c_d > 0
+    grid = (
+        cc.crossJoin(F.broadcast(nd.select("_dom", "n_d")))
+        .join(cd.hint("shuffle_merge"), ["_dom", "term"], "left")
+        .crossJoin(F.broadcast(nc))
+        .withColumn("c_d", F.coalesce(F.col("c_d"), F.lit(0)))
+    )
+    den = F.col("c_d") * F.col("n_c") + F.col("c_c") * F.col("n_d")
+    p = F.col("c_d").cast("double") / F.col("n_d").cast("double")
+    q = F.col("c_c").cast("double") / F.col("n_c").cast("double")
+    term_p = F.when(
+        F.col("c_d") > 0,
+        F.round(
+            F.lit(float(scale))
+            * p
+            * signed_ln_ratio_det(2 * F.col("c_d") * F.col("n_c"), den),
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    term_q = F.round(
+        F.lit(float(scale))
+        * q
+        * signed_ln_ratio_det(2 * F.col("c_c") * F.col("n_d"), den),
+    ).cast("long")
+    agg = grid.groupBy("_dom").agg(
+        F.sum(term_p + term_q).alias("_sum_fp")
+    )
+    return (
+        agg.join(F.broadcast(nd), "_dom")
+        .select(
+            F.col("_dom").alias("domain"),
+            "n_terms",
+            F.col("n_d").alias("n_tokens"),
+            F.expr("_sum_fp DIV 2").alias("jsd_fp"),
+        )
+    )

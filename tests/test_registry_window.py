@@ -16,6 +16,10 @@ from curw_flo2d_data_manager_spark.queries import DRIVER_WINDOW, REGISTRY
 
 # Round-11 window: keys must sit at registry position < DRIVER_WINDOW.
 REQUIRED_IN_WINDOW = {
+    # (a0) the seven LATE round-11 additions (retrieval eval, HITS,
+    # rank statistics, domain JSD, the Bayardo-prefix ApSS gate)
+    "ml_mrr", "ml_map", "g_hits", "ml_spearman", "ml_mann_whitney",
+    "text_js_divergence", "sim_sparse_cosine_prefix",
     # (a) the seventeen round-11 additions, never driver-certified
     "a_exact_mode", "a_weighted_median", "a_moments_fixed",
     "ml_linreg_normal", "ml_ks_statistic", "ml_ndcg",
@@ -40,9 +44,13 @@ REQUIRED_IN_WINDOW = {
     "k8_run_metadata", "f9_get_or_create", "j1_calendar_spine",
     "j2_dim_enrichment", "stream_cumsum_events", "stream_session_events",
     "dedup_exact", "sim_cosine_topk", "sim_lsh_pairs",
-    "text_token_counts", "text_quality", "w_moving_avg",
-    "x_unpivot_lineitem", "a_cube_counts", "a_percentiles",
-    "k7_merge_upsert",
+    # (late round-11 rotation: the seven late additions displace the
+    # tail of the r5 cohort — text_token_counts / text_quality /
+    # w_moving_avg / x_unpivot_lineitem / a_cube_counts /
+    # a_percentiles / k7_merge_upsert — first in line for round 12;
+    # their families stay covered in-window by text_js_divergence,
+    # w3_fill_down/w_sessionize_events, x4_json_extract,
+    # a2/a4/a_exact_mode, and k3/k5/k8.)
     # (round-11 rotation: the seventeen r10 additions plus the r8
     # cohort certified in the r10 window — sim_gram_matrix,
     # ml_train_classifier and the rest — rotate out with a FRESH r10
