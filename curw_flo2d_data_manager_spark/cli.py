@@ -1674,6 +1674,41 @@ def cmd_graph_distances(args) -> None:
     )
 
 
+def cmd_graph_hits(args) -> None:
+    """HITS hubs/authorities over a DIRECTED edge parquet in exact
+    integer fixed-point (operators/pagerank.py::hits_fixed_point) —
+    hub scores for fan-out nodes, authority scores for fan-in nodes,
+    bit-identical across re-runs and partitionings."""
+    from curw_flo2d_data_manager_spark.operators.pagerank import (
+        hits_fixed_point,
+    )
+    from curw_flo2d_data_manager_spark.session import get_spark
+
+    import pyspark.sql.functions as F
+
+    spark = get_spark(app_name="graph-hits")
+    edges = spark.read.parquet(args.edges)
+    for col in (args.src_col, args.dst_col):
+        if col not in edges.columns:
+            raise SystemExit(f"column {col!r} not in edges ({edges.columns})")
+    out = hits_fixed_point(
+        edges, src=args.src_col, dst=args.dst_col, iters=args.iters
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    top = (
+        spark.read.parquet(args.output)
+        .orderBy(F.desc("auth_fp"), "node")
+        .limit(3)
+        .collect()
+    )
+    n = spark.read.parquet(args.output).count()
+    heads = ", ".join(f"{r.node}:{r.auth_fp}" for r in top)
+    print(
+        f"graph-hits: {n} nodes scored over {args.iters} rounds "
+        f"(top authorities {heads}) -> {args.output}"
+    )
+
+
 def cmd_train_classifier(args) -> None:
     """Train the hashed linear quality classifier on a labeled parquet
     corpus (exact fixed-point GD — operators/mltrain.py) and write the
@@ -2103,6 +2138,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--id_col", default="id")
     sp.add_argument("--rounds", type=int, default=6)
     sp.set_defaults(fn=cmd_graph_distances)
+
+    sp = sub.add_parser(
+        "graph-hits",
+        help="HITS hubs/authorities over a directed edge parquet "
+        "(exact integer fixed-point)",
+    )
+    sp.add_argument("--edges", required=True, help="edge parquet path")
+    sp.add_argument("--output", required=True, help="output parquet path")
+    sp.add_argument("--src_col", default="src")
+    sp.add_argument("--dst_col", default="dst")
+    sp.add_argument("--iters", type=int, default=4)
+    sp.set_defaults(fn=cmd_graph_hits)
 
     sp = sub.add_parser(
         "corpus-stats",

@@ -1516,3 +1516,22 @@ def test_graph_distances_cli(spark, tmp_path, capsys):
     assert "4 nodes within 3 hops (max dist 3)" in capsys.readouterr().out
     got = {r.node: r.dist for r in spark.read.parquet(out).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_graph_hits_cli(spark, tmp_path, capsys):
+    """graph-hits end-to-end: on 1->2, 1->3, 2->3, 3->1, 4->3 node 3
+    must top the authorities and node 4 (no in-links) scores 0."""
+    src = str(tmp_path / "hits_edges.parquet")
+    spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)], "src long, dst long"
+    ).write.parquet(src)
+    out = str(tmp_path / "hits.parquet")
+    main([
+        "graph-hits", "--edges", src, "--output", out, "--iters", "3",
+    ])
+    msg = capsys.readouterr().out
+    assert "graph-hits: 4 nodes scored over 3 rounds" in msg
+    got = {r.node: (r.hub_fp, r.auth_fp)
+           for r in spark.read.parquet(out).collect()}
+    auth = {n: a for n, (_, a) in got.items()}
+    assert max(auth, key=auth.get) == 3 and auth[4] == 0

@@ -238,3 +238,71 @@ def test_domain_js_divergence_matches_float_reference(spark):
     # corpus) and below ln 2 (domains share the corpus mass they
     # contribute)
     assert all(0 < v < math.log(2) for v in got.values())
+
+
+# ---- property tests: random small samples vs the pure-Python
+# tie-averaged references (few examples — each is a Spark job)
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# values drawn from a tiny grid so ties are COMMON — the property is
+# exactly about tie handling
+_tied_floats = st.integers(min_value=0, max_value=6).map(
+    lambda i: float(i) / 2
+)
+
+
+@_SETTINGS
+@given(
+    pts=st.lists(
+        st.tuples(_tied_floats, _tied_floats), min_size=3, max_size=25
+    )
+)
+def test_spearman_property_matches_reference(spark, pts):
+    """spearman_rho == the tie-averaged rank-Pearson reference on any
+    small sample (NULL when either side is all-tied)."""
+    from curw_flo2d_data_manager_spark.operators.rankstats import (
+        spearman_rho,
+    )
+
+    df = spark.createDataFrame(
+        [("k", x, y) for x, y in pts], "k string, x double, y double"
+    )
+    got = spearman_rho(df, ["k"], "x", "y").collect()[0]
+    xs = [x for x, _ in pts]
+    ys = [y for _, y in pts]
+    if len(set(xs)) == 1 or len(set(ys)) == 1:
+        assert got.rho is None
+    else:
+        assert got.rho == pytest.approx(
+            round(_spearman(xs, ys), 6), abs=1e-9
+        )
+
+
+@_SETTINGS
+@given(
+    a=st.lists(_tied_floats, min_size=1, max_size=15),
+    b=st.lists(_tied_floats, min_size=1, max_size=15),
+)
+def test_mann_whitney_property_matches_reference(spark, a, b):
+    """mann_whitney_u's 2x-fixed-point U equals the tie-averaged
+    reference and U_a + U_b == 2·n_a·n_b on any sample."""
+    from curw_flo2d_data_manager_spark.operators.rankstats import (
+        mann_whitney_u,
+    )
+
+    vals = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(vals, "g string, v double")
+    got = mann_whitney_u(df, "g", "v", "A", "B").collect()[0]
+    ranks = _avgranks([v for _, v in vals])
+    sr1 = sum(r for (g, _), r in zip(vals, ranks) if g == "A")
+    u1_2x = int(2 * sr1) - len(a) * (len(a) + 1)
+    assert (got.n_a, got.n_b) == (len(a), len(b))
+    assert got.u_a_2x == u1_2x
+    assert got.u_a_2x + got.u_b_2x == 2 * len(a) * len(b)
