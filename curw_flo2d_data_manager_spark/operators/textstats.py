@@ -1518,20 +1518,26 @@ def pmi_bigrams(
         F.split(F.col("term"), " ").getItem(0).alias("w1"),
         F.split(F.col("term"), " ").getItem(1).alias("w2"),
     )
-    # the unigram-count joins carry NO broadcast hint: at web scale
-    # the vocabulary is itself huge (a forced broadcast OOMs the
-    # driver), while AQE still broadcasts automatically whenever the
-    # measured build side is small — only the two single-row totals
-    # are hint-broadcast
+    # the unigram-count joins are hint-forced to SORT-MERGE: the
+    # vocabulary scales with the corpus, and AQE's broadcast
+    # auto-conversion sizes on COMPRESSED shuffle bytes — measured on
+    # the 1M-doc ApSS probe, a 38M-row term relation compresses under
+    # the 64MB threshold and gets materialized driver-side (OOM at the
+    # old 8g heap; wasteful at any heap). Only the two single-row
+    # totals are hint-broadcast. A bare no-hint join is NOT safe here
+    # — the forced broadcast this replaced and AQE's auto-conversion
+    # fail the same way at web-scale vocabularies.
     joined = (
         parts.join(
             uni.select(F.col("word").alias("w1"),
-                       F.col("c").alias("c_x")),
+                       F.col("c").alias("c_x"))
+            .hint("shuffle_merge"),
             "w1",
         )
         .join(
             uni.select(F.col("word").alias("w2"),
-                       F.col("c").alias("c_y")),
+                       F.col("c").alias("c_y"))
+            .hint("shuffle_merge"),
             "w2",
         )
         .join(F.broadcast(n_uni))
