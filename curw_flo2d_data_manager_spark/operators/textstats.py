@@ -429,7 +429,11 @@ def tfidf_top_terms(
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     scored = (
-        tf.join(dfreq, "term")
+        # vocab-scaled arm: hint-forced SMJ (AQE's broadcast
+        # auto-conversion sizes on compressed shuffle bytes and
+        # materializes web-scale vocabularies driver-side — the
+        # measured sparse_cosine_pairs/pmi_bigrams failure mode)
+        tf.join(dfreq.hint("shuffle_merge"), "term")
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -789,8 +793,12 @@ def bigram_logprob(
     cw = cb.groupBy("w1").agg(F.sum("cb").alias("cw"))
     vocab = cw.agg(F.count(F.lit(1)).alias("vocab"))
     return (
-        tf.join(cb, ["w1", "w2"])
-        .join(cw, "w1")
+        # vocab-scaled arm: hint-forced SMJ (AQE's broadcast
+        # auto-conversion sizes on compressed shuffle bytes and
+        # materializes web-scale vocabularies driver-side — the
+        # measured sparse_cosine_pairs/pmi_bigrams failure mode)
+        tf.join(cb.hint("shuffle_merge"), ["w1", "w2"])
+        .join(cw.hint("shuffle_merge"), "w1")
         .join(F.broadcast(vocab))
         .withColumn(
             "lp",
@@ -845,7 +853,11 @@ def unigram_logprob(
         F.sum("cnt").alias("n_tok"), F.count(F.lit(1)).alias("vocab")
     )
     return (
-        tf.join(uni, "term")
+        # vocab-scaled arm: hint-forced SMJ (AQE's broadcast
+        # auto-conversion sizes on compressed shuffle bytes and
+        # materializes web-scale vocabularies driver-side — the
+        # measured sparse_cosine_pairs/pmi_bigrams failure mode)
+        tf.join(uni.hint("shuffle_merge"), "term")
         .join(F.broadcast(totals))
         .withColumn(
             "lp",
@@ -917,7 +929,11 @@ def dsir_log_ratio(
         F.count(F.lit(1)).alias("vocab"),
     )
     return (
-        tf.join(lm, "term")
+        # vocab-scaled arm: hint-forced SMJ (AQE's broadcast
+        # auto-conversion sizes on compressed shuffle bytes and
+        # materializes web-scale vocabularies driver-side — the
+        # measured sparse_cosine_pairs/pmi_bigrams failure mode)
+        tf.join(lm.hint("shuffle_merge"), "term")
         .join(F.broadcast(totals))
         .withColumn(
             "lr",
@@ -1244,11 +1260,15 @@ def inverted_index(
     ).filter(F.col("df") >= min_df)
     w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc(id_col))
     top = (
-        tf.join(stats.select("term"), "term", "left_semi")
+        # vocab-scaled arm: hint-forced SMJ (AQE's broadcast
+        # auto-conversion sizes on compressed shuffle bytes and
+        # materializes web-scale vocabularies driver-side — the
+        # measured sparse_cosine_pairs/pmi_bigrams failure mode)
+        tf.join(stats.select("term").hint("shuffle_merge"), "term", "left_semi")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
-    return top.join(stats, "term").select(
+    return top.join(stats.hint("shuffle_merge"), "term").select(
         "term", "df", "corpus_tf", F.col(id_col), "tf", "rank"
     )
 

@@ -5,6 +5,10 @@ exists, the matching SQL through DuckDB over the same parquet tables;
 compares row count, column names, and order-insensitive values.
 
 Usage: python tools/check_correctness.py [sf_dir] [name_filter...]
+       [--skip name1,name2]  (exclude queries whose ORACLE cannot run
+       at the target scale — e.g. w_ewma's recursive-CTE replay is
+       O(n^2) in series length and only feasible <= sf0.01; the Spark
+       side carries its own scale bench)
 """
 
 from __future__ import annotations
@@ -44,7 +48,13 @@ def canon(rows, cols):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    name_filter = sys.argv[2:]
+    argv = sys.argv[2:]
+    skip = set()
+    if "--skip" in argv:
+        i = argv.index("--skip")
+        skip = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    name_filter = argv
 
     spark = get_spark(app_name="check_correctness", shuffle_partitions=16)
     con = duckdb.connect()
@@ -57,6 +67,9 @@ def main():
     oracles = entry_mod.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if name in skip:
+            print(f"SKIP  {name}: excluded via --skip")
+            continue
         if name_filter and not any(f in name for f in name_filter):
             continue
         try:
