@@ -1259,13 +1259,18 @@ def inverted_index(
         F.sum("tf").alias("corpus_tf"),
     ).filter(F.col("df") >= min_df)
     w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc(id_col))
+    # No pre-window semi join: ranking hapax terms costs ~1 row each
+    # under the map-side Partial group limit, while a term-keyed semi
+    # join BEFORE the window forces the raw token stream through an
+    # early term exchange and collapses the Partial into a single
+    # Final (measured — the plan gate caught it). The single inner
+    # join against stats below both prunes min_df losers and attaches
+    # (df, corpus_tf); it is hint-forced SMJ because stats is
+    # vocabulary-scaled (AQE's broadcast auto-conversion sizes on
+    # compressed shuffle bytes and materializes web-scale vocabularies
+    # driver-side — the measured sparse_cosine_pairs failure mode).
     top = (
-        # vocab-scaled arm: hint-forced SMJ (AQE's broadcast
-        # auto-conversion sizes on compressed shuffle bytes and
-        # materializes web-scale vocabularies driver-side — the
-        # measured sparse_cosine_pairs/pmi_bigrams failure mode)
-        tf.join(stats.select("term").hint("shuffle_merge"), "term", "left_semi")
-        .withColumn("rank", F.row_number().over(w))
+        tf.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
     return top.join(stats.hint("shuffle_merge"), "term").select(
