@@ -110,6 +110,10 @@ def mann_whitney_u(
     sample must be rankable, so per-key use is the scale path, same as
     every window family here).
     """
+    if group_a == group_b:
+        raise ValueError(
+            f"group_a and group_b must differ (both {group_a!r})"
+        )
     keys = list(key_cols or [])
     clean = df.filter(
         F.col(group_col).isin(group_a, group_b)

@@ -306,3 +306,15 @@ def test_mann_whitney_property_matches_reference(spark, a, b):
     assert (got.n_a, got.n_b) == (len(a), len(b))
     assert got.u_a_2x == u1_2x
     assert got.u_a_2x + got.u_b_2x == 2 * len(a) * len(b)
+
+
+def test_mann_whitney_rejects_identical_groups(spark):
+    """group_a == group_b would double-count every row into both
+    samples — rejected loudly."""
+    from curw_flo2d_data_manager_spark.operators.rankstats import (
+        mann_whitney_u,
+    )
+
+    df = spark.createDataFrame([("A", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="must differ"):
+        mann_whitney_u(df, "g", "v", "A", "A")
