@@ -1617,7 +1617,6 @@ def signed_ln_ratio_det(num: Column, den: Column) -> Column:
 def domain_js_divergence(
     df: DataFrame,
     domain_col: str = "source",
-    id_col: str = "doc_id",
     text_col: str = "text",
     scale: int = 10**9,
 ) -> DataFrame:

@@ -298,9 +298,9 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    return domain_js_divergence(
-        docs, "source", "doc_id", "text"
-    ).orderBy("domain")
+    return domain_js_divergence(docs, "source", "text").orderBy(
+        "domain"
+    )
 
 
 def _js_sql() -> str:
