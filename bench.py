@@ -278,6 +278,7 @@ def main() -> None:
         "ml_mann_whitney",
         "text_js_divergence",
         "sim_sparse_cosine_prefix",
+        "a_gini_orders",
     ]
     extra_runs: list[dict[str, float]] = []
     for _ in range(passes):

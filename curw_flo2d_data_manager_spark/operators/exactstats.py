@@ -378,3 +378,62 @@ def mutual_info_fixed(
             / (F.col("n").cast("double") * F.lit(float(ln_scale)))
         ).alias("mi_nats"),
     )
+
+
+def gini_fixed(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+    cents: int = 100,
+) -> DataFrame:
+    """Per-key Gini coefficient over a nonnegative 2-decimal money
+    column, EXACT:
+
+        G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx)   (x ascending, i = 1..n)
+
+    The value is frozen to integer ``round(x·cents)`` up front (2dp
+    doubles round to the same BIGINT on both engines), so the sorted
+    weighted sum and the denominator are exact integer aggregates —
+    Σ(2i−n−1)x is computed as Σ2ix − (n+1)·Σx from two partial-
+    aggregable sums, and the formula is TIE-INVARIANT (equal x swap
+    freely under any row_number tiebreak), so the single float op is
+    the final divide, rounded to 6 decimals. Rows with NULL or
+    negative values are dropped (Gini is defined on nonnegative
+    quantities); keys with n == 0 or Σx == 0 return NULL gini.
+
+    Scale shape: one key-sorted window (row_number only — O(1) state)
+    and one partial-aggregable reduction on the SAME key exchange.
+    Overflow headroom: Σ2ix ≤ 2·n²·max_cents — exact through
+    n ≈ 10⁶ rows/key at 10⁶-cent values.
+
+    Returns (key_cols..., n, total_cents, gini).
+    """
+    clean = df.filter(
+        F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
+    ).select(
+        *key_cols,
+        F.round(F.col(value_col) * F.lit(cents)).cast("long").alias("_c"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.asc("_c"), F.asc("_id"))
+    ranked = clean.withColumn("_i", F.row_number().over(w).cast("long"))
+    agg = ranked.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_c").alias("total_cents"),
+        F.sum(2 * F.col("_i") * F.col("_c")).alias("_s2ix"),
+    )
+    num = F.col("_s2ix") - (F.col("n") + 1) * F.col("total_cents")
+    return agg.select(
+        *key_cols,
+        "n",
+        "total_cents",
+        F.when(
+            (F.col("n") > 0) & (F.col("total_cents") > 0),
+            F.round(
+                num.cast("double")
+                / (F.col("n").cast("double") * F.col("total_cents").cast("double")),
+                6,
+            ),
+        ).alias("gini"),
+    )

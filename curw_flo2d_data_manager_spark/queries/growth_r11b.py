@@ -393,3 +393,52 @@ def _prefix_sql() -> str:
 
 
 SIM_SPARSE_PREFIX_SQL = _prefix_sql()
+
+
+def a_gini_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order totals per order priority — the
+    inequality / concentration measure curation pipelines run over
+    per-domain token contributions, exact: values frozen to integer
+    cents (2dp doubles round identically on both engines), the sorted
+    weighted sum reduced to two partial-aggregable BIGINT sums, one
+    final divide (operators/exactstats.py::gini_fixed)."""
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        gini_fixed,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return gini_fixed(
+        o, ["o_orderpriority"], "o_totalprice", "o_orderkey"
+    ).orderBy("o_orderpriority")
+
+
+A_GINI_SQL = """
+WITH c AS (
+    SELECT o_orderpriority,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderkey
+    FROM orders
+    WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0
+),
+r AS (
+    SELECT o_orderpriority, cents,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY cents, o_orderkey) AS i
+    FROM c
+),
+a AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(2 * i * cents) AS BIGINT) AS s2ix
+    FROM r GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n, total_cents,
+       CASE WHEN n > 0 AND total_cents > 0 THEN
+           ROUND(CAST(s2ix - (n + 1) * total_cents AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(total_cents AS DOUBLE)), 6)
+       END AS gini
+FROM a ORDER BY o_orderpriority
+"""

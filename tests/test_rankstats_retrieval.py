@@ -318,3 +318,27 @@ def test_mann_whitney_rejects_identical_groups(spark):
     df = spark.createDataFrame([("A", 1.0)], "g string, v double")
     with pytest.raises(ValueError, match="must differ"):
         mann_whitney_u(df, "g", "v", "A", "A")
+
+
+def test_gini_fixed_hand_computed_cases(spark):
+    """Equal values -> 0; single holder of everything among n -> 
+    (n-1)/n; the 1,2,3,4 textbook case -> 0.25; negative and NULL
+    values are excluded; an all-zero key returns NULL gini."""
+    from curw_flo2d_data_manager_spark.operators.exactstats import (
+        gini_fixed,
+    )
+
+    rows = (
+        [("eq", i, 10.0) for i in range(5)]
+        + [("one", 1, 100.0)] + [("one", i, 0.0) for i in range(2, 6)]
+        + [("mid", i, float(i)) for i in (1, 2, 3, 4)]
+        + [("mid", 9, None), ("mid", 10, -5.0)]  # dropped
+        + [("zero", 1, 0.0), ("zero", 2, 0.0)]
+    )
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    got = {r.k: (r.n, r.total_cents, r.gini)
+           for r in gini_fixed(df, ["k"], "v", "id").collect()}
+    assert got["eq"] == (5, 5000, 0.0)
+    assert got["one"] == (5, 10000, 0.8)
+    assert got["mid"] == (4, 1000, 0.25)
+    assert got["zero"] == (2, 0, None)

@@ -19,7 +19,7 @@ REQUIRED_IN_WINDOW = {
     # (a0) the seven LATE round-11 additions (retrieval eval, HITS,
     # rank statistics, domain JSD, the Bayardo-prefix ApSS gate)
     "ml_mrr", "ml_map", "g_hits", "ml_spearman", "ml_mann_whitney",
-    "text_js_divergence", "sim_sparse_cosine_prefix",
+    "text_js_divergence", "sim_sparse_cosine_prefix", "a_gini_orders",
     # (a) the seventeen round-11 additions, never driver-certified
     "a_exact_mode", "a_weighted_median", "a_moments_fixed",
     "ml_linreg_normal", "ml_ks_statistic", "ml_ndcg",
@@ -43,7 +43,10 @@ REQUIRED_IN_WINDOW = {
     "x4_json_extract", "k3_raincell_render", "k5_chan_render",
     "k8_run_metadata", "f9_get_or_create", "j1_calendar_spine",
     "j2_dim_enrichment", "stream_cumsum_events", "stream_session_events",
-    "dedup_exact", "sim_cosine_topk", "sim_lsh_pairs",
+    "dedup_exact", "sim_cosine_topk",
+    # (a_gini_orders additionally displaces sim_lsh_pairs — the sim
+    # family stays covered in-window by sim_cosine_topk,
+    # sim_sparse_cosine, sim_sparse_cosine_prefix, sim_bq_hamming.)
     # (late round-11 rotation: the seven late additions displace the
     # tail of the r5 cohort — text_token_counts / text_quality /
     # w_moving_avg / x_unpivot_lineitem / a_cube_counts /
