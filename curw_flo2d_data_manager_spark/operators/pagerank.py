@@ -236,9 +236,21 @@ def hits_fixed_point(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n = nodes.agg(F.count(F.lit(1)).alias("_n"))
-    hub = nodes.crossJoin(F.broadcast(n)).select(
-        "node", F.expr(f"{int(scale)} DIV _n").alias("h")
+    # Runtime guard (round-11 advice): with n > scale the integer
+    # start value scale DIV n is 0 for every node, the L1 total is 0,
+    # and the normalization DIV divides by zero — fail loudly instead.
+    # The count is a 1-row aggregate over the already-checkpointed
+    # node set; the collected value also replaces the former
+    # broadcast-crossJoin (same integer DIV, one job cheaper).
+    n_nodes = nodes.count()
+    if n_nodes > scale:
+        raise ValueError(
+            f"n_nodes {n_nodes} > scale {scale}: fixed-point start "
+            "value would be 0 (raise scale)"
+        )
+    hub = nodes.select(
+        "node",
+        F.lit(int(scale) // max(n_nodes, 1)).cast("long").alias("h"),
     )
     auth = None
     for _ in range(int(iters)):

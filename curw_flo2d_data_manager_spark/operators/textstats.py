@@ -1315,8 +1315,13 @@ def sparse_cosine_pairs(
       exact verify join over the surviving candidate pairs; output is
       bit-identical with the filter on or off). Excluded mass is
       accumulated in ascending x̂·maxw order, dropping the maximum
-      number of postings per doc; 1e-9 slack absorbs float error in
-      the running bound.
+      number of postings per doc. The pruning threshold is
+      ``min_sim - 5e-7 - 1e-9``, not ``min_sim``: the FINAL output
+      filter keeps pairs whose cosine ROUNDED to 6dp is >= min_sim,
+      so a pair with true cosine in [min_sim - 5e-7, min_sim)
+      survives the unfiltered path — the prefix bound must not prune
+      it (round-11 advice); the extra 1e-9 absorbs float error in
+      the running bound itself.
     - the pair aggregation shuffles on (id_a, id_b) with map-side
       partial sums.
 
@@ -1431,7 +1436,10 @@ def sparse_cosine_pairs(
         )
         indexed = (
             contrib.withColumn("cum", F.sum("c").over(roll))
-            .filter(F.col("cum") >= F.lit(min_sim - 1e-9))
+            # slack = 6dp-rounding half-ulp (the output filter keeps
+            # ROUNDED cosine >= min_sim, i.e. true cosine down to
+            # min_sim - 5e-7) + 1e-9 float error in the running bound
+            .filter(F.col("cum") >= F.lit(min_sim - 5e-7 - 1e-9))
             .select("_id", "term")
         )
         cand = (

@@ -25,6 +25,28 @@ from pyspark.sql import SparkSession
 DEFAULT_TZ = "UTC"
 
 
+def _default_driver_memory() -> str:
+    """Derive the local-mode driver heap from the host's memory.
+
+    In local mode the driver heap IS the whole executor pool;
+    corpus-scaled localCheckpoint blocks (pinned, non-evictable
+    storage) can starve execution memory under a small heap — but a
+    fixed large default over-commits small hosts (round-11 advice).
+    Policy: ~1/4 of MemTotal, clamped to [8g, 24g]; the
+    SPARK_DRIVER_MEMORY env var overrides unconditionally.
+    """
+    total_gib = 0
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) // (1024 * 1024)
+                    break
+    except OSError:
+        pass
+    return f"{min(24, max(8, total_gib // 4))}g"
+
+
 def get_spark(
     app_name: str = "curw_flo2d_data_manager_spark",
     master: str | None = None,
@@ -56,13 +78,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", DEFAULT_TZ)
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        # local mode: driver heap IS the whole executor pool. 24g
-        # (box has 128 GiB): localCheckpoint blocks are pinned
+        # local mode: driver heap IS the whole executor pool —
+        # derived from host memory (1/4 of MemTotal clamped to
+        # [8g, 24g]; see _default_driver_memory). The 128 GiB build
+        # box gets 24g — localCheckpoint blocks are pinned
         # (non-evictable) storage, so corpus-scaled checkpoints (ApSS
         # weighted postings at the 1M-doc smoke ≈ 38M rows) starved
-        # execution memory under the old 8g cap
+        # execution memory under a flat 8g cap
         # (UNABLE_TO_ACQUIRE_MEMORY in the downstream aggregate).
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # Codegen pressure: this engine compiles hundreds of distinct

@@ -52,6 +52,11 @@ def main():
     skip = set()
     if "--skip" in argv:
         i = argv.index("--skip")
+        if i + 1 >= len(argv):
+            sys.exit(
+                "usage: check_correctness.py [sf_dir] [--skip a,b,c] "
+                "[name ...]  (--skip needs a comma-separated value)"
+            )
         skip = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2:]
     name_filter = argv
