@@ -1,0 +1,142 @@
+"""Tokenizer-aware (BPE-style subword) token counting.
+
+Training-data pipelines budget corpora in TOKENIZER tokens, not
+whitespace words (a 100-char German compound is one "word" but many
+subwords; CJK text has no whitespace at all).  This module implements
+greedy longest-match subword segmentation against a fixed merge
+vocabulary — the public WordPiece/BPE-inference scheme (Sennrich et
+al. 2016; Wu et al. 2016): at each position consume the LONGEST
+vocabulary token that prefixes the remainder, falling back to one
+character when nothing matches.
+
+Everything is integer arithmetic over a pure-expression fold
+(`aggregate` higher-order function), so counts are bit-exact
+cross-engine and the DuckDB oracle replays the identical fold with
+``list_reduce`` — no Python UDF anywhere.
+
+Scale shape (100 TB): the fold runs over the DISTINCT word
+vocabulary, not the corpus token stream — Zipf makes |vocab| orders
+of magnitude smaller than |occurrences|, so the expensive encode is
+vocabulary-scaled while the corpus only pays one (doc_id, word)
+partial-aggregated count shuffle plus one word-keyed join.  The
+distinct-word relation scales with the corpus vocabulary, so the join
+is explicitly ``shuffle_merge``-hinted (the round-11 AQE
+compressed-stats auto-broadcast hazard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from curw_flo2d_data_manager_spark.operators.textstats import words
+
+# Fixed default merge vocabulary: frequent English subword units.
+# Greedy longest-match means order is irrelevant — only the token SET
+# matters.  A trained tokenizer would broadcast its own (typically
+# 32k-256k entries); the fold below only assumes the table fits in an
+# array literal / broadcast, which any production vocab does.
+DEFAULT_BPE_VOCAB = [
+    "the", "tion", "ing", "ment", "able", "ally", "ness", "ous",
+    "and", "ed", "er", "es", "re", "in", "on", "at", "en", "an",
+    "or", "ar", "al", "st", "nt", "th", "he", "le", "de", "se",
+    "it", "is", "ou", "ro", "ic", "of", "to", "ve", "ly", "un",
+    "co", "con", "pro", "per", "ter", "ent", "ion", "ate", "ity",
+]
+
+# pos advances <= max(len(token)) per step, so after MAX_STEPS steps
+# pos <= MAX_STEPS * 8 < 1000 — the base-1000 (pos, cnt) packing in
+# the fold below cannot collide.  Residue chars past the fold horizon
+# count 1 token each (the finish lambda), so counts stay well-defined
+# for arbitrarily long "words".
+MAX_STEPS = 40
+_PACK = 1000
+
+
+def _vocab_sql_array(vocab: list[str]) -> str:
+    toks = ", ".join("'" + t.replace("'", "''") + "'" for t in vocab)
+    return f"array({toks})"
+
+
+def bpe_piece_count(word: str, vocab: list[str] | None = None) -> Column:
+    """Expression: number of greedy longest-match subword pieces of
+    the string column ``word`` (an SQL identifier/expression string).
+
+    The fold carries ``pos * 1000 + cnt`` as one BIGINT through
+    ``aggregate`` — a single runtime-iterated lambda, NOT an unrolled
+    expression tree (the round-1 2^n fold hazard does not apply to
+    higher-order functions).  The finish lambda adds one token per
+    character left past the MAX_STEPS horizon.
+    """
+    vocab = DEFAULT_BPE_VOCAB if vocab is None else vocab
+    va = _vocab_sql_array(vocab)
+    return F.expr(
+        f"""aggregate(
+  sequence(1, {MAX_STEPS}),
+  0L,
+  (acc, i) -> IF(acc DIV {_PACK} >= length({word}), acc,
+    (acc DIV {_PACK} + greatest(coalesce(array_max(transform(
+        filter({va},
+               t -> substring({word}, CAST(acc DIV {_PACK} AS INT) + 1,
+                              length(t)) = t),
+        t -> length(t))), 1), 1)) * {_PACK} + acc % {_PACK} + 1),
+  acc -> acc % {_PACK}
+         + greatest(CAST(length({word}) AS BIGINT) - acc DIV {_PACK}, 0L)
+)"""
+    )
+
+
+def bpe_piece_count_sql(word: str, vocab: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`bpe_piece_count` — the identical integer
+    fold via ``list_reduce`` (seeded by a prepended 0), so Spark and
+    the oracle agree bit-for-bit on every word."""
+    vocab = DEFAULT_BPE_VOCAB if vocab is None else vocab
+    toks = ", ".join("'" + t.replace("'", "''") + "'" for t in vocab)
+    fold = f"""list_reduce(list_prepend(0, range(1, {MAX_STEPS + 1})),
+  (acc, i) -> CASE WHEN acc // {_PACK} >= length({word}) THEN acc
+    ELSE (acc // {_PACK} + greatest(coalesce(list_max(list_transform(
+        list_filter([{toks}],
+                    t -> substr({word}, acc // {_PACK} + 1,
+                                length(t)) = t),
+        t -> length(t))), 1), 1)) * {_PACK} + acc % {_PACK} + 1 END)"""
+    return (
+        f"(({fold}) % {_PACK}"
+        f" + greatest(length({word}) - ({fold}) // {_PACK}, 0))"
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: list[str] | None = None,
+) -> DataFrame:
+    """Per-document subword token budget: (id, n_words, n_bpe_tokens).
+
+    Plan: explode the normalized word stream, partial-aggregate to
+    (doc, word, cnt), encode the DISTINCT words once with the fold,
+    then one word-keyed join + per-doc sum.  The encode cost is
+    vocabulary-scaled; the corpus pays two keyed shuffles with
+    map-side combine and zero Python.
+    """
+    occ = (
+        df.select(F.col(id_col).alias("_id"),
+                  F.explode(words(text_col)).alias("word"))
+        .groupBy("_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    encoded = (
+        occ.select("word")
+        .distinct()
+        .withColumn("pieces", bpe_piece_count("word", vocab))
+    )
+    return (
+        occ.join(encoded.hint("shuffle_merge"), "word")
+        .groupBy("_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("pieces") * F.col("cnt")).cast("long")
+            .alias("n_bpe_tokens"),
+        )
+        .select(F.col("_id").alias(id_col), "n_words", "n_bpe_tokens")
+    )

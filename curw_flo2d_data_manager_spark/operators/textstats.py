@@ -531,6 +531,7 @@ def domain_mixture(
     group_cols: list[str],
     text_col: str = "text",
     alpha: float = 0.7,
+    token_count_col: str | None = None,
 ) -> "DataFrame":
     """Training-mixture statistics per domain (e.g. (lang, source)):
     document and token counts, the domain's token share, and a
@@ -539,10 +540,21 @@ def domain_mixture(
     rebalancing rule). One hash aggregation over the corpus + one
     broadcast of the tiny per-domain table back onto itself for the
     normalizers; nothing per-document leaves the first shuffle.
+
+    ``token_count_col``: name of a precomputed per-row token-count
+    column (e.g. ``n_bpe_tokens`` from
+    :func:`~curw_flo2d_data_manager_spark.operators.bpe.bpe_token_counts`)
+    to budget in TOKENIZER tokens instead of whitespace words — real
+    pipelines budget in the unit their tokenizer emits.
     """
+    tok = (
+        F.col(token_count_col)
+        if token_count_col is not None
+        else whitespace_token_count(text_col)
+    )
     per = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(whitespace_token_count(text_col)).alias("n_tokens"),
+        F.sum(tok).alias("n_tokens"),
     )
     totals = per.agg(
         F.sum("n_tokens").alias("_tot_tokens"),
@@ -573,6 +585,7 @@ def epoch_plan(
     text_col: str = "text",
     target_tokens: int = 1_000_000,
     alpha: float = 0.7,
+    token_count_col: str | None = None,
 ) -> "DataFrame":
     """Turn :func:`domain_mixture`'s weights into a per-domain TRAINING
     PLAN against a token budget: each domain's desired token mass is
@@ -589,8 +602,11 @@ def epoch_plan(
     repeat, rounded to 4), keep_fraction = min(1, desired/available).
     Zero-token domains get keep_fraction 1 / epochs 1 (nothing to
     repeat or cut).
+
+    ``token_count_col`` budgets in a precomputed tokenizer-token
+    column (see :func:`domain_mixture`) instead of whitespace words.
     """
-    mix = domain_mixture(df, group_cols, text_col, alpha)
+    mix = domain_mixture(df, group_cols, text_col, alpha, token_count_col)
     desired = F.col("sample_weight") * F.lit(float(target_tokens))
     safe = F.col("n_tokens") > 0
     return mix.select(

@@ -1,0 +1,189 @@
+"""Round-12 operators: BPE subword token counting (greedy
+longest-match over a fixed merge table) and HTML/markup stripping."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from curw_flo2d_data_manager_spark.operators.bpe import (
+    DEFAULT_BPE_VOCAB,
+    bpe_piece_count,
+    bpe_piece_count_sql,
+    bpe_token_counts,
+)
+from curw_flo2d_data_manager_spark.operators.markup import (
+    strip_html,
+    strip_html_sql,
+    strip_markup,
+)
+from curw_flo2d_data_manager_spark.operators.textstats import epoch_plan
+
+
+def _greedy_pieces(word: str, vocab: list[str]) -> int:
+    """Reference greedy longest-match encoder (plain Python)."""
+    pos, cnt = 0, 0
+    while pos < len(word):
+        best = 1
+        for t in vocab:
+            if word.startswith(t, pos):
+                best = max(best, len(t))
+        pos += best
+        cnt += 1
+    return cnt
+
+
+class TestBpe:
+    def test_planted_merges(self, spark):
+        # hand-traced greedy segmentations against the default vocab
+        cases = {
+            # th-e? no: 'the' in vocab -> 1 piece
+            "the": 1,
+            # inter-n-a-tion-al-i-z-a-tion? greedy from pos0: 'in'(2)
+            # vs 'it'? longest prefix match: 'in' len2... but 'ing'?
+            # not a prefix. Use the reference encoder as truth below;
+            # here pin a few tiny fully-derivable ones:
+            "a": 1,   # no match -> 1 char
+            "ed": 1,  # exact vocab token
+            "": 0,
+        }
+        df = spark.createDataFrame(
+            [(w,) for w in cases], "word string"
+        ).withColumn("pieces", bpe_piece_count("word"))
+        got = {r["word"]: r["pieces"] for r in df.collect()}
+        for w, want in cases.items():
+            assert got[w] == want, w
+
+    def test_matches_reference_encoder(self, spark):
+        words = [
+            "internationalization", "supercalifragilistic",
+            "running", "jumped", "station", "antidisestablishment",
+            "xyzzy", "q", "corporation", "the", "theater",
+            "a" * 60,  # past the fold horizon: residue chars count 1
+        ]
+        df = spark.createDataFrame(
+            [(w,) for w in words], "word string"
+        ).withColumn("pieces", bpe_piece_count("word"))
+        got = {r["word"]: r["pieces"] for r in df.collect()}
+        for w in words:
+            assert got[w] == _greedy_pieces(w, DEFAULT_BPE_VOCAB), w
+
+    def test_sql_twin_bit_identical(self, spark):
+        words = ["internationalization", "the", "xyzzy", "rotation",
+                 "perpendicular", "contentment", "z" * 50]
+        df = spark.createDataFrame(
+            [(w,) for w in words], "word string"
+        ).withColumn("pieces", bpe_piece_count("word"))
+        sp = {r["word"]: r["pieces"] for r in df.collect()}
+        con = duckdb.connect()
+        expr = bpe_piece_count_sql("word")
+        for w in words:
+            du = con.execute(
+                f"SELECT {expr} FROM (SELECT '{w}' AS word)"
+            ).fetchone()[0]
+            assert sp[w] == du, w
+
+    def test_doc_counts_and_custom_vocab(self, spark):
+        df = spark.createDataFrame(
+            [(1, "aa bb aa"), (2, "aabb"), (3, "")],
+            "doc_id int, text string",
+        )
+        out = {
+            r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+            for r in bpe_token_counts(df, vocab=["aa", "b"]).collect()
+        }
+        # doc1: aa(1) bb(2: b+b) aa(1) -> 3 words, 4 pieces
+        assert out[1] == (3, 4)
+        # doc2: aabb -> aa + b + b = 3 pieces
+        assert out[2] == (1, 3)
+        # empty docs have no word rows and are omitted
+        assert 3 not in out
+
+    def test_epoch_plan_accepts_bpe_column(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the the the the", "en"), (2, "xyzzy", "de")],
+            "doc_id int, text string, lang string",
+        )
+        with_bpe = docs.join(
+            bpe_token_counts(docs), "doc_id"
+        )
+        plan = epoch_plan(
+            with_bpe, ["lang"], target_tokens=100,
+            token_count_col="n_bpe_tokens",
+        )
+        rows = {r["lang"]: r for r in plan.collect()}
+        # n_tokens must be the BPE counts, not whitespace words —
+        # derive expected from the operator itself
+        exp = {
+            r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_token_counts(docs).collect()
+        }
+        assert rows["en"]["n_tokens"] == exp[1]
+        assert rows["de"]["n_tokens"] == exp[2]
+
+
+class TestMarkup:
+    def test_basic_strip(self, spark):
+        html = (
+            '<html><head><style>p {color: red}</style></head>'
+            '<body><!-- note --><p class="x">A &amp; B</p>'
+            '<script>var x = "<p>ignored</p>";</script>'
+            "tail</body></html>"
+        )
+        df = spark.createDataFrame([(html,)], "h string")
+        got = df.select(strip_html("h").alias("t")).collect()[0]["t"]
+        assert got == "A & B tail"
+
+    def test_entities_and_escaped_markup(self, spark):
+        # &amp;lt; is escaped TEXT and must render as '&lt;' -> wait:
+        # one decode pass: &amp;lt; -> &lt; (amp decoded last, single
+        # pass, no re-scan) and &lt;b&gt; -> <b> (not stripped: tags
+        # were removed before entity decode).
+        df = spark.createDataFrame(
+            [("&lt;b&gt;bold&lt;/b&gt; &amp; &quot;q&quot; &#39;s&#39; &nbsp;x",)],
+            "h string",
+        )
+        got = df.select(strip_html("h").alias("t")).collect()[0]["t"]
+        assert got == "<b>bold</b> & \"q\" 's' x"
+
+    def test_malformed_markup(self, spark):
+        cases = {
+            "<unclosed tag": "<unclosed tag",  # no '>' -> left alone
+            "a <b>nested <i>deep</i></b> z": "a nested deep z",
+            # no closing </script>: the block pattern can't match,
+            # but the opening TAG itself still strips (step 3)
+            "<script>never closed": "never closed",
+            "<>empty</>": "empty",
+        }
+        df = spark.createDataFrame(
+            [(k,) for k in cases], "h string"
+        ).select(F.col("h"), strip_html("h").alias("t"))
+        got = {r["h"]: r["t"] for r in df.collect()}
+        for k, want in cases.items():
+            assert got[k] == want, k
+
+    def test_sql_twin_bit_identical(self, spark):
+        samples = [
+            '<html><style>a{}</style><p x="1">T &amp; U</p><!--c--></html>',
+            "&lt;b&gt; &amp;amp; <script a>s</script >done",
+            "plain text, no markup & loose < b > angle",
+            "<SCRIPT>UPPER</SCRIPT><STYLE>s</STYLE><P>k</P>",
+        ]
+        df = spark.createDataFrame(
+            [(s,) for s in samples], "h string"
+        ).select("h", strip_html("h").alias("t"))
+        sp = {r["h"]: r["t"] for r in df.collect()}
+        con = duckdb.connect()
+        expr = strip_html_sql("h")
+        for s in samples:
+            q = s.replace("'", "''")
+            du = con.execute(
+                f"SELECT {expr} FROM (SELECT '{q}' AS h)"
+            ).fetchone()[0]
+            assert sp[s] == du, s
+
+    def test_strip_markup_df(self, spark):
+        df = spark.createDataFrame(
+            [(1, "<p>hi</p>")], "id int, text string"
+        )
+        out = strip_markup(df).collect()[0]
+        assert out["text"] == "hi"
