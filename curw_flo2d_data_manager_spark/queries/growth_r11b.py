@@ -370,12 +370,28 @@ def sim_sparse_cosine_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the output bit-identical to the unfiltered join (proved by
     unit test + the 1M-doc smoke); the oracle is the plain full
     self-join SQL, so a green hash certifies the filter's
-    losslessness on real data every driver round."""
+    losslessness on real data every driver round.
+
+    The gate runs on a deterministic md5-sampled HALF of the corpus
+    (first hex digit of md5(doc_id) in 0-7): the losslessness
+    certification needs *a* real corpus, not the whole sf-scaled one,
+    and the full-corpus scan is already paid every round by
+    sim_sparse_cosine — re-paying it here doubled the two gates'
+    combined cost for zero extra coverage (round-11 verdict item 2).
+    The slice is self-consistent (its own n_docs/df feed the idf), and
+    the oracle applies the identical predicate."""
     from curw_flo2d_data_manager_spark.operators.textstats import (
         sparse_cosine_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            < F.lit("8")
+        )
+        .select("doc_id", "text")
+    )
     return sparse_cosine_pairs(
         docs, "doc_id", "text", min_sim=0.8, max_df_frac=0.02, ngram=3,
         prefix_filter=True,
@@ -389,6 +405,10 @@ def _prefix_sql() -> str:
 
     return SIM_SPARSE_COSINE_SQL.replace(
         "WHERE cosine >= 0.5", "WHERE cosine >= 0.8"
+    ).replace(
+        "FROM documents\n    WHERE ",
+        "FROM documents\n    WHERE substr(md5(CAST(doc_id AS"
+        " VARCHAR)), 1, 1) < '8' AND ",
     )
 
 
