@@ -45,6 +45,23 @@ SERIES_SCHEMA = StructType(
 )
 
 
+def _maybe_missing_dir(path: str) -> bool:
+    """True when ``path`` is a LOCAL directory that does not exist.
+
+    The incremental-ledger streams read their own prior output on
+    every micro-batch; on the FIRST batch the dir is absent and the
+    ``AnalysisException`` fallback handles it — but Spark's analyzer
+    logs a full FileNotFoundException stack trace (FileStreamSink
+    metadata probe) before throwing, polluting every sweep log
+    (round-11 verdict).  Checking existence up front skips the read
+    attempt for local paths; remote URIs (``scheme://``) keep the
+    try/except path, since probing them needs the Hadoop FS anyway.
+    """
+    import os
+
+    return "://" not in path and not os.path.isdir(path)
+
+
 def read_series_stream(
     spark: SparkSession,
     path: str,
@@ -404,17 +421,20 @@ def corpus_dedup_stream(
         ).select(digested["*"])
         from pyspark.errors import AnalysisException
 
-        try:
-            seen = (
-                batch_spark.read.parquet(ledger_root)
-                .filter(F.col("batch") != batch_id)
-                .select("digest")
-            )
-            fresh = local.join(
-                seen, local["_digest"] == seen["digest"], "left_anti"
-            )
-        except AnalysisException:  # first batch: no ledger dir yet
+        if _maybe_missing_dir(ledger_root):  # first batch, local path
             fresh = local
+        else:
+            try:
+                seen = (
+                    batch_spark.read.parquet(ledger_root)
+                    .filter(F.col("batch") != batch_id)
+                    .select("digest")
+                )
+                fresh = local.join(
+                    seen, local["_digest"] == seen["digest"], "left_anti"
+                )
+            except AnalysisException:  # first batch: no ledger dir yet
+                fresh = local
         fresh = fresh.localCheckpoint(eager=True)  # read-before-overwrite safety
         fresh.drop("_digest").write.mode("overwrite").parquet(
             os.path.join(docs_root, f"batch={batch_id}")
@@ -595,8 +615,12 @@ def corpus_neardup_stream(
             jaccard_threshold=threshold,
         ).select(F.col("id_b").alias("_drop")).distinct()
 
-        # against the signature ledger
+        # against the signature ledger (existence probe first: the
+        # first batch has no ledger and the failed read would log a
+        # full FileNotFoundException trace before the except fires)
         try:
+            if _maybe_missing_dir(os.path.join(out_dir, "bands")):
+                raise AnalysisException("first batch: no ledger yet")
             hist_bands = bspark.read.parquet(
                 os.path.join(out_dir, "bands")
             ).filter(F.col("batch") != batch_id)
