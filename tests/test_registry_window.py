@@ -8,64 +8,49 @@ SURVEY §2 family whose last certification is older than round N-2
 then the oldest-certified cohort. Rotated-out entries are re-verified
 every round by ``tools/check_correctness.py`` full sweeps.
 
-This test pins the round-11 window so a registry edit can never
+This test pins the round-12 window so a registry edit can never
 silently drop an intended gate: REQUIRED_IN_WINDOW must be edited in
 lockstep with any registry reorder."""
 
 from curw_flo2d_data_manager_spark.queries import DRIVER_WINDOW, REGISTRY
 
-# Round-11 window: keys must sit at registry position < DRIVER_WINDOW.
+# Round-12 window: keys must sit at registry position < DRIVER_WINDOW.
 REQUIRED_IN_WINDOW = {
-    # (a0) the seven LATE round-11 additions (retrieval eval, HITS,
-    # rank statistics, domain JSD, the Bayardo-prefix ApSS gate)
-    "ml_mrr", "ml_map", "g_hits", "ml_spearman", "ml_mann_whitney",
-    "text_js_divergence", "sim_sparse_cosine_prefix", "a_gini_orders",
-    # (a) the seventeen round-11 additions, never driver-certified
-    "a_exact_mode", "a_weighted_median", "a_moments_fixed",
-    "ml_linreg_normal", "ml_ks_statistic", "ml_ndcg",
-    "g_link_predict", "text_pmi_bigrams", "w_moving_median",
-    "j_point_in_rect", "mm_frame_plan",
-    "g_bfs_hops", "x_time_to_convert", "stream_window_distinct",
-    "ml_ttest_welch", "ml_chi_square", "ml_mutual_info",
-    # (b) operator code touched in round 11: the deterministic-idf
-    # rewrite (functions/exactmath), the bq NULL-query filter, the
-    # k_core early-exit/convergence warning
-    "sim_sparse_cosine", "sim_bq_hamming", "g_kcore",
-    # (c) family gates whose last certification aged past r9: the two
-    # S-family gates the round-10 advice flagged, plus P/O/U (last
-    # certified r7/r6/r6)
-    "s2_grid_scan_correction", "s6_max_end_time",
-    "p1_hychan_roundtrip", "o2_ordered_topk", "u2_set_ops",
-    # (d) the oldest-certified cohort (last driver-green in the r5
-    # window; re-verified locally in every full sweep since)
-    "j_asof_join", "a2_resample_right_closed", "a4_cumulative_fraction",
-    "w3_fill_down", "w_sessionize_events", "q12_priority_case",
-    "x4_json_extract", "k3_raincell_render", "k5_chan_render",
-    "k8_run_metadata", "f9_get_or_create", "j1_calendar_spine",
-    "j2_dim_enrichment", "stream_cumsum_events", "stream_session_events",
-    "dedup_exact", "sim_cosine_topk",
-    # (a_gini_orders additionally displaces sim_lsh_pairs — the sim
-    # family stays covered in-window by sim_cosine_topk,
-    # sim_sparse_cosine, sim_sparse_cosine_prefix, sim_bq_hamming.)
-    # (late round-11 rotation: the seven late additions displace the
-    # tail of the r5 cohort — text_token_counts / text_quality /
-    # w_moving_avg / x_unpivot_lineitem / a_cube_counts /
-    # a_percentiles / k7_merge_upsert — first in line for round 12;
-    # their families stay covered in-window by text_js_divergence,
-    # w3_fill_down/w_sessionize_events, x4_json_extract,
-    # a2/a4/a_exact_mode, and k3/k5/k8.)
-    # (round-11 rotation: the seventeen r10 additions plus the r8
-    # cohort certified in the r10 window — sim_gram_matrix,
-    # ml_train_classifier and the rest — rotate out with a FRESH r10
-    # certification; the r5-cohort members q16_supplier_cnt /
-    # q17_small_quantity / q22_idle_customers / sim_ivf_topk /
-    # dedup_minhash_lsh / dedup_simhash / q2_min_supplier /
-    # q7_nation_volume / q13_order_distribution yield their
-    # slots to the restored P/O/U family gates and the late
-    # round-11 additions, and are first in line for round 12 — their
-    # families stay covered in-window by dedup_exact / sim_cosine_topk /
-    # sim_lsh_pairs; f_per_key_cap was cut as a duplicate of the
-    # already-gated f_domain_cap/domain_cap operator.)
+    # (a) the two round-12 additions (growth frozen to drain the
+    # driver-certification backlog — round-11 verdict item 1)
+    "text_bpe_tokens", "text_strip_html",
+    # (b) operator code touched in round 12: ApSS prefix
+    # rounding-slack + md5 half-slice gate, HITS n>scale guard,
+    # streaming ledger existence probe
+    "sim_sparse_cosine_prefix", "sim_sparse_cosine", "g_hits",
+    "stream_corpus_neardup",
+    # (d) the oldest-certified cohort: the full r5 window cohort ...
+    "sim_lsh_pairs", "text_token_counts", "text_quality", "w_moving_avg",
+    "x_unpivot_lineitem", "a_cube_counts", "a_percentiles",
+    "k7_merge_upsert", "q13_order_distribution", "q7_nation_volume",
+    "q2_min_supplier", "dedup_simhash", "dedup_minhash_lsh",
+    "sim_ivf_topk", "q16_supplier_cnt", "q17_small_quantity",
+    "q22_idle_customers",
+    # ... plus the 27 oldest r6 entries (remaining 19 r6 entries —
+    # q18_having_topk, q10_returned_items, q14_promo_share,
+    # q15_top_supplier, q19_disjunctive, s3_first_value_lookup,
+    # k1_fixed_width_render, f6_sentinel_cleaning, j5_semi_join,
+    # w2_elapsed_hours, x11_series_hash_id, dedup_fingerprint,
+    # dedup_ngram_jaccard, text_lang_id, text_top_bigrams,
+    # text_pii_redact, s4_nearest_gauge_rain, k4_rain_render,
+    # a_approx_distinct — are first in line for round 13).
+    # Everything rotated out (the r10/r11 window cohorts) holds a
+    # FRESH r10/r11 certification; no (c) family slots are needed
+    # because every SURVEY family holds an r11 certification.
+    "dedup_components", "dedup_passages", "text_tfidf_terms",
+    "text_domain_mixture", "dedup_cluster_filter", "text_unigram_logprob",
+    "f_mixture_resample", "stream_corpus_dedup", "sim_cross_decontam",
+    "dedup_contamination", "mm_decode_meta", "dedup_latest_version",
+    "text_url_extract", "stream_dedup_events", "text_repetition_gates",
+    "f_hash_sample", "f_stratified_sample", "a_rollup_cascade",
+    "a_session_window_native", "x_pivot_event_types", "a_rollup_totals",
+    "a_distinct_counts", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier", "q6_revenue_change", "q4_exists_semi",
 }
 
 

@@ -115,6 +115,70 @@ def main() -> None:
     ok &= tt.n1 == n // 2 and tt.n0 == n // 2
     ok &= tt.mean1 == tt.mean0 and tt.t_stat == 0.0
 
+    # ---- skewed-key Gini (round-11 verdict item 7): 13 keys where
+    # key 0 holds 52% of all rows — the adversarial case for the
+    # per-key row_number window (one 52M-row partition at n=100M).
+    # Decompose id = 100·qq + h: slot h<52 → key 0, else key
+    # 1 + (h−52) DIV 4 (keys 1..12 at 4% each); value v = (qq%50)+1
+    # is an EXACT uniform multiset 1..50 per key (n%5000 == 0), money
+    # = v·0.01 so cents = v and Σ2ix ≤ 2n²·50 ≈ 2.7e17 at n=5.2e7 —
+    # inside BIGINT headroom (cents=v is what keeps the 52%-key case
+    # overflow-safe; see gini_fixed's documented bound).
+    assert n % 5000 == 0
+    h = F.col("id") % 100
+    qq = (F.col("id") - h) / 100
+    gkey = F.when(h < 52, F.lit(0)).otherwise(
+        1 + ((h - 52) - (h - 52) % 4) / 4
+    ).cast("int")
+    gdf = spark.range(n).select(
+        gkey.alias("g"),
+        ((qq.cast("long") % 50 + 1).cast("double") * 0.01).alias("money"),
+        F.col("id"),
+    )
+    from curw_flo2d_data_manager_spark.operators.exactstats import gini_fixed
+
+    t0 = time.time()
+    gin = {r.g: r for r in gini_fixed(gdf, ["g"], "money", "id").collect()}
+    t_gini = time.time() - t0
+
+    # generator truth: per key n_k rows, cents v=1..50 each n_k/50
+    # times; num = Σ(2i−n−1)·v over ascending runs, all integer; the
+    # single float op and HALF_UP 6dp round replayed exactly.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def exact_gini(n_k: int) -> tuple[int, int, float]:
+        m = n_k // 50
+        num = 0
+        total = 0
+        pos = 1
+        for v in range(1, 51):
+            # Σ_{i=pos}^{pos+m-1} (2i − n_k − 1) · v
+            si = m * (2 * pos + m - 1)  # Σ2i over the run
+            num += v * (si - m * (n_k + 1))
+            total += v * m
+            pos += m
+        qv = float(num) / (float(n_k) * float(total))
+        return (
+            n_k,
+            total,
+            float(
+                Decimal(repr(qv)).quantize(
+                    Decimal("1e-6"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+
+    slot = n // 100
+    for g in range(13):
+        n_k = 52 * slot if g == 0 else 4 * slot
+        en, etotal, egini = exact_gini(n_k)
+        r = gin[g]
+        ok &= (
+            r.n == en
+            and r.total_cents == etotal
+            and r.gini == egini
+        )
+
     print(
         json.dumps(
             {
@@ -124,7 +188,8 @@ def main() -> None:
                 "mode_s": round(t_mode, 2),
                 "weighted_median_s": round(t_wm, 2),
                 "welch_s": round(t_tt, 2),
-                "value": round(t_mom + t_mode + t_wm + t_tt, 2),
+                "gini_skewed_s": round(t_gini, 2),
+                "value": round(t_mom + t_mode + t_wm + t_tt + t_gini, 2),
                 "unit": "sec",
                 "exact_equality": bool(ok),
                 "ok": bool(ok),
