@@ -1162,6 +1162,18 @@ def cmd_import_corpus(args) -> None:
     df = reader.json(args.input)
     if args.select:
         df = df.select(*[c.strip() for c in args.select.split(",")])
+    if args.strip_html:
+        # crawl ingestion: strip markup BEFORE anything downstream
+        # (quality scoring, dedup, token budgeting) sees the text —
+        # a pure projection riding the scan (operators/markup.py)
+        from curw_flo2d_data_manager_spark.operators.markup import strip_markup
+
+        if args.strip_html not in df.columns:
+            raise SystemExit(
+                f"--strip-html column {args.strip_html!r} not in input "
+                f"({df.columns})"
+            )
+        df = strip_markup(df, args.strip_html, args.strip_html)
     if args.zorder:
         from curw_flo2d_data_manager_spark.operators.zorder import write_zordered
 
@@ -2227,6 +2239,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "Z-order the layout by")
     sp.add_argument("--files", type=int, default=None,
                     help="output file count (default: shuffle partitions)")
+    sp.add_argument("--strip-html", default=None, metavar="COL",
+                    help="strip HTML markup / decode entities in this "
+                         "text column during import (crawl ingestion)")
     sp.set_defaults(fn=cmd_import_corpus)
 
     sp = sub.add_parser(

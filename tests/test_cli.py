@@ -596,6 +596,33 @@ def test_import_corpus_cli_jsonl_with_schema_and_zorder(spark, tmp_path, capsys)
     assert "imported 200 rows" in capsys.readouterr().out
 
 
+def test_import_corpus_cli_strip_html(spark, tmp_path, capsys):
+    """--strip-html COL runs the markup chain during import so every
+    downstream stage (quality, dedup, token budgeting) sees rendered
+    text (round-11 verdict item 5)."""
+    src = tmp_path / "crawl.jsonl"
+    src.write_text(
+        "\n".join(
+            json.dumps({
+                "doc_id": i,
+                "text": f'<html><body><p class="x">doc &amp; {i}</p>'
+                        f"<script>var a=1;</script></body></html>",
+            })
+            for i in range(50)
+        )
+    )
+    out = str(tmp_path / "clean.parquet")
+    main([
+        "import-corpus", "--input", str(src), "--output", out,
+        "--schema", "doc_id long, text string",
+        "--strip-html", "text", "--files", "2",
+    ])
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got[7] == "doc & 7"
+    assert all("<" not in t and "&amp;" not in t for t in got.values())
+    assert "imported 50 rows" in capsys.readouterr().out
+
+
 def test_split_corpus_cli_partitions_and_determinism(spark, tmp_path, capsys):
     src = str(tmp_path / "full.parquet")
     spark.createDataFrame(
