@@ -303,6 +303,7 @@ def main() -> None:
         "g_hits",                # n>scale guard / literal start vector
         "text_domain_mixture",   # token_count_col parameter
         "text_epoch_plan",       # token_count_col parameter
+        "a_gini_orders",         # distinct-value-window gini rewrite
     ]
     import hashlib
 

@@ -430,7 +430,7 @@ def a_gini_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     return gini_fixed(
-        o, ["o_orderpriority"], "o_totalprice", "o_orderkey"
+        o, ["o_orderpriority"], "o_totalprice"
     ).orderBy("o_orderpriority")
 
 

@@ -337,7 +337,7 @@ def test_gini_fixed_hand_computed_cases(spark):
     )
     df = spark.createDataFrame(rows, "k string, id long, v double")
     got = {r.k: (r.n, r.total_cents, r.gini)
-           for r in gini_fixed(df, ["k"], "v", "id").collect()}
+           for r in gini_fixed(df, ["k"], "v").collect()}
     assert got["eq"] == (5, 5000, 0.0)
     assert got["one"] == (5, 10000, 0.8)
     assert got["mid"] == (4, 1000, 0.25)

@@ -21,9 +21,10 @@ REQUIRED_IN_WINDOW = {
     "text_bpe_tokens", "text_strip_html",
     # (b) operator code touched in round 12: ApSS prefix
     # rounding-slack + md5 half-slice gate, HITS n>scale guard,
-    # streaming ledger existence probe
+    # streaming ledger existence probe, gini distinct-value-window
+    # rewrite (mid-round — displaces q4_exists_semi to the r13 queue)
     "sim_sparse_cosine_prefix", "sim_sparse_cosine", "g_hits",
-    "stream_corpus_neardup",
+    "stream_corpus_neardup", "a_gini_orders",
     # (d) the oldest-certified cohort: the full r5 window cohort ...
     "sim_lsh_pairs", "text_token_counts", "text_quality", "w_moving_avg",
     "x_unpivot_lineitem", "a_cube_counts", "a_percentiles",
@@ -38,7 +39,9 @@ REQUIRED_IN_WINDOW = {
     # w2_elapsed_hours, x11_series_hash_id, dedup_fingerprint,
     # dedup_ngram_jaccard, text_lang_id, text_top_bigrams,
     # text_pii_redact, s4_nearest_gauge_rain, k4_rain_render,
-    # a_approx_distinct — are first in line for round 13).
+    # a_approx_distinct, and q4_exists_semi (displaced mid-round
+    # by the a_gini_orders touched-code gate) — are first in line
+    # for round 13).
     # Everything rotated out (the r10/r11 window cohorts) holds a
     # FRESH r10/r11 certification; no (c) family slots are needed
     # because every SURVEY family holds an r11 certification.
@@ -50,8 +53,7 @@ REQUIRED_IN_WINDOW = {
     "f_hash_sample", "f_stratified_sample", "a_rollup_cascade",
     "a_session_window_native", "x_pivot_event_types", "a_rollup_totals",
     "a_distinct_counts", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier", "q6_revenue_change", "q4_exists_semi",
-}
+    "q5_local_supplier", "q6_revenue_change", }
 
 
 def test_every_required_gate_is_inside_driver_window():

@@ -138,7 +138,7 @@ def main() -> None:
     from curw_flo2d_data_manager_spark.operators.exactstats import gini_fixed
 
     t0 = time.time()
-    gin = {r.g: r for r in gini_fixed(gdf, ["g"], "money", "id").collect()}
+    gin = {r.g: r for r in gini_fixed(gdf, ["g"], "money").collect()}
     t_gini = time.time() - t0
 
     # generator truth: per key n_k rows, cents v=1..50 each n_k/50
