@@ -105,6 +105,52 @@ def bpe_piece_count_sql(word: str, vocab: list[str] | None = None) -> str:
     )
 
 
+# Past this vocabulary size the expression fold's per-character
+# whole-array scan loses to a hash-set lookup: the fold evaluates
+# filter(VOCAB, ...) — O(|V|) — at every position, fine for a
+# lexicon-sized merge set but catastrophic at a trained tokenizer's
+# 32k-256k merges.  Same selection rule as the IVF assign path
+# (expression to k≈24 centroids, Arrow NumPy past that): keep the
+# plan Python-free wherever the oracle gates it, switch to the
+# documented Arrow carve-out where the expression shape stops
+# scaling.  256 ≈ where |V| · avg_word_len work per word overtakes
+# the pandas set-probe constant.
+EXPR_VOCAB_LIMIT = 256
+
+
+def _encode_words_pandas(vocab: list[str]):
+    """Arrow-batched greedy longest-match encoder for LARGE merge
+    tables: O(max_token_len) set probes per position instead of the
+    fold's O(|V|) array scan.  Returns an (iterator of Series) →
+    (iterator of Series) function for ``mapInPandas``-style use via
+    ``pandas_udf``; the vocab ships once per executor inside the
+    cloudpickled closure (broadcast-equivalent for a ≤few-MB merge
+    set)."""
+    vset = frozenset(vocab)
+    maxlen = max((len(t) for t in vocab), default=1)
+
+    def encode(batch):
+        import pandas as pd
+
+        out = []
+        for w in batch:
+            pos, cnt = 0, 0
+            n = len(w)
+            while pos < n:
+                step = 1
+                for ln in range(min(maxlen, n - pos), 1, -1):
+                    if w[pos:pos + ln] in vset:
+                        step = ln
+                        break
+                pos += step
+                cnt += 1
+            out.append(cnt)
+        return pd.Series(out, dtype="int64")
+
+    encode.__annotations__ = {}
+    return encode
+
+
 def bpe_token_counts(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -114,22 +160,41 @@ def bpe_token_counts(
     """Per-document subword token budget: (id, n_words, n_bpe_tokens).
 
     Plan: explode the normalized word stream, partial-aggregate to
-    (doc, word, cnt), encode the DISTINCT words once with the fold,
-    then one word-keyed join + per-doc sum.  The encode cost is
+    (doc, word, cnt), encode the DISTINCT words once, then one
+    word-keyed join + per-doc sum.  The encode cost is
     vocabulary-scaled; the corpus pays two keyed shuffles with
-    map-side combine and zero Python.
-    """
+    map-side combine.
+
+    Encode path by merge-table size: pure-expression fold (zero
+    Python, DuckDB-oracle-able) up to ``EXPR_VOCAB_LIMIT`` tokens;
+    past that an Arrow-batched hash-set encoder (identical greedy
+    semantics, unit-tested bit-equal) — a trained 32k-256k tokenizer
+    would melt the fold's per-character whole-array scan.  The
+    oracle-gated query uses the default 47-token table, so gated
+    plans stay Python-free (§2.12 discipline; this is a documented
+    carve-out like the IVF large-k assign)."""
     occ = (
         df.select(F.col(id_col).alias("_id"),
                   F.explode(words(text_col)).alias("word"))
         .groupBy("_id", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    encoded = (
-        occ.select("word")
-        .distinct()
-        .withColumn("pieces", bpe_piece_count("word", vocab))
-    )
+    v = DEFAULT_BPE_VOCAB if vocab is None else vocab
+    if len(v) > EXPR_VOCAB_LIMIT:
+        from pyspark.sql.functions import pandas_udf
+
+        enc_udf = pandas_udf(_encode_words_pandas(v), "long")
+        encoded = (
+            occ.select("word")
+            .distinct()
+            .withColumn("pieces", enc_udf(F.col("word")))
+        )
+    else:
+        encoded = (
+            occ.select("word")
+            .distinct()
+            .withColumn("pieces", bpe_piece_count("word", v))
+        )
     return (
         occ.join(encoded.hint("shuffle_merge"), "word")
         .groupBy("_id")

@@ -121,6 +121,67 @@ class TestBpe:
         assert rows["de"]["n_tokens"] == exp[2]
 
 
+class TestBpeLargeVocab:
+    def test_pandas_path_matches_expression_and_reference(self, spark):
+        # >EXPR_VOCAB_LIMIT tokens forces the Arrow hash-set encoder;
+        # the two paths and the plain-Python reference must agree
+        # word-for-word on the same vocab.
+        import random
+
+        from curw_flo2d_data_manager_spark.operators.bpe import (
+            EXPR_VOCAB_LIMIT,
+        )
+
+        rng = random.Random(12)
+        alpha = "abcdefgh"
+        big_vocab = sorted(
+            {
+                "".join(rng.choice(alpha) for _ in range(rng.randint(2, 5)))
+                for _ in range(EXPR_VOCAB_LIMIT * 3)
+            }
+        )
+        assert len(big_vocab) > EXPR_VOCAB_LIMIT
+        docs = [
+            (i, " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 14)))
+                for _ in range(rng.randint(1, 8))
+            ))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        large = {
+            r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+            for r in bpe_token_counts(df, vocab=big_vocab).collect()
+        }
+        # expression path on the same vocab (bypass the size switch)
+        from curw_flo2d_data_manager_spark.operators import bpe as bpe_mod
+        from pyspark.sql import functions as SF
+
+        occ = (
+            df.select(SF.col("doc_id").alias("_id"),
+                      SF.explode(bpe_mod.words("text")).alias("word"))
+            .groupBy("_id", "word").agg(SF.count(SF.lit(1)).alias("cnt"))
+        )
+        enc = occ.select("word").distinct().withColumn(
+            "pieces", bpe_mod.bpe_piece_count("word", big_vocab)
+        )
+        expr = {
+            r["_id"]: (r["n_words"], r["n_bpe_tokens"])
+            for r in occ.join(enc, "word").groupBy("_id").agg(
+                SF.sum("cnt").cast("long").alias("n_words"),
+                SF.sum(SF.col("pieces") * SF.col("cnt")).cast("long")
+                .alias("n_bpe_tokens"),
+            ).collect()
+        }
+        assert large == expr
+        # spot-check vs the plain-Python reference on the word level
+        for _, text in docs[:10]:
+            exp = sum(_greedy_pieces(w, big_vocab) for w in text.split())
+            did = [d for d, t in docs if t == text][0]
+            if did in large:
+                assert large[did][1] == exp
+
+
 class TestMarkup:
     def test_basic_strip(self, spark):
         html = (
