@@ -1810,7 +1810,33 @@ def cmd_corpus_stats(args) -> None:
 
     from curw_flo2d_data_manager_spark.operators.textstats import normalize_text
 
-    mix = domain_mixture(df, group, args.text_col, alpha=args.alpha)
+    if args.bpe:
+        # budget in tokenizer tokens: join per-doc greedy-BPE counts
+        # (vocabulary-scaled encode, operators/bpe.py) and let the
+        # mixture aggregate sum them instead of whitespace words. Docs
+        # whose normalized text is empty have no word rows — coalesce
+        # to 0 tokens so they stay in the report's doc counts.
+        from curw_flo2d_data_manager_spark.operators.bpe import (
+            bpe_token_counts,
+        )
+
+        if args.id_col not in df.columns:
+            raise SystemExit(
+                f"--bpe needs --id_col present (got {args.id_col!r}, "
+                f"input has {df.columns})"
+            )
+        counts = bpe_token_counts(
+            df, id_col=args.id_col, text_col=args.text_col
+        ).select(args.id_col, "n_bpe_tokens")
+        df = df.join(counts, args.id_col, "left").withColumn(
+            "n_bpe_tokens", F.coalesce(F.col("n_bpe_tokens"), F.lit(0))
+        )
+        mix = domain_mixture(
+            df, group, args.text_col, alpha=args.alpha,
+            token_count_col="n_bpe_tokens",
+        )
+    else:
+        mix = domain_mixture(df, group, args.text_col, alpha=args.alpha)
     flags = df.select(
         *group,
         gopher_quality_flags(args.text_col).alias("f"),
@@ -2172,6 +2198,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--group_cols", default="lang,source")
     sp.add_argument("--text_col", default="text")
     sp.add_argument("--alpha", type=float, default=0.7)
+    sp.add_argument("--id_col", default="doc_id")
+    sp.add_argument("--bpe", action="store_true",
+                    help="budget n_tokens in greedy-BPE subword tokens "
+                         "(operators/bpe.py) instead of whitespace words")
     sp.set_defaults(fn=cmd_corpus_stats)
 
     sp = sub.add_parser(

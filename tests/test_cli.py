@@ -574,6 +574,31 @@ def test_corpus_stats_cli(spark, tmp_path, capsys):
     assert "3 docs / 195 tokens across 2 domains" in capsys.readouterr().out
 
 
+def test_corpus_stats_cli_bpe_budget(spark, tmp_path, capsys):
+    """--bpe budgets n_tokens in greedy-BPE subword tokens: 'the' is
+    one piece but 'xyzqvjkw' splits per character, so the two domains
+    separate in BPE space even with equal word counts."""
+    src = str(tmp_path / "bcorpus.parquet")
+    spark.createDataFrame(
+        [(1, "en", "the " * 10), (2, "de", "xyzqvjkw " * 10)],
+        "doc_id long, lang string, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "breport.parquet")
+    main(["corpus-stats", "--input", src, "--output", out,
+          "--group_cols", "lang", "--bpe"])
+    rows = {r["lang"]: r for r in spark.read.parquet(out).collect()}
+    from curw_flo2d_data_manager_spark.operators.bpe import bpe_token_counts
+    exp = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(
+            spark.read.parquet(src)
+        ).collect()
+    }
+    assert rows["en"]["n_tokens"] == exp[1] == 10      # 'the' = 1 piece
+    assert rows["de"]["n_tokens"] == exp[2]
+    assert rows["de"]["n_tokens"] > rows["en"]["n_tokens"]
+
+
 def test_import_corpus_cli_jsonl_with_schema_and_zorder(spark, tmp_path, capsys):
     src = tmp_path / "raw.jsonl"
     src.write_text(
