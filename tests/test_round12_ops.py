@@ -248,3 +248,77 @@ class TestMarkup:
         )
         out = strip_markup(df).collect()[0]
         assert out["text"] == "hi"
+
+
+# ---------------------------------------------------------------- property
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PROP = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_word_st = st.text(alphabet="abcdeioqxz", min_size=0, max_size=18)
+
+
+class TestRound12Properties:
+    @_PROP
+    @given(ws=st.lists(_word_st, min_size=1, max_size=15, unique=True))
+    def test_bpe_fold_three_way_agreement(self, spark, ws):
+        """Spark fold == DuckDB list_reduce twin == plain-Python greedy
+        reference, on arbitrary lowercase words incl. empty strings."""
+        df = spark.createDataFrame(
+            [(w,) for w in ws], "word string"
+        ).withColumn("pieces", bpe_piece_count("word"))
+        sp = {r["word"]: r["pieces"] for r in df.collect()}
+        con = duckdb.connect()
+        expr = bpe_piece_count_sql("word")
+        for w in ws:
+            ref = _greedy_pieces(w, DEFAULT_BPE_VOCAB)
+            du = con.execute(
+                f"SELECT {expr} FROM (SELECT '{w}' AS word)"
+            ).fetchone()[0]
+            assert sp[w] == ref == du, w
+
+    @_PROP
+    @given(
+        frags=st.lists(
+            st.sampled_from([
+                "plain text", "<b>", "</b>", "<script>", "</script>",
+                "<style>x{}</style>", "<!--c-->", "&amp;", "&lt;", "&gt;",
+                "&nbsp;", "a < b", "x>y", '<p class="k">', "&#39;",
+                "<unclosed", "  ", "Z",
+            ]),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_strip_html_cross_engine_agreement(self, spark, frags):
+        """Spark chain == DuckDB chain == Python `re` replay on random
+        concatenations of markup fragments (incl. malformed)."""
+        import re as _re
+
+        from curw_flo2d_data_manager_spark.operators.markup import (
+            _ENTITY_STEPS,
+            _REGEX_STEPS,
+        )
+
+        s = "".join(frags)
+
+        def py_strip(t):
+            for pat, rep in _REGEX_STEPS:
+                t = _re.sub(pat, rep, t)
+            for lit, rep in _ENTITY_STEPS:
+                t = t.replace(lit, rep)
+            return _re.sub(r"\s+", " ", t).strip()
+
+        df = spark.createDataFrame([(s,)], "h string")
+        sp = df.select(strip_html("h").alias("t")).collect()[0]["t"]
+        con = duckdb.connect()
+        q = s.replace("'", "''")
+        du = con.execute(
+            f"SELECT {strip_html_sql('h')} FROM (SELECT '{q}' AS h)"
+        ).fetchone()[0]
+        assert sp == py_strip(s) == du, s
