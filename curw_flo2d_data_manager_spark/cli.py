@@ -1825,6 +1825,17 @@ def cmd_corpus_stats(args) -> None:
                 f"--bpe needs --id_col present (got {args.id_col!r}, "
                 f"input has {df.columns})"
             )
+        # the per-doc counts join back on id_col: duplicate ids would
+        # silently attach the COMBINED count to every duplicate row,
+        # inflating n_tokens (round-12 advice) — fail loudly instead.
+        n_rows = df.count()
+        n_ids = df.select(args.id_col).distinct().count()
+        if n_rows != n_ids:
+            raise SystemExit(
+                f"--bpe requires unique {args.id_col!r}: {n_rows} rows "
+                f"but {n_ids} distinct ids — deduplicate or pass a "
+                f"unique --id_col"
+            )
         counts = bpe_token_counts(
             df, id_col=args.id_col, text_col=args.text_col
         ).select(args.id_col, "n_bpe_tokens")

@@ -136,7 +136,11 @@ def _encode_words_pandas(vocab: list[str]):
         for w in batch:
             pos, cnt = 0, 0
             n = len(w)
-            while pos < n:
+            # Same MAX_STEPS horizon + residue-chars-count-1-each rule
+            # as the expression fold, so crossing EXPR_VOCAB_LIMIT can
+            # never change a count (round-12 advice: the unbounded
+            # greedy here diverged from the fold past 40 steps).
+            while pos < n and cnt < MAX_STEPS:
                 step = 1
                 for ln in range(min(maxlen, n - pos), 1, -1):
                     if w[pos:pos + ln] in vset:
@@ -144,7 +148,7 @@ def _encode_words_pandas(vocab: list[str]):
                         break
                 pos += step
                 cnt += 1
-            out.append(cnt)
+            out.append(cnt + (n - pos))
         return pd.Series(out, dtype="int64")
 
     encode.__annotations__ = {}

@@ -12,7 +12,8 @@ from curw_flo2d_data_manager_spark.operators.bpe import (
 )
 from curw_flo2d_data_manager_spark.operators.markup import (
     strip_html,
-    strip_html_sql,
+    strip_html_post_sql,
+    strip_html_pre_sql,
 )
 from curw_flo2d_data_manager_spark.queries._shared import (
     DataFrame,
@@ -67,6 +68,20 @@ ORDER BY occ.doc_id
 # (style + comment + tags + script + entity soup) and must recover
 # the same rendered text.  Any '<'/'&' already inside the document
 # text flows through the same chain on both sides.
+# The wrapper's tail exercises every chain stage: script/style blocks
+# (and a script-PREFIXED tag whose content must survive), comments,
+# loose angle brackets in prose, named entities, and numeric character
+# references (ascii, em-dash, astral, ampersand spellings, and
+# invalid/out-of-range forms that must pass through verbatim).
+_WRAP_TAIL = (
+    '</p><script>var a = "<b>1</b>";</script>'
+    "&nbsp;tail &amp;amp; &lt;end&gt; "
+    "<script-loader>sl</script-loader> n&#72;&#x49; d&#8212;e "
+    "p&#128169;q &#38;amp; &#038; &#X026; bad&#0;&#xD800;&#1114112; "
+    "x < 3 and y > 4</body></html>"
+)
+
+
 def text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML strip + entity decode (operators/markup.py) over a
     deterministic per-doc HTML wrapping of the corpus."""
@@ -76,8 +91,7 @@ def text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
         F.lit(' --></head><body><p class="d">'),
         F.col("text"),
-        F.lit('</p><script>var a = "<b>1</b>";</script>'
-              "&nbsp;tail &amp;amp; &lt;end&gt;</body></html>"),
+        F.lit(_WRAP_TAIL),
     )
     stripped = strip_html(wrapped)
     return docs.select(
@@ -92,14 +106,21 @@ _WRAPPED_SQL = (
     " || CAST(doc_id AS VARCHAR)"
     " || ' --></head><body><p class=\"d\">'"
     " || text"
-    " || '</p><script>var a = \"<b>1</b>\";</script>"
-    "&nbsp;tail &amp;amp; &lt;end&gt;</body></html>'"
+    " || '" + _WRAP_TAIL.replace("'", "''") + "'"
 )
 
+# Staged form: the numeric-decode stage references its input several
+# times, so materialize the regex+named-entity prefix once per row.
 TEXT_STRIP_HTML_SQL = f"""
 SELECT doc_id,
-       length({strip_html_sql(_WRAPPED_SQL)}) AS n_chars,
-       md5({strip_html_sql(_WRAPPED_SQL)}) AS sig
-FROM documents
+       length(clean) AS n_chars,
+       md5(clean) AS sig
+FROM (
+    SELECT doc_id, {strip_html_post_sql('pre')} AS clean
+    FROM (
+        SELECT doc_id, {strip_html_pre_sql(_WRAPPED_SQL)} AS pre
+        FROM documents
+    )
+)
 ORDER BY doc_id
 """

@@ -32,8 +32,11 @@ def _default_driver_memory() -> str:
     corpus-scaled localCheckpoint blocks (pinned, non-evictable
     storage) can starve execution memory under a small heap — but a
     fixed large default over-commits small hosts (round-11 advice).
-    Policy: ~1/4 of MemTotal, clamped to [8g, 24g]; the
-    SPARK_DRIVER_MEMORY env var overrides unconditionally.
+    Policy: ~1/4 of MemTotal, clamped to [2g, 24g] and never above
+    MemTotal-2 GiB (round-12 advice: the old 8g floor over-committed
+    hosts with < 8 GiB); 8g only when detection fails (no
+    /proc/meminfo — e.g. macOS).  The SPARK_DRIVER_MEMORY env var
+    overrides unconditionally.
     """
     total_gib = 0
     try:
@@ -44,7 +47,9 @@ def _default_driver_memory() -> str:
                     break
     except OSError:
         pass
-    return f"{min(24, max(8, total_gib // 4))}g"
+    if total_gib <= 0:
+        return "8g"
+    return f"{min(24, max(2, min(total_gib - 2, total_gib // 4)))}g"
 
 
 def get_spark(

@@ -20,16 +20,52 @@ from curw_flo2d_data_manager_spark.operators.textstats import epoch_plan
 
 
 def _greedy_pieces(word: str, vocab: list[str]) -> int:
-    """Reference greedy longest-match encoder (plain Python)."""
+    """Reference greedy longest-match encoder (plain Python) — same
+    MAX_STEPS horizon + residue-chars-count-1-each rule as the
+    expression fold AND the pandas carve-out (round-12 advice: the
+    three paths must agree on >horizon words)."""
+    from curw_flo2d_data_manager_spark.operators.bpe import MAX_STEPS
+
     pos, cnt = 0, 0
-    while pos < len(word):
+    while pos < len(word) and cnt < MAX_STEPS:
         best = 1
         for t in vocab:
             if word.startswith(t, pos):
                 best = max(best, len(t))
         pos += best
         cnt += 1
-    return cnt
+    return cnt + (len(word) - pos)
+
+
+def py_strip_replay(t):
+    """Plain-`re` replay of the full markup chain (regex strips,
+    named entities, numeric character references, final ampersand
+    pass, whitespace collapse) — the third engine in the agreement
+    tests."""
+    import re as _re
+
+    from curw_flo2d_data_manager_spark.operators.markup import (
+        _AMP_FINAL_PAT,
+        _ENTITY_STEPS,
+        _NUMREF_PAT,
+        _REGEX_STEPS,
+    )
+
+    for pat, rep in _REGEX_STEPS:
+        t = _re.sub(pat, rep, t)
+    for lit, rep in _ENTITY_STEPS:
+        t = t.replace(lit, rep)
+
+    def dec(m):
+        body = m.group(1)
+        n = int(body[1:], 16) if body[0] in "xX" else int(body)
+        if 1 <= n <= 0x10FFFF and not (0xD800 <= n <= 0xDFFF) and n != 38:
+            return chr(n)
+        return m.group(0)
+
+    t = _re.sub(_NUMREF_PAT, dec, t)
+    t = _re.sub(_AMP_FINAL_PAT, "&", t)
+    return _re.sub(r"\s+", " ", t).strip()
 
 
 class TestBpe:
@@ -182,6 +218,45 @@ class TestBpeLargeVocab:
                 assert large[did][1] == exp
 
 
+class TestBpeHorizon:
+    def test_over_horizon_word_all_paths_agree(self, spark):
+        """The round-12 advice's verified divergence ('x'*40+'the'*4:
+        fold=52 vs unbounded-greedy=44) — all four paths now apply the
+        same MAX_STEPS horizon + residue rule."""
+        import pandas as pd
+
+        from curw_flo2d_data_manager_spark.operators.bpe import (
+            MAX_STEPS,
+            _encode_words_pandas,
+        )
+
+        words = [
+            "x" * MAX_STEPS + "the" * 4,
+            "x" * (MAX_STEPS + 25),
+            "the" * (MAX_STEPS + 3),
+            "a" * 39 + "tion" * 5,
+        ]
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        sp = {
+            r["word"]: r["p"]
+            for r in df.select(
+                "word", bpe_piece_count("word").alias("p")
+            ).collect()
+        }
+        con = duckdb.connect()
+        expr = bpe_piece_count_sql("word")
+        enc = _encode_words_pandas(DEFAULT_BPE_VOCAB)
+        pandas_counts = list(enc(pd.Series(words, dtype=object)))
+        for w, pc in zip(words, pandas_counts):
+            du = con.execute(
+                f"SELECT {expr} FROM (SELECT '{w}' AS word)"
+            ).fetchone()[0]
+            ref = _greedy_pieces(w, DEFAULT_BPE_VOCAB)
+            assert sp[w] == du == pc == ref, w
+        # 40 one-char steps consume the x-run; 12 residue chars
+        assert sp["x" * MAX_STEPS + "the" * 4] == MAX_STEPS + 12
+
+
 class TestMarkup:
     def test_basic_strip(self, spark):
         html = (
@@ -213,7 +288,16 @@ class TestMarkup:
             # no closing </script>: the block pattern can't match,
             # but the opening TAG itself still strips (step 3)
             "<script>never closed": "never closed",
-            "<>empty</>": "empty",
+            # '<>' has no tag-start char -> text; '</>' is a tag
+            "<>empty</>": "<>empty",
+            # loose angle brackets in prose survive (round-12 advice:
+            # the old <[^>]*> swallowed everything between them)
+            "x < y and z > 0 stays": "x < y and z > 0 stays",
+            # script/style PREFIXED tags are ordinary tags -- content
+            # survives (round-12 advice)
+            "<script-loader>keep</script-loader>": "keep",
+            "<styleguide>and me</styleguide>": "and me",
+            "<?xml version='1'?>pi<!DOCTYPE html>doc": "pi doc",
         }
         df = spark.createDataFrame(
             [(k,) for k in cases], "h string"
@@ -249,6 +333,44 @@ class TestMarkup:
         out = strip_markup(df).collect()[0]
         assert out["text"] == "hi"
 
+    def test_numeric_character_references(self, spark):
+        cases = {
+            # decimal / hex / astral decode to the real codepoint
+            "H&#72;I&#x49;": "HHII",
+            "dash&#8212;here": "dash—here",
+            "poo&#128169;&#x1F4A9;done": "poo\U0001f4a9\U0001f4a9done",
+            # every ampersand spelling decodes in the LAST pass
+            "&#38; &#038; &#x26; &#X026; &amp;": "& & & & &",
+            # a decoded '&' never creates a new decodable sequence
+            "&#38;amp;": "&amp;",
+            "&amp;#65;": "&#65;",
+            # invalid: zero, surrogates, out of range, malformed --
+            # verbatim on both engines (documented)
+            "&#0;z": "&#0;z",
+            "&#xD800;z": "&#xD800;z",
+            "&#1114112;z": "&#1114112;z",
+            "&#999999999;z": "&#999999999;z",
+            "&#;&#x;&#xyz;": "&#;&#x;&#xyz;",
+            # top of range decodes
+            "&#x10FFFF;&#1114111;": "\U0010ffff\U0010ffff",
+            # old literal-step forms still decode (now numerically)
+            "&#34;dq&#39;sq": '"dq\'sq',
+        }
+        df = spark.createDataFrame(
+            [(k,) for k in cases], "h string"
+        ).select("h", strip_html("h").alias("t"))
+        got = {r["h"]: r["t"] for r in df.collect()}
+        con = duckdb.connect()
+        expr = strip_html_sql("h")
+        for k, want in cases.items():
+            assert got[k] == want, (k, got[k])
+            q = k.replace("'", "''")
+            du = con.execute(
+                f"SELECT {expr} FROM (SELECT '{q}' AS h)"
+            ).fetchone()[0]
+            assert du == want, (k, du)
+            assert py_strip_replay(k) == want, k
+
 
 # ---------------------------------------------------------------- property
 from hypothesis import HealthCheck, given, settings
@@ -260,27 +382,39 @@ _PROP = settings(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
-_word_st = st.text(alphabet="abcdeioqxz", min_size=0, max_size=18)
+# max_size 60 > MAX_STEPS so the fold's horizon + residue rule is
+# exercised by the property, not just the dedicated unit test
+# (round-12 advice: the old bound of 18 never crossed the horizon).
+_word_st = st.text(alphabet="abcdeioqxz", min_size=0, max_size=60)
 
 
 class TestRound12Properties:
     @_PROP
     @given(ws=st.lists(_word_st, min_size=1, max_size=15, unique=True))
-    def test_bpe_fold_three_way_agreement(self, spark, ws):
+    def test_bpe_fold_four_way_agreement(self, spark, ws):
         """Spark fold == DuckDB list_reduce twin == plain-Python greedy
-        reference, on arbitrary lowercase words incl. empty strings."""
+        reference == pandas carve-out encoder, on arbitrary lowercase
+        words incl. empty strings and >horizon lengths."""
+        import pandas as pd
+
+        from curw_flo2d_data_manager_spark.operators.bpe import (
+            _encode_words_pandas,
+        )
+
         df = spark.createDataFrame(
             [(w,) for w in ws], "word string"
         ).withColumn("pieces", bpe_piece_count("word"))
         sp = {r["word"]: r["pieces"] for r in df.collect()}
         con = duckdb.connect()
         expr = bpe_piece_count_sql("word")
+        enc = _encode_words_pandas(DEFAULT_BPE_VOCAB)
+        pandas_counts = dict(zip(ws, enc(pd.Series(ws, dtype=object))))
         for w in ws:
             ref = _greedy_pieces(w, DEFAULT_BPE_VOCAB)
             du = con.execute(
                 f"SELECT {expr} FROM (SELECT '{w}' AS word)"
             ).fetchone()[0]
-            assert sp[w] == ref == du, w
+            assert sp[w] == ref == du == pandas_counts[w], w
 
     @_PROP
     @given(
@@ -290,6 +424,11 @@ class TestRound12Properties:
                 "<style>x{}</style>", "<!--c-->", "&amp;", "&lt;", "&gt;",
                 "&nbsp;", "a < b", "x>y", '<p class="k">', "&#39;",
                 "<unclosed", "  ", "Z",
+                # numeric character references (round-13): ascii, bmp,
+                # astral, ampersand forms, invalid/out-of-range
+                "&#65;", "&#x42;", "&#8212;", "&#x1F4A9;", "&#38;",
+                "&#x26;", "&#0;", "&#xD800;", "&#999999999;", "&#;",
+                "<script-loader>k</script-loader>", "<?pi?>",
             ]),
             min_size=1,
             max_size=12,
@@ -298,22 +437,7 @@ class TestRound12Properties:
     def test_strip_html_cross_engine_agreement(self, spark, frags):
         """Spark chain == DuckDB chain == Python `re` replay on random
         concatenations of markup fragments (incl. malformed)."""
-        import re as _re
-
-        from curw_flo2d_data_manager_spark.operators.markup import (
-            _ENTITY_STEPS,
-            _REGEX_STEPS,
-        )
-
         s = "".join(frags)
-
-        def py_strip(t):
-            for pat, rep in _REGEX_STEPS:
-                t = _re.sub(pat, rep, t)
-            for lit, rep in _ENTITY_STEPS:
-                t = t.replace(lit, rep)
-            return _re.sub(r"\s+", " ", t).strip()
-
         df = spark.createDataFrame([(s,)], "h string")
         sp = df.select(strip_html("h").alias("t")).collect()[0]["t"]
         con = duckdb.connect()
@@ -321,4 +445,4 @@ class TestRound12Properties:
         du = con.execute(
             f"SELECT {strip_html_sql('h')} FROM (SELECT '{q}' AS h)"
         ).fetchone()[0]
-        assert sp == py_strip(s) == du, s
+        assert sp == py_strip_replay(s) == du, s
