@@ -1478,7 +1478,7 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event_type EWMA (alpha=0.3) of the value series along
     (ts, event_id) — the inherently-serial-per-series recurrence run
     through the Arrow applyInPandas carve-out, replayed exactly by a
-    DuckDB recursive CTE (the fold is `a*x + (1.0-a)*e` in doubles on
+    blocked DuckDB fold (the fold is `a*x + (1.0-a)*e` in doubles on
     both engines; CAST(0.3 AS DOUBLE) is bit-identical to the Python
     literal)."""
     from curw_flo2d_data_manager_spark.operators.smoothing import ewma
@@ -1490,22 +1490,62 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-W_EWMA_SQL = """
-WITH RECURSIVE seq AS (
+# Blocked EXACT replay of the sequential fold (round-12 verdict: the
+# old one-row-per-iteration recursive CTE was O(n^2) in series length
+# and only feasible <= sf0.01, forcing a --skip at sf0.1).  Each
+# series splits into 256-row blocks; a recursive CTE over BLOCKS
+# (depth n/256, not n) folds each block's ordered value list with
+# list_reduce seeded by the previous block's carry-out, giving exact
+# block-boundary states; every row then re-folds only its own block
+# prefix.  Every arithmetic step is the IDENTICAL sequential
+# `a*x + (1.0-a)*e` double chain — bit-equal to the pandas fold, not a
+# regrouped closed form — at O(n*B) total work.  NULL values stay out
+# of the recursion (state carries over the gap, NULL rows report NULL),
+# matching operators/smoothing.py.
+_EWMA_BLK = 256
+_EWMA_STEP = (
+    "(acc, x) -> CAST(0.3 AS DOUBLE) * x"
+    " + (1.0::DOUBLE - CAST(0.3 AS DOUBLE)) * acc"
+)
+
+W_EWMA_SQL = f"""
+WITH RECURSIVE seq AS MATERIALIZED (
     SELECT event_type, event_id, value,
            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
     FROM events WHERE value IS NOT NULL
 ),
+blocks AS MATERIALIZED (
+    SELECT event_type, (rn - 1) // {_EWMA_BLK} AS blk,
+           list(value ORDER BY rn) AS vals
+    FROM seq GROUP BY event_type, (rn - 1) // {_EWMA_BLK}
+),
 rec AS (
-    SELECT event_type, event_id, rn, value AS e FROM seq WHERE rn = 1
+    SELECT event_type, blk, list_reduce(vals, {_EWMA_STEP}) AS y_end
+    FROM blocks WHERE blk = 0
     UNION ALL
-    SELECT s.event_type, s.event_id, s.rn,
-           CAST(0.3 AS DOUBLE) * s.value
-           + (1.0::DOUBLE - CAST(0.3 AS DOUBLE)) * r.e
-    FROM seq s JOIN rec r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    SELECT b.event_type, b.blk,
+           list_reduce(list_prepend(r.y_end, b.vals), {_EWMA_STEP}) AS y_end
+    FROM blocks b JOIN rec r
+      ON b.event_type = r.event_type AND b.blk = r.blk + 1
+),
+pos AS (
+    SELECT event_type, event_id, (rn - 1) // {_EWMA_BLK} AS blk,
+           CAST((rn - 1) % {_EWMA_BLK} + 1 AS INT) AS p
+    FROM seq
+),
+rows_y AS (
+    SELECT s.event_id,
+           CASE WHEN s.blk = 0
+                THEN list_reduce(b.vals[1:s.p], {_EWMA_STEP})
+                ELSE list_reduce(list_prepend(r.y_end, b.vals[1:s.p]),
+                                 {_EWMA_STEP})
+           END AS e
+    FROM pos s
+    JOIN blocks b ON b.event_type = s.event_type AND b.blk = s.blk
+    LEFT JOIN rec r ON r.event_type = s.event_type AND r.blk = s.blk - 1
 )
-SELECT e.event_id, ROUND(r.e, 6) AS value_ewma
-FROM events e LEFT JOIN rec r USING (event_id)
+SELECT e.event_id, ROUND(y.e, 6) AS value_ewma
+FROM events e LEFT JOIN rows_y y USING (event_id)
 ORDER BY e.event_id
 """
 
