@@ -70,18 +70,93 @@ def _run(df) -> int:
         return df.count()
 
 
-# Calibration probe (round-10 verdict item 1): a fixed CPU-bound
-# single-partition codegen aggregate whose wall time depends only on
-# this machine's momentary CPU availability — no I/O, no shuffle, no
-# Python. Its measured time lets a reader normalize the headline
-# against ambient machine load, which polluted the round-over-round
-# signal in rounds 8-10 (r10 read +10.8% vs r9 with zero plan
-# changes). PROBE_REF_S is the steady-state warm probe on the build
-# machine (median of repeated runs, 2026-08-16); value_normalized =
-# value * PROBE_REF_S / probe_s is the headline this run WOULD have
-# measured at reference machine speed.
+_TICK = os.sysconf("SC_CLK_TCK")
+
+
+def _cpu_seconds() -> float:
+    """Total CPU seconds (utime+stime+cutime+cstime) of this process
+    and every live descendant — the local-mode JVM plus its pyspark
+    daemons/workers.  CPU time is the load-robust counterpart of wall
+    time: scheduler queueing under ambient load inflates wall but not
+    CPU (measured on this box: +23% wall vs +3% CPU under a 10-thread
+    ambient load).  Reading /proc directly keeps the measurement
+    scoped to OUR process tree, unlike cgroup counters which would
+    include co-tenant load."""
+    me = os.getpid()
+    procs: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as fh:
+                raw = fh.read().decode("ascii", "replace")
+        except OSError:
+            continue
+        # comm can contain spaces/parens: split after the LAST ')'
+        rest = raw[raw.rindex(")") + 2:].split()
+        ppid = int(rest[1])
+        ticks = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        procs[int(d)] = (ppid, ticks)
+    total = 0
+    seen: set[int] = set()
+    frontier = {me}
+    while frontier:
+        for pid in frontier:
+            if pid in procs and pid not in seen:
+                total += procs[pid][1]
+                seen.add(pid)
+        frontier = {
+            pid
+            for pid, (ppid, _) in procs.items()
+            if ppid in seen and pid not in seen
+        }
+    return total / _TICK
+
+
+# Calibration probes (round-10 verdict item 1; protocol rebuilt in
+# round 13 per the round-12 verdict: the old single pre-pass
+# min-of-3 could not see load landing DURING the query passes, so
+# BENCH_r12 recorded a phantom 12% regression).
+#
+# Two probes, BOTH run before and after every pass (extras and
+# headline) so no load window between probes goes unseen:
+# * the SERIAL probe (single-partition codegen aggregate) measures
+#   momentary single-thread machine speed — its run-wide MIN
+#   (probe_s) is the cross-round machine-speed rescale;
+# * the PARALLEL probe (same aggregate, 32 partitions) saturates the
+#   box, so it detects ambient load that a 1-thread probe reads
+#   right through (the round-12 blindness: +13% query inflation with
+#   a flat serial probe).
+#
+# A pass is TRUSTED when both bracketing probe pairs read quiet
+# (within TRUST_FACTOR of reference).  value_normalized = (sum of
+# per-query mins over trusted passes) × PROBE_REF_S / probe_s; when
+# NO pass is trusted the run falls back to all passes and sets
+# "loaded_window": true — an explicit machine-readable flag instead
+# of a forensically un-pickable number.
+#
+# Why trust + reject rather than rescale by a probe ratio: the
+# round-13 A/B measured the three candidate estimators under a
+# sustained 10-thread ambient load on this 32-core box — wall +8%,
+# serial probe ±0%, saturating parallel probe +34%, process-tree CPU
+# seconds −15% (intra-JVM contention burn DROPS when fewer tasks run
+# concurrently, at identical wall).  Load sensitivity differs per
+# resource shape, so no probe ratio can rescale a loaded pass onto
+# the quiet scale; what probes CAN do reliably is certify a pass as
+# quiet.  Min-of-passes + trusted-pass selection recovers the quiet
+# number whenever any pass lands in a quiet window (the realistic
+# bursty co-tenant case — r12's own probes varied 1.6× across three
+# samples); sustained whole-run load gets the honest flag.
 PROBE_REF_S = 0.65
 _PROBE_EXPECT = 19999186012603  # sum(pmod(xxhash64(id),1000003)), 40M rows
+PROBE_PAR_REF_S = 0.70
+_PROBE_PAR_EXPECT = 560012413488450  # same sum, 1.12B rows
+# Trust thresholds (measured separation on this box: quiet headline
+# brackets read ≤0.99× the parallel reference, the sustained-10-loop
+# load ≥1.23× — so 1.15 splits them with margin; the serial probe is
+# noisier relative to its 0.65 anchor, 1.25 keeps quiet windows in).
+TRUST_FACTOR = 1.25       # serial probe ≤ 1.25× reference
+TRUST_FACTOR_PAR = 1.15   # parallel probe ≤ 1.15× reference
 
 
 def _probe(spark) -> float:
@@ -97,17 +172,33 @@ def _probe(spark) -> float:
     return dt
 
 
-def _timed(fn, spark, sf_dir) -> float:
-    """Time one query to full materialization, then release any
-    operator-tracked caches (minhash signatures, passage explodes,
-    unigram tf) so NOTHING leaks into the next query's measurement —
-    round-5 verdict item 2: without this, 70+ queries of accumulated
-    persisted relations inflated the late-session numbers ~6x."""
+def _probe_par(spark) -> float:
+    t0 = time.monotonic()
+    row = (
+        spark.range(0, 1_120_000_000, 1, 32)
+        .selectExpr("sum(pmod(xxhash64(id), 1000003)) as h")
+        .collect()
+    )
+    dt = round(time.monotonic() - t0, 3)
+    if row[0][0] != _PROBE_PAR_EXPECT:  # pragma: no cover - engine defect
+        raise AssertionError(f"parallel probe hash mismatch: {row[0][0]}")
+    return dt
+
+
+def _timed(fn, spark, sf_dir) -> tuple[float, float]:
+    """Time one query (wall AND process-tree CPU) to full
+    materialization, then release any operator-tracked caches
+    (minhash signatures, passage explodes, unigram tf) so NOTHING
+    leaks into the next query's measurement — round-5 verdict item 2:
+    without this, 70+ queries of accumulated persisted relations
+    inflated the late-session numbers ~6x."""
+    c0 = _cpu_seconds()
     t0 = time.monotonic()
     _run(fn(spark, sf_dir))
     dt = round(time.monotonic() - t0, 3)
+    dc = round(_cpu_seconds() - c0, 3)
     release_caches()
-    return dt
+    return dt, dc
 
 
 def main() -> None:
@@ -131,20 +222,37 @@ def main() -> None:
     )
     _run(warm)
 
-    # One throwaway probe to JIT its codegen, then a measured probe
-    # before the extras and one before EACH headline pass; probe_s is
-    # the MIN (the least-loaded moment — matching the min-of-passes
-    # protocol the headline itself uses).
+    # One throwaway probe each to JIT codegen, then a serial+parallel
+    # probe pair at EVERY checkpoint: before the extras, after each
+    # extras pass, and after each headline pass — so every pass is
+    # bracketed on both sides (the round-13 load-robust protocol —
+    # see the probe definitions above).  probe_s stays the serial MIN
+    # for cross-round continuity.
     _probe(spark)
-    probes = [_probe(spark)]
+    _probe_par(spark)
 
-    # Paired A-B protocol (round-2 verdict item 6): every query runs
-    # twice back-to-back in the same session. Pass A is the headline
-    # (same single-pass protocol as rounds 1-2, so cross-round ratios
-    # stay comparable); pass B + the per-query min let a reader
-    # separate ambient machine load (A≫B or B≫A, min stable) from a
-    # real plan regression (both passes slow).
-    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    probes: list[float] = []
+    par_probes: list[float] = []
+
+    def _checkpoint() -> None:
+        probes.append(_probe(spark))
+        par_probes.append(_probe_par(spark))
+
+    _checkpoint()
+
+    # Multi-pass protocol (round-2 verdict item 6; fixed 2 passes →
+    # adaptive 3..6 passes in round 13): pass totals were STILL
+    # descending ~5%/pass at pass 3 (codegen/JIT warmup), and how far
+    # down that curve a run got dominated run-to-run spread (measured
+    # 15.5-17.1 s across four quiet runs at the same HEAD).  The
+    # headline now keeps running passes until a TRUSTED pass stops
+    # improving on the best total by >2% (min 3, max 6 passes), so
+    # every run reports the converged plateau.  Extras run a fixed 2
+    # passes (they are secondary metrics; 114 gates × extra passes
+    # would dominate the bench budget).
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    max_passes = max(passes, 6)
+    extras_passes = min(passes, 2)
 
     # Non-headline extras (round-5 additions): run FIRST — before the
     # headline passes, at minimum session pollution — and with the
@@ -296,14 +404,13 @@ def main() -> None:
     # round — every gate gets a fresh timing at least every 3 rounds.
     # SPARK_GRAFT_BENCH_FULL_EXTRAS=1 restores the full list.
     CHANGED_THIS_ROUND = [
-        "text_bpe_tokens",       # new operator (operators/bpe.py)
-        "text_strip_html",       # new operator (operators/markup.py)
-        "sim_sparse_cosine_prefix",  # rounding slack + md5 half-slice
-        "sim_sparse_cosine",     # shares sparse_cosine_pairs
-        "g_hits",                # n>scale guard / literal start vector
-        "text_domain_mixture",   # token_count_col parameter
-        "text_epoch_plan",       # token_count_col parameter
-        "a_gini_orders",         # distinct-value-window gini rewrite
+        # round 13
+        "text_strip_html",       # numeric char refs + tag-start regex
+        "text_bpe_tokens",       # pandas-encoder horizon parity
+        "sim_sparse_cosine_prefix",  # md5 quarter-slice gate
+        "sim_sparse_cosine",     # paired with the prefix gate (the
+                                 # round-12 <8 s combined-cost bar is
+                                 # judged on both in one extras tier)
     ]
     import hashlib
 
@@ -330,25 +437,86 @@ def main() -> None:
         "skipped": len(EXTRA) - len(extra_sel),
     }
     extra_runs: list[dict[str, float]] = []
-    for _ in range(passes):
-        extra_runs.append(
-            {
-                name: _timed(registry[name], spark, sf_dir)
-                for name in extra_sel
-                if name in registry
-            }
-        )
+    extra_cpu_runs: list[dict[str, float]] = []
+    for _ in range(extras_passes):
+        wall: dict[str, float] = {}
+        cpu: dict[str, float] = {}
+        for name in extra_sel:
+            if name in registry:
+                wall[name], cpu[name] = _timed(registry[name], spark, sf_dir)
+        extra_runs.append(wall)
+        extra_cpu_runs.append(cpu)
+        _checkpoint()
     extra = {
         name: min(r[name] for r in extra_runs) for name in extra_runs[0]
     }
+    extra_cpu = {
+        name: min(r[name] for r in extra_cpu_runs)
+        for name in extra_cpu_runs[0]
+    }
+    # extras pass i ran between checkpoints i and i+1; normalize by
+    # the WORST adjacent serial probe (most-loaded bracket)
+    extra_norm = [
+        round(
+            sum(r.values())
+            * PROBE_REF_S
+            / max(probes[i], probes[i + 1]),
+            3,
+        )
+        for i, r in enumerate(extra_runs)
+    ]
 
     runs: list[dict[str, float]] = []
-    for _ in range(passes):
-        probes.append(_probe(spark))
-        runs.append(
-            {name: _timed(registry[name], spark, sf_dir) for name in HEADLINE}
-        )
+    cpu_runs: list[dict[str, float]] = []
+    hl_base = len(probes) - 1  # checkpoint preceding headline pass 0
+    for i in range(max_passes):
+        wall = {}
+        cpu = {}
+        for name in HEADLINE:
+            wall[name], cpu[name] = _timed(registry[name], spark, sf_dir)
+        runs.append(wall)
+        cpu_runs.append(cpu)
+        _checkpoint()
+        # adaptive convergence: once the minimum pass count is in,
+        # stop when this pass (quiet-bracketed) failed to improve the
+        # best total by more than 2% -- every run then reports the
+        # same JIT-converged plateau instead of a random point on the
+        # warmup curve
+        if i + 1 >= passes:
+            totals = [sum(r.values()) for r in runs]
+            quiet_bracket = (
+                max(probes[-2], probes[-1]) <= TRUST_FACTOR * PROBE_REF_S
+                and max(par_probes[-2], par_probes[-1])
+                <= TRUST_FACTOR_PAR * PROBE_PAR_REF_S
+            )
+            if quiet_bracket and totals[-1] > 0.98 * min(totals[:-1]):
+                break
     probe_s = min(probes)
+    # headline pass i ran between checkpoints hl_base+i and
+    # hl_base+i+1; per-pass rescale by the WORST adjacent serial
+    # probe (diagnostic detail — value_normalized uses the
+    # trusted-pass protocol below)
+    norm_passes = [
+        round(
+            sum(r.values())
+            * PROBE_REF_S
+            / max(probes[hl_base + i], probes[hl_base + i + 1]),
+            3,
+        )
+        for i, r in enumerate(runs)
+    ]
+
+    def _pass_trusted(i: int) -> bool:
+        lo, hi = hl_base + i, hl_base + i + 1
+        return (
+            max(probes[lo], probes[hi]) <= TRUST_FACTOR * PROBE_REF_S
+            and max(par_probes[lo], par_probes[hi])
+            <= TRUST_FACTOR_PAR * PROBE_PAR_REF_S
+        )
+
+    trusted = [i for i in range(len(runs)) if _pass_trusted(i)]
+    loaded_window = not trusted
+    sel = trusted or list(range(len(runs)))
 
     timings = runs[0]
     total = round(sum(timings.values()), 3)
@@ -364,19 +532,40 @@ def main() -> None:
     # cross-round comparison against the old pass-A-valued rounds.
     total_min = round(sum(qmin.values()), 3)
     value = total_min if len(runs) > 1 else total
+    qmin_cpu = {name: min(r[name] for r in cpu_runs) for name in HEADLINE}
+    value_cpu = round(sum(qmin_cpu.values()), 3)
+    # Trusted-pass estimator (see the probe block above): per-query
+    # mins over quiet-bracketed passes only, rescaled once by the
+    # run-wide serial probe min (cross-round machine-speed anchor).
+    value_trusted = round(
+        sum(min(runs[i][name] for i in sel) for name in HEADLINE), 3
+    )
     out = {
         "metric": "headline_queries_total",
         "value": value,
         "unit": "sec",
         "queries": qmin,  # per-query min across passes
         "sf": sf,
-        # Ambient-load calibration: probe_s is this run's best time for
-        # the fixed CPU probe; value_normalized rescales the headline
-        # to reference machine speed (PROBE_REF_S). Compare
-        # value_normalized across rounds, value within a round.
+        # Ambient-load normalization (round-13 protocol — rationale
+        # and the measured estimator A/B live at the probe block
+        # above and in BASELINE.md).  value_normalized = per-query
+        # mins over TRUSTED (quiet-bracketed) passes × probe_ref_s /
+        # probe_s; "loaded_window": true means no pass had a quiet
+        # bracket and the number is best-effort.  value_cpu (sum of
+        # per-query min process-tree CPU seconds) is the work-based
+        # diagnostic: immune to queueing, sensitive to intra-JVM
+        # contention (±15%), so it cross-checks but does not define
+        # the headline.
         "probe_s": probe_s,
         "probe_ref_s": PROBE_REF_S,
-        "value_normalized": round(value * PROBE_REF_S / probe_s, 3),
+        "value_normalized": round(value_trusted * PROBE_REF_S / probe_s, 3),
+        "loaded_window": loaded_window,
+        "trusted_passes": len(trusted),
+        "value_cpu": value_cpu,
+        "norm_passes": norm_passes,
+        "probes": probes,  # serial, chronological (one per checkpoint)
+        "probes_par": par_probes,  # parallel, chronological
+        "probe_par_ref_s": PROBE_PAR_REF_S,
     }
     if len(runs) > 1:
         out["value_pass_a"] = total  # the rounds-1-3-comparable total
@@ -389,6 +578,7 @@ def main() -> None:
     # timings live in BENCH_local.json.
     if extra:
         out["extra_total"] = round(sum(extra.values()), 3)
+        out["extra_total_normalized"] = min(extra_norm)
         # tier note (round-11 verdict item 3): which extras ran this
         # bench — changed-code gates + the rotating third; kept short
         # so the printed line stays within the driver's tail capture.
@@ -398,7 +588,9 @@ def main() -> None:
             "skipped": tiers["skipped"],
         }
     full = dict(out)
-    full["probes"] = probes
+    full["extra_norm_passes"] = extra_norm
+    full["queries_cpu"] = qmin_cpu
+    full["extra_queries_cpu"] = extra_cpu
     if extra:
         full["extra_queries"] = extra
     full["passes"] = [
