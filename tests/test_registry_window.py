@@ -8,52 +8,47 @@ SURVEY §2 family whose last certification is older than round N-2
 then the oldest-certified cohort. Rotated-out entries are re-verified
 every round by ``tools/check_correctness.py`` full sweeps.
 
-This test pins the round-12 window so a registry edit can never
+This test pins the round-13 window so a registry edit can never
 silently drop an intended gate: REQUIRED_IN_WINDOW must be edited in
 lockstep with any registry reorder."""
 
 from curw_flo2d_data_manager_spark.queries import DRIVER_WINDOW, REGISTRY
 
-# Round-12 window: keys must sit at registry position < DRIVER_WINDOW.
+# Round-13 window: keys must sit at registry position < DRIVER_WINDOW.
 REQUIRED_IN_WINDOW = {
-    # (a) the two round-12 additions (growth frozen to drain the
-    # driver-certification backlog — round-11 verdict item 1)
-    "text_bpe_tokens", "text_strip_html",
-    # (b) operator code touched in round 12: ApSS prefix
-    # rounding-slack + md5 half-slice gate, HITS n>scale guard,
-    # streaming ledger existence probe, gini distinct-value-window
-    # rewrite (mid-round — displaces q4_exists_semi to the r13 queue)
-    "sim_sparse_cosine_prefix", "sim_sparse_cosine", "g_hits",
-    "stream_corpus_neardup", "a_gini_orders",
-    # (d) the oldest-certified cohort: the full r5 window cohort ...
-    "sim_lsh_pairs", "text_token_counts", "text_quality", "w_moving_avg",
-    "x_unpivot_lineitem", "a_cube_counts", "a_percentiles",
-    "k7_merge_upsert", "q13_order_distribution", "q7_nation_volume",
-    "q2_min_supplier", "dedup_simhash", "dedup_minhash_lsh",
-    "sim_ivf_topk", "q16_supplier_cnt", "q17_small_quantity",
-    "q22_idle_customers",
-    # ... plus the 27 oldest r6 entries (remaining 19 r6 entries —
-    # q18_having_topk, q10_returned_items, q14_promo_share,
-    # q15_top_supplier, q19_disjunctive, s3_first_value_lookup,
-    # k1_fixed_width_render, f6_sentinel_cleaning, j5_semi_join,
-    # w2_elapsed_hours, x11_series_hash_id, dedup_fingerprint,
-    # dedup_ngram_jaccard, text_lang_id, text_top_bigrams,
-    # text_pii_redact, s4_nearest_gauge_rain, k4_rain_render,
-    # a_approx_distinct, and q4_exists_semi (displaced mid-round
-    # by the a_gini_orders touched-code gate) — are first in line
-    # for round 13).
-    # Everything rotated out (the r10/r11 window cohorts) holds a
-    # FRESH r10/r11 certification; no (c) family slots are needed
-    # because every SURVEY family holds an r11 certification.
-    "dedup_components", "dedup_passages", "text_tfidf_terms",
-    "text_domain_mixture", "dedup_cluster_filter", "text_unigram_logprob",
-    "f_mixture_resample", "stream_corpus_dedup", "sim_cross_decontam",
-    "dedup_contamination", "mm_decode_meta", "dedup_latest_version",
-    "text_url_extract", "stream_dedup_events", "text_repetition_gates",
-    "f_hash_sample", "f_stratified_sample", "a_rollup_cascade",
-    "a_session_window_native", "x_pivot_event_types", "a_rollup_totals",
-    "a_distinct_counts", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier", "q6_revenue_change", }
+    # (b) operator code touched in round 13 (growth frozen at ZERO new
+    # queries — the round finishes the driver-certification drain):
+    # markup numeric character references + tag-start regex fixes,
+    # BPE pandas-encoder horizon parity, the ApSS md5 quarter-slice
+    # gate and its full-corpus twin
+    "text_strip_html", "text_bpe_tokens",
+    "sim_sparse_cosine_prefix", "sim_sparse_cosine",
+    # (d) the ENTIRE remaining r6-certified cohort (20 — the queue the
+    # round-12 registry comment named "first in line for r13")
+    "q18_having_topk", "q10_returned_items", "q14_promo_share",
+    "q15_top_supplier", "q19_disjunctive", "s3_first_value_lookup",
+    "k1_fixed_width_render", "f6_sentinel_cleaning", "j5_semi_join",
+    "w2_elapsed_hours", "x11_series_hash_id", "dedup_fingerprint",
+    "dedup_ngram_jaccard", "text_lang_id", "text_top_bigrams",
+    "text_pii_redact", "s4_nearest_gauge_rain", "k4_rain_render",
+    "a_approx_distinct", "q4_exists_semi",
+    # (d) the 26 oldest r7-certified entries; w_ewma leads because its
+    # oracle was rewritten this round (blocked exact fold replay).
+    # The 16 r7 entries left for the r14 window: sim_pagerank,
+    # sim_semantic_dedup, stream_corpus_decontam, stream_corpus_quality,
+    # stream_resample_events, text_bigram_logprob, text_bm25_topk,
+    # text_ccnet_buckets, text_chunk_documents, text_dsir_weights,
+    # text_epoch_plan, text_frequent_terms, text_hash_classifier,
+    # w_hampel_despike, w_seasonal_baseline, w_winsorize.
+    "w_ewma", "a_approx_percentiles", "dedup_bloom_filter",
+    "dedup_contam_spans", "dedup_repeated_spans", "dedup_span_rebuild",
+    "dedup_winnow_pairs", "dedup_winnowing", "f_length_buckets",
+    "f_materialize_mixture", "f_pack_sequences", "f_split_assign",
+    "f_weighted_sample", "k2_outflow_render", "k8_start_date",
+    "mm_binary_meta", "p2_timdep_roundtrip", "q11_important_share",
+    "q20_heavy_suppliers", "q21_exclusive_failures", "q8_market_share",
+    "q9_product_profit", "s1_series_range_scan", "sim_cosine_dedup",
+    "sim_knn_graph", "sim_label_centroids", }
 
 
 def test_every_required_gate_is_inside_driver_window():
