@@ -1818,8 +1818,16 @@ def cmd_corpus_stats(args) -> None:
         # to 0 tokens so they stay in the report's doc counts.
         from curw_flo2d_data_manager_spark.operators.bpe import (
             bpe_token_counts,
+            load_merges,
         )
 
+        vocab = load_merges(args.merges) if args.merges else None
+        byte_level = bool(getattr(args, "byte_level", False))
+        if byte_level and not args.merges:
+            raise SystemExit(
+                "--byte-level needs --merges (the built-in lexicon is "
+                "trained over plain characters, not the byte alphabet)"
+            )
         if args.id_col not in df.columns:
             raise SystemExit(
                 f"--bpe needs --id_col present (got {args.id_col!r}, "
@@ -1837,7 +1845,8 @@ def cmd_corpus_stats(args) -> None:
                 f"unique --id_col"
             )
         counts = bpe_token_counts(
-            df, id_col=args.id_col, text_col=args.text_col
+            df, id_col=args.id_col, text_col=args.text_col,
+            vocab=vocab, byte_level=byte_level,
         ).select(args.id_col, "n_bpe_tokens")
         df = df.join(counts, args.id_col, "left").withColumn(
             "n_bpe_tokens", F.coalesce(F.col("n_bpe_tokens"), F.lit(0))
@@ -2213,6 +2222,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--bpe", action="store_true",
                     help="budget n_tokens in greedy-BPE subword tokens "
                          "(operators/bpe.py) instead of whitespace words")
+    sp.add_argument("--merges", default=None,
+                    help="with --bpe: path to a public-format BPE "
+                         "merges file (one 'left right' pair per line, "
+                         "#version header ok — e.g. a trained "
+                         "tokenizer's merges.txt or the output of "
+                         "tools/train_bpe_merges.py); default is the "
+                         "built-in 47-token lexicon")
+    sp.add_argument("--byte-level", action="store_true", dest="byte_level",
+                    help="with --bpe: encode over the public byte-level "
+                         "alphabet (GPT-2 byte-to-unicode mapping) for "
+                         "merges tables trained that way")
     sp.set_defaults(fn=cmd_corpus_stats)
 
     sp = sub.add_parser(

@@ -105,6 +105,66 @@ def bpe_piece_count_sql(word: str, vocab: list[str] | None = None) -> str:
     )
 
 
+def load_merges(path: str) -> list[str]:
+    """Parse a PUBLIC-format BPE merges file: one ``left right`` merge
+    pair per line, ``#``-prefixed header lines (e.g. ``#version``)
+    and blank lines skipped.  Greedy longest-match inference only
+    needs the merge RESULTS (the token set), so each line contributes
+    ``left + right``; order is irrelevant to this scheme.
+
+    This is the text format published with the original subword
+    tokenizers (Sennrich et al. 2016; the GPT-2 release ships the
+    same ``merges.txt`` shape), so a user can point the engine at a
+    tokenizer they already have."""
+    toks: list[str] = []
+    with open(path, encoding="utf-8") as fh:
+        for lineno, ln in enumerate(fh, 1):
+            ln = ln.rstrip("\n")
+            if not ln or ln.startswith("#"):
+                continue
+            parts = ln.split(" ")
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 'left right', got {ln!r}"
+                )
+            toks.append(parts[0] + parts[1])
+    if not toks:
+        raise ValueError(f"{path}: no merge pairs found")
+    return toks
+
+
+def byte_unicode_table() -> dict[int, str]:
+    """The public byte-level BPE alphabet (Radford et al. 2019,
+    GPT-2): a bijection from the 256 byte values onto printable
+    unicode codepoints — the 188 printable latin-1 bytes map to
+    themselves, the 68 control/whitespace bytes map to U+0100+i.
+    Byte-level pretokenization makes ANY string (CJK, emoji, binary
+    junk) expressible over a closed 256-symbol base alphabet, the
+    standard trick for vocabulary-complete tokenizers."""
+    keep = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAC + 1))
+        + list(range(0xAE, 0xFF + 1))
+    )
+    table: dict[int, str] = {b: chr(b) for b in keep}
+    shift = 0
+    for b in range(256):
+        if b not in table:
+            table[b] = chr(256 + shift)
+            shift += 1
+    return table
+
+
+_BYTE_TABLE = byte_unicode_table()
+
+
+def byte_pretokenize(word: str) -> str:
+    """Map a word onto the byte-level alphabet (UTF-8 bytes through
+    :func:`byte_unicode_table`) — the representation a byte-level
+    merges table is trained over."""
+    return "".join(_BYTE_TABLE[b] for b in word.encode("utf-8"))
+
+
 # Past this vocabulary size the expression fold's per-character
 # whole-array scan loses to a hash-set lookup: the fold evaluates
 # filter(VOCAB, ...) — O(|V|) — at every position, fine for a
@@ -118,22 +178,27 @@ def bpe_piece_count_sql(word: str, vocab: list[str] | None = None) -> str:
 EXPR_VOCAB_LIMIT = 256
 
 
-def _encode_words_pandas(vocab: list[str]):
+def _encode_words_pandas(vocab: list[str], byte_level: bool = False):
     """Arrow-batched greedy longest-match encoder for LARGE merge
     tables: O(max_token_len) set probes per position instead of the
     fold's O(|V|) array scan.  Returns an (iterator of Series) →
     (iterator of Series) function for ``mapInPandas``-style use via
     ``pandas_udf``; the vocab ships once per executor inside the
     cloudpickled closure (broadcast-equivalent for a ≤few-MB merge
-    set)."""
+    set).  ``byte_level`` maps each word onto the byte-level alphabet
+    (:func:`byte_pretokenize`) before encoding — for merges tables
+    trained over that alphabet."""
     vset = frozenset(vocab)
     maxlen = max((len(t) for t in vocab), default=1)
+    table = byte_unicode_table() if byte_level else None
 
     def encode(batch):
         import pandas as pd
 
         out = []
         for w in batch:
+            if table is not None:
+                w = "".join(table[b] for b in w.encode("utf-8"))
             pos, cnt = 0, 0
             n = len(w)
             # Same MAX_STEPS horizon + residue-chars-count-1-each rule
@@ -160,6 +225,7 @@ def bpe_token_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     vocab: list[str] | None = None,
+    byte_level: bool = False,
 ) -> DataFrame:
     """Per-document subword token budget: (id, n_words, n_bpe_tokens).
 
@@ -176,7 +242,14 @@ def bpe_token_counts(
     would melt the fold's per-character whole-array scan.  The
     oracle-gated query uses the default 47-token table, so gated
     plans stay Python-free (§2.12 discipline; this is a documented
-    carve-out like the IVF large-k assign)."""
+    carve-out like the IVF large-k assign).
+
+    ``byte_level`` (for merges tables trained over the public
+    byte-level alphabet — :func:`byte_pretokenize`) routes through
+    the Arrow encoder regardless of vocabulary size: the byte→
+    alphabet remap is a per-character data-dependent transform with
+    no reasonable pure-expression twin, and real byte-level tables
+    are 32k+ entries anyway."""
     occ = (
         df.select(F.col(id_col).alias("_id"),
                   F.explode(words(text_col)).alias("word"))
@@ -184,10 +257,12 @@ def bpe_token_counts(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     v = DEFAULT_BPE_VOCAB if vocab is None else vocab
-    if len(v) > EXPR_VOCAB_LIMIT:
+    if byte_level or len(v) > EXPR_VOCAB_LIMIT:
         from pyspark.sql.functions import pandas_udf
 
-        enc_udf = pandas_udf(_encode_words_pandas(v), "long")
+        enc_udf = pandas_udf(
+            _encode_words_pandas(v, byte_level=byte_level), "long"
+        )
         encoded = (
             occ.select("word")
             .distinct()
