@@ -58,19 +58,31 @@ def pack_sequences(
     # ids) — required for the prefix decomposition below; without it
     # arbitrary input partitioning would interleave the order key
     # across partitions and the carry would be wrong.
+    #
+    # The partition count is EXPLICIT on purpose (round-13 fix): with
+    # the count left implicit, AQE may coalesce the exchange, and
+    # coalescing happens in each CONSUMER's AQEShuffleRead — the two
+    # traversals below (local prefix + per-partition totals) re-execute
+    # this projection over their own reads, and when their coalesced
+    # layouts diverge, `spark_partition_id()` labels DIFFERENT
+    # partitionings and the carry join silently assigns wrong bins
+    # (caught by the 10M-doc composed-pipeline smoke: 247,098 bins
+    # where the closed form says 250,000; reproducible only at scale,
+    # where the two reads coalesce differently).  A user-specified
+    # partition count is exempt from AQE coalescing, so both reads see
+    # the identical layout.
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     base = (
-        df.repartitionByRange(F.col(order), F.col(id_col))
+        df.repartitionByRange(n_parts, F.col(order), F.col(id_col))
         .withColumn("n_tokens", tokens)
         .withColumn("_pid", F.spark_partition_id())
     )
-    # `_pid` must mean the SAME partitioning in both traversals below
-    # (local prefix + per-partition totals). Within one executed plan
-    # that holds because ReuseExchange/AQE-stage-reuse computes the
-    # range exchange once and feeds both subtrees; range boundaries
-    # come from sampling, so if exchange reuse is disabled the two
-    # traversals could sample different boundaries and the carry join
-    # would silently assign wrong bins (round-4 advice). In that
-    # configuration, pin the labeling by materializing it once.
+    # `_pid` must also mean the SAME partitioning across plan reuse:
+    # with spark.sql.exchange.reuse disabled the two traversals could
+    # sample different range boundaries — pin the labeling by
+    # materializing it once (round-4 advice).
     reuse_ok = (
         df.sparkSession.conf.get("spark.sql.exchange.reuse", "true") == "true"
     )
