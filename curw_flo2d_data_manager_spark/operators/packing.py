@@ -18,7 +18,13 @@ prefix (per-partition local cumsum + broadcast carry of per-partition
 totals) — same decomposition as ``sources.line_text.filldown_headers``
 — NOT a single global window, so packing 10 B documents keeps full
 scan parallelism. The deterministic order is (order_col, id) so
-re-runs bin identically.
+re-runs bin identically.  Since round 13 the partition LABEL is
+derived from the data itself (driver-sampled boundaries baked into a
+comparison expression) rather than ``spark_partition_id()`` after a
+range exchange — the two prefix traversals re-execute the labeling,
+and physical partition ids are not stable across re-executions once
+column pruning splits the exchange (see the inline comment for the
+measured failure).
 """
 
 from __future__ import annotations
@@ -53,41 +59,71 @@ def pack_sequences(
     tokens = F.col(token_col).cast("long")
     if truncate_to is not None:
         tokens = F.least(tokens, F.lit(int(truncate_to)))
-    # ONE range exchange establishes the global order across
-    # partitions (ascending key ranges land on ascending partition
-    # ids) — required for the prefix decomposition below; without it
-    # arbitrary input partitioning would interleave the order key
-    # across partitions and the carry would be wrong.
+    # The prefix decomposition needs every row labeled with an
+    # order-monotone partition id that means THE SAME THING in both
+    # traversals below (local prefix + per-partition totals).
     #
-    # The partition count is EXPLICIT on purpose (round-13 fix): with
-    # the count left implicit, AQE may coalesce the exchange, and
-    # coalescing happens in each CONSUMER's AQEShuffleRead — the two
-    # traversals below (local prefix + per-partition totals) re-execute
-    # this projection over their own reads, and when their coalesced
-    # layouts diverge, `spark_partition_id()` labels DIFFERENT
-    # partitionings and the carry join silently assigns wrong bins
-    # (caught by the 10M-doc composed-pipeline smoke: 247,098 bins
-    # where the closed form says 250,000; reproducible only at scale,
-    # where the two reads coalesce differently).  A user-specified
-    # partition count is exempt from AQE coalescing, so both reads see
-    # the identical layout.
+    # `spark_partition_id()` after repartitionByRange is NOT that
+    # (round-13 fix, caught by the 10M-doc composed-pipeline smoke:
+    # 247,098 bins where the closed form says 250,000, varying run to
+    # run): column pruning gives the two traversals DIFFERENT range
+    # exchanges (different output sets ⇒ not canonically equal ⇒
+    # ReuseExchange does not fire), each exchange samples its OWN
+    # boundaries (RangePartitioner seeds by RDD id), and on irregular
+    # inputs the boundaries diverge — the same row then carries
+    # different labels in the two traversals and the carry join
+    # assigns wrong bins.  Uniform unit-test inputs sampled identical
+    # boundaries by luck, which is why this only surfaced at scale.
+    #
+    # The label is therefore derived from the DATA: one bounded
+    # deterministic sample of (order, id) is collected ONCE driver-
+    # side, its quantiles become literal boundaries, and every row's
+    # label is the count of boundaries ≤ (order, id) — a pure
+    # expression that evaluates identically in every traversal, no
+    # matter how AQE lays out the physical partitions.  Boundary
+    # quality affects only balance, never correctness; ties on the
+    # order key are split by id, so even a single hot order value
+    # spreads across labels.
     n_parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    order_c, id_c = F.col(order), F.col(id_col)
+    n_rows = df.count()
+    boundaries: list = []
+    if n_rows > n_parts:
+        step = max(1, n_rows // (n_parts * 32))
+        sample = sorted(
+            (r["_o"], r["_i"])
+            for r in df.select(order_c.alias("_o"), id_c.alias("_i"))
+            .filter(F.pmod(F.xxhash64(id_c), F.lit(step)) == 0)
+            .collect()
+        )
+        if len(sample) > n_parts:
+            stride = len(sample) // n_parts
+            boundaries = [
+                sample[k * stride] for k in range(1, n_parts)
+            ]
+    if boundaries:
+        # plain comparison chain, NOT a higher-order filter over a
+        # literal array: a lambda capturing outer attributes trips
+        # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under column pruning
+        # through the window/aggregate branches (observed Spark 4.1);
+        # at ≤ n_parts-1 terms the flat sum is small anyway
+        row_key = F.struct(order_c.alias("o"), id_c.alias("i"))
+        lbl = sum(
+            (
+                row_key
+                >= F.struct(F.lit(o).alias("o"), F.lit(i).alias("i"))
+            ).cast("int")
+            for o, i in boundaries
+        )
+    else:
+        lbl = F.lit(0)
     base = (
-        df.repartitionByRange(n_parts, F.col(order), F.col(id_col))
+        df.withColumn("_pid", lbl)
+        .repartition(n_parts, F.col("_pid"))
         .withColumn("n_tokens", tokens)
-        .withColumn("_pid", F.spark_partition_id())
     )
-    # `_pid` must also mean the SAME partitioning across plan reuse:
-    # with spark.sql.exchange.reuse disabled the two traversals could
-    # sample different range boundaries — pin the labeling by
-    # materializing it once (round-4 advice).
-    reuse_ok = (
-        df.sparkSession.conf.get("spark.sql.exchange.reuse", "true") == "true"
-    )
-    if not reuse_ok:
-        base = base.persist()
 
     # phase 1: local exclusive prefix inside each partition
     w_loc = (

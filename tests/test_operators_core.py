@@ -761,8 +761,9 @@ def test_ngram_contamination_shuffle_join_parity(spark):
 
 def test_pack_sequences_without_exchange_reuse(spark):
     """With spark.sql.exchange.reuse disabled, pack_sequences must
-    materialize its partition labeling (round-4 advice) and still
-    match the sequential reference exactly."""
+    still match the sequential reference exactly — since round 13 the
+    partition labeling is a pure data-derived expression, so plan
+    reuse (or its absence) cannot change row→label assignment."""
     from curw_flo2d_data_manager_spark.operators.packing import pack_sequences
 
     rows = [(i, 10 + (i * 7) % 90) for i in range(200)]

@@ -171,13 +171,15 @@ def test_winnow_pairs_is_hash_join_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_pack_sequences_single_range_exchange(spark, sf_dir):
-    """Packing's global order costs ONE executed range exchange: the
-    totals branch consumes the same shuffle via AQE's ReusedExchange
-    (asserted on the executed plan — the static text shows the
-    exchange once per consumer), and the carry join is a broadcast
-    (partition-count rows), so no extra all-to-all shuffle rides on
-    the data path."""
+def test_pack_sequences_label_exchange_and_broadcast_carry(spark, sf_dir):
+    """Packing's global order rides a DATA-DERIVED label (driver-
+    sampled boundaries baked into the expression — round-13 fix: a
+    physical spark_partition_id after repartitionByRange meant
+    different partitionings in the two traversals once column pruning
+    stopped ReuseExchange from firing, and each exchange sampled its
+    own boundaries).  The plan therefore shows hash exchanges on the
+    label — NEVER a sampled rangepartitioning on the data path — and
+    the carry join is a broadcast (label-count rows)."""
     from curw_flo2d_data_manager_spark.operators.packing import pack_sequences
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -186,8 +188,8 @@ def test_pack_sequences_single_range_exchange(spark, sf_dir):
     packed = pack_sequences(docs, "doc_id", "n_chars", budget=2048)
     packed.collect()
     final = packed._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange rangepartitioning" in final
-    assert "ReusedExchange" in final, final
+    assert "Exchange rangepartitioning" not in final, final
+    assert "Exchange hashpartitioning(_pid" in final
     assert "BroadcastHashJoin" in final
 
 

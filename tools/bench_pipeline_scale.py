@@ -1,0 +1,353 @@
+"""Composed-pipeline scale smoke (round-12 verdict item 7): a real
+ingest is not one operator at a time — it runs
+
+    import (strip-html) → quality gates → lang-id → minhash-LSH dedup
+    → domain mixture → sequence packing
+
+as ONE job over the corpus.  This smoke runs exactly that at 10M docs
+with PLANTED structure so every stage's survivor count has a closed
+form, and reports end-to-end docs/s plus how many distinct corpus
+scans / tokenizations the composed plan paid.
+
+Planted layout (n docs, 10 per block; B = n/10 blocks):
+  r = id % 10
+  r == 0   → JUNK: 2 words — fails the word-count quality gate.
+  r == 1   → FOREIGN: 60 German marker words — passes quality,
+             lang-id says 'de', dropped by the lang filter.
+  r ∈ 2..5 → GOOD, content A(block): 10 common English marker words
+             + 50 block-unique words w{B}x{j} — the 4 docs are EXACT
+             duplicates of each other.
+  r ∈ 6..9 → GOOD, content B(block): same but v{B}x{j}.
+Every doc is wrapped in HTML (style/comment/script/entities) that the
+import strip must remove.  Cross-block/cross-group shingle Jaccard is
+exactly 8/108 ≈ 0.074 (only the 8 shingles inside the 10-word common
+prefix are shared) — far under the 0.5 verify threshold, so the LSH
+verify stage keeps EXACTLY the intra-group pairs no matter what the
+band hashes collide on.  Closed forms:
+  after quality+lang filter:  0.8·n docs
+  dedup survivors:            2 per block = n/5  (min-id of each
+                              group; survivor-id sum is Σ(20b+8))
+  source counts (source = 's'+id%3): exact per-residue-class counts
+  packed bins at budget 480:  survivors·60/480 (60 | 480 — no bin
+                              ever straddles, every bin is exactly
+                              480 tokens)
+
+Composed-plan shape (the point of the exercise):
+  * raw corpus scanned ONCE (the import job);
+  * cleaned corpus scanned ONCE: a single projection computes the
+    word array, and EVERY downstream signal (token count, quality
+    gates, lang-id, shingle hashes, minhash signature) derives from
+    that one array — tokenize once;
+  * the filtered projection persists (DISK_ONLY) and all later
+    stages (band join, CC, keep-one, mixture, packing) read the
+    cache — asserted by checking the downstream plans contain no
+    parquet FileScan.
+Stage logic mirrors the gated operators it composes
+(operators/markup.py strip via the import CLI,
+textstats.gopher_quality_flags word-count/mwl/dup gates fused over
+the shared word array, textstats.lang_id(tokenized=True),
+dedup.minhash_signature + the band-join shape of
+dedup.minhash_lsh_pairs with exact-Jaccard verification over hashed
+shingles, components.connected_components, textstats.domain_mixture,
+packing.pack_sequences).
+
+Prints one JSON line. Usage:
+python tools/bench_pipeline_scale.py [n_docs]   (default 10_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from curw_flo2d_data_manager_spark.operators.components import (
+    connected_components,
+)
+from curw_flo2d_data_manager_spark.operators.dedup import minhash_signature
+from curw_flo2d_data_manager_spark.operators.packing import pack_sequences
+from curw_flo2d_data_manager_spark.operators.textstats import (
+    domain_mixture,
+    lang_id,
+    words,
+)
+from curw_flo2d_data_manager_spark.session import get_spark
+
+COMMON = "the and of to is in that for it was"          # 10 en markers
+FOREIGN = " ".join(
+    ["der die das und ist nicht mit ein den von"] * 6    # 60 de markers
+)
+WORDS_GOOD = 60
+BUDGET = 480  # 8 docs per bin exactly
+NUM_HASHES = 16
+BANDS = 4
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    assert n % 10 == 0, "n must be a multiple of 10 (full blocks)"
+    blocks = n // 10
+
+    spark = get_spark(app_name="bench_pipeline_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = "/tmp/pipeline_scale"
+    shutil.rmtree(work, ignore_errors=True)
+    raw_dir = f"{work}/raw_jsonl"
+    clean_dir = f"{work}/clean.parquet"
+
+    # ---- stage 0 (untimed): generate the planted raw JSONL corpus
+    blockwords = (
+        "array_join(transform(sequence(1, 50),"
+        " j -> concat('{p}', CAST(id DIV 10 AS STRING), 'x', j)), ' ')"
+    )
+    content = f"""CASE
+      WHEN id % 10 = 0 THEN concat('junk w', CAST(id DIV 10 AS STRING))
+      WHEN id % 10 = 1 THEN '{FOREIGN}'
+      WHEN id % 10 < 6 THEN concat('{COMMON} ', {blockwords.format(p='w')})
+      ELSE concat('{COMMON} ', {blockwords.format(p='v')})
+    END"""
+    html = (
+        "concat('<html><head><style>p {color: red}</style>"
+        "<!-- gen --></head><body><p class=\"d\">', _content, "
+        "'</p><script>var a = \"<b>1</b>\";</script>"
+        "&nbsp;&amp;&#38;</body></html>')"
+    )
+    (
+        spark.range(n)
+        .withColumn("_content", F.expr(content))
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("id").alias("doc_id"),
+                    F.concat(F.lit("s"), (F.col("id") % 3)).alias("source"),
+                    F.expr(html).alias("text"),
+                )
+            )
+        )
+        .write.mode("overwrite").text(raw_dir)
+    )
+
+    # ---- stage 1 (timed): import + strip — ONE raw-corpus scan
+    from curw_flo2d_data_manager_spark.cli import main as cli_main
+
+    t0 = time.time()
+    cli_main([
+        "import-corpus", "--input", raw_dir, "--output", clean_dir,
+        "--schema", "doc_id long, source string, text string",
+        "--strip-html", "text",
+    ])
+    t_import = time.time() - t0
+
+    # ---- stage 2 (timed): the fused downstream job
+    t1 = time.time()
+    clean = spark.read.parquet(clean_dir)
+
+    w = words("text")
+    mwl = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ) / F.greatest(F.size(w), F.lit(1))
+    dup_frac = 1.0 - F.size(F.array_distinct(w)) / F.greatest(
+        F.size(w), F.lit(1)
+    )
+    # `w` appears in several output expressions; whole-stage codegen's
+    # subexpression elimination evaluates the tokenize ONCE per row
+    # (the regexp split is deterministic), so this single projection
+    # is the pipeline's one tokenization.
+    staged = clean.select(
+        "doc_id",
+        "source",
+        w.alias("_w"),
+        F.size(w).alias("n_tokens"),
+        lang_id(w, tokenized=True).alias("lang"),
+        mwl.alias("_mwl"),
+        dup_frac.alias("_dup"),
+    ).filter(
+        F.col("n_tokens").between(50, 100_000)
+        & F.col("_mwl").between(3.0, 10.0)
+        & (F.col("_dup") < 0.6)
+        & (F.col("lang") == "en")
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_w") - 2, F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_w", i, 3))),
+    )
+    proj = (
+        staged.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            sh.alias("_sh"),
+        )
+        .withColumn("_sig", minhash_signature(F.col("_sh"), NUM_HASHES))
+    )
+    from pyspark import StorageLevel
+
+    proj = proj.persist(StorageLevel.DISK_ONLY)
+    n_filtered = proj.count()  # materialize: last touch of the corpus
+
+    # band join (the minhash_lsh_pairs shape over the cached relation)
+    rows = NUM_HASHES // BANDS
+    banded = proj.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", F.slice(F.col("_sig"), b * rows + 1, rows)
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("_id", "_b.band_idx", "_b.band_hash")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b")
+        )
+        .distinct()
+    )
+    sh_sets = proj.select("doc_id", "_sh")
+    verified = (
+        cand.join(
+            sh_sets.select(
+                F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa")
+            ),
+            "id_a",
+        )
+        .join(
+            sh_sets.select(
+                F.col("doc_id").alias("id_b"), F.col("_sh").alias("_sb")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "_j",
+            F.size(F.array_intersect("_sa", "_sb"))
+            / F.size(F.array_union("_sa", "_sb")),
+        )
+        .filter(F.col("_j") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(verified)
+    keepers = comp.filter(F.col("id") == F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = proj.join(keepers, "doc_id", "left_semi").select(
+        "doc_id", "source", "n_tokens"
+    )
+    survivors = survivors.persist(StorageLevel.DISK_ONLY)
+
+    # downstream plans must read the cache, never the parquet again:
+    # in the physical plan every FileScan must sit INSIDE an
+    # InMemoryRelation (the cached-plan body that InMemoryTableScan
+    # prints); a genuine rescan shows up as a FileScan with no
+    # enclosing relation.
+    for frame, tag in ((verified, "pairs"), (survivors, "survivors")):
+        plan = frame._jdf.queryExecution().sparkPlan().toString()
+        n_file = plan.count("FileScan")
+        n_imr = plan.count("InMemoryRelation")
+        # each cached-relation body embeds at most one FileScan (and a
+        # relation cached over another cache embeds none), so more
+        # FileScans than relations == a scan outside any cache
+        assert "InMemoryTableScan" in plan and n_file <= n_imr, (
+            f"{tag} re-scans the corpus: {n_file} FileScans vs "
+            f"{n_imr} cached relations"
+        )
+
+    n_survivors = survivors.count()
+    id_sum = survivors.agg(F.sum("doc_id")).collect()[0][0]
+    mix = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in domain_mixture(
+            survivors, ["source"], token_count_col="n_tokens"
+        ).collect()
+    }
+    packed = pack_sequences(survivors, "doc_id", "n_tokens", budget=BUDGET)
+    bins = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("toks")
+    )
+    n_bins, min_toks, max_toks = bins.agg(
+        F.count(F.lit(1)), F.min("toks"), F.max("toks")
+    ).collect()[0]
+    t_pipeline = time.time() - t1
+
+    # ---- closed-form truth
+    exp_filtered = n * 8 // 10
+    exp_survivors = n // 5
+    b = blocks
+    cnt = {0: (b + 2) // 3, 1: (b + 1) // 3, 2: b // 3}  # b%3 class sizes
+    # survivor A of block b has source s((b+2)%3); survivor B s(b%3)
+    exp_src = {
+        "s0": cnt[1] + cnt[0],
+        "s1": cnt[2] + cnt[1],
+        "s2": cnt[0] + cnt[2],
+    }
+    exp_id_sum = 10 * b * (b - 1) + 8 * b
+    exp_bins = exp_survivors * WORDS_GOOD // BUDGET
+
+    ok = (
+        n_filtered == exp_filtered
+        and n_survivors == exp_survivors
+        and id_sum == exp_id_sum
+        and {k: v[0] for k, v in mix.items()} == exp_src
+        and {k: v[1] for k, v in mix.items()}
+        == {k: v * WORDS_GOOD for k, v in exp_src.items()}
+        and n_bins == exp_bins
+        and min_toks == BUDGET
+        and max_toks == BUDGET
+    )
+
+    elapsed = t_import + t_pipeline
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_scale",
+                "n_docs": n,
+                "value": round(elapsed, 2),
+                "unit": "sec",
+                "import_strip_s": round(t_import, 2),
+                "fused_downstream_s": round(t_pipeline, 2),
+                "docs_per_sec": int(n / elapsed),
+                "filtered": n_filtered,
+                "survivors": n_survivors,
+                "bins": int(n_bins),
+                "corpus_scans": {"raw": 1, "clean": 1, "tokenize": 1},
+                "exact": {
+                    "filtered": n_filtered == exp_filtered,
+                    "survivors": n_survivors == exp_survivors,
+                    "survivor_id_sum": id_sum == exp_id_sum,
+                    "mixture": {k: v[0] for k, v in mix.items()} == exp_src,
+                    "bins": bool(
+                        n_bins == exp_bins
+                        and min_toks == BUDGET
+                        and max_toks == BUDGET
+                    ),
+                },
+                "ok": bool(ok),
+            }
+        )
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    if not ok:
+        raise SystemExit("pipeline scale truth MISMATCH")
+
+
+if __name__ == "__main__":
+    main()
