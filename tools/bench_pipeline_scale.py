@@ -191,6 +191,7 @@ def main() -> None:
 
     proj = proj.persist(StorageLevel.DISK_ONLY)
     n_filtered = proj.count()  # materialize: last touch of the corpus
+    t_proj = time.time() - t1
 
     # band join (the minhash_lsh_pairs shape over the cached relation)
     rows = NUM_HASHES // BANDS
@@ -245,6 +246,7 @@ def main() -> None:
         .filter(F.col("_j") >= 0.5)
         .select("id_a", "id_b")
     )
+    t2 = time.time()
     comp = connected_components(verified)
     keepers = comp.filter(F.col("id") == F.col("component")).select(
         F.col("id").alias("doc_id")
@@ -272,6 +274,8 @@ def main() -> None:
         )
 
     n_survivors = survivors.count()
+    t_dedup = time.time() - t2
+    t3 = time.time()
     id_sum = survivors.agg(F.sum("doc_id")).collect()[0][0]
     mix = {
         r["source"]: (r["n_docs"], r["n_tokens"])
@@ -286,6 +290,7 @@ def main() -> None:
     n_bins, min_toks, max_toks = bins.agg(
         F.count(F.lit(1)), F.min("toks"), F.max("toks")
     ).collect()[0]
+    t_mix_pack = time.time() - t3
     t_pipeline = time.time() - t1
 
     # ---- closed-form truth
@@ -324,6 +329,11 @@ def main() -> None:
                 "unit": "sec",
                 "import_strip_s": round(t_import, 2),
                 "fused_downstream_s": round(t_pipeline, 2),
+                "stage_s": {
+                    "project_filter_sig": round(t_proj, 2),
+                    "lsh_cc_keepone": round(t_dedup, 2),
+                    "mixture_pack": round(t_mix_pack, 2),
+                },
                 "docs_per_sec": int(n / elapsed),
                 "filtered": n_filtered,
                 "survivors": n_survivors,
