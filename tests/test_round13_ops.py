@@ -173,6 +173,50 @@ class TestTrainBpeMerges:
         assert len({a + b for a, b in lat}) == 1000
 
 
+class TestPackLabelDeterminism:
+    def test_gapped_cached_input_matches_sequential_reference(self, spark):
+        """Regression for the round-13 mis-binning: gapped ids through
+        a semi-join + cached relation (the composed-pipeline shape
+        that exposed the spark_partition_id instability).  The
+        data-derived label must reproduce the sequential packing
+        exactly, twice in a row."""
+        from pyspark import StorageLevel
+        from pyspark.sql import functions as F
+
+        from curw_flo2d_data_manager_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        n = 100_000
+        proj = spark.range(n * 4).select(
+            (F.col("id") * 5 + 2).alias("doc_id"),
+            (10 + (F.col("id") * 7) % 90).alias("n_tok"),
+        )
+        keep = spark.range(n).select((F.col("id") * 20 + 2).alias("doc_id"))
+        surv = proj.join(keep, "doc_id", "left_semi").persist(
+            StorageLevel.DISK_ONLY
+        )
+        try:
+            assert surv.count() == n
+            rows = sorted(
+                (r["doc_id"], r["n_tok"])
+                for r in surv.select("doc_id", "n_tok").collect()
+            )
+            start, ref = 0, {}
+            for i, t in rows:
+                ref[i] = (start // 300, start)
+                start += t
+            for _ in range(2):
+                packed = pack_sequences(surv, "doc_id", "n_tok", budget=300)
+                got = {
+                    r["doc_id"]: (r["bin_id"], r["bin_offset"])
+                    for r in packed.collect()
+                }
+                assert got == ref
+        finally:
+            surv.unpersist()
+
+
 class TestDriverMemoryBounds:
     def test_small_host_not_overcommitted(self, monkeypatch):
         from curw_flo2d_data_manager_spark import session as sess

@@ -25,7 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from curw_flo2d_data_manager_spark.operators.markup import (
+    _AMP_FINAL_PAT,
     _ENTITY_STEPS,
+    _NUMREF_PAT,
     _REGEX_STEPS,
     strip_html,
 )
@@ -33,10 +35,23 @@ from curw_flo2d_data_manager_spark.session import get_spark
 
 
 def _py_strip(s: str) -> str:
+    """Plain-`re` replay of the FULL round-13 chain (regex strips,
+    named entities, numeric character references, final ampersand
+    pass, whitespace collapse) — mirrors tests/test_round12_ops.py."""
     for pat, rep in _REGEX_STEPS:
         s = re.sub(pat, rep, s)
     for lit, rep in _ENTITY_STEPS:
         s = s.replace(lit, rep)
+
+    def dec(m):
+        body = m.group(1)
+        n = int(body[1:], 16) if body[0] in "xX" else int(body)
+        if 1 <= n <= 0x10FFFF and not (0xD800 <= n <= 0xDFFF) and n != 38:
+            return chr(n)
+        return m.group(0)
+
+    s = re.sub(_NUMREF_PAT, dec, s)
+    s = re.sub(_AMP_FINAL_PAT, "&", s)
     return re.sub(r"\s+", " ", s).strip()
 
 
