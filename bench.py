@@ -391,6 +391,10 @@ def main() -> None:
         "text_js_divergence",
         "sim_sparse_cosine_prefix",
         "a_gini_orders",
+        # round-13 addition: packing's partition labeling was
+        # rewritten (data-derived boundaries) -- time its gate when
+        # the code changes and in the rotation thereafter
+        "f_pack_sequences",
     ]
     # Tiered extras (round-11 verdict item 3): the extras list grew
     # past 110 gates and re-ran IN FULL every round (~160 s) whether
@@ -411,6 +415,7 @@ def main() -> None:
         "sim_sparse_cosine",     # paired with the prefix gate (the
                                  # round-12 <8 s combined-cost bar is
                                  # judged on both in one extras tier)
+        "f_pack_sequences",      # data-derived partition labels
     ]
     import hashlib
 
