@@ -72,6 +72,55 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def shingle_hashes_from_word_hashes(hw: Column, n: int = 3) -> Column:
+    """Distinct 64-bit shingle hashes from an ALREADY-MATERIALIZED
+    per-word-hash array column (see :func:`with_shingle_hashes`).
+
+    Shingle hash at position i = ``xxhash64(hw[i], …, hw[i+n-1])`` —
+    pure long arithmetic, no per-position array slice or string
+    allocation (the round-13 cost decomposition measured the
+    ``concat_ws(slice(w, i, n))`` form at 30 s/1M docs — ~45% of the
+    composed-projection cost). ``try_element_at`` past the end yields
+    NULL, which Spark's hash expressions skip, so documents shorter
+    than ``n`` words hash their full word sequence as one shingle —
+    the same short-document convention as :func:`word_shingles`.
+    Identical word arrays give identical hash sets, so every
+    planted-copy / identical-set guarantee downstream (LSH bands,
+    threshold-1.0 Jaccard) is preserved; distinct-set Jaccard equals
+    string-shingle Jaccard up to 2^-64 hash collisions.
+    """
+    k = F.size(hw) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.xxhash64(*[F.try_element_at(hw, i + F.lit(j)) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def with_shingle_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "_sh",
+    n: int = 3,
+) -> DataFrame:
+    """Hashed word-n-gram shingles as ``array<long>`` ``out_col``.
+
+    TWO projections on purpose (the ``with_winnow_fingerprints``
+    lesson): the per-word hash array is materialized as its own
+    column and the shingle pass reads it — fused into one expression,
+    Catalyst would inline the word-hash ``transform`` into every
+    shingle position (O(words × positions) re-hashing). The hash
+    column is referenced ``n`` times per position, so CollapseProject
+    keeps the split (non-cheap, multiply-used reference).
+    """
+    tmp = f"_hw_{out_col}"
+    return (
+        df.withColumn(tmp, F.transform(words(text_col), lambda x: F.xxhash64(x)))
+        .withColumn(out_col, shingle_hashes_from_word_hashes(F.col(tmp), n))
+        .drop(tmp)
+    )
+
+
 # -------------------------------------------------------------- minhash
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """Array of ``num_hashes`` minhash values: for seed i, the minimum
@@ -130,10 +179,17 @@ def minhash_lsh_pairs(
     QueryExecutionListener for cluster-side monitoring.
     """
     rows = num_hashes // bands
-    sig_df = ensure_min_partitions(df).select(
-        F.col(id_col).alias("_id"),
-        word_shingles(text_col, shingle_n).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    # Hashed shingles (``with_shingle_hashes``): the signature fold and
+    # the exact-Jaccard verify both run over ``array<long>`` — no
+    # per-position string allocation, and planted/identical-set
+    # semantics are hash-function-independent (identical word arrays →
+    # identical hash sets → every band collides).
+    sig_df = with_shingle_hashes(
+        ensure_min_partitions(df).select(F.col(id_col).alias("_id"), text_col),
+        text_col, "_sh", shingle_n,
+    ).select("_id", "_sh").withColumn(
+        "_sig", minhash_signature(F.col("_sh"), num_hashes)
+    )
     # The signature/shingle relation feeds three plan branches (band
     # join + both verification joins); persist it once instead of
     # recomputing the shingling scan three times. Spills to disk at

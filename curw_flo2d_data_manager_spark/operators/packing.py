@@ -33,6 +33,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _session_shuffle_partitions(spark) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating platforms
+    where the conf holds a non-numeric value (e.g. ``'auto'`` under
+    AQE-managed partitioning) — falls back to the scheduler's default
+    parallelism; the value only influences label balance, never
+    correctness."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        return int(spark.sparkContext.defaultParallelism) or 200
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -40,6 +52,8 @@ def pack_sequences(
     budget: int,
     order_col: str | None = None,
     truncate_to: int | None = None,
+    max_label_parts: int = 64,
+    label_col: str | None = None,
 ) -> DataFrame:
     """Assign each document a packing ``bin_id`` and its token offset
     within the bin.
@@ -54,6 +68,19 @@ def pack_sequences(
     document's token count first (None = no cap; a single document
     longer than ``budget`` then overflows its bin, as in real
     pipelines where such docs are chunked upstream).
+
+    ``max_label_parts`` caps the prefix-decomposition label count
+    INDEPENDENTLY of ``spark.sql.shuffle.partitions`` (round-13 nit:
+    the per-row label expression is O(labels) struct compares, so a
+    2,000-partition session must not pay 2,000 terms per row — labels
+    need balance, not a 1:1 partition mapping; 64 labels keep the
+    carry broadcast at 64 rows and the per-row cost bounded while
+    still spreading the two window phases).
+
+    Rows whose ``order_col``/``id_col`` are NULL are packed FIRST
+    (label 0; NULLs sort first in Spark ascending order) — the
+    boundary sample skips them, and the label comparison coalesces
+    their incomparable struct keys to 0, so they are never dropped.
     """
     order = order_col or id_col
     tokens = F.col(token_col).cast("long")
@@ -84,18 +111,30 @@ def pack_sequences(
     # quality affects only balance, never correctness; ties on the
     # order key are split by id, so even a single hot order value
     # spreads across labels.
-    n_parts = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    n_parts = max(
+        1,
+        min(
+            _session_shuffle_partitions(df.sparkSession),
+            int(max_label_parts),
+        ),
     )
     order_c, id_c = F.col(order), F.col(id_col)
     n_rows = df.count()
     boundaries: list = []
     if n_rows > n_parts:
         step = max(1, n_rows // (n_parts * 32))
+        # NULL order/id rows are excluded from the sample (a NULL in
+        # the driver-side sorted() would raise TypeError); label
+        # monotonicity does not depend on which points are sampled,
+        # and NULL-keyed rows coalesce to label 0 below.
         sample = sorted(
             (r["_o"], r["_i"])
             for r in df.select(order_c.alias("_o"), id_c.alias("_i"))
-            .filter(F.pmod(F.xxhash64(id_c), F.lit(step)) == 0)
+            .filter(
+                order_c.isNotNull()
+                & id_c.isNotNull()
+                & (F.pmod(F.xxhash64(id_c), F.lit(step)) == 0)
+            )
             .collect()
         )
         if len(sample) > n_parts:
@@ -108,13 +147,19 @@ def pack_sequences(
         # literal array: a lambda capturing outer attributes trips
         # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under column pruning
         # through the window/aggregate branches (observed Spark 4.1);
-        # at ≤ n_parts-1 terms the flat sum is small anyway
+        # at ≤ n_parts-1 ≤ 63 terms the flat sum is small anyway.
+        # coalesce(…, 0): a NULL order/id makes the struct compare
+        # NULL — those rows must keep label 0 (NULLs sort first), not
+        # a NULL label that an equi-join on _pid would silently drop.
         row_key = F.struct(order_c.alias("o"), id_c.alias("i"))
         lbl = sum(
-            (
-                row_key
-                >= F.struct(F.lit(o).alias("o"), F.lit(i).alias("i"))
-            ).cast("int")
+            F.coalesce(
+                (
+                    row_key
+                    >= F.struct(F.lit(o).alias("o"), F.lit(i).alias("i"))
+                ).cast("int"),
+                F.lit(0),
+            )
             for o, i in boundaries
         )
     else:
@@ -147,11 +192,15 @@ def pack_sequences(
 
     out = local.join(F.broadcast(carry), "_pid")
     start = F.col("_local_prefix") + F.col("_carry")
-    return (
+    out = (
         out.withColumn("bin_id", F.floor(start / F.lit(int(budget))))
         .withColumn("bin_offset", start)
-        .drop("_pid", "_local_prefix", "_carry")
     )
+    if label_col is not None:
+        # diagnostics/tests: expose the internal prefix label so the
+        # max_label_parts bound is observable
+        out = out.withColumn(label_col, F.col("_pid"))
+    return out.drop("_pid", "_local_prefix", "_carry")
 
 
 def bin_stats(packed: DataFrame, budget: int) -> DataFrame:

@@ -574,7 +574,7 @@ def corpus_neardup_stream(
     from curw_flo2d_data_manager_spark.operators.dedup import (
         minhash_lsh_pairs,
         minhash_signature,
-        word_shingles,
+        with_shingle_hashes,
     )
 
     rows_per_band = num_hashes // bands
@@ -586,9 +586,15 @@ def corpus_neardup_stream(
         # persists (inside minhash_lsh_pairs), never intermediates a
         # co-resident operator tracked in the shared session ledger.
         cache_base = cache_mark()
-        sig = batch_df.withColumn(
-            "_sig", minhash_signature(word_shingles(text_col, shingle_n), num_hashes)
-        ).persist()
+        # hashed shingles — MUST stay construction-identical to
+        # minhash_lsh_pairs' signature path: the cross-batch band
+        # ledger compares these signatures against within-batch ones.
+        sig = (
+            with_shingle_hashes(batch_df, text_col, "_shh", shingle_n)
+            .withColumn("_sig", minhash_signature(F.col("_shh"), num_hashes))
+            .drop("_shh")
+            .persist()
+        )
         banded = sig.select(
             F.col(id_col).alias("_bid"),
             "_sig",

@@ -70,7 +70,10 @@ from pyspark.sql import functions as F
 from curw_flo2d_data_manager_spark.operators.components import (
     connected_components,
 )
-from curw_flo2d_data_manager_spark.operators.dedup import minhash_signature
+from curw_flo2d_data_manager_spark.operators.dedup import (
+    minhash_signature,
+    shingle_hashes_from_word_hashes,
+)
 from curw_flo2d_data_manager_spark.operators.packing import pack_sequences
 from curw_flo2d_data_manager_spark.operators.textstats import (
     domain_mixture,
@@ -163,7 +166,7 @@ def main() -> None:
     staged = clean.select(
         "doc_id",
         "source",
-        w.alias("_w"),
+        F.transform(w, lambda x: F.xxhash64(x)).alias("_hw"),
         F.size(w).alias("n_tokens"),
         lang_id(w, tokenized=True).alias("lang"),
         mwl.alias("_mwl"),
@@ -174,16 +177,16 @@ def main() -> None:
         & (F.col("_dup") < 0.6)
         & (F.col("lang") == "en")
     )
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("_w") - 2, F.lit(1))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_w", i, 3))),
-    )
+    # shingle hashes from the MATERIALIZED per-word-hash column (the
+    # round-14 form — no per-position slice/concat_ws allocation);
+    # separate projection so CollapseProject can't inline `_hw`'s
+    # transform into every shingle position.
     proj = (
         staged.select(
             "doc_id",
             "source",
             "n_tokens",
-            sh.alias("_sh"),
+            shingle_hashes_from_word_hashes(F.col("_hw"), 3).alias("_sh"),
         )
         .withColumn("_sig", minhash_signature(F.col("_sh"), NUM_HASHES))
     )
