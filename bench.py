@@ -441,9 +441,25 @@ def main() -> None:
         "ran": len(extra_sel),
         "skipped": len(EXTRA) - len(extra_sel),
     }
+    def _bracket_trusted(lo: int, hi: int) -> bool:
+        """Both checkpoints around a pass read quiet (see the probe
+        block above) — shared by the extras and headline tiers."""
+        return (
+            max(probes[lo], probes[hi]) <= TRUST_FACTOR * PROBE_REF_S
+            and max(par_probes[lo], par_probes[hi])
+            <= TRUST_FACTOR_PAR * PROBE_PAR_REF_S
+        )
+
+    # Extras now get the SAME trusted-pass protocol as the headline
+    # (round-13 verdict item 5: a sub-second extras bar evaluated on a
+    # fixed-2-pass raw number flips with ambient noise — the r13 ApSS
+    # bar read 5.90 s on the builder's quiet window and 8.01 s on the
+    # driver's).  Extras pass i runs between checkpoints i and i+1;
+    # if NO extras pass is quiet-bracketed, up to one extra pass is
+    # added before falling back (extras_loaded_window: true).
     extra_runs: list[dict[str, float]] = []
     extra_cpu_runs: list[dict[str, float]] = []
-    for _ in range(extras_passes):
+    while True:
         wall: dict[str, float] = {}
         cpu: dict[str, float] = {}
         for name in extra_sel:
@@ -452,6 +468,13 @@ def main() -> None:
         extra_runs.append(wall)
         extra_cpu_runs.append(cpu)
         _checkpoint()
+        done = len(extra_runs)
+        if done >= extras_passes:
+            any_trusted = any(
+                _bracket_trusted(i, i + 1) for i in range(done)
+            )
+            if any_trusted or done >= extras_passes + 1:
+                break
     extra = {
         name: min(r[name] for r in extra_runs) for name in extra_runs[0]
     }
@@ -512,12 +535,7 @@ def main() -> None:
     ]
 
     def _pass_trusted(i: int) -> bool:
-        lo, hi = hl_base + i, hl_base + i + 1
-        return (
-            max(probes[lo], probes[hi]) <= TRUST_FACTOR * PROBE_REF_S
-            and max(par_probes[lo], par_probes[hi])
-            <= TRUST_FACTOR_PAR * PROBE_PAR_REF_S
-        )
+        return _bracket_trusted(hl_base + i, hl_base + i + 1)
 
     trusted = [i for i in range(len(runs)) if _pass_trusted(i)]
     loaded_window = not trusted
@@ -581,9 +599,31 @@ def main() -> None:
     # parsed:null. The printed line now carries the 31 headline queries
     # (~1 KB, spec-required) plus extra_total only; the full per-extra
     # timings live in BENCH_local.json.
+    # Extras trusted-pass selection (round-13 verdict item 5): same
+    # estimator as the headline — per-gate mins over quiet-bracketed
+    # extras passes, rescaled once by the run-wide serial probe min.
+    # Sub-second per-gate bars (ApSS <8 s combined) are evaluated on
+    # these normalized per-gate figures, not the raw fixed-pass mins.
+    extras_trusted = [
+        i for i in range(len(extra_runs)) if _bracket_trusted(i, i + 1)
+    ]
+    extras_loaded_window = not extras_trusted
+    esel = extras_trusted or list(range(len(extra_runs)))
+    extra_norm_gates = {
+        name: round(
+            min(extra_runs[i][name] for i in esel) * PROBE_REF_S / probe_s,
+            3,
+        )
+        for name in (extra_runs[0] if extra_runs else {})
+    }
     if extra:
         out["extra_total"] = round(sum(extra.values()), 3)
         out["extra_total_normalized"] = min(extra_norm)
+        out["extra_total_trusted_normalized"] = round(
+            sum(extra_norm_gates.values()), 3
+        )
+        out["extras_loaded_window"] = extras_loaded_window
+        out["extras_trusted_passes"] = len(extras_trusted)
         # tier note (round-11 verdict item 3): which extras ran this
         # bench — changed-code gates + the rotating third; kept short
         # so the printed line stays within the driver's tail capture.
@@ -594,6 +634,7 @@ def main() -> None:
         }
     full = dict(out)
     full["extra_norm_passes"] = extra_norm
+    full["extra_queries_normalized"] = extra_norm_gates
     full["queries_cpu"] = qmin_cpu
     full["extra_queries_cpu"] = extra_cpu
     if extra:

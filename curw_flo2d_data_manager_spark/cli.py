@@ -1836,8 +1836,13 @@ def cmd_corpus_stats(args) -> None:
         # the per-doc counts join back on id_col: duplicate ids would
         # silently attach the COMBINED count to every duplicate row,
         # inflating n_tokens (round-12 advice) — fail loudly instead.
-        n_rows = df.count()
-        n_ids = df.select(args.id_col).distinct().count()
+        # ONE corpus scan for both numbers (round-13 advice: the
+        # separate count()/distinct().count() pair scanned twice).
+        guard = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(args.id_col)).alias("d"),
+        ).collect()[0]
+        n_rows, n_ids = guard["n"], guard["d"]
         if n_rows != n_ids:
             raise SystemExit(
                 f"--bpe requires unique {args.id_col!r}: {n_rows} rows "

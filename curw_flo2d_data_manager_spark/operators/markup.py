@@ -28,7 +28,11 @@ avoid backreferences and lookaround, which RE2 lacks):
    last keeps escaped text like ``&amp;lt;`` from turning into
    markup; numeric references to the ampersand get the same
    last-pass treatment so a decode can never create a new decodable
-   sequence.  References that are out of Unicode range, surrogates,
+   sequence.  The ampersand forms follow the SAME case and length
+   rules as the rest of the chain: ``&amp;`` is case-sensitive like
+   every other named entity, and the zero-padded numeric spellings
+   are bounded to the ≤8-digit budget (``&AMP;`` or a 9+-digit
+   padded form passes through verbatim).  References that are out of Unicode range, surrogates,
    ``&#0;``, or longer than 8 digits pass through verbatim
    (documented: the HTML spec maps these to U+FFFD; we keep the
    source text instead — deterministically, on both engines).
@@ -79,8 +83,13 @@ _ENTITY_STEPS: list[tuple[str, str]] = [
 _NUMREF_PAT = r"&#([0-9]{1,8}|[xX][0-9a-fA-F]{1,8});"
 
 # The final ampersand pass: &amp; plus every numeric spelling of '&'
-# (decimal 38 / hex 26, any leading zeros the bounded pattern allows).
-_AMP_FINAL_PAT = r"(?i)&amp;|&#0*38;|&#[xX]0*26;"
+# the bounded reference pattern defers here — decimal 38 / hex 26
+# with leading zeros up to the same ≤8-digit budget as _NUMREF_PAT.
+# Case-SENSITIVE like every other named entity (round-14: the old
+# ``(?i)`` made '&AMP;' the only case-insensitive entity, and ``0*``
+# decoded >8-digit zero-padded forms that the numeric stage documents
+# as pass-through-verbatim).
+_AMP_FINAL_PAT = r"&amp;|&#0{0,6}38;|&#[xX]0{0,6}26;"
 
 _MAX_CODEPOINT = 0x10FFFF
 _SURR_LO, _SURR_HI = 0xD800, 0xDFFF
@@ -130,15 +139,28 @@ def _decode_numeric_refs(c: Column) -> Column:
 
 
 def strip_html(col: Column | str) -> Column:
-    """Rendered-text projection of an HTML string column."""
+    """Rendered-text projection of an HTML string column.
+
+    Two lazy-CASE fast paths (round-14): rows without ``<`` skip all
+    four tag/comment/script regex passes, and rows without ``&``
+    after stripping skip the whole entity/numeric/ampersand chain —
+    a clean document pays two ``contains`` probes plus the final
+    whitespace collapse. Pure short-circuits: every skipped stage is
+    a no-op on its gated input, so output is byte-identical to the
+    ungated chain (pinned against the plain-``re`` replay in
+    tests/tools)."""
     c = F.col(col) if isinstance(col, str) else col
+    s = c
     for pat, rep in _REGEX_STEPS:
-        c = F.regexp_replace(c, pat, rep)
+        s = F.regexp_replace(s, pat, rep)
+    stripped = F.when(c.contains("<"), s).otherwise(c)
+    e = stripped
     for lit, rep in _ENTITY_STEPS:
-        c = F.replace(c, F.lit(lit), F.lit(rep))
-    c = _decode_numeric_refs(c)
-    c = F.regexp_replace(c, _AMP_FINAL_PAT, "&")
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+        e = F.replace(e, F.lit(lit), F.lit(rep))
+    e = _decode_numeric_refs(e)
+    e = F.regexp_replace(e, _AMP_FINAL_PAT, "&")
+    decoded = F.when(stripped.contains("&"), e).otherwise(stripped)
+    return F.trim(F.regexp_replace(decoded, r"\s+", " "))
 
 
 def strip_html_pre_sql(expr: str) -> str:
@@ -149,6 +171,8 @@ def strip_html_pre_sql(expr: str) -> str:
     for pat, rep in _REGEX_STEPS:
         p = pat.replace("'", "''")
         s = f"regexp_replace({s}, '{p}', '{rep}', 'g')"
+    # same lazy tag gate as the Spark side (pure short-circuit)
+    s = f"(CASE WHEN contains({expr}, '<') THEN {s} ELSE {expr} END)"
     for lit, rep in _ENTITY_STEPS:
         rl = rep.replace("'", "''")
         s = f"replace({s}, '{lit}', '{rl}')"

@@ -34,9 +34,13 @@ def _default_driver_memory() -> str:
     fixed large default over-commits small hosts (round-11 advice).
     Policy: ~1/4 of MemTotal, clamped to [2g, 24g] and never above
     MemTotal-2 GiB (round-12 advice: the old 8g floor over-committed
-    hosts with < 8 GiB); 8g only when detection fails (no
-    /proc/meminfo — e.g. macOS).  The SPARK_DRIVER_MEMORY env var
-    overrides unconditionally.
+    hosts with < 8 GiB).  The headroom cap WINS over the 2g floor
+    (round-13 advice: on a sub-4-GiB host the floor used to
+    over-commit — now such hosts get MemTotal-2 GiB, minimum 1g, and
+    accept degraded Spark performance instead of an OOM-prone
+    driver).  8g only when detection fails (no /proc/meminfo — e.g.
+    macOS).  The SPARK_DRIVER_MEMORY env var overrides
+    unconditionally.
     """
     total_gib = 0
     try:
@@ -49,7 +53,11 @@ def _default_driver_memory() -> str:
         pass
     if total_gib <= 0:
         return "8g"
-    return f"{min(24, max(2, min(total_gib - 2, total_gib // 4)))}g"
+    headroom = total_gib - 2
+    if headroom < 2:
+        # sub-4-GiB host: the cap beats the floor (never over-commit)
+        return f"{max(1, headroom)}g"
+    return f"{min(24, max(2, min(headroom, total_gib // 4)))}g"
 
 
 def get_spark(

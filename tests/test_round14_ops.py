@@ -253,3 +253,21 @@ def test_session_shuffle_partitions_tolerates_non_numeric(spark):
 
     assert _session_shuffle_partitions(_Fake()) == 12
     assert _session_shuffle_partitions(spark) >= 1
+
+
+def test_tiny_host_cap_beats_floor(monkeypatch):
+    """ADVICE r13: on a 3-GiB host the MemTotal-2GiB cap must win over
+    the 2g floor (1g, not 2g)."""
+    from curw_flo2d_data_manager_spark import session as sess
+
+    real_open = open
+
+    def fake_meminfo(path, *a, **k):
+        if path == "/proc/meminfo":
+            import io
+
+            return io.StringIO("MemTotal:        3145728 kB\n")
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr("builtins.open", fake_meminfo)
+    assert sess._default_driver_memory() == "1g"

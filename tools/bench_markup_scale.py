@@ -84,15 +84,32 @@ def _py_wrapped(i: int) -> str:
     )
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+def _clean_expr():
+    """The common case at crawl scale: documents that carry NO markup
+    and NO entities at all — they must ride the round-14 lazy-CASE
+    fast paths (two contains probes + whitespace collapse)."""
+    return F.concat(
+        F.lit("payload text "),
+        F.md5(F.col("id").cast("string")),
+        F.lit("  with plain   words and  numbers "),
+        (F.col("id") % 9973).cast("string"),
+        F.lit(" tail"),
+    )
 
-    spark = get_spark(app_name="bench_markup_scale")
-    spark.sparkContext.setLogLevel("ERROR")
 
-    docs = spark.range(n).select("id", _wrapped_expr().alias("html"))
+def _py_clean(i: int) -> str:
+    import hashlib
+
+    h = hashlib.md5(str(i).encode()).hexdigest()
+    return (
+        f"payload text {h}  with plain   words and  numbers "
+        f"{i % 9973} tail"
+    )
+
+
+def _run_arm(spark, n, expr):
+    docs = spark.range(n).select("id", expr.alias("html"))
     in_bytes = docs.agg(F.sum(F.length("html"))).collect()[0][0]
-
     t0 = time.time()
     out = docs.select("id", strip_html("html").alias("text"))
     agg = out.agg(
@@ -101,15 +118,31 @@ def main() -> None:
         F.sum(F.crc32(F.col("text").cast("binary"))).alias("sig"),
     ).collect()[0]
     elapsed = time.time() - t0
-
     sample = {
         r["id"]: r["text"]
         for r in out.filter(F.col("id") % (n // 200) == 0).collect()
     }
+    return in_bytes, elapsed, agg, sample
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+
+    spark = get_spark(app_name="bench_markup_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    in_bytes, elapsed, agg, sample = _run_arm(spark, n, _wrapped_expr())
     ok = agg["docs"] == n and len(sample) == 200
     for i, got in sample.items():
         ok &= got == _py_strip(_py_wrapped(i))
 
+    # clean-doc arm: same chain, entity/tag-free rows
+    cb, ce, cagg, csample = _run_arm(spark, n, _clean_expr())
+    cok = cagg["docs"] == n and len(csample) == 200
+    for i, got in csample.items():
+        cok &= got == _py_strip(_py_clean(i))
+
+    ok = bool(ok and cok)
     print(
         json.dumps(
             {
@@ -120,8 +153,11 @@ def main() -> None:
                 "unit": "sec",
                 "docs_per_sec": int(n / elapsed),
                 "mb_per_sec": round(in_bytes / 1e6 / elapsed, 1),
+                "clean_docs_per_sec": int(n / ce),
+                "clean_mb_per_sec": round(cb / 1e6 / ce, 1),
+                "clean_over_wrapped": round(elapsed / ce, 2),
                 "sampled_rows_exact": bool(ok),
-                "ok": bool(ok),
+                "ok": ok,
             }
         )
     )

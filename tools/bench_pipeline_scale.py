@@ -64,6 +64,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
@@ -92,8 +93,50 @@ NUM_HASHES = 16
 BANDS = 4
 
 
+def _build_merges_file(path: str, common_words: list[str]) -> None:
+    """Public-format merges file: prefix merges that fully fuse every
+    COMMON word (so en-marker words encode to 1 piece), padded with
+    the deterministic letter-lattice to 32,768 lines so the encode
+    routes through the Arrow hash-set path (>EXPR_VOCAB_LIMIT).
+    Lattice tokens are pure a-z letters, and the planted blockwords
+    ('w<block>x<j>') never have two adjacent letters — so blockword
+    piece count == len(word), keeping the subword totals closed-form.
+    """
+    from train_bpe_merges import synthetic_lattice
+
+    lines: list[str] = []
+    for w in common_words:
+        for i in range(1, len(w)):
+            lines.append(f"{w[:i]} {w[i]}")
+    for a, b in synthetic_lattice(40_000):
+        if len(lines) >= 32_768:
+            break
+        lines.append(f"{a} {b}")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("#version: pipeline-scale closed-form fixture\n")
+        fh.write("\n".join(lines) + "\n")
+
+
+def _py_pieces(word: str, vset: frozenset, maxlen: int, max_steps: int) -> int:
+    """Plain-Python greedy reference (engine horizon + residue rule —
+    mirrors tools/bench_bpe_merges_scale._pieces)."""
+    pos, cnt = 0, 0
+    n = len(word)
+    while pos < n and cnt < max_steps:
+        step = 1
+        for ln in range(min(maxlen, n - pos), 1, -1):
+            if word[pos:pos + ln] in vset:
+                step = ln
+                break
+        pos += step
+        cnt += 1
+    return cnt + (n - pos)
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    args = [a for a in sys.argv[1:] if a != "--bpe"]
+    use_bpe = "--bpe" in sys.argv[1:]
+    n = int(args[0]) if args else 10_000_000
     assert n % 10 == 0, "n must be a multiple of 10 (full blocks)"
     blocks = n // 10
 
@@ -322,7 +365,123 @@ def main() -> None:
         and max_toks == BUDGET
     )
 
-    elapsed = t_import + t_pipeline
+    # ---- optional stage 3 (timed): real-tokenizer budgeting (--bpe)
+    # Mixture AND packing re-budgeted in SUBWORD tokens from a
+    # 32,768-entry merges file (Arrow hash-set encoder). The word
+    # stream for the budget is one additional semi-joined scan of the
+    # cleaned corpus (corpus_scans.clean becomes 2) — the cache
+    # carries hashes, not words, by design. Truth is closed-form:
+    # COMMON-word pieces come from the plain-Python greedy reference
+    # over the same vocab, blockword pieces are exactly len(word)
+    # (no vocab token contains a digit, and blockwords never have two
+    # adjacent letters), and the packing is replayed exactly by a
+    # sequential Python simulation over the known survivor order.
+    bpe_out: dict = {}
+    if use_bpe:
+        from curw_flo2d_data_manager_spark.operators.bpe import (
+            MAX_STEPS,
+            bpe_token_counts,
+            load_merges,
+        )
+
+        BPE_BUDGET = 4096
+        t4 = time.time()
+        merges_path = f"{work}/merges_32k.txt"
+        common_words = COMMON.split()
+        _build_merges_file(merges_path, common_words)
+        vocab = load_merges(merges_path)
+        assert len(vocab) >= 32_768
+        vset = frozenset(vocab)
+        maxlen = max(len(t) for t in vocab)
+
+        surv_text = clean.join(keepers, "doc_id", "left_semi")
+        counts = bpe_token_counts(
+            surv_text, id_col="doc_id", text_col="text", vocab=vocab
+        ).select("doc_id", "n_bpe_tokens")
+        surv_bpe = survivors.join(counts, "doc_id").persist(
+            StorageLevel.DISK_ONLY
+        )
+        mix_bpe = {
+            r["source"]: (r["n_docs"], r["n_tokens"])
+            for r in domain_mixture(
+                surv_bpe, ["source"], token_count_col="n_bpe_tokens"
+            ).collect()
+        }
+        packed_bpe = pack_sequences(
+            surv_bpe, "doc_id", "n_bpe_tokens", budget=BPE_BUDGET
+        )
+        bins_bpe = packed_bpe.groupBy("bin_id").agg(
+            F.sum("n_bpe_tokens").alias("toks")
+        )
+        nb, mn, mx, tot = bins_bpe.agg(
+            F.count(F.lit(1)), F.min("toks"), F.max("toks"), F.sum("toks")
+        ).collect()[0]
+        t_bpe = time.time() - t4
+
+        # closed-form replay (sequential, exact)
+        c_common = sum(
+            _py_pieces(w, vset, maxlen, MAX_STEPS) for w in common_words
+        )
+        digits_sum_j = sum(len(str(j)) for j in range(1, 51))  # 91
+        exp_src_tok = {"s0": 0, "s1": 0, "s2": 0}
+        sim_bins: dict[int, int] = {}
+        start = 0
+        exp_total = 0
+        for b in range(blocks):
+            t_doc = c_common + 50 * (2 + len(str(b))) + digits_sum_j
+            for doc_id in (10 * b + 2, 10 * b + 6):
+                exp_src_tok[f"s{doc_id % 3}"] += t_doc
+                sim_bins[start // BPE_BUDGET] = (
+                    sim_bins.get(start // BPE_BUDGET, 0) + t_doc
+                )
+                start += t_doc
+                exp_total += t_doc
+
+        # 50-doc bit-equality vs the Python greedy reference
+        sample_ids = [
+            (10 * (k * (blocks // 50) % blocks) + (2 if k % 2 else 6))
+            for k in range(50)
+        ]
+        got_counts = {
+            r["doc_id"]: r["n_bpe_tokens"]
+            for r in surv_bpe.filter(
+                F.col("doc_id").isin(sample_ids)
+            ).collect()
+        }
+        sample_ok = True
+        for did in sample_ids:
+            b = did // 10
+            p = "w" if did % 10 < 6 else "v"
+            text = COMMON + " " + " ".join(
+                f"{p}{b}x{j}" for j in range(1, 51)
+            )
+            exp = sum(
+                _py_pieces(w, vset, maxlen, MAX_STEPS)
+                for w in text.split()
+            )
+            sample_ok &= got_counts.get(did) == exp
+
+        bpe_exact = {
+            "subword_total": int(tot) == exp_total,
+            "mixture_tokens": {k: v[1] for k, v in mix_bpe.items()}
+            == exp_src_tok,
+            "mixture_docs": {k: v[0] for k, v in mix_bpe.items()} == exp_src,
+            "bins": int(nb) == len(sim_bins)
+            and int(mn) == min(sim_bins.values())
+            and int(mx) == max(sim_bins.values()),
+            "sampled_docs_bit_equal": bool(sample_ok),
+        }
+        ok = ok and all(bpe_exact.values())
+        bpe_out = {
+            "bpe_budget_s": round(t_bpe, 2),
+            "bpe_budget": BPE_BUDGET,
+            "bpe_bins": int(nb),
+            "bpe_total_tokens": int(tot),
+            "bpe_vocab": len(vocab),
+            "bpe_exact": bpe_exact,
+        }
+
+    elapsed = t_import + t_pipeline + bpe_out.get("bpe_budget_s", 0.0)
     print(
         json.dumps(
             {
@@ -341,7 +500,12 @@ def main() -> None:
                 "filtered": n_filtered,
                 "survivors": n_survivors,
                 "bins": int(n_bins),
-                "corpus_scans": {"raw": 1, "clean": 1, "tokenize": 1},
+                "corpus_scans": {
+                    "raw": 1,
+                    "clean": 2 if use_bpe else 1,
+                    "tokenize": 1,
+                },
+                **bpe_out,
                 "exact": {
                     "filtered": n_filtered == exp_filtered,
                     "survivors": n_survivors == exp_survivors,
