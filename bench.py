@@ -395,6 +395,13 @@ def main() -> None:
         # rewritten (data-derived boundaries) -- time its gate when
         # the code changes and in the rotation thereafter
         "f_pack_sequences",
+        # round-14 additions: the four growth gates over this round's
+        # operator rewrites (lang regexp_count, hashed shingles,
+        # NULL-order packing, markup fast paths)
+        "text_lang_scores",
+        "dedup_shingle_hashes",
+        "f_pack_null_order",
+        "text_strip_clean",
     ]
     # Tiered extras (round-11 verdict item 3): the extras list grew
     # past 110 gates and re-ran IN FULL every round (~160 s) whether
@@ -408,14 +415,18 @@ def main() -> None:
     # round — every gate gets a fresh timing at least every 3 rounds.
     # SPARK_GRAFT_BENCH_FULL_EXTRAS=1 restores the full list.
     CHANGED_THIS_ROUND = [
-        # round 13
-        "text_strip_html",       # numeric char refs + tag-start regex
-        "text_bpe_tokens",       # pandas-encoder horizon parity
-        "sim_sparse_cosine_prefix",  # md5 quarter-slice gate
-        "sim_sparse_cosine",     # paired with the prefix gate (the
-                                 # round-12 <8 s combined-cost bar is
-                                 # judged on both in one extras tier)
-        "f_pack_sequences",      # data-derived partition labels
+        # round 14
+        "text_lang_id",          # regexp_count lang scores
+        "text_lang_scores",      # new: raw multiplicities gate
+        "dedup_minhash_lsh",     # hashed shingles
+        "dedup_shingle_hashes",  # new: shingle-cardinality gate
+        "dedup_cluster_filter",  # composite over the hashed path
+        "f_pack_sequences",      # label cap + NULL-order handling
+        "f_pack_null_order",     # new: nullable-order packing gate
+        "text_strip_html",       # lazy '<'/'&' gates + bounded amp
+        "text_strip_clean",      # new: fast-path byte-identity gate
+        "sim_sparse_cosine_prefix",  # r13 <8 s combined bar — now
+        "sim_sparse_cosine",         # judged on the normalized figure
     ]
     import hashlib
 

@@ -100,7 +100,6 @@ def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Col
     # one array Literal node (functions/plan_literals.py; a python
     # list through F.lit would expand to |stopwords| element nodes)
     sw = lit_array(stopwords or EN_STOPWORDS)
-    hits = F.size(F.array_intersect(F.array_distinct(w), sw))
     matched = F.filter(w, lambda x: F.array_contains(sw, x))
     return F.size(matched) / F.greatest(F.size(w), F.lit(1))
 

@@ -14,41 +14,36 @@ lockstep with any registry reorder."""
 
 from curw_flo2d_data_manager_spark.queries import DRIVER_WINDOW, REGISTRY
 
-# Round-13 window: keys must sit at registry position < DRIVER_WINDOW.
+# Round-14 window: keys must sit at registry position < DRIVER_WINDOW.
 REQUIRED_IN_WINDOW = {
-    # (b) operator code touched in round 13 (growth frozen at ZERO new
-    # queries — the round finishes the driver-certification drain):
-    # markup numeric character references + tag-start regex fixes,
-    # BPE pandas-encoder horizon parity, the ApSS md5 quarter-slice
-    # gate and its full-corpus twin
-    "text_strip_html", "text_bpe_tokens",
-    "sim_sparse_cosine_prefix", "sim_sparse_cosine",
-    # (d) the ENTIRE remaining r6-certified cohort (20 — the queue the
-    # round-12 registry comment named "first in line for r13")
-    "q18_having_topk", "q10_returned_items", "q14_promo_share",
-    "q15_top_supplier", "q19_disjunctive", "s3_first_value_lookup",
-    "k1_fixed_width_render", "f6_sentinel_cleaning", "j5_semi_join",
-    "w2_elapsed_hours", "x11_series_hash_id", "dedup_fingerprint",
-    "dedup_ngram_jaccard", "text_lang_id", "text_top_bigrams",
-    "text_pii_redact", "s4_nearest_gauge_rain", "k4_rain_render",
-    "a_approx_distinct", "q4_exists_semi",
-    # (d) the 26 oldest r7-certified entries; w_ewma leads because its
-    # oracle was rewritten this round (blocked exact fold replay).
-    # The 16 r7 entries left for the r14 window: sim_pagerank,
-    # sim_semantic_dedup, stream_corpus_decontam, stream_corpus_quality,
-    # stream_resample_events, text_bigram_logprob, text_bm25_topk,
-    # text_ccnet_buckets, text_chunk_documents, text_dsir_weights,
-    # text_epoch_plan, text_frequent_terms, text_hash_classifier,
-    # w_hampel_despike, w_seasonal_baseline, w_winsorize.
-    "w_ewma", "a_approx_percentiles", "dedup_bloom_filter",
-    "dedup_contam_spans", "dedup_repeated_spans", "dedup_span_rebuild",
-    "dedup_winnow_pairs", "dedup_winnowing", "f_length_buckets",
-    "f_materialize_mixture", "f_pack_sequences", "f_split_assign",
-    "f_weighted_sample", "k2_outflow_render", "k8_start_date",
-    "mm_binary_meta", "p2_timdep_roundtrip", "q11_important_share",
-    "q20_heavy_suppliers", "q21_exclusive_failures", "q8_market_share",
-    "q9_product_profit", "s1_series_range_scan", "sim_cosine_dedup",
-    "sim_knn_graph", "sim_label_centroids", }
+    # (a) round-14 growth — gates over this round's operator rewrites
+    "text_lang_scores", "dedup_shingle_hashes", "f_pack_null_order",
+    "text_strip_clean",
+    # (b) operator code touched in round 14: lang_scores regexp_count
+    # form, minhash hashed shingles (incl. the streaming ledger and
+    # the cluster-filter composite), pack_sequences label cap + NULL
+    # handling, markup lazy gates + bounded ampersand pass
+    "text_lang_id", "dedup_minhash_lsh", "dedup_cluster_filter",
+    "stream_corpus_neardup", "f_pack_sequences", "text_strip_html",
+    # (d) the 16 remaining r7-certified entries — after this window
+    # the certification union holds nothing older than r10
+    "sim_pagerank", "sim_semantic_dedup", "stream_corpus_decontam",
+    "stream_corpus_quality", "stream_resample_events",
+    "text_bigram_logprob", "text_bm25_topk", "text_ccnet_buckets",
+    "text_chunk_documents", "text_dsir_weights", "text_epoch_plan",
+    "text_frequent_terms", "text_hash_classifier", "w_hampel_despike",
+    "w_seasonal_baseline", "w_winsorize",
+    # (d) the 15 r9-certified entries
+    "f_domain_cap", "f_quantile_norm", "j6_nearest_rank1", "j8_gap_fill",
+    "j_interval_overlap", "j_range_join", "sim_ivfpq", "sim_kmeans",
+    "sim_pq_adc", "sim_pq_rerank", "stream_cusum_drift",
+    "text_char_entropy", "w_hampel_user", "w_interp_user",
+    "w_linear_interp",
+    # (d) the 9 alphabetically-first r10-certified entries (the next
+    # drain cohort: 38 r10 entries remain for the r15 window)
+    "a_grouping_sets", "a_histogram", "a_histogram_equidepth",
+    "a_profile_columns", "a_rolling_actives", "a_salted_sum",
+    "dedup_containment", "dedup_fuzzy_names", "dedup_normalized", }
 
 
 def test_every_required_gate_is_inside_driver_window():

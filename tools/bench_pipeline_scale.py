@@ -66,6 +66,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from curw_flo2d_data_manager_spark.operators.components import (
@@ -257,6 +258,24 @@ def main() -> None:
             )
         ).alias("_b"),
     ).select("_id", "_b.band_idx", "_b.band_hash")
+    # The SAME hot-bucket cap as minhash_lsh_pairs (max_bucket_size,
+    # production default 2000). This is NOT an optimization knob: the
+    # all-shared-shingle band value collects one bucket whose size is
+    # O(corpus/2401-ish) — but the constant depends on where the
+    # REALIZED shared-shingle minima happen to land per seed, so an
+    # innocuous hash re-roll (round 14's per-word-hash shingles) can
+    # turn a 4-doc max bucket into a 0.3%-of-corpus bucket and a
+    # quadratic pair stream that fills the spill disk at 10M docs
+    # (observed: SPILL_OUT_OF_MEMORY, no space left on device).
+    # Planted clusters are 4 docs — never capped — and identical
+    # signatures collide in EVERY band, so dropping a hot band bucket
+    # cannot lose a planted pair; every closed form is unaffected.
+    w_bucket = Window.partitionBy("band_idx", "band_hash")
+    banded = (
+        banded.withColumn("_bn", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("_bn") <= 2000)
+        .drop("_bn")
+    )
     cand = (
         banded.alias("x")
         .join(

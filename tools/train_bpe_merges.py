@@ -187,6 +187,9 @@ def main() -> None:
                 have.add(pair[0] + pair[1])
     with open(args.out, "w", encoding="utf-8") as fh:
         fh.write("#version: 0.2\n")
+        # the learned/filler split is recorded IN the artifact so a
+        # reader can tell a genuinely-trained table from a padded one
+        fh.write(f"#learned: {trained}\n")
         for a, b in merges:
             fh.write(f"{a} {b}\n")
     print(
