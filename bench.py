@@ -230,6 +230,10 @@ def main() -> None:
     # for cross-round continuity.
     _probe(spark)
     _probe_par(spark)
+    # second parallel warmup: the first post-JIT parallel probe still
+    # reads ~15% high (measured 0.811 vs the 0.805 trust limit — a
+    # cold first checkpoint spuriously untrusts extras pass A)
+    _probe_par(spark)
 
     probes: list[float] = []
     par_probes: list[float] = []
@@ -480,12 +484,20 @@ def main() -> None:
         extra_cpu_runs.append(cpu)
         _checkpoint()
         done = len(extra_runs)
-        if done >= extras_passes:
-            any_trusted = any(
-                _bracket_trusted(i, i + 1) for i in range(done)
-            )
-            if any_trusted or done >= extras_passes + 1:
-                break
+        if done < extras_passes:
+            continue
+        if done >= extras_passes + 1:
+            break
+        any_trusted = any(_bracket_trusted(i, i + 1) for i in range(done))
+        if not any_trusted:
+            continue  # one retry pass hunting a quiet bracket
+        # same JIT-convergence rule as the headline: a sub-second
+        # per-gate bar must be read off a converged figure, so take
+        # one more pass while the last one still improved the best
+        # prior total by >2%
+        totals = [sum(r.values()) for r in extra_runs]
+        if totals[-1] > 0.98 * min(totals[:-1]):
+            break
     extra = {
         name: min(r[name] for r in extra_runs) for name in extra_runs[0]
     }
