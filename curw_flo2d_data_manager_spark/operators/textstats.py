@@ -16,7 +16,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from curw_flo2d_data_manager_spark.functions.exactmath import ln_ratio_det
-from curw_flo2d_data_manager_spark.functions.plan_literals import lit_array
 
 # High-frequency function-word marker lexicons for the stopword
 # language heuristic (drawn from public frequency lists — the usual
@@ -96,17 +95,31 @@ def punctuation_ratio(col: Column | str) -> Column:
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Stopword fraction of the normalized word stream — the same
+    anchored ``regexp_count`` form as :func:`lang_scores` (exact
+    word-equality multiplicities, no interpreted per-word HOF pass)."""
     w = words(col)
-    # one array Literal node (functions/plan_literals.py; a python
-    # list through F.lit would expand to |stopwords| element nodes)
-    sw = lit_array(stopwords or EN_STOPWORDS)
-    matched = F.filter(w, lambda x: F.array_contains(sw, x))
-    return F.size(matched) / F.greatest(F.size(w), F.lit(1))
+    padded = F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
+    hits = F.regexp_count(
+        padded, F.lit(_marker_count_pattern(stopwords or EN_STOPWORDS))
+    )
+    return hits / F.greatest(F.size(w), F.lit(1))
 
 
 def mean_word_length(col: Column | str) -> Column:
+    """Mean normalized-word length WITHOUT the per-word aggregate
+    fold: ``normalize_text`` output is trimmed and single-spaced, so
+    the total word length is exactly ``length(norm) - (n_words - 1)``
+    — one length() instead of an interpreted HOF pass (the fold
+    measured ~2.9 s/1M docs in the round-13 composed-projection
+    decomposition; identical values, pinned in tests)."""
+    n = normalize_text(col)
     w = words(col)
-    total = F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    # empty → 0; NULL text propagates NULL (length(NULL) is NULL),
+    # exactly like the old fold did under ANSI
+    total = F.when(n == "", F.lit(0)).otherwise(
+        F.length(n) - (F.size(w) - F.lit(1))
+    ).cast("long")
     return total / F.greatest(F.size(w), F.lit(1))
 
 

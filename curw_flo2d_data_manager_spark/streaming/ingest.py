@@ -534,6 +534,7 @@ def corpus_neardup_stream(
     threshold: float = 0.5,
     checkpoint: str | None = None,
     available_now: bool = False,
+    max_bucket_size: int | None = 2000,
 ):
     """File-arrival corpus ingest with INCREMENTAL NEAR-duplicate
     dedup — the fuzzy twin of ``corpus_dedup_stream``: instead of a
@@ -561,7 +562,16 @@ def corpus_neardup_stream(
     replay-idempotent, same exactly-once argument as the exact stream.
     Scale shape: band join shuffles (band_idx, band_hash) keys only;
     the signature join moves num_hashes longs per CANDIDATE, not per
-    document. Returns the started ``StreamingQuery``.
+    document. ``max_bucket_size`` applies minhash_lsh_pairs' hot-bucket
+    cap to the LEDGER side of the cross-batch probe: the
+    all-shared-shingle band value accumulates one unbounded bucket
+    over the stream's lifetime, and batch×history candidates from it
+    grow quadratically in stream length (the round-14 lesson — bucket
+    size is one hash realization away from pathological; the cap is a
+    cost invariant, not tuning). Identical-set duplicates collide in
+    EVERY band, so a capped bucket cannot hide an exact near-copy
+    unless all ``bands`` of its band values are simultaneously hot.
+    Returns the started ``StreamingQuery``.
     """
     import os
 
@@ -630,6 +640,17 @@ def corpus_neardup_stream(
             hist_bands = bspark.read.parquet(
                 os.path.join(out_dir, "bands")
             ).filter(F.col("batch") != batch_id)
+            if max_bucket_size is not None:
+                from pyspark.sql import Window as _W
+
+                w_bucket = _W.partitionBy("band_idx", "band_hash")
+                hist_bands = (
+                    hist_bands.withColumn(
+                        "_bn", F.count(F.lit(1)).over(w_bucket)
+                    )
+                    .filter(F.col("_bn") <= max_bucket_size)
+                    .drop("_bn")
+                )
             hist_sigs = bspark.read.parquet(
                 os.path.join(out_dir, "sigs")
             ).filter(F.col("batch") != batch_id)

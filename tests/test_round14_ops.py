@@ -271,3 +271,59 @@ def test_tiny_host_cap_beats_floor(monkeypatch):
 
     monkeypatch.setattr("builtins.open", fake_meminfo)
     assert sess._default_driver_memory() == "1g"
+
+
+def test_mean_word_length_identity_no_fold(spark):
+    """Round-14: Σlen(words) == length(norm) - (n_words - 1) on the
+    single-spaced normalized string — the closed form must equal the
+    per-word fold exactly on every edge case."""
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        mean_word_length,
+        words,
+    )
+
+    rows = [
+        (1, "plain words here"),
+        (2, "  doubled   spaces\tand\ntabs  "),
+        (3, "punct!!! stripped??? here..."),
+        (4, "hyphen-ated stays one-word"),
+        (5, "的 是 了 cjk survives"),
+        (6, ""),
+        (7, "x"),
+        (8, None),
+        (9, "ALL CAPS 123 mixed99"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    w = words("text")
+    fold = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ) / F.greatest(F.size(w), F.lit(1))
+    bad = df.select(
+        F.sum(
+            F.when(mean_word_length("text").eqNullSafe(fold), 0).otherwise(1)
+        ).alias("b")
+    ).collect()[0].b
+    assert bad == 0
+
+
+def test_stopword_ratio_matches_hof_form(spark):
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        EN_STOPWORDS,
+        stopword_ratio,
+        words,
+    )
+    from curw_flo2d_data_manager_spark.functions.plan_literals import lit_array
+
+    rows = [(i, t) for i, (_, t) in enumerate(EDGE_TEXTS)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    w = words("text")
+    sw = lit_array(EN_STOPWORDS)
+    old = F.size(F.filter(w, lambda x: F.array_contains(sw, x))) / F.greatest(
+        F.size(w), F.lit(1)
+    )
+    bad = df.select(
+        F.sum(
+            F.when(stopword_ratio("text").eqNullSafe(old), 0).otherwise(1)
+        ).alias("b")
+    ).collect()[0].b
+    assert bad == 0

@@ -197,9 +197,15 @@ def main() -> None:
     clean = spark.read.parquet(clean_dir)
 
     w = words("text")
-    mwl = F.aggregate(
-        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    ) / F.greatest(F.size(w), F.lit(1))
+    # mean word length from the single-spaced normalized string (the
+    # round-14 textstats.mean_word_length identity) — no HOF fold
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        normalize_text,
+    )
+    _norm = normalize_text("text")
+    mwl = F.when(
+        F.size(w) > 0, F.length(_norm) - (F.size(w) - F.lit(1))
+    ).otherwise(F.lit(0)).cast("long") / F.greatest(F.size(w), F.lit(1))
     dup_frac = 1.0 - F.size(F.array_distinct(w)) / F.greatest(
         F.size(w), F.lit(1)
     )
