@@ -431,6 +431,12 @@ def main() -> None:
         "text_strip_clean",      # new: fast-path byte-identity gate
         "sim_sparse_cosine_prefix",  # r13 <8 s combined bar — now
         "sim_sparse_cosine",         # judged on the normalized figure
+        # also touched this round but not listed here: text_quality /
+        # text_lang_id / dedup_minhash_lsh (HEADLINE queries — timed
+        # on every run already) and stream_corpus_quality /
+        # stream_corpus_neardup (replay-machinery noise dominates a
+        # wall-clock gate; the every-round FULL oracle sweep is their
+        # regression backstop).
     ]
     import hashlib
 
