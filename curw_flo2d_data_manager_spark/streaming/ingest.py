@@ -641,15 +641,25 @@ def corpus_neardup_stream(
                 os.path.join(out_dir, "bands")
             ).filter(F.col("batch") != batch_id)
             if max_bucket_size is not None:
-                from pyspark.sql import Window as _W
-
-                w_bucket = _W.partitionBy("band_idx", "band_hash")
-                hist_bands = (
-                    hist_bands.withColumn(
-                        "_bn", F.count(F.lit(1)).over(w_bucket)
-                    )
-                    .filter(F.col("_bn") <= max_bucket_size)
-                    .drop("_bn")
+                # Exclude over-cap buckets via aggregate + broadcast
+                # anti-join rather than a window count: the window
+                # shuffles and sorts the FULL history rows every
+                # batch, while the aggregate moves only (band_idx,
+                # band_hash) keys with map-side combine and the
+                # overflow list is tiny (the handful of all-shared-
+                # minima mega-buckets) — the O(ledger) term stays a
+                # plain scan instead of a sort shuffle as the stream's
+                # history grows. Same rows excluded either way.
+                over_cap = (
+                    hist_bands.groupBy("band_idx", "band_hash")
+                    .agg(F.count(F.lit(1)).alias("_bn"))
+                    .filter(F.col("_bn") > max_bucket_size)
+                    .select("band_idx", "band_hash")
+                )
+                hist_bands = hist_bands.join(
+                    F.broadcast(over_cap),
+                    ["band_idx", "band_hash"],
+                    "left_anti",
                 )
             hist_sigs = bspark.read.parquet(
                 os.path.join(out_dir, "sigs")
