@@ -19,8 +19,9 @@ plan.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import _parse_datatype_string
 
 
 def lit_array(values, dtype=None) -> Column:
@@ -41,3 +42,37 @@ def lit_cube(cubes, dtype="float64") -> Column:
     array<array<array<…>>>: m·(ksub+1)+1 plan nodes instead of
     m·ksub·dsub."""
     return F.array(*[lit_matrix(m, dtype=dtype) for m in cubes])
+
+
+def literal_rows_df(spark: SparkSession, rows, ddl_schema: str) -> DataFrame:
+    """Small constant-rows DataFrame as a pure JVM literal plan.
+
+    ``spark.createDataFrame(small_list, ...)`` routes every constant
+    block through ``applySchemaToPythonRDD`` — a Python-RDD scan with
+    UnknownPartitioning that breaks whole-stage codegen at the union
+    and costs ~0.3 s of fixed overhead PER BLOCK in a timed query
+    (measured round 14: the OUTFLOW render's two constant blocks were
+    0.95 s of its 1.43 s wall). Building the same rows as
+    ``inline(array(struct(...)))`` over ``spark.range(1)`` keeps the
+    whole thing a codegen'd JVM projection.
+
+    ``rows`` is a sequence of tuples of plain-Python constants (None
+    allowed); ``ddl_schema`` the usual DDL string, e.g.
+    ``"block_rank int, intra_rank long, line string"``. Intended for
+    header/footer/sentinel blocks of at most a few hundred rows — a
+    large list belongs in a real relation, not the plan.
+    """
+    schema = _parse_datatype_string(ddl_schema)
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for v, f in zip(row, schema.fields)
+            ]
+        )
+        for row in rows
+    ]
+    # nullability note: a field whose literals are all non-NULL infers
+    # non-nullable (tighter than createDataFrame's all-nullable); that
+    # is accurate metadata and unions with nullable relations widen it
+    return spark.range(1).select(F.inline(F.array(*structs)))

@@ -227,6 +227,10 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
         r = find(x)
         comp_min[r] = min(comp_min.get(r, x), x)
     rows = [(x, comp_min[find(x)]) for x in parent]
+    # deliberately createDataFrame, NOT plan_literals.literal_rows_df:
+    # this fast path carries up to ~500k labels — a real (if small)
+    # relation; inlining it as plan literals would bloat the plan tree
+    # far past what the Python-RDD scan costs (round-14 audit).
     return edges.sparkSession.createDataFrame(
         rows, "_lid long, _lcomp long"
     )

@@ -12,6 +12,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from curw_flo2d_data_manager_spark.functions.plan_literals import (
+    literal_rows_df,
+)
 
 
 def global_row_number(
@@ -53,7 +56,8 @@ def global_row_number(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    off_df = df.sparkSession.createDataFrame(
+    off_df = literal_rows_df(
+        df.sparkSession,
         [(pid, off) for pid, off in offsets.items()],
         "_pid int, _offset long",
     )

@@ -15,6 +15,9 @@ from fractions import Fraction
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from curw_flo2d_data_manager_spark.functions.plan_literals import (
+    literal_rows_df,
+)
 from curw_flo2d_data_manager_spark.functions.exactmath import ln_ratio_det
 
 # High-frequency function-word marker lexicons for the stopword
@@ -1079,8 +1082,8 @@ def hash_classifier_score(
     if dim < 1:
         raise ValueError("weights must be non-empty")
     spark = df.sparkSession
-    wtab = spark.createDataFrame(
-        [(i, float(w)) for i, w in enumerate(weights)], "bucket int, w double"
+    wtab = literal_rows_df(
+        spark, [(i, float(w)) for i, w in enumerate(weights)], "bucket int, w double"
     )
     tf = (
         df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))

@@ -20,6 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from curw_flo2d_data_manager_spark.functions.plan_literals import (
+    literal_rows_df,
+)
 from curw_flo2d_data_manager_spark.functions.ids import series_hash_id
 from curw_flo2d_data_manager_spark.functions.timeutil import shift_tz
 
@@ -191,7 +194,7 @@ def run_metadata_record(
         "source_id bigint, variable_id bigint, sim_tag string, "
         "fgt string, metadata string, template_path string"
     )
-    return spark.createDataFrame(row, schema).withColumn(
+    return literal_rows_df(spark, row, schema).withColumn(
         "fgt", F.col("fgt").cast("timestamp")
     )
 

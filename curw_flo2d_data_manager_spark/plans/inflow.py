@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from curw_flo2d_data_manager_spark.functions.plan_literals import literal_rows_df
 from curw_flo2d_data_manager_spark.functions.timeutil import elapsed_hours
 from curw_flo2d_data_manager_spark.plans.models import get_model_spec
 
@@ -42,7 +43,8 @@ def inflow_lines(
     header_cell, c_cell = spec.require_inflow()  # flo2d_10 = rain-only
     spark = discharge_ts.sparkSession
 
-    header = spark.createDataFrame(
+    header = literal_rows_df(
+        spark,
         [
             (0, 0, "0" + str(header_cell).rjust(16)),
             (0, 1, "C" + "0".rjust(16) + str(c_cell).rjust(16)),
@@ -79,6 +81,6 @@ def inflow_lines(
             rows.append(
                 (2, i, "R" + str(cell).rjust(16) + str(val).rjust(16))
             )
-        tail = spark.createDataFrame(rows, "block_rank int, intra_rank long, line string")
+        tail = literal_rows_df(spark, rows, "block_rank int, intra_rank long, line string")
         out = out.unionByName(tail)
     return out

@@ -21,6 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from curw_flo2d_data_manager_spark.functions.plan_literals import (
+    literal_rows_df,
+)
 from curw_flo2d_data_manager_spark.sinks.upsert import merge_upsert
 
 GRID_SCHEMA = "Grid_ID int, X double, Y double"
@@ -47,8 +50,8 @@ def stations_from_cell_maps(
     reference's ``add_station`` loop as a broadcast join.
     """
     def _map_df(m: dict[str, str], kind: str) -> DataFrame:
-        return spark.createDataFrame(
-            [(int(k), v, kind) for k, v in m.items()], "cell int, name string, kind string"
+        return literal_rows_df(
+            spark, [(int(k), v, kind) for k, v in m.items()], "cell int, name string, kind string"
         )
 
     maps = _map_df(channel_map, "channel_cell_map")

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from curw_flo2d_data_manager_spark.functions.plan_literals import literal_rows_df
 from curw_flo2d_data_manager_spark.functions.timeutil import elapsed_hours
 from curw_flo2d_data_manager_spark.plans.models import (
     TIDE_GAP_SENTINEL,
@@ -49,14 +50,13 @@ def outflow_lines(
     k_cells, n_cells = spec.require_outflow()  # flo2d_10 = rain-only
     spark = tide_ts.sparkSession
 
-    k_rows = spark.createDataFrame(
-        [
-            (0, i, "K" + str(c).rjust(16))
-            for i, c in enumerate(k_cells)
-        ],
+    k_rows = literal_rows_df(
+        spark,
+        [(0, i, "K" + str(c).rjust(16)) for i, c in enumerate(k_cells)],
         "block_rank int, intra_rank long, line string",
     )
-    n_rows = spark.createDataFrame(
+    n_rows = literal_rows_df(
+        spark,
         [
             (i + 1, 0, "N" + str(c).rjust(16) + "1".rjust(16))
             for i, c in enumerate(n_cells)

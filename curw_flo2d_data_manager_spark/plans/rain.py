@@ -27,6 +27,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from curw_flo2d_data_manager_spark.functions.plan_literals import (
+    literal_rows_df,
+)
 from curw_flo2d_data_manager_spark.operators.cumulative import cumulative_fraction
 from curw_flo2d_data_manager_spark.operators.nearest import (
     euclidean_deg2,
@@ -50,7 +53,7 @@ def nearest_gauge_grid_ids(
     broadcast inside the rank-1 join. Returns one-row
     DataFrame(grid_id string).
     """
-    point = spark.createDataFrame([(float(lat), float(lon))], "lat double, lon double")
+    point = literal_rows_df(spark, [(float(lat), float(lon))], "lat double, lon double")
     nearest = nearest_neighbor_join(
         point,
         stations.select("station_id", "name", "latitude", "longitude"),
@@ -113,7 +116,7 @@ def rain_lines(
             "line"
         ),
     )
-    first_line = spark.createDataFrame(
-        [(0, 0, " 0             0 ")], "block_rank int, intra_rank long, line string"
+    first_line = literal_rows_df(
+        spark, [(0, 0, " 0             0 ")], "block_rank int, intra_rank long, line string"
     )
     return first_line.unionByName(total_line).unionByName(r_rows)

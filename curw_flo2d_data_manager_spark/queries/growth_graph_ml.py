@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+from curw_flo2d_data_manager_spark.functions.plan_literals import (
+    literal_rows_df,
+)
 from curw_flo2d_data_manager_spark.queries._shared import (  # noqa: E501
     DataFrame,
     F,
@@ -1064,7 +1067,8 @@ def stream_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # distinct sentinel keys so the two sentinels can't match each
     # other — both windows stay open past the replay and are filtered
-    sentinels = spark.createDataFrame(
+    sentinels = literal_rows_df(
+        spark,
         [
             ("sentinel_v", "view", -1),
             ("sentinel_p", "purchase", -2),
@@ -1883,7 +1887,8 @@ def stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("time"),
         "value",
     )
-    sentinel = spark.createDataFrame(
+    sentinel = literal_rows_df(
+        spark,
         [("zz_sentinel", "2024-06-01 00:00:00", 0.0)],
         "id string, time string, value double",
     ).select("id", F.col("time").cast("timestamp").alias("time"), "value")

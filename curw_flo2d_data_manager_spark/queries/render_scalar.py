@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+from curw_flo2d_data_manager_spark.functions.plan_literals import (
+    literal_rows_df,
+)
 from curw_flo2d_data_manager_spark.queries._shared import (  # noqa: E501
     DataFrame,
     F,
@@ -119,7 +122,8 @@ def k1_fixed_width_render(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("line"),
         )
     )
-    header = spark.createDataFrame(
+    header = literal_rows_df(
+        spark,
         [(0, 0, "C               0           41550"), (0, 1, "CONSTANT INFLOW")],
         "block_rank int, intra_rank long, line string",
     )
@@ -432,8 +436,8 @@ def p2_timdep_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from curw_flo2d_data_manager_spark.sources.timdep import parse_timdep
 
-    cells = spark.createDataFrame(
-        [(str(u + 500),) for u in range(8)], "cell_id string"
+    cells = literal_rows_df(
+        spark, [(str(u + 500),) for u in range(8)], "cell_id string"
     )
     out = parse_timdep(
         spark, path, base_time=base.strftime("%Y-%m-%d %H:%M:%S"), cells=cells

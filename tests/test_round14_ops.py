@@ -327,3 +327,29 @@ def test_stopword_ratio_matches_hof_form(spark):
         ).alias("b")
     ).collect()[0].b
     assert bad == 0
+
+
+def test_literal_rows_df_matches_createdataframe(spark):
+    """literal_rows_df must be row- and schema-identical to the
+    spark.createDataFrame it replaces (incl. None cells), while keeping
+    the plan a pure JVM projection — no Python-RDD scan."""
+    from curw_flo2d_data_manager_spark.functions.plan_literals import (
+        literal_rows_df,
+    )
+
+    rows = [
+        (0, 0, "K              268", None),
+        (1, 5, None, 2.5),
+        (2, -1, "x", -99999.0),
+    ]
+    ddl = "block_rank int, intra_rank long, line string, v double"
+    a = literal_rows_df(spark, rows, ddl)
+    b = spark.createDataFrame(rows, ddl)
+    # names+types identical; nullability is intentionally tighter
+    # (literal columns without NULLs infer non-nullable — accurate)
+    assert [(f.name, f.dataType) for f in a.schema.fields] == [
+        (f.name, f.dataType) for f in b.schema.fields
+    ]
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan and "PythonRDD" not in plan
