@@ -309,8 +309,19 @@ def simhash_near_pairs(
     """Near-duplicate pairs by SimHash banding: 4×16-bit bands — any
     pair within Hamming distance 3 shares at least one exact band
     (pigeonhole), so candidates come from 4 equi-joins, not a cross
-    join. Pairs are then verified with an exact popcount."""
-    sigs = simhash64(df, id_col, text_col)
+    join. Pairs are then verified with an exact popcount.
+
+    The signature relation is persisted (tracked — caller frees via
+    ``release_caches``) so the self-join's two traversals read the
+    16-byte-per-doc cache instead of each recomputing the signature
+    fold from the scan (the broadcast build side used to pay the
+    whole fold a second time; a SHUFFLE_HASH hint was A/B'd and
+    REJECTED — AQE did not reuse the two identical exchanges and the
+    hinted form ran 2.7× slower than broadcast at sf0.1).  A pair
+    colliding in several bands is kept only at its LOWEST colliding
+    band (a pure expression on the signature XOR), which replaces the
+    old dropDuplicates shuffle."""
+    sigs = _persist_tracked(simhash64(df, id_col, text_col))
     banded = sigs.select(
         F.col(id_col).alias("_id"),
         "simhash",
@@ -330,24 +341,31 @@ def simhash_near_pairs(
     ).select("_id", "simhash", "_band.band_idx", "_band.band_val")
 
     l, r = banded.alias("l"), banded.alias("r")
-    pairs = (
+    xor = F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    # lowest colliding band of the pair: band b collides iff the
+    # 16-bit slice of the XOR is zero; inside the join output at
+    # least the joined band collides, so the CASE always resolves to
+    # a member of the collision set and `band_idx == first` keeps
+    # exactly one copy of every qualifying pair.
+    first_band = (
+        F.when(xor.bitwiseAND(F.lit(0xFFFF)) == 0, F.lit(0))
+        .when(F.shiftright(xor, 16).bitwiseAND(F.lit(0xFFFF)) == 0, F.lit(1))
+        .when(F.shiftright(xor, 32).bitwiseAND(F.lit(0xFFFF)) == 0, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return (
         l.join(
             r,
             (F.col("l.band_idx") == F.col("r.band_idx"))
             & (F.col("l.band_val") == F.col("r.band_val"))
             & (F.col("l._id") < F.col("r._id")),
         )
+        .filter(F.col("l.band_idx") == first_band)
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.col("l.simhash").alias("sig_a"),
-            F.col("r.simhash").alias("sig_b"),
+            F.bit_count(xor).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -353,3 +353,58 @@ def test_literal_rows_df_matches_createdataframe(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" not in plan and "PythonRDD" not in plan
+
+
+def test_simhash_pairs_match_brute_force_and_dedupe_by_first_band(spark):
+    """simhash_near_pairs' first-matching-band predicate (which replaced
+    the dropDuplicates shuffle) must yield exactly the brute-force
+    popcount pair set — one row per qualifying pair even when the pair
+    collides in several bands — and the pairing plan must read the
+    signature from the tracked persist, not recompute the fold per
+    join side."""
+    import random
+
+    from curw_flo2d_data_manager_spark.operators.dedup import (
+        release_caches,
+        simhash64,
+        simhash_near_pairs,
+    )
+
+    random.seed(42)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(200):
+        base = [random.choice(vocab) for _ in range(30)]
+        rows.append((i, " ".join(base)))
+        if i % 3 == 0:  # verbatim copy: hamming 0, all 4 bands collide
+            rows.append((10_000 + i, " ".join(base)))
+        if i % 5 == 0:  # light mutation: small hamming, 1-3 bands
+            mut = list(base)
+            mut[0] = random.choice(vocab)
+            rows.append((20_000 + i, " ".join(mut)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pairs = simhash_near_pairs(df, "doc_id", max_hamming=3)
+    got = sorted((r.id_a, r.id_b, r.hamming) for r in pairs.collect())
+
+    sigs = simhash64(df, "doc_id")
+    a = sigs.select(F.col("doc_id").alias("ia"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("ib"), F.col("simhash").alias("sb"))
+    want = sorted(
+        (r.ia, r.ib, r.h)
+        for r in a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("h", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("h") <= 3)
+        .collect()
+    )
+    assert got == want
+    # multi-band collisions were actually exercised (verbatim copies
+    # collide in all 4 bands) and produced exactly one row each
+    keys = [(x[0], x[1]) for x in got]
+    assert len(keys) == len(set(keys))
+    assert any(h == 0 for _, _, h in got)
+    # plan gate: both self-join sides read the persisted signature
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
+    release_caches()
