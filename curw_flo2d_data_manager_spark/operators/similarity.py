@@ -1297,20 +1297,27 @@ def sq_bounds(
     row (columns ``lo`` / ``step`` as arrays). 2·dim partial
     aggregates in a single pass — no posexplode, so training the
     quantizer never shuffles dim× the corpus row count."""
-    v = F.col(vec_col).cast("array<double>")
+    # Expressions are generated as SQL strings and parsed JVM-side in
+    # TWO py4j calls: the old per-column Column construction (2·dim
+    # aggregates, each ~4 py4j round-trips, plus 2 dim-wide arrays)
+    # spent ~0.8 s of DRIVER Python time per invocation at dim=64 —
+    # guide §4's boundary cost shows up at expression-BUILD time too.
+    # The parsed trees are identical to the old API-built ones (same
+    # ops, same literals — `256.0D` is the double literal), so results
+    # are bit-identical.
+    v = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
     aggs = []
     for j in range(dim):
-        aggs.append(F.min(F.element_at(v, j + 1)).alias(f"_lo{j}"))
-        aggs.append(F.max(F.element_at(v, j + 1)).alias(f"_hi{j}"))
-    row = corpus.agg(*aggs)
-    lo = F.array(*[F.col(f"_lo{j}") for j in range(dim)])
-    step = F.array(
-        *[
-            (F.col(f"_hi{j}") - F.col(f"_lo{j}")) / F.lit(256.0)
-            for j in range(dim)
-        ]
+        aggs.append(f"min(element_at({v}, {j + 1})) AS _lo{j}")
+        aggs.append(f"max(element_at({v}, {j + 1})) AS _hi{j}")
+    row = corpus.selectExpr(*aggs)
+    lo = "array(" + ", ".join(f"_lo{j}" for j in range(dim)) + ") AS lo"
+    step = (
+        "array("
+        + ", ".join(f"(_hi{j} - _lo{j}) / 256.0D" for j in range(dim))
+        + ") AS step"
     )
-    return row.select(lo.alias("lo"), step.alias("step"))
+    return row.selectExpr(lo, step)
 
 
 def sq_assign(
@@ -1386,20 +1393,27 @@ def sq_adc_topk(
     # flat expression tree rides whole-stage codegen — measured 7.6 s
     # → ~2 s on a 100k×20 ADC batch, bit-identical (same left-assoc
     # fold order, so the oracle's generated term chain still matches).
-    def recon(j: int):
-        return F.element_at("lo", j) + (
-            (F.element_at("sq_code", j).cast("double") + F.lit(0.5))
-            * F.element_at("step", j)
+    # Built as ONE SQL string parsed JVM-side: the old per-term Column
+    # chain was ~1,500 py4j round-trips ≈ 1.8 s of driver Python per
+    # invocation at dim=64 (the parsed tree is identical — same ops,
+    # same left-assoc order, `0.5D` the double literal — so the ADC
+    # doubles are bit-identical and the oracle's term chain matches).
+    def recon(j: int) -> str:
+        return (
+            f"(element_at(lo, {j}) + "
+            f"((CAST(element_at(sq_code, {j}) AS DOUBLE) + 0.5D)"
+            f" * element_at(step, {j})))"
         )
 
-    def term(j: int):
-        return (F.element_at("_qv", j) - recon(j)) * (
-            F.element_at("_qv", j) - recon(j)
+    def term(j: int) -> str:
+        return (
+            f"((element_at(_qv, {j}) - {recon(j)})"
+            f" * (element_at(_qv, {j}) - {recon(j)}))"
         )
 
-    adc = F.lit(0.0)
-    for j in range(1, dim + 1):
-        adc = adc + term(j)
+    adc = F.expr(
+        "0.0D" + "".join(f" + {term(j)}" for j in range(1, dim + 1))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc"), F.asc("corpus_id")
     )
