@@ -63,6 +63,17 @@ def literal_rows_df(spark: SparkSession, rows, ddl_schema: str) -> DataFrame:
     large list belongs in a real relation, not the plan.
     """
     schema = _parse_datatype_string(ddl_schema)
+    if not rows:
+        # ``inline(array())`` cannot type an empty array — emit a
+        # typed ZERO-ROW projection over range(0) instead (same
+        # schema, still a pure JVM plan; hit by e.g. global row
+        # numbering of an empty relation)
+        return spark.range(0).select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
     structs = [
         F.struct(
             *[

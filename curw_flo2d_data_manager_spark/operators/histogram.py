@@ -14,8 +14,14 @@ loops (SURVEY §2.8); this is the distributed generalization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _any(conds: list[Column]) -> Column:
+    return reduce(lambda a, b: a | b, conds)
 
 
 def equi_width_histogram(
@@ -68,36 +74,79 @@ def equi_depth_histogram(
     of a long-tailed column puts 99% of rows in bin 0; equi-depth
     resolves the head at full granularity).
 
-    Pass 1 is ONE ``percentile`` aggregate producing the bins−1 edge
-    array (exact interpolated quantiles — the buffer is a value→count
-    map, so cost scales with distinct values; at extreme continuous
-    cardinality swap in ``approx_percentile`` the same way). Pass 2
-    broadcasts the edge array and assigns
-    ``bin = Σ 1[v > edge_i]`` as a codegen fold — O(bins) per row, no
-    shuffle until the final bins-cardinality count.
+    Pass 1 computes the bins−1 exact interpolated quantile edges as
+    PARALLEL order statistics: ``global_row_number`` over the sorted
+    values (range exchange — every stage as parallel as the shuffle),
+    filter to the ≤2(bins−1) rank-neighbor rows each edge needs, and
+    interpolate with ``lo·(1−d) + hi·d`` — bit-identical to the
+    ``percentile`` aggregate (formula pinned empirically against
+    ``F.percentile`` in tests; ``d = pos − floor(pos)``,
+    ``pos = frac·(n−1)``). The old one-``percentile``-aggregate form
+    merged a value→count map of EVERY distinct value in a single
+    final-merge task (guide §2.5: the one-task stage is the straggler
+    by construction) — at high continuous cardinality that merge is
+    the whole cost locally and a scale-killer at 100 TB. Pass 2
+    broadcasts the edge array and assigns ``bin = Σ 1[v > edge_i]``
+    as a flat codegen sum (no higher-order-function fold — guide
+    §4.1) — O(bins) per row, no shuffle until the final
+    bins-cardinality count.
 
     Returns one row per non-empty bin: (bin, n, lo, hi) with lo/hi the
     observed value range inside the bin. NULLs are excluded.
     """
+    from curw_flo2d_data_manager_spark.operators.rownum import (
+        global_row_number,
+    )
+
     v = F.col(value_col).cast("double")
-    fracs = F.array(
-        *[F.lit(i / bins) for i in range(1, bins)]
+    vals = df.filter(v.isNotNull()).select(v.alias("_v"))
+    n_rel = vals.agg(F.count(F.lit(1)).alias("_n"))
+    # ties carry identical _v, so the value AT a rank is well-defined
+    # whichever tied row receives it — no tiebreak column needed
+    ranked = global_row_number(vals, ["_v"], "_rn")
+    pos_d, lo_rk, hi_rk, d_frac = [], [], [], []
+    for i in range(1, bins):
+        pos = F.lit(i / bins) * (F.col("_n") - 1).cast("double")
+        pos_d.append(pos)
+        lo_rk.append(F.floor(pos) + 1)
+        hi_rk.append(F.ceil(pos) + 1)
+        d_frac.append(pos - F.floor(pos).cast("double"))
+    marked = ranked.crossJoin(F.broadcast(n_rel)).filter(
+        _any([(F.col("_rn") == r) for r in lo_rk + hi_rk])
     )
-    edges = df.filter(v.isNotNull()).agg(
-        F.percentile(v, fracs).alias("_edges")
+    one = marked.agg(
+        F.min("_n").alias("_n"),
+        *[
+            F.min(F.when(F.col("_rn") == lo_rk[j], F.col("_v"))).alias(
+                f"_lo{j}"
+            )
+            for j in range(bins - 1)
+        ],
+        *[
+            F.min(F.when(F.col("_rn") == hi_rk[j], F.col("_v"))).alias(
+                f"_hi{j}"
+            )
+            for j in range(bins - 1)
+        ],
     )
-    binned = (
-        df.filter(v.isNotNull())
-        .crossJoin(F.broadcast(edges))
-        .select(
-            v.alias("_v"),
-            F.aggregate(
-                F.col("_edges"),
-                F.lit(0),
-                lambda acc, e: acc
-                + F.when(v > e, F.lit(1)).otherwise(F.lit(0)),
-            ).alias("bin"),
-        )
+    edges = one.select(
+        F.array(
+            *[
+                F.col(f"_lo{j}") * (F.lit(1.0) - d_frac[j])
+                + F.col(f"_hi{j}") * d_frac[j]
+                for j in range(bins - 1)
+            ]
+        ).alias("_edges")
+    )
+    bin_expr = F.lit(0)
+    for j in range(1, bins):
+        bin_expr = bin_expr + F.when(
+            F.col("_v") > F.element_at("_edges", j), F.lit(1)
+        ).otherwise(F.lit(0))
+    # ranked is checkpoint-pinned by global_row_number — binning reads
+    # it instead of re-scanning the source (same value multiset)
+    binned = ranked.crossJoin(F.broadcast(edges)).select(
+        "_v", bin_expr.alias("bin")
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),

@@ -677,13 +677,27 @@ def g_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
     )
+    # symmetrize via ONE generator, not a self-union: a union's two
+    # branches are unshared subtrees, so the whole pair pipeline
+    # (scan -> collect_set -> explode -> groupBy) would compute TWICE
+    # (guide §2.4 — remove duplicated work outright). Identical edge
+    # multiset, so the integer fixed-point trace is bit-identical.
     edges = pairs.select(
-        F.col("s_a").alias("src"), F.col("s_b").alias("dst"), "w"
-    ).unionByName(
-        pairs.select(
-            F.col("s_b").alias("src"), F.col("s_a").alias("dst"), "w"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s_a").alias("src"),
+                    F.col("s_b").alias("dst"),
+                    F.col("w"),
+                ),
+                F.struct(
+                    F.col("s_b").alias("src"),
+                    F.col("s_a").alias("dst"),
+                    F.col("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
     pr = pagerank_fixed_point(edges, weight_col="w", iters=5)
     return pr.select(
         F.col("node").alias("supplier"), "rank_fp"

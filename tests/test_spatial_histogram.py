@@ -106,3 +106,64 @@ def test_equi_depth_histogram_balanced_bins_and_nulls(spark):
     )
     depth = {r.bin: r.n for r in equi_depth_histogram(tail, bins=4).collect()}
     assert max(depth.values()) <= 26  # ~25 per bin despite the outlier
+
+
+def test_equi_depth_histogram_bit_equal_to_percentile_form(spark):
+    """Round-14 rewrite pin: the parallel order-statistics edge pass
+    (global_row_number + lo*(1-d)+hi*d interpolation) must reproduce
+    the old single-merge ``F.percentile`` form BIT-exactly — the bins
+    only diverge if an edge differs in the last ulp AND a value sits
+    exactly on it, so the fixture plants integer values (interpolated
+    edges land exactly on data points), duplicates/ties, negatives,
+    and non-integral positions across several n and bins choices."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from curw_flo2d_data_manager_spark.operators.histogram import (
+        equi_depth_histogram,
+    )
+
+    random.seed(23)
+    cases = [
+        [float(i) for i in range(1, 10)],          # integral positions
+        [1.0, 1.0, 1.0, 2.0],                      # heavy ties
+        [-5.5, -1.25, 0.0, 0.0, 3.75, 100.0],      # negatives + dup
+        [7.125],                                   # single row
+        [round(random.uniform(-50, 50), 1) for _ in range(137)],
+        [float(random.randint(0, 9)) for _ in range(64)],  # dense ties
+    ]
+    for bins in (4, 8):
+        for vals in cases:
+            df = spark.createDataFrame([(x,) for x in vals], "value double")
+            v = F.col("value").cast("double")
+            fracs = F.array(*[F.lit(i / bins) for i in range(1, bins)])
+            edges = df.filter(v.isNotNull()).agg(
+                F.percentile(v, fracs).alias("_edges")
+            )
+            old = (
+                df.filter(v.isNotNull())
+                .crossJoin(F.broadcast(edges))
+                .select(
+                    v.alias("_v"),
+                    F.aggregate(
+                        F.col("_edges"),
+                        F.lit(0),
+                        lambda acc, e: acc
+                        + F.when(v > e, F.lit(1)).otherwise(F.lit(0)),
+                    ).alias("bin"),
+                )
+                .groupBy("bin")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("_v").alias("lo"),
+                    F.max("_v").alias("hi"),
+                )
+            )
+            got = equi_depth_histogram(df, bins=bins)
+            assert sorted(map(tuple, got.collect())) == sorted(
+                map(tuple, old.collect())
+            ), (bins, vals)
+    # empty input: no rows, no crash (exercises literal_rows_df([], ...))
+    empty = spark.createDataFrame([], "value double")
+    assert equi_depth_histogram(empty, bins=4).collect() == []
