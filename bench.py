@@ -431,6 +431,10 @@ def main() -> None:
         "text_strip_clean",      # new: fast-path byte-identity gate
         "sim_sparse_cosine_prefix",  # r13 <8 s combined bar — now
         "sim_sparse_cosine",         # judged on the normalized figure
+        # round-14 late-session optimization targets
+        "sim_sq_adc",            # SQL-string expression build
+        "g_pagerank_weighted",   # single-pass edge symmetrization
+        "a_histogram_equidepth",  # parallel order-statistics edges
         # also touched this round but not listed here: text_quality /
         # text_lang_id / dedup_minhash_lsh (HEADLINE queries — timed
         # on every run already) and stream_corpus_quality /

@@ -1597,16 +1597,49 @@ def pmi_bigrams(
     )
     from pyspark.sql import Window
 
-    w = df.select(F.explode(words(text_col)).alias("word"))
-    uni = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    n_uni = uni.agg(F.sum("c").alias("n_uni"))
-    bi_all = (
-        df.select(
-            F.explode(word_ngram_terms(text_col, 2)).alias("term")
+    # ONE tokenize pass and ONE shuffle for BOTH count relations
+    # (guide §2.4/§1.1): the old form ran words() twice (unigram
+    # explode + bigram terms — the regex normalize/split is the cost
+    # center) and shuffled twice. Tokens never contain spaces, so
+    # unigrams and bigram terms share one groupBy keyspace disjointly;
+    # a 1-word document's "bigram" (its bare word-join, the
+    # word_ngram_terms short-doc convention) is space-free and is
+    # dropped by the same contains-space test the old
+    # size(split)==2 filter applied. The combined counts relation is
+    # checkpointed because its five consumers (n_uni, n_bi, the
+    # min_count slice, two join arms) would otherwise push DIFFERENT
+    # term filters below the aggregate and defeat exchange reuse —
+    # tokenizing the corpus five times (the ApSS-postings lesson);
+    # only (term, count) rides the checkpoint, vocabulary-scale.
+    w_arr = F.col("_w")
+    grams = F.when(
+        F.size(w_arr) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.filter(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(w_arr) - 1, F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(w_arr, i, 2)),
+            ),
+            lambda t: t.contains(" "),
         )
-        .filter(F.size(F.split(F.col("term"), " ")) == 2)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    toks = df.select(words(text_col).alias("_w")).select(
+        F.explode(F.concat(w_arr, grams)).alias("term")
+    )
+    cnt = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    is_bi = F.col("term").contains(" ")
+    uni = cnt.filter(~is_bi).select(
+        F.col("term").alias("word"), "c"
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    bi_all = cnt.filter(is_bi).select(
+        "term", F.col("c").alias("c_xy")
     )
     # N_bi is the UNFILTERED bigram mass (P(x,y) denominator); the
     # min_count floor only prunes which collocations are scored
@@ -1726,13 +1759,23 @@ def domain_js_divergence(
         F.col(domain_col).alias("_dom"),
         F.explode(words(text_col)).alias("term"),
     )
-    cd = toks.groupBy("_dom", "term").agg(
-        F.count(F.lit(1)).alias("c_d")
+    # ONE tokenize pass and ONE token-scale shuffle (guide §2.3
+    # "aggregate before you shuffle" / §2.4): the corpus-term counts
+    # are EXACTLY the domain-term counts summed over domains (integer
+    # sums), so cc derives from cd instead of re-tokenizing; cd is
+    # checkpointed because its three consumers (nd, the cc subtree,
+    # the grid join) would otherwise each re-run tokenize+explode+agg.
+    # Only (domain, term, count) rides the checkpoint — vocab x
+    # domains scale, not the token stream.
+    cd = (
+        toks.groupBy("_dom", "term")
+        .agg(F.count(F.lit(1)).alias("c_d"))
+        .localCheckpoint(eager=True)
     )
     nd = cd.groupBy("_dom").agg(
         F.sum("c_d").alias("n_d"), F.count(F.lit(1)).alias("n_terms")
     )
-    cc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_c"))
+    cc = cd.groupBy("term").agg(F.sum("c_d").alias("c_c"))
     nc = cc.agg(F.sum("c_c").alias("n_c"))
 
     # vocab x domains expansion (domains broadcast), left join the
