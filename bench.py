@@ -435,6 +435,8 @@ def main() -> None:
         "sim_sq_adc",            # SQL-string expression build
         "g_pagerank_weighted",   # single-pass edge symmetrization
         "a_histogram_equidepth",  # parallel order-statistics edges
+        "text_pmi_bigrams",      # single-tokenize shared counts
+        "text_js_divergence",    # cc derived from cd, one tokenize
         # also touched this round but not listed here: text_quality /
         # text_lang_id / dedup_minhash_lsh (HEADLINE queries — timed
         # on every run already) and stream_corpus_quality /

@@ -1455,23 +1455,26 @@ def dedup_cluster_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (survivor = smallest id in cluster).
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = (
-        docs.unionByName(
-            docs.filter(F.col("doc_id") % 5 == 0).select(
-                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-            )
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 5 == 0).select(
-                (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
-            )
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 7 == 0).select(
-                (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
-            )
-        )
+    # plant the copies with ONE generator over ONE scan: the old
+    # 4-branch self-union re-scanned documents four times AND
+    # concatenated four 32-partition branches into a 128-partition
+    # corpus — every downstream pass over 8.4k rows then paid 128
+    # task schedulings (guide §2.4/§6: same rows, one scan, the
+    # scan's own partitioning). Identical corpus multiset.
+    empty = F.array().cast("array<bigint>")
+    ids = F.concat(
+        F.array(F.col("doc_id")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.array(
+                F.col("doc_id") + 1_000_000, F.col("doc_id") + 2_000_000
+            ),
+        ).otherwise(empty),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.array(F.col("doc_id") + 3_000_000)
+        ).otherwise(empty),
     )
+    corpus = docs.select(F.explode(ids).alias("doc_id"), "text")
     pairs = minhash_lsh_pairs(
         corpus, "doc_id", "text", num_hashes=16, bands=4, jaccard_threshold=1.0
     ).select("id_a", "id_b")

@@ -261,10 +261,22 @@ def dedup_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrower signature only cuts cold codegen + scan cost; operator
     defaults stay 32×8 for organic-similarity recall."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.unionByName(
-        docs.filter(F.col("doc_id") % 4 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-        )
+    # plant the copies with ONE generator over ONE scan (identical
+    # corpus multiset): the self-union form re-scanned documents twice
+    # and concatenated two 32-partition branches into a 64-partition
+    # corpus — doubled scan work plus doubled task count for every
+    # downstream pass (guide §2.4/§6)
+    corpus = docs.select(
+        F.explode(
+            F.concat(
+                F.array(F.col("doc_id")),
+                F.when(
+                    F.col("doc_id") % 4 == 0,
+                    F.array(F.col("doc_id") + 1_000_000),
+                ).otherwise(F.array().cast("array<bigint>")),
+            )
+        ).alias("doc_id"),
+        "text",
     )
     return (
         minhash_lsh_pairs(
@@ -308,10 +320,19 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     losing ANY planted pair — a banding or popcount bug — breaks the
     hash match)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.unionByName(
-        docs.filter(F.col("doc_id") % 4 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-        )
+    # single-generator corpus build — same rationale (and multiset)
+    # as dedup_minhash_lsh above
+    corpus = docs.select(
+        F.explode(
+            F.concat(
+                F.array(F.col("doc_id")),
+                F.when(
+                    F.col("doc_id") % 4 == 0,
+                    F.array(F.col("doc_id") + 1_000_000),
+                ).otherwise(F.array().cast("array<bigint>")),
+            )
+        ).alias("doc_id"),
+        "text",
     )
     return (
         simhash_near_pairs(corpus, "doc_id", "text", max_hamming=0)
