@@ -437,6 +437,11 @@ def main() -> None:
         "a_histogram_equidepth",  # parallel order-statistics edges
         "text_pmi_bigrams",      # single-tokenize shared counts
         "text_js_divergence",    # cc derived from cd, one tokenize
+        "dedup_cluster_filter",  # single-generator planted corpus
+        "sim_semantic_dedup",    # single-generator planted corpus
+        "sim_ivfpq",             # single-generator planted corpus
+        "dedup_passages",        # single-generator planted corpus
+        "dedup_suffix_prefix",   # single-generator planted corpus
         # also touched this round but not listed here: text_quality /
         # text_lang_id / dedup_minhash_lsh (HEADLINE queries — timed
         # on every run already) and stream_corpus_quality /

@@ -1106,15 +1106,26 @@ def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = emb.select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x.cast("double") * 1.2).alias(
-            "embedding"
-        ),
-    )
+    # single-generator planted corpus (identical multiset; one scan
+    # instead of the two-branch self-union)
     corpus = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
-    ).unionByName(planted)
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_id").alias("vec_id"),
+                    F.transform(
+                        "embedding", lambda x: x.cast("double")
+                    ).alias("embedding"),
+                ),
+                F.struct(
+                    (F.col("vec_id") + 1_000_000).alias("vec_id"),
+                    F.transform(
+                        "embedding", lambda x: x.cast("double") * 1.2
+                    ).alias("embedding"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.vec_id", "_e.embedding")
     pairs = hyperplane_lsh_pairs(corpus, cosine_threshold=0.999)
     return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
 
@@ -1324,10 +1335,18 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention summary a pipeline would filter on.
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.unionByName(
-        docs.filter(F.col("doc_id") % 4 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-        )
+    # single-generator planted corpus (identical multiset; one scan)
+    corpus = docs.select(
+        F.explode(
+            F.concat(
+                F.array(F.col("doc_id")),
+                F.when(
+                    F.col("doc_id") % 4 == 0,
+                    F.array(F.col("doc_id") + 1_000_000),
+                ).otherwise(F.array().cast("array<bigint>")),
+            )
+        ).alias("doc_id"),
+        "text",
     )
     p = passage_dedup(corpus, "doc_id", "text", passage_words=8)
     return (

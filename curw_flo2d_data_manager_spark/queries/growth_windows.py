@@ -1823,7 +1823,10 @@ def dedup_suffix_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from curw_flo2d_data_manager_spark.operators.textstats import words
 
     w = words(F.col("text"))
-    cont = docs.filter(F.size(w) >= 16).select(
+    # single-generator planted corpus (identical multiset; one scan +
+    # one tokenize for the continuation gate instead of a second
+    # scan-and-tokenize union branch)
+    cont_struct = F.struct(
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(
             F.concat_ws(" ", F.slice(w, -8, 8)),
@@ -1831,7 +1834,23 @@ def dedup_suffix_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"),
         ).alias("text"),
     )
-    corpus = docs.unionByName(cont)
+    corpus = docs.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("doc_id").alias("doc_id"),
+                        F.col("text").alias("text"),
+                    )
+                ),
+                F.when(F.size(w) >= 16, F.array(cont_struct)).otherwise(
+                    F.array().cast(
+                        "array<struct<doc_id:bigint,text:string>>"
+                    )
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.doc_id", "_e.text")
     out = suffix_prefix_pairs(corpus, id_col="doc_id", text_col="text", k=8)
     return out.select("prev_id", "next_id").orderBy("prev_id", "next_id")
 

@@ -269,13 +269,31 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from curw_flo2d_data_manager_spark.operators.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+    # single-generator planted corpus (identical multiset): the
+    # self-union re-scanned embeddings twice and doubled the branch
+    # partition count (guide §2.4/§6)
+    orig = F.struct(
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("embedding"),
+    )
+    copy = F.struct(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(2.0))
         .cast("array<float>")
         .alias("embedding"),
     )
-    corpus = emb.unionByName(copies)
+    corpus = emb.select(
+        F.explode(
+            F.concat(
+                F.array(orig),
+                F.when(F.col("vec_id") % 10 == 0, F.array(copy)).otherwise(
+                    F.array().cast(
+                        "array<struct<vec_id:bigint,embedding:array<float>>>"
+                    )
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.vec_id", "_e.embedding")
     dim = 64
     centroids = [
         [1.0 if j == i else 0.0 for j in range(dim)] for i in range(8)
@@ -907,10 +925,21 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from curw_flo2d_data_manager_spark.operators.caching import persist_tracked
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = emb.select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
-    )
-    corpus = emb.unionByName(planted)
+    # single-generator planted corpus (identical multiset; one scan)
+    corpus = emb.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_id").alias("vec_id"),
+                    F.col("embedding").alias("embedding"),
+                ),
+                F.struct(
+                    (F.col("vec_id") + 1_000_000).alias("vec_id"),
+                    F.col("embedding").alias("embedding"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.vec_id", "_e.embedding")
     assigned, centers = build_ivf_index(corpus, n_clusters=8)
     # materialize the assignment once (the batch recipe persists it
     # partitionBy(cluster); lazily it is recomputed/recompiled in all
