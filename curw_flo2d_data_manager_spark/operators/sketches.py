@@ -44,13 +44,18 @@ def countmin_build(
     term_col: str = "term",
     depth: int = 4,
     width: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the d×w sketch from a token stream (one row per token
-    occurrence). Returns (row, bucket, cnt) — at most depth·width rows.
+    occurrence), or — with ``weight_col`` — from a pre-aggregated
+    (term, count) relation, which yields the IDENTICAL sketch (cell
+    counts are sums over tokens, and summing per-term first commutes)
+    while hashing each DISTINCT term once instead of once per
+    occurrence. Returns (row, bucket, cnt) — at most depth·width rows.
 
     The stack of per-row bucket columns rides ONE explode (d rows per
-    token) into ONE hash aggregation; Catalyst's partial aggregation
-    keeps the shuffle at d·w rows per map partition."""
+    input row) into ONE hash aggregation; Catalyst's partial
+    aggregation keeps the shuffle at d·w rows per map partition."""
     term = F.col(term_col)
     pairs = tokens.select(
         F.explode(
@@ -61,11 +66,15 @@ def countmin_build(
                 )
                 for r in range(depth)
             ])
-        ).alias("rb")
+        ).alias("rb"),
+        *([F.col(weight_col).alias("_w")] if weight_col else []),
     )
+    agg = (
+        F.sum("_w").cast("long") if weight_col else F.count(F.lit(1))
+    ).alias("cnt")
     return pairs.groupBy(
         F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ).agg(agg)
 
 
 def countmin_estimate(

@@ -674,83 +674,64 @@ def epoch_plan(
 
 
 # --------------------------------------------- heavy hitters
-def _mg_merge(state: dict, batch_counts: dict, k: int) -> None:
-    """Merge a batch's exact counter into a Misra-Gries summary of at
-    most ``k`` entries (Agarwal et al., "Mergeable Summaries" — public
-    algorithm): add counts, then if over capacity subtract the
-    (size-k)-th largest value from everything and drop non-positives.
-    Undercounts each key by at most (total items seen)/k."""
-    for t, c in batch_counts.items():
-        state[t] = state.get(t, 0) + int(c)
-    if len(state) > k:
-        cut = sorted(state.values(), reverse=True)[k]
-        for t in list(state):
-            state[t] -= cut
-            if state[t] <= 0:
-                del state[t]
-
-
-def iter_mg_candidate_batches(batches, k: int):
-    """Per-partition Misra-Gries candidate generation, module-level so
-    the sketch is unit-testable in-process. Batch counting runs at
-    pandas C speed (value_counts); only the ≤k-entry summary merge is
-    Python."""
-    import pandas as pd
-
-    state: dict = {}
-    for pdf in batches:
-        _mg_merge(state, pdf["term"].value_counts().to_dict(), k)
-    yield pd.DataFrame({"term": list(state)})
-
-
 def frequent_terms(
     df: "DataFrame",
     text_col: str = "text",
     min_share: float = 0.001,
 ) -> "DataFrame":
     """All terms with corpus frequency ≥ ``min_share`` of total tokens,
-    with EXACT counts — the heavy-hitters query at shuffle cost
-    independent of vocabulary size.
+    with EXACT counts — the heavy-hitters query without ever shuffling
+    tail terms as strings.
 
-    Plan: (1) per-partition Misra-Gries summaries over the token
-    stream (Arrow-batched ``mapInPandas``, bounded memory, NO term
-    shuffle of the long tail — a plain explode+groupBy shuffles every
-    distinct term, which at web scale is billions of keys); the union
-    of summaries provably contains every term whose global count
-    exceeds N/k, so with ``k = 2·⌈1/min_share⌉`` all qualifying terms
-    are candidates. (2) One exact counting pass over the corpus
-    restricted to the broadcast candidate set, filtered by the true
-    threshold ⌈min_share·N⌉ — so the OUTPUT is exact and deterministic
-    (the sketch only decides candidacy, and false candidates are
+    Plan: (1) candidate generation by exact counts per 64-bit term
+    hash — one partial-aggregable groupBy of ``xxhash64(term)``, so
+    the shuffle carries 16-byte (hash, count) rows, never the term
+    strings, and the total token count falls out of the same relation
+    (``sum(hc)``) with no second corpus pass. A hash bucket's count is
+    ≥ every member term's count, so "bucket meets the threshold" is a
+    strict SUPERSET of "some member term meets it" — collisions can
+    only ADD candidates, never lose one, and at most
+    ``⌊1/min_share⌋`` buckets can qualify. (2) One exact counting pass
+    over the corpus restricted to the broadcast candidate buckets
+    (left-semi on the hash — a Bloom-exact pre-filter), filtered by
+    the true per-term threshold — so the OUTPUT is exact and
+    deterministic (candidacy only prunes, and false candidates are
     filtered by their exact counts). Returns (term, cnt).
     """
-    from pyspark.sql.types import StringType, StructField, StructType
-
-    import math
-
     if not 0.0 < min_share <= 1.0:
         raise ValueError(f"min_share {min_share} outside (0, 1]")
-    k = 2 * math.ceil(1.0 / min_share)
     from curw_flo2d_data_manager_spark.operators.caching import persist_tracked
 
-    # three consumers (sketch pass, total, exact count) — tokenize once
+    # two consumers (hash-count pass, exact count pass) — tokenize once
     toks = persist_tracked(
         df.select(F.explode(words(text_col)).alias("term"))
     )
-
-    def _cands(batches):
-        yield from iter_mg_candidate_batches(batches, k)
-
-    schema = StructType([StructField("term", StringType(), False)])
-    candidates = toks.mapInPandas(_cands, schema).distinct()
-    totals = toks.agg(F.count(F.lit(1)).alias("n_tok"))
+    # vocab-sized, 16 B/row; consumed by totals AND the candidate
+    # filter, so persist rather than re-aggregating the corpus
+    hcnt = persist_tracked(
+        toks.groupBy(F.xxhash64("term").alias("h"))
+        .agg(F.count(F.lit(1)).alias("hc"))
+    )
+    totals = hcnt.agg(F.sum("hc").alias("n_tok"))
     # Exact rational threshold: for integer cnt, cnt >= ceil(x) iff
     # cnt >= x, so compare cnt·den >= num·n_tok in integer math —
     # no double rounding to flip the gate when min_share·n_tok lands
     # exactly on an integer (e.g. n_tok divisible by 500 at 0.002).
     frac = Fraction(str(min_share)).limit_denominator(10**9)
+    candidates = (
+        hcnt.join(F.broadcast(totals))
+        .filter(
+            F.col("hc") * F.lit(frac.denominator)
+            >= F.lit(frac.numerator) * F.col("n_tok")
+        )
+        .select("h")
+    )
     return (
-        toks.join(F.broadcast(candidates), "term")
+        toks.join(
+            F.broadcast(candidates),
+            F.xxhash64("term") == F.col("h"),
+            "left_semi",
+        )
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .join(F.broadcast(totals))

@@ -1650,9 +1650,10 @@ ORDER BY lang, source
 
 def text_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters over the corpus token stream (terms with ≥0.2%
-    of all tokens) via Misra-Gries candidates + an exact verification
-    pass — the sketch only decides candidacy, so the certified output
-    is exactly DuckDB's groupBy + threshold filter."""
+    of all tokens) via exact per-hash-bucket candidate counts + an
+    exact verification pass — candidacy only prunes (collisions can
+    only add candidates), so the certified output is exactly DuckDB's
+    groupBy + threshold filter."""
     from curw_flo2d_data_manager_spark.operators.textstats import frequent_terms
 
     docs = _t(spark, sf_dir, "documents").select("text")

@@ -160,12 +160,17 @@ FROM corners GROUP BY node ORDER BY node
 
 def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch build + point queries: the 4×256 counter
-    matrix is ONE partial-aggregable shuffle of (row, bucket) pairs —
-    corpus-size-independent state, the sketch-family guarantee — and
-    the 20 exact-top terms are probed back with min-over-rows. Every
-    estimate must satisfy the CM one-sided bound est ≥ exact, and both
-    engines rebuild the identical sketch from the shared md5 hash
-    construction (operators/sketches.py)."""
+    matrix is built from the exact per-term counts (identical sketch —
+    cell sums commute — but md5 hashes each DISTINCT term once, not
+    once per occurrence, and the corpus is tokenized ONCE for both the
+    sketch and the exact side), and the 20 exact-top terms are probed
+    back with min-over-rows via TakeOrdered (no all-vocab single-task
+    window). Every estimate must satisfy the CM one-sided bound
+    est ≥ exact, and both engines rebuild the identical sketch from
+    the shared md5 hash construction (operators/sketches.py)."""
+    from curw_flo2d_data_manager_spark.operators.caching import (
+        persist_tracked,
+    )
     from curw_flo2d_data_manager_spark.operators.sketches import (
         countmin_build,
         countmin_estimate,
@@ -174,20 +179,14 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(words("text")).alias("term"))
-    sketch = countmin_build(toks, "term", depth=4, width=256)
-    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
-    from pyspark.sql import Window
-
-    top = (
-        exact.withColumn(
-            "_r",
-            F.row_number().over(
-                Window.orderBy(F.desc("exact_n"), F.asc("term"))
-            ),
-        )
-        .filter(F.col("_r") <= 20)
-        .drop("_r")
+    # exact counts feed the sketch, the top-20 selection AND the output
+    # join — persist the vocab-sized relation, tokenize once
+    exact = persist_tracked(
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
     )
+    sketch = countmin_build(exact, "term", depth=4, width=256,
+                            weight_col="exact_n")
+    top = exact.orderBy(F.desc("exact_n"), F.asc("term")).limit(20)
     est = countmin_estimate(top.select("term"), sketch, "term",
                             depth=4, width=256)
     return (

@@ -1452,22 +1452,31 @@ def test_frequent_terms_threshold_exact_on_integer_boundary(spark):
         release_caches()
 
 
-def test_mg_merge_bounds_and_survivors():
-    """Unit check of the mergeable Misra-Gries summary: capacity never
-    exceeds k, and a true heavy hitter (count > N/k) always survives
-    an adversarial merge order."""
-    from curw_flo2d_data_manager_spark.operators.textstats import _mg_merge
+def test_frequent_terms_hash_candidacy_filters_false_candidates(spark):
+    """The hash-bucket candidacy only prunes: the output is the exact
+    per-term threshold set (a near-miss term like "warm" below must
+    not appear even though its bucket WOULD qualify if it collided
+    with "hot"'s mass — the exact per-term pass removes any
+    collision-made candidate), and the executed plan contains no
+    Python evaluation nodes (the point of replacing the Misra-Gries
+    mapInPandas candidacy)."""
+    from curw_flo2d_data_manager_spark.operators.caching import release_caches
+    from curw_flo2d_data_manager_spark.operators.textstats import frequent_terms
 
-    state: dict = {}
-    n = 0
-    # 40 batches: one hot key + churning unique tail
-    for b in range(40):
-        batch = {f"u{b}_{j}": 1 for j in range(30)}
-        batch["hot"] = 5
-        n += 35
-        _mg_merge(state, batch, k=8)
-        assert len(state) <= 8
-    assert "hot" in state  # 200 occurrences > N/k = 1400/8
+    # 100 tokens, min_share=0.25 -> exact threshold 25:
+    # "hot" (30) passes, "warm" (20) and the tail must not.
+    rows = [(0, " ".join(["hot"] * 30 + ["warm"] * 20 +
+                         [f"t{i}" for i in range(50)]))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        got = {(r["term"], r["cnt"]) for r in
+               frequent_terms(df, "text", min_share=0.25).collect()}
+        assert got == {("hot", 30)}
+        plan = frequent_terms(df, "text", min_share=0.25)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
+    finally:
+        release_caches()
 
 
 def test_epoch_plan_two_sided(spark):

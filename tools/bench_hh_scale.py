@@ -1,8 +1,9 @@
-"""Scale smoke for the Misra-Gries heavy-hitters operator: a large
-synthetic corpus (distributed generation, long-tail vocabulary plus
-planted hot terms) where ``frequent_terms`` must return EXACTLY the
-brute-force groupBy answer — and do it while shuffling only the
-candidate set, not the tail vocabulary.
+"""Scale smoke for the heavy-hitters operator: a large synthetic
+corpus (distributed generation, long-tail vocabulary plus planted hot
+terms) where ``frequent_terms`` must return EXACTLY the brute-force
+groupBy answer — and do it while shuffling only 16-byte hash/count
+rows for the tail vocabulary, never the term strings, with zero
+Python in the plan.
 
 Prints one JSON line. Usage:
 python tools/bench_hh_scale.py [n_docs] (default 500000)
@@ -84,12 +85,13 @@ def main() -> None:
     brute_sec = round(time.monotonic() - t0, 1)
     exact.unpersist()
 
-    # The honest local picture: on one machine the JVM groupBy wins
-    # (the term shuffle never leaves RAM) and the MG path pays the
-    # Python candidate pass. The operator's value is SHUFFLE KEYS on a
-    # network-bound cluster: candidates are bounded by
-    # 2*ceil(1/min_share) per partition vs the full vocabulary.
-    cand_bound = 2 * math.ceil(1.0 / MIN_SHARE) * 64
+    # The operator's value vs brute force: the candidate pass shuffles
+    # 16-byte (xxhash64, count) rows instead of term strings, entirely
+    # in the JVM (no Python boundary — the old Misra-Gries candidacy
+    # pumped EVERY token through mapInPandas), and the exact pass
+    # counts only the <= floor(1/min_share) candidate buckets' terms
+    # as strings.
+    cand_bound = math.floor(1.0 / MIN_SHARE)
     out = {
         "metric": "heavy_hitters_scale",
         "n_docs": n_docs,
