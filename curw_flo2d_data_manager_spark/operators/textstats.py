@@ -517,30 +517,58 @@ def bm25_topk(
     ``idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`` with
     ``idf = ln(1 + (N−df+0.5)/(df+0.5))``).
 
-    The plan is corpus-linear: one tokenize scan feeds BOTH the
-    per-document length aggregation (every term) and the per-(doc,
-    query-term) tf aggregation (the ``isin`` filter runs BEFORE the
-    shuffle, so only query-term occurrences ride it). Document
-    frequencies and the (N, avgdl) scalars are tiny aggregates
-    broadcast onto the scored rows; the final global top-k is one
-    ordered limit. Scores are rounded to 6 decimals BEFORE ranking so
-    the ordering never depends on the last bits of ``ln`` — ties break
-    by smallest id.
+    The plan is corpus-linear with NO per-token rows at all: document
+    length and every query term's tf are computed per document in one
+    tokenize projection (``size`` of the word array / of its
+    equality-filtered views — ``id_col`` is assumed unique, the
+    retrieval-corpus contract), so nothing doc-keyed is ever shuffled
+    or joined — the per-(doc, term) hit rows fall out of a 4-element
+    array explode. Document frequencies and the (N, avgdl) scalars are
+    tiny aggregates broadcast onto the scored rows; the final global
+    top-k is one ordered limit. Scores are rounded to 6 decimals
+    BEFORE ranking so the ordering never depends on the last bits of
+    ``ln`` — ties break by smallest id.
 
     Returns (id, score, n_terms_hit, rank), rank 1..k; documents
     matching no query term never appear.
     """
     if not query_terms:
         raise ValueError("query_terms is empty")
-    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    from curw_flo2d_data_manager_spark.operators.caching import persist_tracked
+
+    terms = [str(t) for t in query_terms]
+    qw = F.col("_qw")
+    # two projections on purpose (the with_shingle_hashes lesson): _qw
+    # is referenced len(terms)+1 times, so CollapseProject keeps the
+    # split and the corpus is tokenized exactly once
+    per_doc = (
+        df.withColumn("_qw", words(text_col))
+        .select(
+            F.col(id_col),
+            F.size(qw).alias("dl"),
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("term"),
+                    F.size(F.filter(qw, lambda x: x == F.lit(t)))
+                    .cast("long")
+                    .alias("tf"),
+                )
+                for t in terms
+            ]).alias("_tfs"),
+        )
+        .filter(F.col("dl") > 0)
+    )
+    # consumed by the corpus stats AND the hit explode — persist the
+    # ~40 B/doc projection rather than tokenizing twice
+    per_doc = persist_tracked(per_doc)
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     tf = (
-        toks.filter(F.col("term").isin([str(t) for t in query_terms]))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        per_doc.select(F.col(id_col), F.col("dl"), F.explode("_tfs").alias("_t"))
+        .filter(F.col("_t.tf") > 0)
+        .select(id_col, "dl", F.col("_t.term").alias("term"),
+                F.col("_t.tf").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -556,7 +584,6 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
         .join(F.broadcast(stats))
         .groupBy(id_col)
         .agg(
