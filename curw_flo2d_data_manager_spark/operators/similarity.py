@@ -913,6 +913,7 @@ def pq_assign(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Product-quantization code assignment (Jégou et al. 2011 —
     public method): split each vector into ``m = len(codebooks)``
@@ -951,7 +952,12 @@ def pq_assign(
         )
         code_i = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("long")
         total = code_i if total is None else total + code_i * F.lit(ksub**i)
-    return df.select(F.col(id_col), total.alias("pq_code"))
+    # keep_cols ride the projection so callers never need a
+    # corpus-sized join to re-attach columns they already had
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in (keep_cols or [])],
+        total.alias("pq_code"),
+    )
 
 
 def pq_adc_topk(
@@ -1214,14 +1220,16 @@ def ivfpq_query(
     derived in-plan. Output schema matches :func:`cosine_topk`.
     """
     if codes is None:
-        codes = assignments.select(
-            "corpus_id",
-            F.col("cluster"),
-            F.col(vec_col).alias("_v"),
-        )
-        codes = (
-            pq_assign(codes, codebooks, id_col="corpus_id", vec_col="_v")
-            .join(assignments.select("corpus_id", "cluster"), "corpus_id")
+        # cluster rides the pq_assign projection (keep_cols) — no
+        # corpus-sized join to re-attach a column the input already had
+        codes = pq_assign(
+            assignments.select(
+                "corpus_id", F.col("cluster"), F.col(vec_col).alias("_v")
+            ),
+            codebooks,
+            id_col="corpus_id",
+            vec_col="_v",
+            keep_cols=["cluster"],
         )
 
     q = queries.select(
