@@ -418,9 +418,11 @@ def k_core(
     for _ in range(n_rounds):
         if converged:
             break
+        # both endpoints from ONE scan of the checkpointed edge set
+        # (explode of a 2-element array - identical node multiset to
+        # the old two-branch union, one traversal; guide §2.4)
         deg = (
-            e.select(F.col("a").alias("node"))
-            .unionAll(e.select(F.col("b").alias("node")))
+            e.select(F.explode(F.array("a", "b")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
@@ -446,8 +448,7 @@ def k_core(
             stacklevel=2,
         )
     final_deg = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
+        e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
