@@ -278,10 +278,14 @@ def stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instances (dir creation + per-batch commit files each) for a
     # 40k-row replay — pure fixed overhead. State parallelism is sized
     # to the stream's key cardinality, not the batch session's CPU
-    # count (measured 13 s → ~5 s at sf0.1). The conf is read at query
-    # start, so scoping it around the replay is safe and restored.
+    # count (measured 13 s → ~5 s at sf0.1 with 8; round-14 re-probe:
+    # warm replay 3.7 s at 8 / 2.5 s at 4 / 2.2 s at 2, identical 172
+    # output rows — per-partition store overhead still dominated at 8,
+    # so 4, matching the other replay gates). The conf is read at
+    # query start, so scoping it around the replay is safe and
+    # restored.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         name = _run_replay_stream(
             spark, src,
