@@ -460,13 +460,19 @@ def tfidf_top_terms(
     """Top-``k`` characteristic terms per document by smoothed tf-idf.
 
     ``tfidf = tf * ln((N + 1) / (df + 1))`` with N = documents having
-    at least one token. The plan is two hash aggregations — term
-    frequencies shuffle on (doc, term), document frequencies on term —
-    plus one broadcast of the 1-row corpus count and a per-document
-    top-k window; no text ever moves after tokenization, only (doc,
-    term, counts). tfidf is rounded to 6 decimals BEFORE ranking so the
-    ordering (and the cross-engine oracle) never depends on the last
-    bits of ``ln``.
+    at least one token. The corpus is tokenized exactly ONCE and the
+    (doc, term, tf) relation has LINEAR lineage: document frequency is
+    a count-over-window on the term partition — the same term-keyed
+    exchange the old ``tf ⋈ dfreq`` sort-merge join already paid, but
+    with no second tokenize pass behind the join's build arm
+    (differently-pruned branches never ReuseExchange) and no
+    vocabulary-scaled join at all. N comes from a cheap
+    single-character-class ``rlike`` scan of the raw text — a doc has
+    ≥1 token iff ``lower(text)`` contains one kept character (the
+    exact emptiness predicate of ``normalize_text``) — so no third
+    tokenize pass either. tfidf is rounded to 6 decimals BEFORE
+    ranking so the ordering (and the cross-engine oracle) never
+    depends on the last bits of ``ln``.
 
     Returns (id, term, tf, df, tfidf, rank), rank 1..k.
     """
@@ -474,17 +480,12 @@ def tfidf_top_terms(
 
     toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = (
-        df.filter(F.size(words(text_col)) > 0)
+        df.filter(F.lower(_c(text_col)).rlike("[a-z0-9\\x80-\\uffff-]"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     scored = (
-        # vocab-scaled arm: hint-forced SMJ (AQE's broadcast
-        # auto-conversion sizes on compressed shuffle bytes and
-        # materializes web-scale vocabularies driver-side — the
-        # measured sparse_cosine_pairs/pmi_bigrams failure mode)
-        tf.join(dfreq.hint("shuffle_merge"), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

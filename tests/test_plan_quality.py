@@ -220,6 +220,20 @@ def test_tfidf_partial_aggregates_before_shuffles(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_tfidf_single_tokenize_no_vocab_join(spark, sf_dir):
+    """tf-idf must tokenize the corpus exactly ONCE (r14: df is a
+    count-over-window on the term exchange, N a char-class rlike scan
+    — the old dfreq join arm and n_docs filter each re-tokenized):
+    exactly one Generate(explode) in the plan and no vocabulary-scaled
+    join (the only join left is the 1-row n_docs broadcast)."""
+    from curw_flo2d_data_manager_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = plan_of(tfidf_top_terms(docs, "doc_id", "text"), mode="simple")
+    assert plan.count("Generate") == 1
+    assert "SortMergeJoin" not in plan
+
+
 def test_unigram_logprob_single_tokenize(spark, sf_dir):
     """unigram_logprob (round-5 verdict item 4) must tokenize the
     corpus ONCE: the per-(doc, term) tf relation is persisted and
