@@ -57,9 +57,11 @@ def triangle_counts(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # both endpoints from ONE scan of the checkpointed edge set
+    # (explode of a 2-element array — identical node multiset to a
+    # two-branch union, one traversal; the k_core/pagerank pattern)
     deg = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
+        e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
