@@ -496,9 +496,18 @@ def bfs_hops(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    adj = e.unionAll(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).select(F.col("a").alias("node"), F.col("b").alias("nb"))
+    # symmetrize via ONE generator (the pagerank pattern): a union's
+    # two branches each scan the checkpointed edge set — and adj is
+    # re-derived in EVERY round's frontier join, so the union form
+    # pays 2 scans per round; identical directed-edge multiset
+    adj = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("node"), F.col("b").alias("nb")),
+                F.struct(F.col("b").alias("node"), F.col("a").alias("nb")),
+            )
+        ).alias("p")
+    ).select("p.node", "p.nb")
     dists = sources.select(
         F.col(id_col).cast("long").alias("node"), F.lit(0).alias("dist")
     ).distinct()

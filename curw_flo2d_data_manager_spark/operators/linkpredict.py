@@ -58,9 +58,17 @@ def link_prediction_scores(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    adj = e.unionAll(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).select(F.col("a").alias("w"), F.col("b").alias("n"))
+    # symmetrize via ONE generator (the pagerank pattern): a union's
+    # two branches each scan the checkpointed edge set separately;
+    # identical directed-edge multiset from one traversal
+    adj = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("w"), F.col("b").alias("n")),
+                F.struct(F.col("b").alias("w"), F.col("a").alias("n")),
+            )
+        ).alias("p")
+    ).select("p.w", "p.n")
     deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
     # floor(scale/deg): one correctly-rounded divide + floor — the
     # deterministic fixed-point RA weight (exact BIGINT summand)

@@ -452,9 +452,12 @@ def g_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _part_cooccur_edges(spark, sf_dir)
     tri = triangle_counts(edges, "p_a", "p_b")
+    # one generator, not a self-union: the union's two branches are
+    # unshared subtrees, so the whole edge construction (lineitem scan
+    # -> collect_set -> pair explode -> distinct) would execute twice
+    # (guide §2.4); identical node multiset either way
     deg = (
-        edges.select(F.col("p_a").alias("node"))
-        .unionAll(edges.select(F.col("p_b").alias("node")))
+        edges.select(F.explode(F.array("p_a", "p_b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
         .filter(F.col("degree") >= 2)
@@ -1773,9 +1776,10 @@ def g_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     edges = _part_cooccur_edges(spark, sf_dir)
+    # one generator, not a self-union (guide §2.4: a union's branches
+    # re-execute the edge construction twice); same distinct node set
     nodes = (
-        edges.select(F.col("p_a").alias("id"))
-        .unionAll(edges.select(F.col("p_b").alias("id")))
+        edges.select(F.explode(F.array("p_a", "p_b")).alias("id"))
         .distinct()
         .filter(F.col("id") % 97 == 0)
     )
