@@ -153,12 +153,20 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("text"))
     )
-    corpus = docs.select("doc_id", F.col("text")).unionAll(
-        docs.select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
-            variant.alias("text"),
-        )
-    )
+    # planted corpus from ONE generator, not a self-union (guide §2.4
+    # — the union's branches each re-scan documents); identical corpus
+    # multiset: every doc plus its reformatted +1000000 copy
+    corpus = docs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id"), F.col("text")),
+                F.struct(
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    variant.alias("text"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.doc_id", "d.text")
     normd = corpus.select(
         "doc_id", normalize_for_dedup(F.col("text")).alias("norm")
     )

@@ -631,7 +631,14 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("time"),
         "value",
     )
-    tripled = rows.unionAll(rows).unionAll(rows)
+    # tripled from ONE generator, not a 3-branch self-union (guide
+    # §2.4 — each branch re-scans the events slice); identical row
+    # multiset (3 copies of every event)
+    tripled = rows.select(
+        F.explode(
+            F.array(*[F.struct("id", "time", "value") for _ in range(3)])
+        ).alias("r")
+    ).select("r.id", "r.time", "r.value")
     src = tempfile.mkdtemp(prefix="stream_dedup_src_")
     tripled.repartition(1).write.mode("overwrite").parquet(src)
 
