@@ -1071,6 +1071,7 @@ def hash_classifier_score(
     weights: list[float],
     bias: float = 0.0,
     text_col: str = "text",
+    keep_cols: list[str] | None = None,
 ) -> "DataFrame":
     """Linear text classifier over HASHED bag-of-words features — the
     fastText-style quality-classifier shape used by public pretraining
@@ -1085,18 +1086,27 @@ def hash_classifier_score(
     ``lit(list)`` is a per-row CreateArray — the Bloom-filter lesson),
     so the plan is: one tokenize into per-(doc, term) counts, one
     broadcast join, one doc aggregate. Returns
-    (id, n_tokens, score) with score rounded to 6 decimals.
+    (id, [keep_cols,] n_tokens, score) with score rounded to 6
+    decimals.
+
+    ``keep_cols``: per-document attribute columns (each functionally
+    determined by ``id_col`` — the caller's contract) to pass through
+    onto the output. They ride the token projection and the two
+    aggregation key sets, so a downstream eval (AUC, calibration,
+    confusion) never needs a corpus-sized join back to the input just
+    to re-attach its label — the pq_assign pass-through lesson.
     """
     dim = len(weights)
     if dim < 1:
         raise ValueError("weights must be non-empty")
     spark = df.sparkSession
+    keep = list(keep_cols or [])
     wtab = literal_rows_df(
         spark, [(i, float(w)) for i, w in enumerate(weights)], "bucket int, w double"
     )
     tf = (
-        df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
-        .groupBy(id_col, "term")
+        df.select(F.col(id_col), *keep, F.explode(words(text_col)).alias("term"))
+        .groupBy(id_col, *keep, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     bucket = (
@@ -1105,7 +1115,7 @@ def hash_classifier_score(
     ).cast("int")
     scored = tf.withColumn("bucket", bucket).join(F.broadcast(wtab), "bucket")
     return (
-        scored.groupBy(id_col)
+        scored.groupBy(id_col, *keep)
         .agg(
             F.sum("tf").alias("n_tokens"),
             F.round(

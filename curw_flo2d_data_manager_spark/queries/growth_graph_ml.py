@@ -854,14 +854,14 @@ def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_classifier_score,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # the label rides the scorer's aggregation keys (keep_cols — the
+    # pq_assign pass-through lesson) instead of a corpus-sized
+    # self-join to re-attach it
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("long")
+    )
     scored = hash_classifier_score(
-        docs, "doc_id", CLASSIFIER_WEIGHTS
-    ).join(
-        docs.select(
-            "doc_id", (F.col("lang") == "en").cast("long").alias("y")
-        ),
-        "doc_id",
+        docs, "doc_id", CLASSIFIER_WEIGHTS, keep_cols=["y"]
     )
     return auc_exact(scored, "score", "y")
 
@@ -903,14 +903,12 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_classifier_score,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # label via keep_cols pass-through, not a corpus re-attach join
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("long")
+    )
     scored = hash_classifier_score(
-        docs, "doc_id", CLASSIFIER_WEIGHTS
-    ).join(
-        docs.select(
-            "doc_id", (F.col("lang") == "en").cast("long").alias("y")
-        ),
-        "doc_id",
+        docs, "doc_id", CLASSIFIER_WEIGHTS, keep_cols=["y"]
     )
     si = F.round(F.col("score") * 1e6).cast("long")
     return (
@@ -966,14 +964,12 @@ def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_classifier_score,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # label via keep_cols pass-through, not a corpus re-attach join
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("long")
+    )
     scored = hash_classifier_score(
-        docs, "doc_id", CLASSIFIER_WEIGHTS
-    ).join(
-        docs.select(
-            "doc_id", (F.col("lang") == "en").cast("long").alias("y")
-        ),
-        "doc_id",
+        docs, "doc_id", CLASSIFIER_WEIGHTS, keep_cols=["y"]
     )
     pred = (F.col("score") >= 0.5).cast("long")
     agg = scored.agg(
