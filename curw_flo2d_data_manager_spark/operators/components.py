@@ -132,9 +132,11 @@ def connected_components(
     # after this truncation). Only the two id columns ride the
     # checkpoint.
     pairs = pairs.select(id_a, id_b).localCheckpoint(eager=True)
+    # both endpoints from ONE scan of the checkpointed pair set
+    # (explode of a 2-element array — identical node multiset to a
+    # two-branch union, one traversal; the k_core/pagerank pattern)
     nodes = (
-        pairs.select(F.col(id_a).alias("id"))
-        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        pairs.select(F.explode(F.array(id_a, id_b)).alias("id"))
         .distinct()
     )
     if native:

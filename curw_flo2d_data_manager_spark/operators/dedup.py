@@ -576,8 +576,21 @@ def passage_dedup(
     """
     w = words(text_col)
     n_pass = F.ceil(F.size(w) / F.lit(float(passage_words))).cast("int")
+    # chunk indices clamped in-expression instead of a separate
+    # `size(words(text)) > 0` pre-filter: the filter is its own
+    # operator, so its tokenize is NOT shared with the projection's
+    # (subexpression elimination is per-operator) — the corpus was
+    # tokenized twice per row. sequence(1, 0) DESCENDS ([1, 0]), so
+    # the upper bound is clamped to 1 and a lambda filter drops the
+    # out-of-range index; empty/NULL texts yield an empty array (a
+    # NULL n_pass makes the predicate NULL → element dropped) and
+    # explode then drops the row — exactly what the filter did.
+    idx = F.filter(
+        F.sequence(F.lit(1), F.greatest(n_pass, F.lit(1))),
+        lambda i: i <= n_pass,
+    )
     chunks = F.transform(
-        F.sequence(F.lit(1), n_pass),
+        idx,
         lambda i: F.struct(
             i.alias("pos"),
             F.md5(
@@ -591,7 +604,7 @@ def passage_dedup(
         ),
     )
     exploded = (
-        ensure_min_partitions(df.filter(F.size(words(text_col)) > 0))
+        ensure_min_partitions(df)
         .select(F.col(id_col), F.explode(chunks).alias("p"))
         .select(id_col, "p.pos", "p.passage_hash", "p.n_words")
     )
