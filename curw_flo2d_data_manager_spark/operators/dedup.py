@@ -654,8 +654,15 @@ def passage_dedup_rebuild(
     """
     w = words(text_col)
     n_pass = F.ceil(F.size(w) / F.lit(float(passage_words))).cast("int")
+    # index clamp instead of a size(words(text)) > 0 pre-filter — the
+    # filter's tokenize is never shared with the projection's
+    # (per-operator subexpression elimination); see passage_dedup
+    idx = F.filter(
+        F.sequence(F.lit(1), F.greatest(n_pass, F.lit(1))),
+        lambda i: i <= n_pass,
+    )
     chunks = F.transform(
-        F.sequence(F.lit(1), n_pass),
+        idx,
         lambda i: F.struct(
             i.alias("pos"),
             F.concat_ws(
@@ -664,7 +671,7 @@ def passage_dedup_rebuild(
         ),
     )
     exploded = _persist_tracked(
-        ensure_min_partitions(df.filter(F.size(words(text_col)) > 0))
+        ensure_min_partitions(df)
         .select(F.col(id_col), F.explode(chunks).alias("p"))
         .select(
             id_col,
@@ -691,12 +698,13 @@ def passage_dedup_rebuild(
         ).alias(text_col),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    # left join restores docs that lost every passage (empty text)
-    totals = df.filter(F.size(words(text_col)) > 0).select(
-        F.col(id_col),
-        F.ceil(F.size(words(text_col)) / F.lit(float(passage_words)))
-        .cast("long")
-        .alias("n_passages"),
+    # left join restores docs that lost every passage (empty text).
+    # Per-doc passage totals come from the PERSISTED exploded relation
+    # (one count row per chunk) — the old form re-tokenized the whole
+    # corpus twice more (filter + ceil projection) to recompute a
+    # number the cache already holds.
+    totals = exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_passages")
     )
     return totals.join(rebuilt, id_col, "left").select(
         id_col,

@@ -800,16 +800,23 @@ def chunk_documents(
     n_chunks = F.greatest(
         F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(float(stride)))
     ).cast("int")
+    # chunk indices dropped in-expression for empty/NULL texts instead
+    # of a separate size(words(text)) > 0 pre-filter: the filter is
+    # its own operator, so its tokenize is never shared with the
+    # projection's (subexpression elimination is per-operator) — the
+    # corpus was tokenized twice per row. An empty/NULL text makes the
+    # predicate false/NULL, the array empties, and explode drops the
+    # row — exactly what the filter did.
+    idx = F.filter(F.sequence(F.lit(0), n_chunks - 1), lambda k: n > 0)
     chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
+        idx,
         lambda k: F.struct(
             k.cast("int").alias("chunk_idx"),
             F.slice(w, k * stride + 1, chunk_words).alias("cw"),
         ),
     )
     return (
-        df.filter(F.size(words(text_col)) > 0)
-        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
         .select(
             id_col,
             F.col("c.chunk_idx").alias("chunk_idx"),
@@ -858,9 +865,11 @@ def bigram_logprob(
         F.slice(w, 2, n),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    # no size(words) >= 2 pre-filter: it re-tokenized the corpus in
+    # its own operator, and it was redundant — a 0/1-word or NULL text
+    # yields an empty/NULL bigram array and explode drops the row
     tf = persist_tracked(
-        df.filter(F.size(words(text_col)) >= 2)
-        .select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
         .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -1446,8 +1455,12 @@ def sparse_cosine_pairs(
     )
     tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # N from a single-char-class rlike scan, not a third tokenize:
+    # lower(text) containing a kept character is exactly
+    # normalize_text's emptiness predicate, so the count matches
+    # size(words(text)) > 0 row for row (the tfidf_top_terms pattern)
     n_docs = (
-        df.filter(F.size(words(text_col)) > 0)
+        df.filter(F.lower(_c(text_col)).rlike("[a-z0-9\\x80-\\uffff-]"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     weighted = (
