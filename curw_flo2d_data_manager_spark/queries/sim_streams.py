@@ -550,11 +550,21 @@ def dedup_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_blocklist_filter,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    corpus = docs.select("doc_id", "lang", "source", F.md5("text").alias("fp"))
-    blocklist = docs.filter(F.col("source") == "src0").select(
-        F.md5("text").alias("fp")
+    from curw_flo2d_data_manager_spark.operators.caching import (
+        persist_tracked,
     )
+
+    docs = _t(spark, sf_dir, "documents")
+    # ONE text scan: the ~60 B/doc fingerprint projection persists
+    # (caller-released) and feeds all four consumers — the blocklist
+    # (itself a filter of the same projection), the bloom build's
+    # collect, and the operator's clean/sliver branches. The old form
+    # re-read the wide text column and re-ran md5 on every branch
+    # (3 corpus passes in the plan).
+    corpus = persist_tracked(
+        docs.select("doc_id", "lang", "source", F.md5("text").alias("fp"))
+    )
+    blocklist = corpus.filter(F.col("source") == "src0").select("fp")
     out = bloom_blocklist_filter(corpus, blocklist, "fp", m_bits=4096, k=3)
     return out.select("doc_id", "lang", "source").orderBy("doc_id")
 
