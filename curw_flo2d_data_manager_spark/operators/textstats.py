@@ -1265,8 +1265,14 @@ def strip_boilerplate_lines(
         .select("_h")
     )
     kept = hashed.join(F.broadcast(boiler), "_h", "left_anti")
-    n_lines = lines.groupBy("_doc").agg(
-        F.count(F.lit(1)).alias("n_lines")
+    # per-doc line totals as a ROW EXPRESSION on the input, not a third
+    # explode+groupBy pass over the corpus: size(split(text)) is the
+    # exploded row count by construction. NULL-text docs were absent
+    # from the exploded relation (posexplode drops them), so the
+    # filter keeps the driving row set identical.
+    n_lines = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_doc"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
     )
     kept_agg = (
         kept.groupBy("_doc")
