@@ -442,6 +442,27 @@ def main() -> None:
         "sim_ivfpq",             # single-generator planted corpus
         "dedup_passages",        # single-generator planted corpus
         "dedup_suffix_prefix",   # single-generator planted corpus
+        # round-14 resumed-session optimization targets
+        "text_frequent_terms",   # exact hash-bucket candidates, no Python
+        "sketch_countmin",       # sketch from exact counts, TakeOrdered
+        "text_bm25_topk",        # per-document tf/dl projection
+        "g_kcore",               # single-scan degree explode
+        "stream_join_attrib",    # replay state parallelism 8 -> 4
+        "text_tfidf_terms",      # window df + rlike N, single tokenize
+        "g_triangle_count",      # single-scan degree explode
+        "g_clustering_coef",     # single-generator degree pass
+        "g_bfs_hops",            # single-generator seed nodes
+        "g_link_predict",        # single-generator adjacency
+        "dedup_normalized",      # single-generator planted corpus
+        "stream_dedup_events",   # single-generator tripled replay input
+        "ml_auc_exact",          # keep_cols label pass-through
+        "ml_calibration_bins",   # keep_cols label pass-through
+        "ml_confusion_matrix",   # keep_cols label pass-through
+        "dedup_components",      # single-scan node set
+        "text_chunk_documents",  # in-expression empty-doc drop
+        "text_bigram_logprob",   # redundant pre-filter removed
+        "dedup_bloom_filter",    # persisted fingerprint projection
+        "text_strip_boilerplate",  # row-expression line totals
         # also touched this round but not listed here: text_quality /
         # text_lang_id / dedup_minhash_lsh (HEADLINE queries — timed
         # on every run already) and stream_corpus_quality /
