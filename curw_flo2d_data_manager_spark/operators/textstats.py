@@ -1272,7 +1272,9 @@ def strip_boilerplate_lines(
     # filter keeps the driving row set identical.
     n_lines = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_doc"),
-        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+        # cast: size() is int, the old count() output was bigint —
+        # the declared output schema must not drift
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
     )
     kept_agg = (
         kept.groupBy("_doc")
