@@ -874,16 +874,19 @@ def bigram_logprob(
         .groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
-    cw = cb.groupBy("w1").agg(F.sum("cb").alias("cw"))
-    vocab = cw.agg(F.count(F.lit(1)).alias("vocab"))
+    # model counts as sums-over-window on the SAME key exchanges the
+    # old tf ⋈ cb ⋈ cw sort-merge joins already paid: c(w1 w2) is
+    # SUM(tf) over the (w1, w2) partition and c(w1·) is SUM(tf) over
+    # the w1 partition — the two vocab-scaled aggregate subtrees and
+    # both joins disappear (the tfidf window-df pattern; measured
+    # 3.59 → 2.27 s warm, rows bit-identical). V is one tiny
+    # count_distinct aggregate over the persisted tf, broadcast.
+    from pyspark.sql import Window
+
+    vocab = tf.agg(F.count_distinct("w1").alias("vocab"))
     return (
-        # vocab-scaled arm: hint-forced SMJ (AQE's broadcast
-        # auto-conversion sizes on compressed shuffle bytes and
-        # materializes web-scale vocabularies driver-side — the
-        # measured sparse_cosine_pairs/pmi_bigrams failure mode)
-        tf.join(cb.hint("shuffle_merge"), ["w1", "w2"])
-        .join(cw.hint("shuffle_merge"), "w1")
+        tf.withColumn("cb", F.sum("tf").over(Window.partitionBy("w1", "w2")))
+        .withColumn("cw", F.sum("tf").over(Window.partitionBy("w1")))
         .join(F.broadcast(vocab))
         .withColumn(
             "lp",
@@ -933,16 +936,18 @@ def unigram_logprob(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    uni = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
-    totals = uni.agg(
-        F.sum("cnt").alias("n_tok"), F.count(F.lit(1)).alias("vocab")
+    # unigram model count as a sum-over-window on the SAME term
+    # exchange the old tf ⋈ uni sort-merge join already paid — the
+    # vocab-scaled aggregate subtree and the join disappear (the
+    # tfidf/bigram window pattern). The (n_tok, vocab) normalizer is
+    # one tiny aggregate over the persisted tf, broadcast.
+    from pyspark.sql import Window
+
+    totals = tf.agg(
+        F.sum("tf").alias("n_tok"), F.count_distinct("term").alias("vocab")
     )
     return (
-        # vocab-scaled arm: hint-forced SMJ (AQE's broadcast
-        # auto-conversion sizes on compressed shuffle bytes and
-        # materializes web-scale vocabularies driver-side — the
-        # measured sparse_cosine_pairs/pmi_bigrams failure mode)
-        tf.join(uni.hint("shuffle_merge"), "term")
+        tf.withColumn("cnt", F.sum("tf").over(Window.partitionBy("term")))
         .join(F.broadcast(totals))
         .withColumn(
             "lp",
@@ -1002,23 +1007,23 @@ def dsir_log_ratio(
         .groupBy(id_col, "_tgt", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    lm = tf.groupBy("term").agg(
-        F.sum("tf").alias("c_raw"),
-        F.sum(F.when(F.col("_tgt"), F.col("tf")).otherwise(F.lit(0))).alias(
-            "c_tgt"
-        ),
+    # both models' counts as sums-over-window on the SAME term
+    # exchange the old tf ⋈ lm sort-merge join already paid — the
+    # vocab-scaled aggregate subtree and the join disappear (the
+    # tfidf/unigram/bigram window pattern). The 1-row normalizer is
+    # one tiny aggregate over the persisted tf, broadcast.
+    from pyspark.sql import Window
+
+    tgt_tf = F.when(F.col("_tgt"), F.col("tf")).otherwise(F.lit(0))
+    totals = tf.agg(
+        F.sum("tf").alias("n_raw"),
+        F.sum(tgt_tf).alias("n_tgt"),
+        F.count_distinct("term").alias("vocab"),
     )
-    totals = lm.agg(
-        F.sum("c_raw").alias("n_raw"),
-        F.sum("c_tgt").alias("n_tgt"),
-        F.count(F.lit(1)).alias("vocab"),
-    )
+    w_term = Window.partitionBy("term")
     return (
-        # vocab-scaled arm: hint-forced SMJ (AQE's broadcast
-        # auto-conversion sizes on compressed shuffle bytes and
-        # materializes web-scale vocabularies driver-side — the
-        # measured sparse_cosine_pairs/pmi_bigrams failure mode)
-        tf.join(lm.hint("shuffle_merge"), "term")
+        tf.withColumn("c_raw", F.sum("tf").over(w_term))
+        .withColumn("c_tgt", F.sum(tgt_tf).over(w_term))
         .join(F.broadcast(totals))
         .withColumn(
             "lr",
