@@ -1466,8 +1466,9 @@ def sparse_cosine_pairs(
         F.col(id_col).alias("_id"),
         F.explode(word_ngram_terms(text_col, ngram)).alias("term"),
     )
+    from pyspark.sql import Window
+
     tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # N from a single-char-class rlike scan, not a third tokenize:
     # lower(text) containing a kept character is exactly
     # normalize_text's emptiness predicate, so the count matches
@@ -1477,14 +1478,11 @@ def sparse_cosine_pairs(
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     weighted = (
-        # merge hint: dfreq scales with the VOCABULARY (38M rows on the
-        # 1M-doc smoke) but its term/long schema compresses so well
-        # that AQE's compressed shuffle stats fall under the session's
-        # 64MB broadcast threshold — the auto-converted broadcast then
-        # OOMs the driver materializing tens of millions of rows. Both
-        # sides are term-keyed aggregates of the same tokens relation,
-        # so SMJ reuses the exchange; broadcast buys nothing here.
-        tf.join(dfreq.hint("shuffle_merge"), "term")
+        # df as a count-over-window on the term partition (the tfidf
+        # window pattern): the old vocabulary-scaled dfreq aggregate +
+        # SMJ re-tokenized the corpus on its build arm — the window
+        # rides the same term exchange and tf's lineage stays linear
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .join(F.broadcast(n_docs))
         .filter(F.col("df") <= F.col("n_docs") * F.lit(max_df_frac))
         .withColumn(
@@ -1531,14 +1529,20 @@ def sparse_cosine_pairs(
         # <= sum(nw * maxw for S). Exclude postings in ascending
         # contribution order while that running bound stays below
         # min_sim; the kept remainder is the doc's INDEX prefix.
-        # merge hints: norms scales with the corpus and maxw with the
-        # vocabulary — neither may auto-convert to a driver broadcast
-        # (same compressed-stats hazard as the dfreq join above)
+        # merge hint: norms scales with the corpus — it must not
+        # auto-convert to a driver broadcast (compressed-stats hazard).
+        # NOTE norms aggregates ALL weighted terms (df >= 1) while
+        # postings filters df >= 2, so the norm canNOT be a window over
+        # postings — the join stays.
         nw = postings.join(norms.hint("shuffle_merge"), "_id").withColumn(
             "nw", F.col("w") / F.sqrt(F.col("norm2").cast("double"))
         )
-        maxw = nw.groupBy("term").agg(F.max("nw").alias("maxw"))
-        contrib = nw.join(maxw.hint("shuffle_merge"), "term").withColumn(
+        # the per-term corpus max IS window-expressible: max-over-term
+        # partition on nw itself — the vocabulary-scaled maxw
+        # aggregate + SMJ disappear (identical double, exact max)
+        contrib = nw.withColumn(
+            "maxw", F.max("nw").over(Window.partitionBy("term"))
+        ).withColumn(
             "c", F.col("nw") * F.least(F.col("maxw"), F.lit(1.0))
         )
         roll = (
