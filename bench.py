@@ -460,7 +460,10 @@ def main() -> None:
         "ml_confusion_matrix",   # keep_cols label pass-through
         "dedup_components",      # single-scan node set
         "text_chunk_documents",  # in-expression empty-doc drop
-        "text_bigram_logprob",   # redundant pre-filter removed
+        "text_bigram_logprob",   # pre-filter removed + window model counts
+        "text_unigram_logprob",  # window model counts
+        "text_dsir_weights",     # window model counts
+        "text_ccnet_buckets",    # window model counts (via unigram scorer)
         "dedup_bloom_filter",    # persisted fingerprint projection
         "text_strip_boilerplate",  # row-expression line totals
         # also touched this round but not listed here: text_quality /
