@@ -255,6 +255,36 @@ def test_unigram_logprob_single_tokenize(spark, sf_dir):
         release_caches()
 
 
+def test_lm_scorers_window_model_counts_no_vocab_join(spark, sf_dir):
+    """r14: the LM scorers' model counts are window sums on the
+    scoring exchange — no vocabulary-scaled aggregate may join back
+    onto tf (the old tf ⋈ model SMJ re-tokenized the corpus on its
+    build arm). The plans must carry a Window and ZERO SortMergeJoin;
+    the only join left is the 1-row broadcast normalizer."""
+    from curw_flo2d_data_manager_spark.operators.caching import release_caches
+    from curw_flo2d_data_manager_spark.operators.textstats import (
+        bigram_logprob,
+        dsir_log_ratio,
+        unigram_logprob,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", (F.col("doc_id") % 2 == 0).alias("is_tgt")
+    )
+    try:
+        for op in (
+            lambda: unigram_logprob(docs, "doc_id", "text"),
+            lambda: bigram_logprob(docs, "doc_id", "text"),
+            lambda: dsir_log_ratio(docs, "doc_id", "is_tgt", "text"),
+        ):
+            plan = plan_of(op(), mode="simple")
+            assert "SortMergeJoin" not in plan, plan
+            assert "Window" in plan, plan
+            assert "BatchEvalPython" not in plan
+    finally:
+        release_caches()
+
+
 def test_chunk_and_split_are_shuffle_free(spark, sf_dir):
     """chunk_documents (explode-only) and split_assign (pure hash
     projection) must never introduce an Exchange — their 100 TB story
