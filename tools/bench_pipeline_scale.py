@@ -45,11 +45,13 @@ Composed-plan shape (the point of the exercise):
 Stage logic mirrors the gated operators it composes
 (operators/markup.py strip via the import CLI,
 textstats.gopher_quality_flags word-count/mwl/dup gates fused over
-the shared word array, textstats.lang_id(tokenized=True),
-dedup.minhash_signature + the band-join shape of
-dedup.minhash_lsh_pairs with exact-Jaccard verification over hashed
-shingles, components.connected_components, textstats.domain_mixture,
-packing.pack_sequences).
+the shared word array, the round-15 Arrow carve-out
+operators/arrowsig.with_corpus_signals_arrow — bit-identical to
+textstats.lang_id(tokenized=True) + dedup hashed shingles +
+dedup.minhash_signature, pinned in tests/test_arrowsig.py — + the
+band-join shape of dedup.minhash_lsh_pairs with exact-Jaccard
+verification over hashed shingles, components.connected_components,
+textstats.domain_mixture, packing.pack_sequences).
 
 Prints one JSON line. Usage:
 python tools/bench_pipeline_scale.py [n_docs]   (default 10_000_000)
@@ -69,17 +71,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from curw_flo2d_data_manager_spark.operators.arrowsig import (
+    with_corpus_signals_arrow,
+)
 from curw_flo2d_data_manager_spark.operators.components import (
     connected_components,
-)
-from curw_flo2d_data_manager_spark.operators.dedup import (
-    minhash_signature,
-    shingle_hashes_from_word_hashes,
 )
 from curw_flo2d_data_manager_spark.operators.packing import pack_sequences
 from curw_flo2d_data_manager_spark.operators.textstats import (
     domain_mixture,
-    lang_id,
     words,
 )
 from curw_flo2d_data_manager_spark.session import get_spark
@@ -211,35 +211,44 @@ def main() -> None:
     )
     # `w` appears in several output expressions; whole-stage codegen's
     # subexpression elimination evaluates the tokenize ONCE per row
-    # (the regexp split is deterministic), so this single projection
-    # is the pipeline's one tokenization.
+    # inside ProjectExec (the regexp split is deterministic), so this
+    # single projection is the pipeline's one tokenization.  The
+    # quality-gate FILTER sits ABOVE the Arrow stage on purpose:
+    # FilterExec does no subexpression elimination, so a filter pushed
+    # below the projection inlines the full tokenize into every
+    # conjunct (measured 8.2 → 86 s/1M in the round-15 probe); the
+    # opaque mapInArrow node is a pushdown barrier that keeps the
+    # gates referencing the projected columns.
     staged = clean.select(
         "doc_id",
         "source",
         F.transform(w, lambda x: F.xxhash64(x)).alias("_hw"),
         F.size(w).alias("n_tokens"),
-        lang_id(w, tokenized=True).alias("lang"),
         mwl.alias("_mwl"),
         dup_frac.alias("_dup"),
+    )
+    # Round-15 Arrow carve-out (guide §4.2, operators/arrowsig.py):
+    # lang-id + hashed shingles + minhash signature in ONE mapInArrow
+    # stage over the word-hash array — bit-identical to the expression
+    # twins (lang_id(tokenized=True), shingle_hashes_from_word_hashes,
+    # minhash_signature; pinned in tests/test_arrowsig.py).  The two
+    # signals were measured at the expression-form floor in r14
+    # (lang 6–13 s/1M, fold 6–9 s/1M); the vectorized NumPy stage cuts
+    # the composed projection past that floor.  Only ~8 B/word crosses
+    # the boundary each way — never the text.
+    proj = with_corpus_signals_arrow(
+        staged,
+        hw_col="_hw",
+        sh_col="_sh",
+        sig_col="_sig",
+        lang_col="lang",
+        num_hashes=NUM_HASHES,
     ).filter(
         F.col("n_tokens").between(50, 100_000)
         & F.col("_mwl").between(3.0, 10.0)
         & (F.col("_dup") < 0.6)
         & (F.col("lang") == "en")
-    )
-    # shingle hashes from the MATERIALIZED per-word-hash column (the
-    # round-14 form — no per-position slice/concat_ws allocation);
-    # separate projection so CollapseProject can't inline `_hw`'s
-    # transform into every shingle position.
-    proj = (
-        staged.select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            shingle_hashes_from_word_hashes(F.col("_hw"), 3).alias("_sh"),
-        )
-        .withColumn("_sig", minhash_signature(F.col("_sh"), NUM_HASHES))
-    )
+    ).drop("lang", "_mwl", "_dup")
     from pyspark import StorageLevel
 
     proj = proj.persist(StorageLevel.DISK_ONLY)
