@@ -1552,10 +1552,25 @@ def sparse_cosine_pairs(
         )
         indexed = (
             contrib.withColumn("cum", F.sum("c").over(roll))
+            # Second, independent bound on the excluded set's cosine
+            # mass (round-15, guide §3 — tighten the prefix): by
+            # Cauchy–Schwarz the contribution of excluded terms E is
+            # <= ||x̂_E||·||ŷ|| <= sqrt(Σ_E nw²), so postings may be
+            # excluded while EITHER running bound stays below the
+            # threshold.  Both cumulative sums are nondecreasing over
+            # the same window order, so the kept set is still a
+            # suffix; candidates remain a provable superset of true
+            # pairs and the exact verify keeps the output
+            # bit-identical (pinned by the 202k planted smoke and the
+            # prefix-vs-unfiltered equality test).
+            .withColumn("cum2", F.sqrt(F.sum(F.col("nw") * F.col("nw")).over(roll)))
             # slack = 6dp-rounding half-ulp (the output filter keeps
             # ROUNDED cosine >= min_sim, i.e. true cosine down to
             # min_sim - 5e-7) + 1e-9 float error in the running bound
-            .filter(F.col("cum") >= F.lit(min_sim - 5e-7 - 1e-9))
+            .filter(
+                F.least(F.col("cum"), F.col("cum2"))
+                >= F.lit(min_sim - 5e-7 - 1e-9)
+            )
             .select("_id", "term")
         )
         cand = (

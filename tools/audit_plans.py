@@ -87,6 +87,76 @@ def bnlj_risks(df, threshold: int = BNLJ_SIZE_THRESHOLD) -> list[str]:
     return out
 
 
+# Round-15 auditor rule (round-14 verdict item 8): a join whose build
+# arm is an AGGREGATE over the SAME leaf relations as the probe arm is
+# the "model-counts join-back" shape — when the aggregate's grouping
+# key equals the join key, the aggregate is usually expressible as a
+# window sum on the probe arm's own exchange (the r14 tfidf/LM-scorer
+# rewrites), saving the build arm's whole re-scan + the join.  Sites
+# audited and deliberately KEPT (window form measured slower or
+# not expressible) are allowlisted with the recorded reason.
+AGG_SELFJOIN_ALLOW = {
+    # norms arm aggregates ALL weighted terms while postings filter
+    # df>=2 — not window-expressible (OPTIMIZATION_r14.md item 32)
+    "sim_sparse_cosine",
+    "sim_sparse_cosine_prefix",
+    # rank-window WindowGroupLimit Partial must survive; full-frame
+    # window aggregates collapse it (rejected A/B 7, r14)
+    "text_inverted_index",
+    # join arms aggregate DIFFERENT domains than the join key's own
+    # partition (unigram stream / domain×term grid — r14 item 32)
+    "text_pmi_bigrams",
+    "text_js_divergence",
+}
+
+
+def _leaf_ids(node) -> frozenset:
+    """Identifiers of the base relations under a logical node."""
+    leaves = node.collectLeaves()
+    out = []
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        s = leaf.toString()
+        # normalize: first line carries the relation/path
+        out.append(s.splitlines()[0][:200])
+    return frozenset(out)
+
+
+def _skip_unary(node):
+    """Descend through Project/Filter wrappers."""
+    while node.getClass().getSimpleName() in ("Project", "Filter"):
+        node = _children(node)[0]
+    return node
+
+
+def agg_selfjoin_candidates(df) -> list[str]:
+    out = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        stack.extend(_children(node))
+        if node.getClass().getSimpleName() != "Join":
+            continue
+        cond = node.condition()
+        if not cond.isDefined() or "=" not in cond.toString():
+            continue
+        kids = _children(node)
+        if len(kids) != 2:
+            continue
+        shapes = [_skip_unary(k).getClass().getSimpleName() for k in kids]
+        if "Aggregate" not in shapes:
+            continue
+        ids = [_leaf_ids(k) for k in kids]
+        if not ids[0] or ids[0] != ids[1]:
+            continue
+        agg_side = kids[shapes.index("Aggregate")]
+        out.append(
+            "aggregate-build self-join (window-sum candidate): "
+            f"agg side {_skip_unary(agg_side).toString().splitlines()[0][:120]}"
+        )
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     name_filter = sys.argv[2:]
@@ -110,6 +180,8 @@ def main() -> None:
         flags.extend(quadratic_frames(plan))
         if "BroadcastNestedLoopJoin" in plan:
             flags.extend(bnlj_risks(df))
+        if name not in AGG_SELFJOIN_ALLOW:
+            flags.extend(agg_selfjoin_candidates(df))
         watch = [m for m in WATCH if m in plan]
         n_exch = plan.count("Exchange")
         status = "FLAG" if flags else "ok"
